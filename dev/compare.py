@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-only oracle parity harness (mirrors the driver's t2 check).
+
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+testdata parquet tables, canonicalizes both sides (columns sorted by name,
+rows sorted), and reports row/schema/value match per query. Not part of the
+shipped library — pre-validates the correctness gate during development.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out), [cols[i] for i in order]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no engine output")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        try:
+            exp = con.execute(oracle[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        g_rows, g_cols = canon(got, got_cols)
+        e_rows, e_cols = canon(exp, exp_cols)
+        if g_cols != e_cols:
+            print(f"FAIL {name}: cols {g_cols} != {e_cols}")
+            n_fail += 1
+        elif g_rows != e_rows:
+            diff = [(a, b) for a, b in zip(g_rows, e_rows) if a != b][:3]
+            print(f"FAIL {name}: rows {len(g_rows)} vs {len(e_rows)};"
+                  f" first diffs: {diff}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

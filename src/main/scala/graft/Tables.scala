@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Every query entry point takes an `sfDir` (e.g. `/root/testdata/sf0.01`)
+  * and reads only the tables it needs — Catalyst prunes columns and pushes
+  * filters into the parquet scan, so "load" here is just a lazy plan node.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
+    // rejects unless nanos are surfaced as a long column. Runtime-settable,
+    // idempotent, and harmless for the other tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events` with `ts` normalized from raw nanos (long) to TimestampType
+    * (microsecond precision — Spark's native resolution) plus the raw
+    * epoch-millis, which is what the interval/sweep-line operators key on.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, sfDir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register all tables as temp views so `spark.sql` users get the same
+    * relational surface the reference exposes through its CSV pipeline.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    All.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

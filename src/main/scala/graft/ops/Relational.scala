@@ -1,0 +1,380 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational surface (SURVEY.md §2.8): the query shapes the
+  * reference's workload implies (projection, filter, aggregation) plus the
+  * full relational complement Spark provides for free — joins (inner /
+  * semi / anti / multi-way), windows, rollup/cube/grouping-sets, set ops,
+  * distinct aggregation, string/date/regex scalar functions, top-k.
+  *
+  * Oracle-parity rules used throughout this codebase:
+  *   - Every aggregated double is cast to DECIMAL before SUM so the result
+  *     is exact and independent of partition/association order; the final
+  *     value is rounded and cast back to DOUBLE. DuckDB does the same in
+  *     the oracle SQL, so hashes match bit-for-bit.
+  *   - Every computed column is aliased identically in the DataFrame code
+  *     and the oracle SQL (the driver sorts columns by name before
+  *     hashing).
+  *   - Top-k / window orderings always carry a unique tiebreak column.
+  *
+  * Scale notes (100 TB design): all aggregations here are partial+final
+  * hash aggregates (map-side combine free via Catalyst); joins against
+  * region/nation/customer/part are broadcastable dims; the only full
+  * shuffles are on high-cardinality group keys, which is unavoidable and
+  * correct. No collect-driven loops, no UDFs — everything whole-stage
+  * codegen.
+  */
+object Relational extends graft.QueryModule {
+
+  /** SUM over an exact decimal image of `c`, rounded and returned as
+    * double: deterministic under any partitioning.
+    */
+  private def dsum(c: Column, dec: String, scale: Int): Column =
+    round(sum(c.cast(dec)), scale).cast("double")
+
+  // --- Q1: pricing summary (scan → filter → wide aggregate) -------------
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), "decimal(18,2)", 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), "decimal(18,2)", 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "decimal(18,6)", 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), "decimal(18,6)", 4).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))),4) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- Q2: fact-to-fact join + aggregate --------------------------------
+  private def q2(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "decimal(18,6)", 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q2Sql =
+    """SELECT o_orderpriority,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --- Q3: top-k with deterministic tiebreak ----------------------------
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        "decimal(18,6)", 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey").asc)
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey AS orderkey,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // --- Q4: semi join (EXISTS) -------------------------------------------
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --- Q5: five-way join with broadcast dims ----------------------------
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "decimal(18,6)", 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5Sql =
+    """SELECT r_name, n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))),4) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey  = o_orderkey
+      |JOIN customer ON o_custkey   = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // --- Q6: selective filter + scalar aggregate (pushdown showcase) ------
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), "decimal(18,6)", 4)
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))),4) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // --- Q7: window ranking (top-3 orders per customer) -------------------
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"), col("rn"))
+  }
+
+  private val q7Sql =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |       o_totalprice AS totalprice, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  // --- Q8: rollup --------------------------------------------------------
+  private def q8(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity"), "decimal(18,2)", 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+
+  private val q8Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n_rows,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // --- Q9: set operations ------------------------------------------------
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val big = o.filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val poor = c.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    big.intersect(fin).except(poor)
+  }
+
+  private val q9Sql =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin
+
+  // --- Q10: distinct aggregation ----------------------------------------
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  private val q10Sql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  // --- Q11: cube ---------------------------------------------------------
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), "decimal(18,2)", 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+  }
+
+  private val q11Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |       COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // --- Q12: anti join (NOT EXISTS) --------------------------------------
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o.filter(col("o_totalprice") > 300000),
+        c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val q12Sql =
+    """SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // --- Q13: string scalar functions -------------------------------------
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .select(
+        col("p_partkey").as("partkey"),
+        upper(col("p_type")).as("type_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+
+  private val q13Sql =
+    """SELECT p_partkey AS partkey,
+      |       UPPER(p_type) AS type_u,
+      |       LENGTH(p_name) AS name_len,
+      |       SUBSTRING(p_name, 1, 8) AS name_pfx,
+      |       CONCAT_WS('-', p_brand, p_type) AS brand_type
+      |FROM part""".stripMargin
+
+  // --- Q14: date functions -----------------------------------------------
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), "decimal(18,2)", 2).as("sum_price"))
+
+  private val q14Sql =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+      |       CAST(MONTH(o_orderdate) AS INT) AS mo,
+      |       COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- Q15: regex extraction over the JSON-ish props column --------------
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        regexp_extract(col("props"), "([0-9]+)", 1).cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
+
+  private val q15Sql =
+    """SELECT event_type,
+      |       SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      |       COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  // --- Q16: CASE WHEN bucketing (t-shirt style, mirrors §2.4) ------------
+  private val priceBucket =
+    """CASE WHEN o_totalprice <= 50000  THEN 'XSMALL'
+      |     WHEN o_totalprice <= 150000 THEN 'SMALL'
+      |     WHEN o_totalprice <= 250000 THEN 'MEDIUM'
+      |     WHEN o_totalprice <= 350000 THEN 'LARGE'
+      |     ELSE 'CUSTOM' END""".stripMargin
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(expr(priceBucket).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+
+  private val q16Sql =
+    s"""SELECT $priceBucket AS bucket, COUNT(*) AS n_orders
+       |FROM orders
+       |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1 _,
+    "q2_join_agg" -> q2 _,
+    "q3_topk" -> q3 _,
+    "q4_semi_join" -> q4 _,
+    "q5_multiway_join" -> q5 _,
+    "q6_filter_agg" -> q6 _,
+    "q7_window_rank" -> q7 _,
+    "q8_rollup" -> q8 _,
+    "q9_setops" -> q9 _,
+    "q10_distinct_agg" -> q10 _,
+    "q11_cube" -> q11 _,
+    "q12_anti_join" -> q12 _,
+    "q13_string_funcs" -> q13 _,
+    "q14_date_agg" -> q14 _,
+    "q15_regex_json" -> q15 _,
+    "q16_case_bucket" -> q16 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_join_agg" -> q2Sql,
+    "q3_topk" -> q3Sql,
+    "q4_semi_join" -> q4Sql,
+    "q5_multiway_join" -> q5Sql,
+    "q6_filter_agg" -> q6Sql,
+    "q7_window_rank" -> q7Sql,
+    "q8_rollup" -> q8Sql,
+    "q9_setops" -> q9Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_cube" -> q11Sql,
+    "q12_anti_join" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_date_agg" -> q14Sql,
+    "q15_regex_json" -> q15Sql,
+    "q16_case_bucket" -> q16Sql)
+}
