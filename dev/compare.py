@@ -50,12 +50,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no engine output")
             n_fail += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [d[0] for d in con.description]
+        rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols = list(rel.columns)
+        # DBAPI description collapses all numerics to 'NUMBER'; the relation
+        # API exposes real logical types (HUGEINT vs BIGINT etc.), matching
+        # the driver's type-sensitive hash check.
+        got_types = dict(zip(rel.columns, map(str, rel.types)))
+        got = rel.fetchall()
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            erel = con.sql(oracle[name])
+            exp_cols = list(erel.columns)
+            exp_types = dict(zip(erel.columns, map(str, erel.types)))
+            exp = erel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -64,6 +70,13 @@ def main(sf_dir, out_dir):
         e_rows, e_cols = canon(exp, exp_cols)
         if g_cols != e_cols:
             print(f"FAIL {name}: cols {g_cols} != {e_cols}")
+            n_fail += 1
+        elif got_types != exp_types:
+            # The driver's hash check is type-sensitive (e.g. DuckDB SUM over
+            # BIGINT yields HUGEINT != Spark BIGINT even when values match).
+            bad = {c: (got_types[c], exp_types[c]) for c in got_types
+                   if got_types[c] != exp_types[c]}
+            print(f"FAIL {name}: column types differ (engine, oracle): {bad}")
             n_fail += 1
         elif g_rows != e_rows:
             diff = [(a, b) for a, b in zip(g_rows, e_rows) if a != b][:3]

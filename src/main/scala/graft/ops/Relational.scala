@@ -176,7 +176,7 @@ object Relational extends graft.QueryModule {
 
   private val q7Sql =
     """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-      |       o_totalprice AS totalprice, rn
+      |       o_totalprice AS totalprice, CAST(rn AS INTEGER) AS rn
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        ROW_NUMBER() OVER (PARTITION BY o_custkey
       |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -286,7 +286,7 @@ object Relational extends graft.QueryModule {
   private val q13Sql =
     """SELECT p_partkey AS partkey,
       |       UPPER(p_type) AS type_u,
-      |       LENGTH(p_name) AS name_len,
+      |       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
       |       SUBSTRING(p_name, 1, 8) AS name_pfx,
       |       CONCAT_WS('-', p_brand, p_type) AS brand_type
       |FROM part""".stripMargin
@@ -309,6 +309,10 @@ object Relational extends graft.QueryModule {
       |GROUP BY 1, 2""".stripMargin
 
   // --- Q15: regex extraction over the JSON-ish props column --------------
+  // Oracle notes: DuckDB SUM(BIGINT) yields HUGEINT, so the oracle CASTs
+  // the aggregate back to BIGINT to match Spark's LongType; NULLIF guards
+  // rows where the regex finds no digits (Spark cast('' as bigint) = NULL,
+  // DuckDB CAST('' AS BIGINT) errors).
   private def q15(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .select(col("event_type"),
@@ -318,7 +322,7 @@ object Relational extends graft.QueryModule {
 
   private val q15Sql =
     """SELECT event_type,
-      |       SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
       |       COUNT(*) AS n_events
       |FROM events
       |GROUP BY event_type""".stripMargin
