@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(ops.Relational)
+  private val modules: Seq[QueryModule] = Seq(ops.Relational, ops.Sizing)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,87 @@
+package graft.sizing
+
+import graft.plans.PrefixSum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The sweep-line concurrency operator (SURVEY §2.6) — the reference's one
+  * genuinely novel operator: max-concurrent-resource analysis over query
+  * intervals (impala_query_sizing.py:307–396).
+  *
+  * Semantics: each kept query contributes a `+delta` event at its admitted
+  * start (start_time shifted by admission_wait, py:307–310) and a `-delta`
+  * event at its end; events are globally ordered; running sums are the
+  * instantaneous resource footprint; maxima are taken ONLY at start events
+  * (py:381–396 — between a start and the next event the footprint is
+  * constant, so starts are the only candidates for a maximum).
+  *
+  * Deviations (documented, SURVEY §2.10 Q5/Q11): the reference sorts raw
+  * timestamp STRINGS with mixed formats and unpadded millis, which
+  * mis-orders sub-second events. We order by true instant with a
+  * deterministic tiebreak: at equal instants ends sort before starts
+  * (kind 0 < 1 — so a query ending exactly when another starts does not
+  * count as overlapping), then query_id.
+  *
+  * Scale: the running sums go through [[PrefixSum.scan]] — a two-pass
+  * range-partitioned scan, not a single-task global window. Event fan-out
+  * is 2 rows per query via explode (no driver loop).
+  */
+object Concurrency {
+
+  /** Input: derived querylog (post-[[Formulas.derive]]) with an
+    * `admitted_us`/`end_us` pair (µs since epoch, BIGINT) and per-event
+    * integer delta units (associativity-safe across partitions; doubles
+    * would make distributed partial sums order-sensitive):
+    *
+    *   - pods: `min_executor_pod` (count units)
+    *   - cache/mem/spill: bytes-per-backend (`x_bytes div num_backends`)
+    *   - cpu: milli-vcores-per-backend
+    *
+    * Output: one row per event with running sums `run_*` over the global
+    * (ts, kind, query_id) order.
+    */
+  def sweep(derived: DataFrame): DataFrame = {
+    val deltas = Seq("d_count", "d_pods", "d_cache_b", "d_mem_b",
+      "d_cpu_mv", "d_spill_b")
+
+    val start = struct(
+      col("admitted_us").as("ts_us"), lit(1).as("kind"),
+      lit(1L).as("d_count"), col("min_executor_pod").as("d_pods"),
+      col("cache_b_per_backend").as("d_cache_b"),
+      col("mem_b_per_backend").as("d_mem_b"),
+      col("cpu_mv_per_backend").as("d_cpu_mv"),
+      col("spill_b_per_backend").as("d_spill_b"))
+    val end = struct(
+      col("end_us").as("ts_us"), lit(0).as("kind"),
+      lit(-1L).as("d_count"), (-col("min_executor_pod")).as("d_pods"),
+      (-col("cache_b_per_backend")).as("d_cache_b"),
+      (-col("mem_b_per_backend")).as("d_mem_b"),
+      (-col("cpu_mv_per_backend")).as("d_cpu_mv"),
+      (-col("spill_b_per_backend")).as("d_spill_b"))
+
+    val events = derived
+      .select(col("query_id"), explode(array(start, end)).as("e"))
+      .select(col("query_id"), col("e.*"))
+
+    PrefixSum.scan(events,
+      Seq(col("ts_us"), col("kind"), col("query_id")),
+      deltas.map(d => d -> d.replace("d_", "run_")))
+  }
+
+  /** Conditional maxima (py:381–396): max running footprint observed at
+    * start events. Returns a single row.
+    */
+  def maxima(sweepEvents: DataFrame): DataFrame =
+    sweepEvents
+      .filter(col("d_count") > 0)
+      .agg(
+        max(col("run_count")).as("max_concurrent_queries"),
+        max(col("run_pods")).as("max_concurrent_pods"),
+        max(col("run_cache_b")).as("max_concurrent_cache_b"),
+        max(col("run_mem_b")).as("max_concurrent_mem_b"),
+        max(col("run_cpu_mv")).as("max_concurrent_cpu_mv"),
+        max(col("run_spill_b")).as("max_concurrent_spill_b"),
+        // py:384 uses >= for pods: at ties the LATEST start wins
+        max_by(col("ts_us"), struct(col("run_pods"), col("ts_us")))
+          .as("max_pods_at_us"))
+}
