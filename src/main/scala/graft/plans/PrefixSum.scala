@@ -10,16 +10,24 @@ import org.apache.spark.sql.functions._
   * dataset into ONE task — correct at 60k rows, dead at 100 TB. This is the
   * classic two-pass parallel scan instead (SURVEY §2.6 scale note):
   *
-  *   1. `repartitionByRange` on the order key: partition i holds keys ≤
-  *      partition i+1's, so partition id IS the coarse order.
-  *   2. Per-partition running sums via a window PARTITIONED by partition id
+  *   1. Split the order-key domain into ~numShufflePartitions contiguous
+  *      buckets. Bucket boundaries come from `approxQuantile` over the
+  *      primary order column, and the bucket id is a PURE FUNCTION OF ROW
+  *      VALUES (a when-chain over the boundary literals) — never
+  *      `spark_partition_id()`. The scan recomputes its input across
+  *      multiple Spark jobs, and physical partition ids are not stable
+  *      across jobs (AQE may coalesce each job's shuffle differently), so
+  *      any pid-based bucketing silently mis-assigns carry-ins. Value-based
+  *      bucketing is deterministic under recomputation by construction.
+  *   2. Per-bucket running sums via a window PARTITIONED by bucket id
   *      (parallel, no global sort bottleneck).
-  *   3. Per-partition totals (numPartitions rows — tiny) are collected,
-  *      turned into exclusive carry-in offsets on the driver, and joined
-  *      back via broadcast.
+  *   3. Per-bucket totals (≤ numBuckets rows — tiny) are collected, turned
+  *      into exclusive carry-in offsets on the driver, and joined back via
+  *      broadcast.
   *
-  * Every pass is builtin ops — no custom Catalyst work needed; AQE still
-  * gets to size the range shuffle.
+  * Every pass is builtin ops — no custom Catalyst work needed. Cost: the
+  * input is evaluated three times (quantile sketch, totals, local scan);
+  * callers scanning an expensive upstream should persist it first.
   *
   * The order defined by `orderCols` MUST be total (include a unique
   * tiebreak column) or running values at ties are nondeterministic.
@@ -27,38 +35,48 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Adds a running-sum column `dst` for each `(src, dst)` in `sumCols`,
-    * over the global `orderCols` ordering. Sums are computed on the source
-    * column's own type (use integer/decimal deltas for exact,
-    * associativity-safe accumulation; see caller notes).
+    * over the global `orderCols` ordering. `bucketCol` names a numeric
+    * column that is the leading component of `orderCols` — it drives the
+    * range bucketing; ties on it never straddle buckets. Sums are computed
+    * on the source column's own type (use integer/decimal deltas for
+    * exact, associativity-safe accumulation; see caller notes).
     */
-  def scan(df: DataFrame, orderCols: Seq[Column],
+  def scan(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
       sumCols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
-    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val parted = df
-      .repartitionByRange(nParts, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    // Boundary literals: deterministic (Greenwald-Khanna sketch, no RNG),
+    // so every recomputation assigns every row the same bucket.
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(bucketCol, probs, 0.001).distinct.sorted
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col(bucketCol) > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = df.withColumn("__bucket", bucketExpr)
 
-    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    val w = Window.partitionBy("__bucket").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sumCols.foldLeft(parted) { case (d, (src, dst)) =>
+    val local = sumCols.foldLeft(bucketed) { case (d, (src, dst)) =>
       d.withColumn(dst, sum(col(src)).over(w))
     }
 
-    // Pass 2: per-partition totals → exclusive prefix (carry-ins). The
-    // collect is numPartitions rows — O(parallelism), not O(data).
-    val totals = parted.groupBy("__pid")
+    // Per-bucket totals → exclusive prefix (carry-ins). The collect is
+    // ≤ nBuckets rows — O(parallelism), not O(data).
+    val totals = bucketed.groupBy("__bucket")
       .agg(sumCols.map { case (src, _) => sum(col(src)).as(src) }.head,
         sumCols.tail.map { case (src, _) => sum(col(src)).as(src) }: _*)
       .collect()
-      .sortBy(_.getAs[Int]("__pid"))
+      .sortBy(_.getAs[Int]("__bucket"))
 
     val srcs = sumCols.map(_._1)
     var running: Map[String, BigDecimal] = srcs.map(_ -> BigDecimal(0)).toMap
     val carryRows = totals.map { r =>
-      val row = Row.fromSeq(r.getAs[Int]("__pid") +: srcs.map(s => running(s)))
+      val row =
+        Row.fromSeq(r.getAs[Int]("__bucket") +: srcs.map(s => running(s)))
       running = srcs.map { s =>
         val v = r.get(r.fieldIndex(s)) match {
           case null => BigDecimal(0)
@@ -74,18 +92,18 @@ object PrefixSum {
 
     import org.apache.spark.sql.types._
     val carrySchema = StructType(
-      StructField("__pid", IntegerType) +:
+      StructField("__bucket", IntegerType) +:
         srcs.map(s => StructField(s"__carry_$s", DecimalType(38, 10))))
     val carries = spark.createDataFrame(
       spark.sparkContext.parallelize(carryRows.toSeq, 1), carrySchema)
 
-    val joined = local.join(broadcast(carries), Seq("__pid"), "left")
+    val joined = local.join(broadcast(carries), Seq("__bucket"), "left")
     sumCols.foldLeft(joined) { case (d, (src, dst)) =>
       // Carry-in is exact decimal; cast back to the running column's type
       // so integer-delta scans stay integral end-to-end.
       d.withColumn(dst,
         (col(dst) + coalesce(col(s"__carry_$src"), lit(0)))
           .cast(d.schema(dst).dataType))
-    }.drop("__pid" +: srcs.map(s => s"__carry_$s"): _*)
+    }.drop("__bucket" +: srcs.map(s => s"__carry_$s"): _*)
   }
 }

@@ -63,7 +63,7 @@ object Concurrency {
       .select(col("query_id"), explode(array(start, end)).as("e"))
       .select(col("query_id"), col("e.*"))
 
-    PrefixSum.scan(events,
+    PrefixSum.scan(events, "ts_us",
       Seq(col("ts_us"), col("kind"), col("query_id")),
       deltas.map(d => d -> d.replace("d_", "run_")))
   }
