@@ -1,0 +1,27 @@
+package graft.ops
+
+/** Cross-engine SQL fragments shared by the Spark implementations and
+  * their DuckDB oracle mirrors.
+  *
+  * The driver's correctness gate hash-compares Spark output with DuckDB
+  * output, so every non-trivial scalar computation must be expressible
+  * IDENTICALLY (bit-for-bit) in both engines. The workhorse is a
+  * deterministic 60-bit integer hash shared by both: the first 15 hex
+  * digits of md5, parsed base-16. md5 is bytewise-identical everywhere;
+  * 15 hex digits (60 bits) fit a signed 64-bit integer, so no overflow
+  * and no sign games on either engine.
+  */
+object Dialect {
+
+  /** Spark SQL: 60-bit md5-derived hash of expression `e`. */
+  def sparkHash60(e: String): String =
+    s"CAST(conv(substring(md5($e),1,15),16,10) AS BIGINT)"
+
+  /** DuckDB SQL: the same 60-bit hash (DuckDB has no base-16 conv; fold
+    * the hex digits instead — exact same value).
+    */
+  def duckHash60(e: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($e),1,15), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      s"(a,b) -> a*16+b)"
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (north-star extensions, SURVEY §2.9): token counting
+  * (whitespace + regex tokenizers), quality scoring, n-gram-profile
+  * language identification, and rolling-hash / winnowing document
+  * fingerprints.
+  *
+  * All per-document computation is higher-order array expressions over a
+  * single scan — no UDFs, no shuffles until the final small aggregation,
+  * so each operator is a map-side pass at 100 TB. The only shuffles are
+  * on tiny keys (lang × tier, lang × gram-profile).
+  *
+  * Oracle parity: every scalar is either exact integer arithmetic or a
+  * single deterministic IEEE-754 double expression evaluated in the same
+  * shape on both engines (see [[Dialect]] for the shared md5-based hash).
+  */
+object TextAnalysis extends QueryModule {
+
+  // --- q21: token counting (whitespace + regex tokenizers) ---------------
+  // Two tokenizers per document: naive whitespace split and a regex word
+  // tokenizer (the "BPE-ish" pre-tokenization pass: maximal [a-z]+ runs).
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_ws"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_re"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
+        expr("""round(CAST(aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),
+             |  0L, (a, x) -> a + x) AS DOUBLE) / size(toks), 4)""".stripMargin)
+          .as("avg_tok_len"))
+
+  private val q21Sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws,
+      |  len(toks) AS n_re,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  round(CAST(list_reduce(list_transform(toks, t -> CAST(length(t) AS BIGINT)),
+      |    (a, b) -> a + b) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+      |FROM (SELECT doc_id, text, regexp_extract_all(text, '[a-z]+') AS toks
+      |      FROM documents)""".stripMargin
+
+  // --- q22: quality scoring (stopword / duplication ratios → tiers) ------
+  // score ∈ [0,1]: half from non-stopword density, half from lexical
+  // diversity (distinct/total tokens). Deterministic: both terms are one
+  // double division + multiply, same shape both engines.
+  private val scoreExprSpark =
+    """round((1.0 - CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+      |  / size(toks)) * 0.5
+      |  + CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) * 0.5,
+      |  6)""".stripMargin
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .withColumn("n_toks", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("score", expr(scoreExprSpark))
+      .withColumn("tier",
+        when(col("score") >= 0.78, "high")
+          .when(col("score") >= 0.70, "mid")
+          .otherwise("low"))
+      .groupBy("lang", "tier")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4)")
+          .as("avg_tokens"))
+
+  private val q22Sql =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    round((1.0 - CAST(len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+      |      / len(toks)) * 0.5
+      |      + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5,
+      |      6) AS score
+      |  FROM (SELECT lang, regexp_extract_all(text, '[a-z]+') AS toks
+      |        FROM documents)
+      |)
+      |SELECT lang,
+      |  CASE WHEN score >= 0.78 THEN 'high'
+      |       WHEN score >= 0.70 THEN 'mid' ELSE 'low' END AS tier,
+      |  COUNT(*) AS n_docs,
+      |  round(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+      |FROM scored GROUP BY 1, 2""".stripMargin
+
+  // --- q23: n-gram-profile language ID ------------------------------------
+  // Two-stage heuristic: (1) build a per-language profile = top-20 char
+  // trigrams by corpus frequency; (2) score each document against every
+  // profile by distinct-trigram overlap, predict the argmax. Output is the
+  // (actual × predicted) confusion matrix. The profile build is a tiny
+  // groupBy (≤ langs × |trigram vocab|); scoring is a broadcastable join
+  // against ≤ 100 profile rows — scales linearly in corpus size.
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(text)-2, 1))," +
+          " i -> substring(text, i, 3)))")).as("g"))
+
+    val profW = Window.partitionBy("plang")
+      .orderBy(col("n").desc, col("g").asc)
+    val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(profW))
+      .filter(col("rn") <= 20)
+      .select("plang", "g")
+
+    val matches = grams.select("doc_id", "g")
+      .join(broadcast(profile), Seq("g"))
+      .groupBy("doc_id", "plang")
+      .agg(count(lit(1)).as("score"))
+
+    val langs = profile.select("plang").distinct()
+    val scored = docs.select("doc_id", "lang").crossJoin(broadcast(langs))
+      .join(matches, Seq("doc_id", "plang"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+
+    val predW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("plang").asc)
+    scored.withColumn("rn", row_number().over(predW))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("plang").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val q23Sql =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(length(text)-2, 1)),
+      |      i -> substr(text, i, 3)))) AS g
+      |  FROM documents
+      |), profile AS (
+      |  SELECT plang, g FROM (
+      |    SELECT lang AS plang, g, COUNT(*) AS n,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g ASC) AS rn
+      |    FROM grams GROUP BY lang, g)
+      |  WHERE rn <= 20
+      |), matches AS (
+      |  SELECT gr.doc_id, p.plang, COUNT(*) AS score
+      |  FROM grams gr JOIN profile p ON gr.g = p.g
+      |  GROUP BY gr.doc_id, p.plang
+      |), scored AS (
+      |  SELECT d.doc_id, d.lang, l.plang, COALESCE(m.score, 0) AS score
+      |  FROM documents d
+      |  CROSS JOIN (SELECT DISTINCT plang FROM profile) l
+      |  LEFT JOIN matches m ON m.doc_id = d.doc_id AND m.plang = l.plang
+      |), pred AS (
+      |  SELECT doc_id, lang, plang AS pred FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, plang ASC) AS rn
+      |    FROM scored)
+      |  WHERE rn = 1
+      |)
+      |SELECT lang, pred, COUNT(*) AS n_docs FROM pred GROUP BY lang, pred""".stripMargin
+
+  // --- q24: rolling-hash fingerprints (winnowing) -------------------------
+  // Per document: 8-char k-gram hashes (the rolling window), the global
+  // min-hash fingerprint, and the winnowing fingerprint count (distinct
+  // minima over a 4-hash sliding window — the classic local fingerprinting
+  // scheme used for near-dup sketching).
+  private val kgramHashesSpark =
+    s"transform(sequence(1, greatest(length(text)-7, 1))," +
+      s" i -> ${Dialect.sparkHash60("substring(text, i, 8)")})"
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("hs", expr(kgramHashesSpark))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(hs) AS BIGINT)").as("n_kgrams"),
+        expr("array_min(hs)").as("fp_min"),
+        expr("""CAST(size(array_distinct(transform(
+             |  sequence(1, greatest(size(hs)-3, 1)),
+             |  j -> array_min(slice(hs, j, 4))))) AS BIGINT)""".stripMargin)
+          .as("n_winnow"))
+
+  private val q24Sql = {
+    val h = Dialect.duckHash60("substr(text, i, 8)")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(length(text)-7, 1)),
+       |      i -> $h) AS hs
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(hs) AS n_kgrams,
+       |  list_min(hs) AS fp_min,
+       |  len(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(hs)-3, 1)),
+       |    j -> list_min(hs[j:j+3])))) AS n_winnow
+       |FROM hashed""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_token_stats" -> q21 _,
+    "q22_quality_score" -> q22 _,
+    "q23_langid" -> q23 _,
+    "q24_fingerprint" -> q24 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_token_stats" -> q21Sql,
+    "q22_quality_score" -> q22Sql,
+    "q23_langid" -> q23Sql,
+    "q24_fingerprint" -> q24Sql)
+}
