@@ -1,0 +1,253 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * (north-star extensions, SURVEY §2.9): exact dedup, MinHash+LSH
+  * near-dup candidate generation with Jaccard verification, SimHash with
+  * banded Hamming search, and direct n-gram Jaccard on linear pair sets.
+  *
+  * Scale design: every candidate-generation step is a bucket equi-join
+  * (band key / simhash band), never an O(n²) cross join — the classic
+  * LSH shape: candidates per band bucket only, verified exactly
+  * afterwards. Signatures are higher-order array expressions over one
+  * scan (map-side); the joins shuffle on band keys whose cardinality
+  * grows with the corpus, so they partition evenly at 100 TB.
+  */
+object Dedup extends QueryModule {
+
+  // --- q25: exact dedup ---------------------------------------------------
+  // Dedup key: md5 of the first 5 word tokens (a deliberately coarse
+  // normalization so the synthetic corpus actually has collisions). The
+  // aggregate shape (count vs count-distinct-key per group) is the whole
+  // exact-dedup operator: survivors = one row per key.
+  private val keySpark =
+    "md5(array_join(slice(regexp_extract_all(text, '[a-z]+', 0), 1, 5), ' '))"
+  private val keyDuck =
+    "md5(array_to_string(regexp_extract_all(text, '[a-z]+')[1:5], ' '))"
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("k", expr(keySpark))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("k")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("k"))).as("n_dups"))
+
+  private val q25Sql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT k) AS n_unique,
+       |  COUNT(*) - COUNT(DISTINCT k) AS n_dups
+       |FROM (SELECT source, $keyDuck AS k FROM documents)
+       |GROUP BY source""".stripMargin
+
+  // --- q26: MinHash + LSH near-dup pipeline -------------------------------
+  // shingle → 12 minhashes → 4 bands × 3 rows → band-bucket join →
+  // exact-Jaccard verification → similarity histogram.
+  //
+  // Hash family: h_j(x) = (a_j·(H(x) mod P) + b_j) mod P with P = 2^31−1,
+  // a_j = 2j+1, b_j = 101·j, H = the shared md5-based 60-bit hash. All
+  // exact BIGINT arithmetic (max a_j·x < 2^36·2^31 < 2^63).
+  private val P = 2147483647L // 2^31 - 1
+  private val NumHashes = 12
+  private val Bands = 4 // 3 rows per band
+
+  private def shinglesSpark =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(regexp_extract_all(text, '[a-z]+', 0)) - 2, 1)),
+      |  i -> array_join(slice(regexp_extract_all(text, '[a-z]+', 0), i, 3), ' ')))"""
+      .stripMargin
+
+  private def shinglesDuck =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 2, 1)),
+      |  i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' ')))"""
+      .stripMargin
+
+  private def minhashSpark =
+    s"""transform(sequence(0, ${NumHashes - 1}), j ->
+       |  array_min(transform(sh, x ->
+       |    ((2*j + 1) * (${Dialect.sparkHash60("x")} % ${P}L) + 101*j) % ${P}L)))"""
+      .stripMargin
+
+  private def minhashDuck =
+    s"""list_transform(generate_series(0, ${NumHashes - 1}), j ->
+       |  list_min(list_transform(sh, x ->
+       |    ((2*j + 1) * (${Dialect.duckHash60("x")} % $P) + 101*j) % $P)))"""
+      .stripMargin
+
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.load(s, dir, "documents")
+      .withColumn("sh", expr(shinglesSpark))
+      .withColumn("mh", expr(minhashSpark))
+      .select(col("doc_id"), col("sh"), col("mh"))
+
+    // band key: md5 of the band's 3 minhash values — one row per (doc, band)
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      explode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
+        |named_struct('band', b,
+        |  'bkey', md5(concat_ws('_', slice(mh, b*3 + 1, 3)))))""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"), col("sh"), col("e.band"), col("e.bkey"))
+
+    val l = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("d1"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("d2"), col("sh").as("sh2"))
+    val pairs = l.join(r, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "sh1", "sh2")
+      .dropDuplicates("d1", "d2")
+      .withColumn("jac", expr(
+        """CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
+          |/ (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))"""
+          .stripMargin))
+
+    pairs
+      .groupBy(floor(col("jac") * 10).cast("bigint").as("jac_bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jac")), 6).as("min_jac"),
+        round(max(col("jac")), 6).as("max_jac"))
+  }
+
+  private val q26Sql =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, sh, $minhashDuck AS mh
+       |  FROM (SELECT doc_id, $shinglesDuck AS sh FROM documents)
+       |), banded AS (
+       |  SELECT doc_id, sh, b AS band,
+       |    md5(array_to_string(mh[b*3 + 1 : b*3 + 3], '_')) AS bkey
+       |  FROM sigs, unnest(generate_series(0, ${Bands - 1})) AS t(b)
+       |), pairs AS (
+       |  SELECT DISTINCT ON (l.doc_id, r.doc_id)
+       |    l.doc_id AS d1, r.doc_id AS d2, l.sh AS sh1, r.sh AS sh2
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |), scored AS (
+       |  SELECT CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+       |    / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS jac
+       |  FROM pairs
+       |)
+       |SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS jac_bucket,
+       |  COUNT(*) AS n_pairs,
+       |  round(MIN(jac), 6) AS min_jac,
+       |  round(MAX(jac), 6) AS max_jac
+       |FROM scored GROUP BY 1""".stripMargin
+
+  // --- q27: SimHash + banded Hamming search -------------------------------
+  // 60-bit simhash from token hashes (multiplicity-weighted): bit j is set
+  // iff Σ_tokens (2·bit_j(H(t)) − 1) > 0. Candidate pairs share at least
+  // one of four 15-bit bands; verified by exact Hamming distance.
+  private def simhashSpark =
+    s"""aggregate(sequence(0, 59), 0L, (acc, j) ->
+       |  acc + CASE WHEN aggregate(hs, 0L,
+       |      (a, h) -> a + 2 * (shiftright(h, j) & 1) - 1) > 0
+       |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+
+  private def simhashDuck =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 59)),
+       |  (acc, j) ->
+       |  acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |      (a, h) -> a + 2 * ((h >> j) & 1) - 1) > 0
+       |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)""".stripMargin
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val sims = Tables.load(s, dir, "documents")
+      .withColumn("hs", expr(
+        s"transform(regexp_extract_all(text, '[a-z]+', 0)," +
+          s" t -> ${Dialect.sparkHash60("t")})"))
+      .select(col("doc_id"), expr(simhashSpark).as("sim"))
+
+    val banded = sims.select(col("doc_id"), col("sim"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> named_struct('band', b,
+          |  'bkey', shiftright(sim, b * 15) & 32767))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("sim"), col("e.band"), col("e.bkey"))
+
+    val l = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("d1"), col("sim").as("s1"))
+    val r = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("d2"), col("sim").as("s2"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("ham", expr("bit_count(s1 ^ s2)"))
+      // integer div, NOT double-div + cast: Spark's cast truncates while
+      // DuckDB's rounds-to-nearest, so `/ 8` would split buckets differently
+      .groupBy(expr("CAST(ham div 8 AS BIGINT)").as("ham_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("ham")).cast("bigint").as("min_ham"))
+  }
+
+  private val q27Sql = {
+    val th = Dialect.duckHash60("t")
+    s"""WITH sims AS (
+       |  SELECT doc_id, $simhashDuck AS sim
+       |  FROM (SELECT doc_id,
+       |          list_transform(regexp_extract_all(text, '[a-z]+'), t -> $th) AS hs
+       |        FROM documents)
+       |), banded AS (
+       |  SELECT doc_id, sim, b AS band, (sim >> (b * 15)) & 32767 AS bkey
+       |  FROM sims, unnest(generate_series(0, 3)) AS t(b)
+       |), pairs AS (
+       |  SELECT DISTINCT ON (l.doc_id, r.doc_id)
+       |    l.sim AS s1, r.sim AS s2
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |)
+       |SELECT CAST(bit_count(xor(s1, s2)) // 8 AS BIGINT) AS ham_bucket,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(MIN(bit_count(xor(s1, s2))) AS BIGINT) AS min_ham
+       |FROM pairs GROUP BY 1""".stripMargin
+  }
+
+  // --- q28: n-gram Jaccard on a linear pair set ---------------------------
+  // Direct character-trigram Jaccard between each document and the next
+  // document of the same source — a deterministic LINEAR pair set (the
+  // all-pairs version is exactly what LSH above exists to avoid at scale).
+  private val trigramsSpark =
+    """array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),
+      |  i -> substring(text, i, 3)))""".stripMargin
+  private val trigramsDuck =
+    """list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
+      |  i -> substr(text, i, 3)))""".stripMargin
+
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), expr(trigramsSpark).as("gr"))
+    val a = g.select(col("doc_id").as("d1"), col("source"), col("gr").as("g1"))
+    val b = g.select(col("doc_id").as("d2"),
+      col("source").as("source2"), col("gr").as("g2"))
+    a.join(b, col("source") === col("source2") &&
+        col("d2") === col("d1") + 20)
+      .select(col("d1"), col("d2"),
+        expr("""round(CAST(size(array_intersect(g1, g2)) AS DOUBLE)
+             |/ (size(g1) + size(g2) - size(array_intersect(g1, g2))), 6)"""
+          .stripMargin).as("jac"))
+  }
+
+  private val q28Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, $trigramsDuck AS gr FROM documents
+       |)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+       |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) AS jac
+       |FROM g a JOIN g b
+       |  ON a.source = b.source AND b.doc_id = a.doc_id + 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_exact_dedup" -> q25 _,
+    "q26_minhash_lsh" -> q26 _,
+    "q27_simhash" -> q27 _,
+    "q28_ngram_jaccard" -> q28 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_exact_dedup" -> q25Sql,
+    "q26_minhash_lsh" -> q26Sql,
+    "q27_simhash" -> q27Sql,
+    "q28_ngram_jaccard" -> q28Sql)
+}
