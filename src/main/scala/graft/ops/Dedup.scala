@@ -67,10 +67,19 @@ object Dedup extends QueryModule {
       |  i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' ')))"""
       .stripMargin
 
+  // Single pass over the shingles: the hashed-shingle array is the
+  // aggregate() INPUT (evaluated once per row), and each element updates
+  // all 12 running minima via zip_with. The naive shape —
+  // transform(sequence(0,11), j -> array_min(transform(sh, ...))) — walks
+  // (and, post-CollapseProject, re-hashes) the shingle set 12× per row.
+  // Pure integer arithmetic: result is bit-identical to the oracle's
+  // per-j array_min formulation.
   private def minhashSpark =
-    s"""transform(sequence(0, ${NumHashes - 1}), j ->
-       |  array_min(transform(sh, x ->
-       |    ((2*j + 1) * (${Dialect.sparkHash60("x")} % ${P}L) + 101*j) % ${P}L)))"""
+    s"""aggregate(
+       |  transform(sh, x -> ${Dialect.sparkHash60("x")} % ${P}L),
+       |  array_repeat(${P}L, $NumHashes),
+       |  (acc, v) -> zip_with(acc, sequence(0, ${NumHashes - 1}),
+       |    (m, j) -> least(m, ((2*j + 1) * v + 101*j) % ${P}L)))"""
       .stripMargin
 
   private def minhashDuck =
@@ -80,27 +89,37 @@ object Dedup extends QueryModule {
       .stripMargin
 
   private def q26(s: SparkSession, dir: String): DataFrame = {
+    // Persist the signature table: without a materialization barrier,
+    // CollapseProject inlines `sh` into the minhash lambda, so the md5
+    // per shingle would be recomputed 12× per row — and again on each
+    // side of the self-join. One scan computes signatures exactly once;
+    // per-row persisted state is just id + shingle/minhash arrays.
     val sigs = Tables.load(s, dir, "documents")
       .withColumn("sh", expr(shinglesSpark))
       .withColumn("mh", expr(minhashSpark))
       .select(col("doc_id"), col("sh"), col("mh"))
+      .persist()
 
-    // band key: md5 of the band's 3 minhash values — one row per (doc, band)
-    val banded = sigs.select(col("doc_id"), col("sh"),
+    // band key: md5 of the band's 3 minhash values — one row per (doc, band).
+    // Keys only, no shingle payload: the self-join and pair-dedup shuffle
+    // stay narrow; shingles are joined back only for surviving pairs.
+    val banded = sigs.select(col("doc_id"),
       explode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
         |named_struct('band', b,
         |  'bkey', md5(concat_ws('_', slice(mh, b*3 + 1, 3)))))""".stripMargin))
         .as("e"))
-      .select(col("doc_id"), col("sh"), col("e.band"), col("e.bkey"))
+      .select(col("doc_id"), col("e.band"), col("e.bkey"))
 
-    val l = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("d1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("d2"), col("sh").as("sh2"))
-    val pairs = l.join(r, Seq("band", "bkey"))
+    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("d2")),
+        Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "sh1", "sh2")
-      .dropDuplicates("d1", "d2")
+      .select("d1", "d2")
+      .distinct()
+
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jac", expr(
         """CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
           |/ (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))"""
@@ -142,11 +161,20 @@ object Dedup extends QueryModule {
   // 60-bit simhash from token hashes (multiplicity-weighted): bit j is set
   // iff Σ_tokens (2·bit_j(H(t)) − 1) > 0. Candidate pairs share at least
   // one of four 15-bit bands; verified by exact Hamming distance.
+  // Single pass over hs: per-bit signed counts accumulate in a 60-long
+  // vector (one zip_with per token), then fold to the bit mask. The naive
+  // per-bit shape — aggregate(sequence(0,59), (acc,j) -> aggregate(hs,..))
+  // — re-evaluates hs (one md5 per token, post-CollapseProject) 60× per
+  // row. Integer-exact, so the oracle's per-bit formulation matches.
   private def simhashSpark =
-    s"""aggregate(sequence(0, 59), 0L, (acc, j) ->
-       |  acc + CASE WHEN aggregate(hs, 0L,
-       |      (a, h) -> a + 2 * (shiftright(h, j) & 1) - 1) > 0
-       |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(hs, array_repeat(0L, 60),
+       |      (acc, h) -> zip_with(acc, sequence(0, 59),
+       |        (a, j) -> a + 2 * (shiftright(h, j) & 1) - 1)),
+       |    sequence(0, 59),
+       |    (c, j) -> CASE WHEN c > 0 THEN shiftleft(1L, j) ELSE 0L END),
+       |  0L, (a, x) -> a + x)""".stripMargin
 
   private def simhashDuck =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 59)),
@@ -156,11 +184,16 @@ object Dedup extends QueryModule {
        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)""".stripMargin
 
   private def q27(s: SparkSession, dir: String): DataFrame = {
+    // Persist (doc_id, sim): the simhash lambda walks the token-hash
+    // array once per bit, and CollapseProject would inline `hs` into it —
+    // i.e. one md5 per token × 60 bits × both join sides. The barrier
+    // makes it one md5 per token, once, and the persisted row is 16 bytes.
     val sims = Tables.load(s, dir, "documents")
       .withColumn("hs", expr(
         s"transform(regexp_extract_all(text, '[a-z]+', 0)," +
           s" t -> ${Dialect.sparkHash60("t")})"))
       .select(col("doc_id"), expr(simhashSpark).as("sim"))
+      .persist()
 
     val banded = sims.select(col("doc_id"), col("sim"),
       explode(expr(

@@ -99,10 +99,13 @@ object TextAnalysis extends QueryModule {
   // against ≤ 100 profile rows — scales linearly in corpus size.
   private def q23(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // Persisted: consumed twice (profile build + per-doc scoring); the
+    // alternative is re-running the explode+distinct over the full corpus.
     val grams = docs.select(col("doc_id"), col("lang"),
       explode(expr(
         "array_distinct(transform(sequence(1, greatest(length(text)-2, 1))," +
           " i -> substring(text, i, 3)))")).as("g"))
+      .persist()
 
     val profW = Window.partitionBy("plang")
       .orderBy(col("n").desc, col("g").asc)
