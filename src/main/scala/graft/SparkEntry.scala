@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(ops.Relational, ops.Sizing, ops.TextAnalysis, ops.Dedup)
+    Seq(ops.Relational, ops.Sizing, ops.TextAnalysis, ops.Dedup,
+      ops.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

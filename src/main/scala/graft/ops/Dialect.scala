@@ -24,4 +24,19 @@ object Dialect {
     s"list_reduce(list_transform(string_split(substr(md5($e),1,15), ''), " +
       s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
       s"(a,b) -> a*16+b)"
+
+  /** Spark SQL: dot product of two float arrays in DOUBLE, folded
+    * left-to-right element by element. The fold order is part of the
+    * contract: IEEE-754 addition is not associative, so the oracle must
+    * evaluate the exact same shape (see [[duckDot]]) for bit parity.
+    */
+  def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB SQL: the same left-to-right double dot product. */
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
 }

@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table (north-star
+  * extensions, SURVEY §2.9): brute-force cosine top-k as the exact
+  * baseline, and a signed-random-projection (SRP) LSH bucketed ANN as the
+  * scale path — plus embedding-cosine near-dup pairing on the LSH buckets.
+  *
+  * Scale design (100 TB): the query set is broadcast (a top-k search has
+  * few queries vs billions of candidates), so brute force is one scan +
+  * a per-query top-k shuffle of k×|queries| local winners — each scan
+  * partition pre-filters to its own top-k before the shuffle (the window
+  * sees only local winners, never the full candidate×query product). The
+  * SRP variant buckets candidates by sign-bit signature so each query
+  * probes one bucket: the join is an equi-join on the signature, never a
+  * cross product.
+  *
+  * Float parity: every cosine is computed as one left-to-right double
+  * fold ([[Dialect.sparkDot]]/[[Dialect.duckDot]]) — IEEE addition is not
+  * associative, so fold order is pinned and mirrored in the oracle.
+  * SRP hyperplanes are deterministic integer literals generated
+  * driver-side (config, not data) and embedded in both dialects.
+  */
+object Similarity extends QueryModule {
+
+  private val TopK = 10
+  private val NQueries = 5 // vec_id < 5 are the query vectors
+
+  private def cosineSpark(a: String, b: String): String =
+    s"${Dialect.sparkDot(a, b)} / (sqrt(${Dialect.sparkDot(a, a)}) * " +
+      s"sqrt(${Dialect.sparkDot(b, b)}))"
+
+  private def cosineDuck(a: String, b: String): String =
+    s"${Dialect.duckDot(a, b)} / (sqrt(${Dialect.duckDot(a, a)}) * " +
+      s"sqrt(${Dialect.duckDot(b, b)}))"
+
+  // --- q29: brute-force cosine top-k --------------------------------------
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // Two-phase top-k: a salted local window first, so the final
+    // per-query window sees ≤ 64·k rows per query instead of the whole
+    // scored set — with few queries, a single-phase window would funnel
+    // every scored row through |queries| reducer tasks.
+    val wLocal = Window.partitionBy("qid", "salt")
+      .orderBy(col("sim").desc, col("cid").asc)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    c.join(broadcast(q))
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .select("qid", "cid", "sim")
+      .withColumn("salt", pmod(hash(col("cid")), lit(64)))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= TopK)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  private val q29Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |      WHERE vec_id >= $NQueries),
+       |scored AS (
+       |  SELECT qid, cid, ${cosineDuck("cv", "qv")} AS sim
+       |  FROM c CROSS JOIN q)
+       |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
+  // --- q30: SRP-LSH bucketed ANN ------------------------------------------
+  // 8 deterministic integer hyperplanes over the 64 dims; signature =
+  // 8 sign bits; each query probes exactly its own bucket. Plane
+  // coefficients come from a fixed LCG evaluated on the driver — they are
+  // engine config (like the reference's t-shirt bounds), so they embed as
+  // literals in both dialects and cost zero per-row hashing.
+  private val NPlanes = 8
+  private val Dims = 64
+  private def planeCoef(p: Int, d: Int): Int = {
+    val x = (1103515245L * (p * Dims + d + 1) + 12345L) % 2147483648L
+    ((x / 65536) % 7).toInt - 3
+  }
+  private def planeCoefs(p: Int): String =
+    (0 until Dims).map(d => planeCoef(p, d)).mkString(", ")
+
+  private def sigSpark(v: String): String =
+    (0 until NPlanes).map { p =>
+      s"CASE WHEN ${Dialect.sparkDot(v, s"array(${planeCoefs(p)})")} > 0 " +
+        s"THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def sigDuck(v: String): String =
+    (0 until NPlanes).map { p =>
+      s"CASE WHEN ${Dialect.duckDot(v, s"[${planeCoefs(p)}]")} > 0 " +
+        s"THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        expr(sigSpark("embedding")).as("sig"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        expr(sigSpark("embedding")).as("sig"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    c.join(broadcast(q), "sig")
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .select("qid", "cid", "sim")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  private val q30Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+       |             ${sigDuck("embedding")} AS sig
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cv,
+       |        ${sigDuck("embedding")} AS sig
+       |      FROM embeddings WHERE vec_id >= $NQueries),
+       |scored AS (
+       |  SELECT qid, cid, ${cosineDuck("cv", "qv")} AS sim
+       |  FROM c JOIN q USING (sig))
+       |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
+  // --- q31: embedding-cosine near-dup (bucketed pair generation) ----------
+  // Near-dup = candidate pairs sharing an SRP bucket with cosine above
+  // threshold; reported as a per-label-pair histogram. This is the
+  // embedding analog of q26's MinHash pipeline: bucket equi-join, never
+  // an O(n²) cross join; exact verification only on bucket collisions.
+  private val DupThreshold = 0.2
+
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(sigSpark("embedding")).as("sig"))
+      .persist()
+    val l = e.select(col("sig"), col("vec_id").as("v1"),
+      col("label").as("lab1"), col("embedding").as("e1"))
+    val r = e.select(col("sig"), col("vec_id").as("v2"),
+      col("label").as("lab2"), col("embedding").as("e2"))
+    l.join(r, Seq("sig"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("sim", expr(cosineSpark("e1", "e2")))
+      .filter(col("sim") > DupThreshold)
+      .groupBy(
+        least(col("lab1"), col("lab2")).as("lab_lo"),
+        greatest(col("lab1"), col("lab2")).as("lab_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("sim")), 6).as("max_sim"))
+  }
+
+  private val q31Sql =
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |             ${sigDuck("embedding")} AS sig
+       |           FROM embeddings),
+       |pairs AS (
+       |  SELECT l.label AS lab1, r.label AS lab2,
+       |    ${cosineDuck("l.embedding", "r.embedding")} AS sim
+       |  FROM e l JOIN e r ON l.sig = r.sig AND l.vec_id < r.vec_id)
+       |SELECT CAST(LEAST(lab1, lab2) AS INTEGER) AS lab_lo,
+       |  CAST(GREATEST(lab1, lab2) AS INTEGER) AS lab_hi,
+       |  COUNT(*) AS n_pairs, round(MAX(sim), 6) AS max_sim
+       |FROM pairs WHERE sim > $DupThreshold
+       |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_knn_brute" -> q29 _,
+    "q30_ann_lsh" -> q30 _,
+    "q31_embed_neardup" -> q31 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_knn_brute" -> q29Sql,
+    "q30_ann_lsh" -> q30Sql,
+    "q31_embed_neardup" -> q31Sql)
+}
