@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north-star extensions, SURVEY §2.9):
+  * image/audio/video payloads as opaque `BinaryType` columns with typed
+  * metadata, plus decode / feature-extract / frame-sample plumbing.
+  *
+  * The driver testdata has no binary table, so the media table is derived
+  * deterministically from `documents` (payload = the UTF-8 bytes of the
+  * text; kind = doc_id mod 3). The corpus is pure ASCII, so the DuckDB
+  * oracle mirrors every byte operation on VARCHAR while Spark runs on
+  * real BINARY — identical bytes, identical md5s.
+  *
+  * Real decoding (JPEG/PCM/frame extraction) needs native libraries that
+  * are not in this environment — the [[MediaPipeline]] companion keeps
+  * the Spark-side plumbing real (typed Dataset, explicit batch shape via
+  * mapPartitions, pluggable decoder) with a deterministic stub decoder;
+  * see [[MediaPipeline.JvmImageDecoder]] for the marked stub.
+  *
+  * Scale: everything here is a single scan with per-row expressions; the
+  * only shuffle is the final small groupBy on (kind[, frame]). Payloads
+  * never shuffle.
+  */
+object Multimodal extends QueryModule {
+
+  private val Kinds = "array('image', 'audio', 'video')"
+  private val FrameLen = 64
+  private val FrameStride = 128
+  private val NFrames = 4
+
+  // --- q32: media metadata + content fingerprints -------------------------
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"element_at($Kinds, CAST(doc_id % 3 AS INT) + 1)").as("kind"),
+        expr("CAST(text AS BINARY)").as("payload"))
+      .select(
+        col("doc_id"), col("kind"),
+        expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"),
+        expr(Dialect.sparkHash60("payload")).as("fp"),
+        expr(Dialect.sparkHash60("substring(payload, 1, 32)")).as("thumb"))
+
+  private val q32Sql =
+    s"""SELECT doc_id,
+       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  ${Dialect.duckHash60("text")} AS fp,
+       |  ${Dialect.duckHash60("substring(text, 1, 32)")} AS thumb
+       |FROM documents""".stripMargin
+
+  // --- q33: frame sampling (fan-out to fixed-offset windows) --------------
+  // Four 64-byte "frames" at stride 128 per payload — the video
+  // frame-sample shape: explode to (doc, frame) rows, fingerprint each
+  // frame, aggregate distinct frame content per (kind, frame index).
+  // Frames past the payload end are empty slices on both engines and are
+  // filtered out by length.
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"element_at($Kinds, CAST(doc_id % 3 AS INT) + 1)").as("kind"),
+        expr("CAST(text AS BINARY)").as("payload"))
+      .select(col("doc_id"), col("kind"),
+        explode(expr(
+          s"""transform(sequence(0, ${NFrames - 1}), f -> named_struct(
+             |  'frame', f,
+             |  'fbytes', substring(payload, 1 + f * $FrameStride, $FrameLen)))"""
+            .stripMargin)).as("e"))
+      .select(col("kind"), col("e.frame").as("frame"),
+        expr("e.fbytes").as("fbytes"))
+      .filter(expr("octet_length(fbytes) > 0"))
+      .groupBy("kind", "frame")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(expr(Dialect.sparkHash60("fbytes"))).as("n_distinct"),
+        min(expr(Dialect.sparkHash60("fbytes"))).as("min_fp"))
+
+  private val q33Sql = {
+    val fp = Dialect.duckHash60("fbytes")
+    s"""WITH frames AS (
+       |  SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |    f AS frame,
+       |    substring(text, 1 + f * $FrameStride, $FrameLen) AS fbytes
+       |  FROM documents, unnest(generate_series(0, ${NFrames - 1})) AS t(f)
+       |)
+       |SELECT kind, CAST(frame AS INT) AS frame,
+       |  COUNT(*) AS n_frames,
+       |  COUNT(DISTINCT $fp) AS n_distinct,
+       |  MIN($fp) AS min_fp
+       |FROM frames WHERE length(fbytes) > 0
+       |GROUP BY kind, frame""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_media_meta" -> q32 _,
+    "q33_frame_sample" -> q33 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_media_meta" -> q32Sql,
+    "q33_frame_sample" -> q33Sql)
+}
+
+/** Typed multimodal pipeline: the Spark-side plumbing (schemas, encoders,
+  * batch shape, partition flow) for feature extraction over opaque binary
+  * payloads, with the native decode step behind a pluggable interface.
+  */
+object MediaPipeline {
+
+  final case class MediaMeta(kind: String, nBytes: Long)
+  final case class MediaRecord(docId: Long, meta: MediaMeta,
+      payload: Array[Byte])
+  final case class MediaFeatures(docId: Long, kind: String,
+      features: Array[Double])
+
+  /** Batch decoder contract: one call per micro-batch of records (the
+    * batch shape lets a real implementation amortize native-lib setup,
+    * exactly like an Arrow-batched pandas UDF would).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for a real image/audio decoder: features are
+    * strided byte averages (8 buckets). Pure JVM, no native deps, stable
+    * across runs — the tests pin its output.
+    */
+  object StubDecoder extends MediaDecoder {
+    val Dim = 8
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val n = r.payload.length
+        val feats = Array.tabulate(Dim) { j =>
+          var sum = 0L
+          var cnt = 0
+          var i = j
+          while (i < n) { sum += (r.payload(i) & 0xff); cnt += 1; i += Dim }
+          if (cnt == 0) 0.0 else sum.toDouble / cnt
+        }
+        MediaFeatures(r.docId, r.meta.kind, feats)
+      }
+  }
+
+  /** Marked stub: a real decoder would go through javax.imageio /
+    * a JNI codec here. Not implementable in this environment (no native
+    * image/audio libraries) — wire a real implementation by replacing
+    * this body; the pipeline shape around it is final.
+    */
+  object JvmImageDecoder extends MediaDecoder {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = ???
+  }
+
+  /** documents → typed media records (payload = UTF-8 bytes). */
+  def mediaFrom(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("element_at(array('image','audio','video')," +
+          " CAST(doc_id % 3 AS INT) + 1)").as("kind"),
+        expr("CAST(text AS BINARY)").as("payload"))
+      .select(col("doc_id").as("docId"),
+        struct(col("kind"), expr("CAST(octet_length(payload) AS BIGINT)")
+          .as("nBytes")).as("meta"),
+        col("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Feature extraction with explicit batch shape: each partition's
+    * iterator is re-chunked into `batchSize` groups so the decoder sees
+    * bounded batches regardless of partition size — payload bytes stream
+    * through one batch at a time and never accumulate per task.
+    */
+  def extract(media: Dataset[MediaRecord], decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(b =>
+      decoder.decodeBatch(b)))
+  }
+}
