@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The distributed two-pass prefix scan must equal the sequential running
+  * sum for any input — bucket boundaries, carry-ins, and tiebreaks are the
+  * failure surface (SURVEY §2.6 scale note).
+  */
+class PrefixSumSpec extends SparkTestBase {
+
+  private def check(rows: Seq[(Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("ts", "id", "delta").repartition(4)
+    val got = PrefixSum
+      .scan(df, "ts", Seq(col("ts"), col("id")), Seq("delta" -> "run"))
+      .select("ts", "id", "run")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val want = rows.sortBy(t => (t._1, t._2)).map { case (ts, id, d) =>
+      acc += d; (ts, id, acc)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("matches sequential scan on random data (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 500L).map(i =>
+      (rnd.nextInt(100).toLong, i, rnd.nextInt(21) - 10L))
+    check(rows)
+  }
+
+  test("heavy ties on the bucket column stay within one bucket") {
+    // all rows share 3 ts values — buckets must split BETWEEN values only
+    val rnd = new scala.util.Random(7)
+    check((1L to 300L).map(i => (i % 3, i, rnd.nextInt(5).toLong)))
+  }
+
+  test("single row and empty input") {
+    check(Seq((5L, 1L, 3L)))
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("ts", "id", "delta")
+    val out = PrefixSum.scan(empty, "ts", Seq(col("ts"), col("id")),
+      Seq("delta" -> "run"))
+    assert(out.count() == 0)
+  }
+
+  test("running column keeps the source integer type") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 2L)).toDF("ts", "id", "delta")
+    val out = PrefixSum.scan(df, "ts", Seq(col("ts"), col("id")),
+      Seq("delta" -> "run"))
+    assert(out.schema("run").dataType.typeName == "long")
+  }
+
+  test("multiple sum columns scan independently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 200L).map(i =>
+      (rnd.nextInt(50).toLong, i, rnd.nextInt(9) - 4L, rnd.nextInt(100).toLong))
+    val df = rows.toDF("ts", "id", "a", "b").repartition(3)
+    val got = PrefixSum.scan(df, "ts", Seq(col("ts"), col("id")),
+        Seq("a" -> "ra", "b" -> "rb"))
+      .select("ts", "id", "ra", "rb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    var (sa, sb) = (0L, 0L)
+    val want = rows.sortBy(t => (t._1, t._2)).map { case (ts, id, a, b) =>
+      sa += a; sb += b; (ts, id, sa, sb)
+    }
+    assert(got.toSeq == want)
+  }
+}
