@@ -39,6 +39,14 @@ object Bucketing {
       .when(gb <= 8000, "LARGE")
       .otherwise("CUSTOM")
 
+  /** Driver-side scalar twin of [[tsize]] (report assembly, py:370). */
+  def tsizeValue(pods: Long): String =
+    if (pods <= 2) "XSMALL"
+    else if (pods <= 10) "SMALL"
+    else if (pods <= 20) "MEDIUM"
+    else if (pods <= 40) "LARGE"
+    else "CUSTOM"
+
   /** SQL text of [[tsize]] over a named column — shared with oracle SQL so
     * the DuckDB side is guaranteed textually identical.
     */
