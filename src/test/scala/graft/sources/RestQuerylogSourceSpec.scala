@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** DSv2 REST source: pagination, termination, the adaptive time-window
+  * cursor, slice parallelism, filter pushdown, and the API→querylog
+  * adapter — all against deterministic in-memory "servers".
+  */
+class RestQuerylogSourceSpec extends SparkTestBase {
+
+  private def doc(id: Int, start: String, mem: Boolean = true): String = {
+    val attrs =
+      if (mem)
+        s""""attributes": {"pool": "etl", "hdfs_bytes_read": "1073741824",
+           |"memory_aggregate_peak": "2147483648", "memory_spilled": "0",
+           |"thread_cpu_time": "1500", "admission_wait": "10",
+           |"num_backends": "2"}""".stripMargin
+      else """"attributes": {"pool": "etl"}"""
+    s"""{"queryId": "q$id", "startTime": "$start",
+       |"endTime": "2021-07-12T01:00:00.000Z", "durationMillis": 1000,
+       |"queryState": "FINISHED", "user": "u", "queryType": "QUERY",
+       |$attrs}""".stripMargin
+  }
+
+  private def page(docs: Seq[String], warning: Option[String] = None) = {
+    val w = warning.map(t => s""", "warnings": ["$t"]""").getOrElse("")
+    s"""{"queries": [${docs.mkString(",")}]$w}"""
+  }
+
+  private def params(url: String): Map[String, String] =
+    url.dropWhile(_ != '?').drop(1).split('&')
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+      .toMap
+
+  private def read(fetcherKey: String, opts: Map[String, String] = Map.empty) = {
+    var df = spark.read.format("graft.sources.RestQuerylogSource")
+      .option("url", "http://cm.example/api/impalaQueries")
+      .option("from", "2021-07-12T00:00:00Z")
+      .option("to", "2021-07-12T04:00:00Z")
+      .option("fetcher", fetcherKey)
+    opts.foreach { case (k, v) => df = df.option(k, v) }
+    df.load()
+  }
+
+  test("paginates with offset until a short warning-free page (py:338)") {
+    PageFetcher.register("paged", { url =>
+      val off = params(url)("offset").toInt
+      off match {
+        case 0 => page((1 to 3).map(i => doc(i, "2021-07-12T00:00:01.000Z")))
+        case 3 => page(Seq(doc(4, "2021-07-12T00:00:02.000Z")))
+        case o => sys.error(s"unexpected offset $o")
+      }
+    })
+    val got = read("paged", Map("limit" -> "3"))
+    assert(got.count() == 4)
+    assert(got.select("queryId").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("q1", "q2", "q3", "q4"))
+  }
+
+  test("truncation warning shifts the window end and resets offset (py:152)") {
+    // First full page carries a warning whose last token is the new `to`;
+    // the reader must re-query with to=...T02:00:00Z and offset=0.
+    PageFetcher.register("warned", { url =>
+      val p = params(url)
+      (p("to"), p("offset").toInt) match {
+        case ("2021-07-12T04:00:00Z", 0) =>
+          page((1 to 2).map(i => doc(i, "2021-07-12T00:00:01.000Z")),
+            warning = Some("window truncated to 2021-07-12T02:00:00Z"))
+        case ("2021-07-12T02:00:00Z", 0) =>
+          page(Seq(doc(3, "2021-07-12T00:00:03.000Z")))
+        case other => sys.error(s"unexpected request $other")
+      }
+    })
+    val ids = read("warned", Map("limit" -> "2"))
+      .select("queryId").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("q1", "q2", "q3"))
+  }
+
+  test("slices fan out into parallel partitions over the window") {
+    PageFetcher.register("sliced", { url =>
+      val from = params(url)("from")
+      page(Seq(doc(from.hashCode.abs % 1000, from)))
+    })
+    val df = read("sliced", Map("slices" -> "4"))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.select("startTime").distinct().count() == 4)
+  }
+
+  test("pool filter and startTime bounds push into the request URL") {
+    PageFetcher.register("pushdown", { url =>
+      val p = params(url)
+      val filter = java.net.URLDecoder.decode(p("filter"), "UTF-8")
+      assert(filter == "queryType = QUERY and executing = false and pool = etl")
+      assert(p("from") == "2021-07-12T01:00:00Z")
+      page(Seq(doc(1, "2021-07-12T01:30:00.000Z")))
+    })
+    val df = read("pushdown")
+      .filter(col("pool") === "etl" &&
+        col("startTime") >= "2021-07-12T01:00:00Z")
+    assert(df.count() == 1)
+    // The scan description carries the effective (pushed) window + pool
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("pool=etl"), scan)
+    assert(scan.contains("[2021-07-12T01:00:00Z,"), scan)
+  }
+
+  test("adapter: unit conversions + missing-metric skip routing (py:189–208)") {
+    PageFetcher.register("adapter", _ =>
+      page(Seq(doc(1, "2021-07-12T00:00:01.000Z"),
+        doc(2, "2021-07-12T00:00:02.000Z", mem = false))))
+    val api = read("adapter")
+    val q = RestAdapter.toQuerylog(api).head()
+    assert(q.getAs[String]("query_id") == "q1")
+    assert(q.getAs[Double]("reqd_cache_gb") == 1.0) // 2^30 bytes
+    assert(q.getAs[Double]("reqd_agg_mem") == 2.0)
+    assert(q.getAs[Double]("cpu_time_sec") == 1.5) // 1500 ms
+    assert(q.getAs[Long]("admission_wait") == 10L)
+    assert(q.getAs[Int]("num_backends") == 2)
+    val sk = RestAdapter.skipped(api).collect()
+    assert(sk.map(_.getAs[String]("query_id")).toSeq == Seq("q2"))
+  }
+}
