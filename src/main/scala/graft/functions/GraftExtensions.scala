@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+
+/** SQL-surface registration (SURVEY §4 candidate (c)): exposes the
+  * engine's scalar functions to `spark.sql` users.
+  *
+  *   - `graft_dot(a, b)` — native codegen'd float-array dot product
+  *     ([[DotProduct]])
+  *   - `graft_cosine(a, b)` — cosine similarity composed from three dots
+  *   - `graft_tsize(pods)` — the t-shirt bucketing CASE chain
+  *     ([[graft.sizing.Bucketing]] semantics, Q1/Q2 stances)
+  *   - `graft_hash60(s)` — the shared 60-bit md5 hash
+  *     ([[graft.ops.Dialect]])
+  *
+  * Two registration paths:
+  *   - public config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *   - programmatic: [[GraftFunctions.ensureRegistered]] on an existing
+  *     session (idempotent) — used by the operator modules so their SQL
+  *     fragments work on any caller-supplied session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0",
+      "", "built-in")
+
+  private def tsizeExpr(pods: Expression): Expression = {
+    def branch(hi: Int, label: String) =
+      (LessThanOrEqual(pods, Literal(hi.toLong)), Literal(label))
+    CaseWhen(
+      Seq(branch(2, "XSMALL"), branch(10, "SMALL"), branch(20, "MEDIUM"),
+        branch(40, "LARGE")),
+      Some(Literal("CUSTOM")))
+  }
+
+  private def hash60Expr(e: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    Cast(
+      Conv(
+        Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
+        Literal(16), Literal(10)),
+      LongType)
+  }
+
+  private def cosineExpr(a: Expression, b: Expression): Expression =
+    Divide(DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+
+  /** (name, info, builder) for every engine SQL function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - double dot product of two float arrays"),
+      (cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
+      (cs: Seq[Expression]) => cosineExpr(cs(0), cs(1))),
+    ("graft_tsize",
+      info("graft_tsize", "graft_tsize(pods) - t-shirt size bucket label"),
+      (cs: Seq[Expression]) => tsizeExpr(cs.head)),
+    ("graft_hash60",
+      info("graft_hash60", "graft_hash60(s) - 60-bit md5-derived hash"),
+      (cs: Seq[Expression]) => hash60Expr(cs.head)))
+
+  /** Idempotent programmatic registration on an existing session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (name, inf, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, inf, builder)
+    }
+  }
+}

@@ -30,9 +30,14 @@ object Similarity extends QueryModule {
   private val TopK = 10
   private val NQueries = 5 // vec_id < 5 are the query vectors
 
+  /** Spark-side dot/cosine use the native codegen'd [[graft.functions.DotProduct]]
+    * (registered per-session, idempotent) instead of the interpreted
+    * aggregate/zip_with fold — same left-to-right double sum, so results
+    * stay bit-identical to [[Dialect.sparkDot]] and the DuckDB oracle.
+    */
   private def cosineSpark(a: String, b: String): String =
-    s"${Dialect.sparkDot(a, b)} / (sqrt(${Dialect.sparkDot(a, a)}) * " +
-      s"sqrt(${Dialect.sparkDot(b, b)}))"
+    s"graft_dot($a, $b) / (sqrt(graft_dot($a, $a)) * " +
+      s"sqrt(graft_dot($b, $b)))"
 
   private def cosineDuck(a: String, b: String): String =
     s"${Dialect.duckDot(a, b)} / (sqrt(${Dialect.duckDot(a, a)}) * " +
@@ -40,6 +45,7 @@ object Similarity extends QueryModule {
 
   // --- q29: brute-force cosine top-k --------------------------------------
   private def q29(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -94,7 +100,9 @@ object Similarity extends QueryModule {
 
   private def sigSpark(v: String): String =
     (0 until NPlanes).map { p =>
-      s"CASE WHEN ${Dialect.sparkDot(v, s"array(${planeCoefs(p)})")} > 0 " +
+      // int coefficients |c| <= 3 are exact as float, so the float-array
+      // cast preserves bit parity with the oracle's integer-literal dot
+      s"CASE WHEN graft_dot($v, CAST(array(${planeCoefs(p)}) AS ARRAY<FLOAT>)) > 0 " +
         s"THEN ${1 << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
@@ -105,6 +113,7 @@ object Similarity extends QueryModule {
     }.mkString("(", " + ", ")")
 
   private def q30(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -145,6 +154,7 @@ object Similarity extends QueryModule {
   private val DupThreshold = 0.2
 
   private def q31(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         expr(sigSpark("embedding")).as("sig"))

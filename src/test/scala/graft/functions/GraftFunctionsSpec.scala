@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Native DotProduct + SQL registration: bit-parity with the builtin
+  * higher-order formulation, null contract, codegen participation, and
+  * the graft_* SQL surface.
+  */
+class GraftFunctionsSpec extends SparkTestBase {
+
+  private def vecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+  }
+
+  private val builtinDot = graft.ops.Dialect.sparkDot("a", "b")
+
+  test("bit-identical to the builtin aggregate/zip_with fold") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = vecs.select(
+      expr("graft_dot(a, b)").as("native"),
+      expr(builtinDot).as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).count() == 0)
+    // strict equality of doubles — fold order must match exactly
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("null contract: null input, length mismatch, null element") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f)), // ok
+      (null, Array(3f, 4f)), // null side
+      (Array(1f), Array(3f, 4f)) // length mismatch
+    ).toDF("a", "b")
+    val got = df.select(expr("graft_dot(a, b)")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(11.0), None, None))
+  }
+
+  test("participates in whole-stage codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    // repartition keeps the projection out of the eagerly-evaluated
+    // LocalTableScan so a real codegen stage forms around it
+    val df = vecs.repartition(2).select(expr("graft_dot(a, b)").as("d"))
+    // collect() executes THIS df's queryExecution (count() would build a
+    // separate one), letting AQE materialize the final plan for inspection
+    assert(df.collect().length == 50)
+    // the `*(N)` prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+
+  test("graft_cosine, graft_tsize, graft_hash60 via spark.sql") {
+    GraftFunctions.ensureRegistered(spark)
+    vecs.createOrReplaceTempView("gf_vecs")
+    val cos = spark.sql(
+      "SELECT max(abs(graft_cosine(a, a) - 1.0)) FROM gf_vecs").head.getDouble(0)
+    assert(cos < 1e-12) // self-cosine == 1 up to rounding
+    val ts = spark.sql("SELECT graft_tsize(3), graft_tsize(1000)").head
+    assert(ts.getString(0) == "SMALL" && ts.getString(1) == "CUSTOM")
+    // hash60 matches the Dialect fragment it mirrors
+    val h = spark.sql(
+      s"""SELECT graft_hash60('abc') = ${graft.ops.Dialect.sparkHash60("'abc'")}""")
+      .head.getBoolean(0)
+    assert(h)
+  }
+
+  test("extensions class registers on a fresh session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // same SparkContext, new session — function must resolve there
+    assert(s2.sql("SELECT graft_tsize(25)").head.getString(0) == "LARGE")
+  }
+}
