@@ -69,7 +69,17 @@ object GraftFunctions {
       (cs: Seq[Expression]) => tsizeExpr(cs.head)),
     ("graft_hash60",
       info("graft_hash60", "graft_hash60(s) - 60-bit md5-derived hash"),
-      (cs: Seq[Expression]) => hash60Expr(cs.head)))
+      (cs: Seq[Expression]) => hash60Expr(cs.head)),
+    ("graft_minhash",
+      info("graft_minhash",
+        "graft_minhash(hashes, n, prime) - n-element MinHash signature"),
+      (cs: Seq[Expression]) => MinHashSig(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue(),
+        cs(2).eval().asInstanceOf[Number].longValue())),
+    ("graft_simhash60",
+      info("graft_simhash60",
+        "graft_simhash60(hashes) - 60-bit SimHash signature"),
+      (cs: Seq[Expression]) => SimHash60(cs.head)))
 
   /** Idempotent programmatic registration on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -67,20 +67,16 @@ object Dedup extends QueryModule {
       |  i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' ')))"""
       .stripMargin
 
-  // Single pass over the shingles: the hashed-shingle array is the
-  // aggregate() INPUT (evaluated once per row), and each element updates
-  // all 12 running minima via zip_with. The naive shape —
-  // transform(sequence(0,11), j -> array_min(transform(sh, ...))) — walks
-  // (and, post-CollapseProject, re-hashes) the shingle set 12× per row.
-  // Pure integer arithmetic: result is bit-identical to the oracle's
-  // per-j array_min formulation.
+  // Native sketch expression ([[graft.functions.MinHashSig]]): one tight
+  // codegen'd loop over the hashed shingles updating all 12 minima —
+  // the interpreted-lambda alternative (aggregate + zip_with) costs
+  // elements × 12 boxed calls per row. Same integer recurrence
+  // ((2j+1)·h + 101j mod P, min-fold from P), so bit-identical to the
+  // oracle's per-j array_min formulation.
   private def minhashSpark =
-    s"""aggregate(
+    s"""graft_minhash(
        |  transform(sh, x -> ${Dialect.sparkHash60("x")} % ${P}L),
-       |  array_repeat(${P}L, $NumHashes),
-       |  (acc, v) -> zip_with(acc, sequence(0, ${NumHashes - 1}),
-       |    (m, j) -> least(m, ((2*j + 1) * v + 101*j) % ${P}L)))"""
-      .stripMargin
+       |  $NumHashes, ${P}L)""".stripMargin
 
   private def minhashDuck =
     s"""list_transform(generate_series(0, ${NumHashes - 1}), j ->
@@ -89,6 +85,7 @@ object Dedup extends QueryModule {
       .stripMargin
 
   private def q26(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     // Persist the signature table: without a materialization barrier,
     // CollapseProject inlines `sh` into the minhash lambda, so the md5
     // per shingle would be recomputed 12× per row — and again on each
@@ -161,20 +158,12 @@ object Dedup extends QueryModule {
   // 60-bit simhash from token hashes (multiplicity-weighted): bit j is set
   // iff Σ_tokens (2·bit_j(H(t)) − 1) > 0. Candidate pairs share at least
   // one of four 15-bit bands; verified by exact Hamming distance.
-  // Single pass over hs: per-bit signed counts accumulate in a 60-long
-  // vector (one zip_with per token), then fold to the bit mask. The naive
-  // per-bit shape — aggregate(sequence(0,59), (acc,j) -> aggregate(hs,..))
-  // — re-evaluates hs (one md5 per token, post-CollapseProject) 60× per
-  // row. Integer-exact, so the oracle's per-bit formulation matches.
-  private def simhashSpark =
-    s"""aggregate(
-       |  zip_with(
-       |    aggregate(hs, array_repeat(0L, 60),
-       |      (acc, h) -> zip_with(acc, sequence(0, 59),
-       |        (a, j) -> a + 2 * (shiftright(h, j) & 1) - 1)),
-       |    sequence(0, 59),
-       |    (c, j) -> CASE WHEN c > 0 THEN shiftleft(1L, j) ELSE 0L END),
-       |  0L, (a, x) -> a + x)""".stripMargin
+  // Native sketch expression ([[graft.functions.SimHash60]]): one
+  // codegen'd loop accumulating the 60 signed bit-counts — the
+  // interpreted shape (aggregate of zip_with over 60 bits per token) was
+  // the hottest lambda in the battery. Integer-exact, so the oracle's
+  // per-bit formulation matches.
+  private def simhashSpark = "graft_simhash60(hs)"
 
   private def simhashDuck =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 59)),
@@ -184,6 +173,7 @@ object Dedup extends QueryModule {
        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)""".stripMargin
 
   private def q27(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     // Persist (doc_id, sim): the simhash lambda walks the token-hash
     // array once per bit, and CollapseProject would inline `hs` into it —
     // i.e. one md5 per token × 60 bits × both join sides. The barrier

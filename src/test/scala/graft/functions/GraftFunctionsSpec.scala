@@ -72,6 +72,57 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(h)
   }
 
+  test("graft_minhash bit-identical to the lambda formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 40).map(_ =>
+      Array.fill(1 + rnd.nextInt(200))(rnd.nextLong().abs % 2147483647L))
+      .toDF("hs")
+    val got = df.select(
+      expr("graft_minhash(hs, 12, 2147483647)").as("native"),
+      expr("""aggregate(hs, array_repeat(2147483647L, 12),
+           |  (acc, v) -> zip_with(acc, sequence(0, 11),
+           |    (m, j) -> least(m, ((2*j + 1) * v + 101*j) % 2147483647L)))"""
+        .stripMargin).as("lambda"))
+    assert(got.filter(col("native") =!= col("lambda")).count() == 0)
+  }
+
+  test("graft_simhash60 bit-identical to the lambda formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 40).map(_ =>
+      Array.fill(1 + rnd.nextInt(150))(rnd.nextLong() & ((1L << 60) - 1)))
+      .toDF("hs")
+    val got = df.select(
+      expr("graft_simhash60(hs)").as("native"),
+      expr("""aggregate(
+           |  zip_with(
+           |    aggregate(hs, array_repeat(0L, 60),
+           |      (acc, h) -> zip_with(acc, sequence(0, 59),
+           |        (a, j) -> a + 2 * (shiftright(h, j) & 1) - 1)),
+           |    sequence(0, 59),
+           |    (c, j) -> CASE WHEN c > 0 THEN shiftleft(1L, j) ELSE 0L END),
+           |  0L, (a, x) -> a + x)""".stripMargin).as("lambda"))
+    assert(got.filter(col("native") =!= col("lambda")).count() == 0)
+  }
+
+  test("sketch expressions: empty and null inputs") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, Array.empty[Long]),
+      (2, null.asInstanceOf[Array[Long]])).toDF("id", "hs")
+    val rows = df.select(col("id"),
+        expr("graft_minhash(hs, 4, 97)"), expr("graft_simhash60(hs)"))
+      .orderBy("id").collect()
+    // empty array: minima stay at prime, simhash counts all <= 0 => 0
+    assert(rows(0).getSeq[Long](1) == Seq(97L, 97L, 97L, 97L))
+    assert(rows(0).getLong(2) == 0L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("extensions class registers on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
