@@ -27,12 +27,19 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, WarmDir).count()
       catch { case _: Throwable => () }
+      // Several operators persist() intermediates scoped to one query;
+      // without an explicit drop, 33 queries × (warm-up + timed) cached
+      // datasets accumulate and later queries time GC pressure, not
+      // their plan.
+      spark.catalog.clearCache()
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

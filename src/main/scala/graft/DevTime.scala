@@ -25,6 +25,7 @@ object DevTime {
         SparkEntry.queries(n)(spark, sfDir).count()
         println(f"TIMING $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      spark.catalog.clearCache() // match Bench: per-query cache scope
     }
     spark.stop()
   }

@@ -79,7 +79,13 @@ object GraftFunctions {
     ("graft_simhash60",
       info("graft_simhash60",
         "graft_simhash60(hashes) - 60-bit SimHash signature"),
-      (cs: Seq[Expression]) => SimHash60(cs.head)))
+      (cs: Seq[Expression]) => SimHash60(cs.head)),
+    ("graft_hash60_array",
+      info("graft_hash60_array",
+        "graft_hash60_array(arr[, mod]) - per-element 60-bit md5 hash"),
+      (cs: Seq[Expression]) => Hash60Array(cs.head,
+        if (cs.length > 1) cs(1).eval().asInstanceOf[Number].longValue()
+        else 0L)))
 
   /** Idempotent programmatic registration on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

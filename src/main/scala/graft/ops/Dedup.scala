@@ -74,9 +74,7 @@ object Dedup extends QueryModule {
   // ((2j+1)·h + 101j mod P, min-fold from P), so bit-identical to the
   // oracle's per-j array_min formulation.
   private def minhashSpark =
-    s"""graft_minhash(
-       |  transform(sh, x -> ${Dialect.sparkHash60("x")} % ${P}L),
-       |  $NumHashes, ${P}L)""".stripMargin
+    s"graft_minhash(graft_hash60_array(sh, ${P}L), $NumHashes, ${P}L)"
 
   private def minhashDuck =
     s"""list_transform(generate_series(0, ${NumHashes - 1}), j ->
@@ -179,9 +177,8 @@ object Dedup extends QueryModule {
     // i.e. one md5 per token × 60 bits × both join sides. The barrier
     // makes it one md5 per token, once, and the persisted row is 16 bytes.
     val sims = Tables.load(s, dir, "documents")
-      .withColumn("hs", expr(
-        s"transform(regexp_extract_all(text, '[a-z]+', 0)," +
-          s" t -> ${Dialect.sparkHash60("t")})"))
+      .withColumn("hs",
+        expr("graft_hash60_array(regexp_extract_all(text, '[a-z]+', 0))"))
       .select(col("doc_id"), expr(simhashSpark).as("sim"))
       .persist()
 

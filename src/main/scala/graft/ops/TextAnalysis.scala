@@ -169,10 +169,11 @@ object TextAnalysis extends QueryModule {
   // minima over a 4-hash sliding window — the classic local fingerprinting
   // scheme used for near-dup sketching).
   private val kgramHashesSpark =
-    s"transform(sequence(1, greatest(length(text)-7, 1))," +
-      s" i -> ${Dialect.sparkHash60("substring(text, i, 8)")})"
+    "graft_hash60_array(transform(sequence(1, greatest(length(text)-7, 1))," +
+      " i -> substring(text, i, 8)))"
 
-  private def q24(s: SparkSession, dir: String): DataFrame =
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.load(s, dir, "documents")
       .withColumn("hs", expr(kgramHashesSpark))
       .select(
@@ -183,6 +184,7 @@ object TextAnalysis extends QueryModule {
              |  sequence(1, greatest(size(hs)-3, 1)),
              |  j -> array_min(slice(hs, j, 4))))) AS BIGINT)""".stripMargin)
           .as("n_winnow"))
+  }
 
   private val q24Sql = {
     val h = Dialect.duckHash60("substr(text, i, 8)")

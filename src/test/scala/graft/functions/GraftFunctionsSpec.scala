@@ -123,6 +123,21 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
 
+  test("graft_hash60_array matches the scalar hex-parse hash elementwise") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(Seq("", "a", "hello world", "ünïcödé", "x" * 500))
+      .toDF("arr")
+    val scalar = graft.ops.Dialect.sparkHash60("x")
+    val got = df.select(
+      expr("graft_hash60_array(arr)").as("native"),
+      expr(s"transform(arr, x -> $scalar)").as("hexparse"),
+      expr("graft_hash60_array(arr, 97)").as("native_mod"),
+      expr(s"transform(arr, x -> $scalar % 97)").as("hexparse_mod")).head()
+    assert(got.getSeq[Long](0) == got.getSeq[Long](1))
+    assert(got.getSeq[Long](2) == got.getSeq[Long](3))
+  }
+
   test("extensions class registers on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
