@@ -346,7 +346,45 @@ object Relational extends graft.QueryModule {
        |FROM orders
        |GROUP BY 1""".stripMargin
 
+  // --- Q37: GROUPING SETS with grouping-id disambiguation -----------------
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q37_orders")
+    s.sql("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+             COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                  AS BIGINT) AS gid,
+             COUNT(*) AS n_orders
+      FROM graft_q37_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))""")
+  }
+
+  private val q37Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+      |            AS BIGINT) AS gid,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority))""".stripMargin
+
+  // --- Q38: approximate distinct (HLL++) vs exact ------------------------
+  // No oracle entry: HLL sketches are engine-specific, so the driver
+  // records a rows-only check. The exact counts column documents the
+  // approximation error in the output itself.
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_grouping_sets" -> q37 _,
+    "q38_approx_distinct" -> q38 _,
     "q1_pricing_summary" -> q1 _,
     "q2_join_agg" -> q2 _,
     "q3_topk" -> q3 _,
@@ -365,6 +403,8 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q37_grouping_sets" -> q37Sql,
+    // q38_approx_distinct intentionally has no oracle (engine-specific HLL)
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,
