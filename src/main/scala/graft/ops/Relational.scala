@@ -382,9 +382,34 @@ object Relational extends graft.QueryModule {
         countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
 
+  // --- Q39: skew-safe two-phase (salted) aggregation ----------------------
+  // l_returnflag has 3 heavy keys — the degenerate skew case where a
+  // single-phase groupBy funnels a third of the table through one reducer.
+  // Phase 1 aggregates on (key, salt) — 32-way parallel per hot key —
+  // phase 2 merges the ≤ keys×32 partials. Decimal partials make the
+  // two-phase sum bit-equal to the oracle's direct GROUP BY.
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(32)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("p_qty"),
+        count(lit(1)).as("p_cnt"))
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        round(sum(col("p_qty")), 2).cast("double").as("sum_qty"),
+        sum(col("p_cnt")).as("n_rows"))
+
+  private val q39Sql =
+    """SELECT l_returnflag AS returnflag,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_grouping_sets" -> q37 _,
     "q38_approx_distinct" -> q38 _,
+    "q39_skew_salted_agg" -> q39 _,
     "q1_pricing_summary" -> q1 _,
     "q2_join_agg" -> q2 _,
     "q3_topk" -> q3 _,
@@ -405,6 +430,7 @@ object Relational extends graft.QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q37_grouping_sets" -> q37Sql,
     // q38_approx_distinct intentionally has no oracle (engine-specific HLL)
+    "q39_skew_salted_agg" -> q39Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,

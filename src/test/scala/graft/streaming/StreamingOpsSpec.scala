@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming surface beyond the sweep-line (SURVEY §2.8 streaming row):
+  * watermarked exact dedup and tumbling-window aggregation with late-data
+  * handling — the two standard stateful shapes a training-data ingest
+  * pipeline needs.
+  */
+class StreamingOpsSpec extends SparkTestBase {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("dropDuplicates with watermark dedups within the retention window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (doc_id, event_sec)
+    val deduped = input.toDS()
+      .select(col("_1").as("doc_id"),
+        col("_2").cast("timestamp").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("doc_id")
+    val qn = s"dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, 100L), (2L, 101L), (1L, 102L))) // 1 is a dup
+      q.processAllAvailable()
+      input.addData(Seq((2L, 103L), (3L, 104L))) // 2 is a dup
+      q.processAllAvailable()
+      val ids = spark.table(qn).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("tumbling-window counts finalize at the watermark; late rows drop") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (event_type, event_sec)
+    val counts = input.toDS()
+      .select(col("_1").as("etype"),
+        col("_2").cast("timestamp").as("ts"))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("etype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("etype"),
+        col("n"))
+    val qn = s"win_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(("click", 100L), ("click", 105L), ("error", 108L)))
+      q.processAllAvailable()
+      // advance the watermark past window [100,110): it emits finalized
+      input.addData(Seq(("click", 130L)))
+      q.processAllAvailable()
+      // this row lands in the already-finalized window -> dropped as late
+      input.addData(Seq(("click", 101L), ("click", 131L)))
+      q.processAllAvailable()
+      input.addData(Seq(("click", 150L))) // flush window [130,140)
+      q.processAllAvailable()
+      val rows = spark.table(qn)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows.contains((100L, "click", 2L))) // late 101 NOT counted
+      assert(rows.contains((100L, "error", 1L)))
+      assert(rows.contains((130L, "click", 2L))) // 130 + 131 both on time
+    } finally q.stop()
+  }
+}
