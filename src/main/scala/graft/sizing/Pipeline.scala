@@ -158,8 +158,38 @@ object Pipeline {
   def run(spark: SparkSession, cfg: SizingConfig, outDir: String)
       : SizingReport = {
     val path = cfg.inputFile.getOrElse(
-      sys.error("input_file is required (REST mode: see sources.RestQuerylog)"))
+      sys.error("input_file is required for CSV mode; use runRest for API mode"))
     val raw = withEventInstants(readQuerylogCsv(spark, path))
+    finish(spark, cfg, raw, outDir)
+  }
+
+  /** EP2 (API mode, py:134–165 + 189–208): the DSv2 REST source feeds the
+    * same downstream as CSV mode. `restOptions` are the source options
+    * (url, from, to, slices, fetcher, user/passwordFile); the
+    * missing-metric skip (F2) happens in the adapter, so the skip sink
+    * here carries the reference's id|duration|start|end|state rows.
+    */
+  def runRest(spark: SparkSession, cfg: SizingConfig,
+      restOptions: Map[String, String], outDir: String): SizingReport = {
+    var reader = spark.read
+      .format("graft.sources.RestQuerylogSource")
+    restOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    cfg.pool.foreach(p => reader = reader.option("pool", p))
+    val api = reader.load()
+
+    val apiSkipped = graft.sources.RestAdapter.skipped(api)
+    if (!apiSkipped.isEmpty)
+      apiSkipped.select(concat_ws("|", col("query_id"),
+          col("duration_millis"), col("start_time"), col("end_time"),
+          col("query_state")).as("value"))
+        .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
+
+    val raw = withEventInstants(graft.sources.RestAdapter.toQuerylog(api))
+    finish(spark, cfg, raw, outDir, writeSkipSink = false)
+  }
+
+  private def finish(spark: SparkSession, cfg: SizingConfig, raw: DataFrame,
+      outDir: String, writeSkipSink: Boolean = true): SizingReport = {
     val (skipped, kept, pruned) = Routing.route(raw, cfg)
 
     // Re-derive the prune split input once: kept and pruned share the
@@ -172,7 +202,7 @@ object Pipeline {
     if (!pruned.isEmpty)
       outputRow(pruned).write.mode("overwrite").option("header", "true")
         .csv(s"$outDir/${cfg.pruneOutputFile}")
-    if (!skipped.isEmpty)
+    if (writeSkipSink && !skipped.isEmpty)
       skipped.select(concat_ws("|", col("query_id"), col("duration_millis"),
           col("start_time"), col("end_time")).as("value"))
         .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")

@@ -105,6 +105,32 @@ class RestQuerylogSourceSpec extends SparkTestBase {
     assert(scan.contains("[2021-07-12T01:00:00Z,"), scan)
   }
 
+  test("EP2: full REST-mode pipeline run (sinks + report)") {
+    PageFetcher.register("ep2", _ =>
+      page(Seq(
+        doc(2, "2021-07-12T00:00:01.000Z"),
+        doc(4, "2021-07-12T00:00:02.000Z"),
+        doc(5, "2021-07-12T00:00:03.000Z", mem = false)))) // skipped
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ep2").toFile.getAbsolutePath
+    val report = graft.sizing.Pipeline.runRest(spark,
+      graft.sizing.SizingConfig(),
+      Map("url" -> "http://cm.example/api/impalaQueries",
+        "from" -> "2021-07-12T00:00:00Z", "to" -> "2021-07-12T04:00:00Z",
+        "fetcher" -> "ep2"),
+      outDir)
+    assert(report.totalQueries == 2)
+    assert(report.pools == Seq("etl"))
+    assert(report.maxConcurrentQueries == 2) // both live until 01:00:00
+    val main = spark.read.option("header", "true")
+      .csv(s"$outDir/sizing_output.csv")
+    assert(main.count() == 2)
+    val skip = spark.read.text(s"$outDir/skipped_queries.txt")
+      .collect().map(_.getString(0))
+    assert(skip.toSeq == Seq(
+      "q5|1000|2021-07-12T00:00:03.000Z|2021-07-12T01:00:00.000Z|FINISHED"))
+  }
+
   test("adapter: unit conversions + missing-metric skip routing (py:189–208)") {
     PageFetcher.register("adapter", _ =>
       page(Seq(doc(1, "2021-07-12T00:00:01.000Z"),
