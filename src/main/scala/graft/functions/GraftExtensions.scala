@@ -85,7 +85,12 @@ object GraftFunctions {
         "graft_hash60_array(arr[, mod]) - per-element 60-bit md5 hash"),
       (cs: Seq[Expression]) => Hash60Array(cs.head,
         if (cs.length > 1) cs(1).eval().asInstanceOf[Number].longValue()
-        else 0L)))
+        else 0L)),
+    ("graft_shingles",
+      info("graft_shingles",
+        "graft_shingles(tokens, k) - distinct space-joined word k-shingles"),
+      (cs: Seq[Expression]) => WordShingles(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent programmatic registration on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

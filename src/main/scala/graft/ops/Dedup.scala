@@ -55,11 +55,12 @@ object Dedup extends QueryModule {
   private val NumHashes = 12
   private val Bands = 4 // 3 rows per band
 
+  // Native ([[graft.functions.WordShingles]]): the builtin transform/slice
+  // shape re-evaluates regexp_extract_all INSIDE the lambda once per
+  // shingle index (~|tokens|× re-tokenization per document after
+  // CollapseProject) — measured as the dominant cost of this pipeline.
   private def shinglesSpark =
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(regexp_extract_all(text, '[a-z]+', 0)) - 2, 1)),
-      |  i -> array_join(slice(regexp_extract_all(text, '[a-z]+', 0), i, 3), ' ')))"""
-      .stripMargin
+    "graft_shingles(regexp_extract_all(text, '[a-z]+', 0), 3)"
 
   private def shinglesDuck =
     """list_distinct(list_transform(

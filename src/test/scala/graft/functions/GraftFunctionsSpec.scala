@@ -138,6 +138,24 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(got.getSeq[Long](2) == got.getSeq[Long](3))
   }
 
+  test("graft_shingles matches the builtin transform/slice/distinct shape") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the quick brown fox",
+      "one two", "solo", "").toDF("text")
+    val got = df.select(
+      expr("graft_shingles(regexp_extract_all(text, '[a-z]+', 0), 3)")
+        .as("native"),
+      expr("""array_distinct(transform(
+           |  sequence(1, greatest(size(regexp_extract_all(text, '[a-z]+', 0)) - 2, 1)),
+           |  i -> array_join(slice(regexp_extract_all(text, '[a-z]+', 0), i, 3), ' ')))"""
+        .stripMargin).as("builtin"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("extensions class registers on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
