@@ -90,6 +90,11 @@ object GraftFunctions {
       info("graft_shingles",
         "graft_shingles(tokens, k) - distinct space-joined word k-shingles"),
       (cs: Seq[Expression]) => WordShingles(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_char_ngrams",
+      info("graft_char_ngrams",
+        "graft_char_ngrams(text, n) - distinct character n-grams"),
+      (cs: Seq[Expression]) => CharNgrams(cs.head,
         cs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent programmatic registration on an existing session. */

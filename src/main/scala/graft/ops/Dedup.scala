@@ -229,14 +229,13 @@ object Dedup extends QueryModule {
   // Direct character-trigram Jaccard between each document and the next
   // document of the same source — a deterministic LINEAR pair set (the
   // all-pairs version is exactly what LSH above exists to avoid at scale).
-  private val trigramsSpark =
-    """array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),
-      |  i -> substring(text, i, 3)))""".stripMargin
+  private val trigramsSpark = "graft_char_ngrams(text, 3)"
   private val trigramsDuck =
     """list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
       |  i -> substr(text, i, 3)))""".stripMargin
 
   private def q28(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val g = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), expr(trigramsSpark).as("gr"))
     val a = g.select(col("doc_id").as("d1"), col("source"), col("gr").as("g1"))

@@ -98,13 +98,14 @@ object TextAnalysis extends QueryModule {
   // groupBy (≤ langs × |trigram vocab|); scoring is a broadcastable join
   // against ≤ 100 profile rows — scales linearly in corpus size.
   private def q23(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = Tables.load(s, dir, "documents")
     // Persisted: consumed twice (profile build + per-doc scoring); the
     // alternative is re-running the explode+distinct over the full corpus.
+    // Native trigram expr: the builtin per-position substring shape is
+    // O(len²) per document ([[graft.functions.CharNgrams]]).
     val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "array_distinct(transform(sequence(1, greatest(length(text)-2, 1))," +
-          " i -> substring(text, i, 3)))")).as("g"))
+      explode(expr("graft_char_ngrams(text, 3)")).as("g"))
       .persist()
 
     val profW = Window.partitionBy("plang")

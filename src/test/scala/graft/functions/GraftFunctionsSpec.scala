@@ -156,6 +156,19 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_char_ngrams matches the builtin per-position substring shape") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq("abcdefg", "aaaa", "ab", "a", "", "héllo wörld").toDF("text")
+    val got = df.select(
+      expr("graft_char_ngrams(text, 3)").as("native"),
+      expr("""array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),
+           |  i -> substring(text, i, 3)))""".stripMargin).as("builtin"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("extensions class registers on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
