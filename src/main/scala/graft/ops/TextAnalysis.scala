@@ -204,15 +204,57 @@ object TextAnalysis extends QueryModule {
        |FROM hashed""".stripMargin
   }
 
+  // --- q40: fixed-size sequence chunking ----------------------------------
+  // The document→training-window fan-out: each document's token stream
+  // splits into chunks of `ChunkTokens` tokens (last chunk ragged).
+  // One scan, explode to (doc, chunk) rows, per-chunk stats — the shape a
+  // packing/tokenization stage feeds to a trainer. Map-side except the
+  // final tiny histogram on chunk ordinal.
+  private val ChunkTokens = 64
+
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(toks) / $ChunkTokens.0) AS INT) - 1),
+           |  c -> slice(toks, c * $ChunkTokens + 1, $ChunkTokens))"""
+          .stripMargin)).as(Seq("chunk_idx", "chunk")))
+      .groupBy(col("chunk_idx").cast("bigint").as("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(expr("size(chunk)")).as("n_tokens"),
+        min(expr("size(chunk)")).cast("bigint").as("min_len"),
+        countDistinct(expr("chunk[0]")).as("n_first_tokens"))
+
+  private val q40Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks
+       |  FROM documents
+       |), chunks AS (
+       |  SELECT doc_id, c AS chunk_idx,
+       |    toks[c * $ChunkTokens + 1 : (c + 1) * $ChunkTokens] AS chunk
+       |  FROM toks, unnest(generate_series(0,
+       |    CAST(CEIL(len(toks) / $ChunkTokens.0) AS INT) - 1)) AS t(c)
+       |)
+       |SELECT CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(len(chunk)) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(len(chunk)) AS BIGINT) AS min_len,
+       |  COUNT(DISTINCT chunk[1]) AS n_first_tokens
+       |FROM chunks GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> q21 _,
     "q22_quality_score" -> q22 _,
     "q23_langid" -> q23 _,
-    "q24_fingerprint" -> q24 _)
+    "q24_fingerprint" -> q24 _,
+    "q40_chunking" -> q40 _)
 
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
-    "q24_fingerprint" -> q24Sql)
+    "q24_fingerprint" -> q24Sql,
+    "q40_chunking" -> q40Sql)
 }
