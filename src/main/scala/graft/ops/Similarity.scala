@@ -188,13 +188,92 @@ object Similarity extends QueryModule {
        |FROM pairs WHERE sim > $DupThreshold
        |GROUP BY 1, 2""".stripMargin
 
+  // --- q41: IVF-style ANN (coarse quantize → probe nearest cells) ---------
+  // The inverted-file scale path: candidates partition into Voronoi cells
+  // of `NCells` anchor vectors (deterministic anchors: vec_id in
+  // [NQueries, NQueries+NCells) — fixed data rows, so the oracle can
+  // reproduce the exact same quantizer with no training step). Queries
+  // probe their `NProbe` nearest cells; exact cosine top-k runs only
+  // inside probed cells. The cell assignment join is an equi-join on
+  // cell id — per-cell candidate lists are the inverted file.
+  private val NCells = 16
+  private val NProbe = 4
+
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + NCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("av"))
+    // nearest-anchor assignment: argmax cosine, tiebreak lowest cell id
+    val cellW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val cells = e.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(anchors))
+      .withColumn("csim", expr(cosineSpark("embedding", "av")))
+      .withColumn("crn", row_number().over(cellW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cell"))
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(anchors))
+      .withColumn("csim", expr(cosineSpark("embedding", "av")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+        col("rn"))
+  }
+
+  private val q41Sql =
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS cell, embedding AS av FROM embeddings
+       |  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + NCells}
+       |), cells AS (
+       |  SELECT cid, cv, cell FROM (
+       |    SELECT e.vec_id AS cid, e.embedding AS cv, a.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineDuck("e.embedding", "a.av")} DESC,
+       |                 a.cell ASC) AS crn
+       |    FROM embeddings e CROSS JOIN anchors a
+       |    WHERE e.vec_id >= $NQueries)
+       |  WHERE crn = 1
+       |), probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qv, a.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineDuck("e.embedding", "a.av")} DESC,
+       |                 a.cell ASC) AS prn
+       |    FROM embeddings e CROSS JOIN anchors a
+       |    WHERE e.vec_id < $NQueries)
+       |  WHERE prn <= $NProbe
+       |), scored AS (
+       |  SELECT p.qid, c.cid, ${cosineDuck("c.cv", "p.qv")} AS sim
+       |  FROM cells c JOIN probes p USING (cell)
+       |)
+       |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_knn_brute" -> q29 _,
     "q30_ann_lsh" -> q30 _,
-    "q31_embed_neardup" -> q31 _)
+    "q31_embed_neardup" -> q31 _,
+    "q41_ann_ivf" -> q41 _)
 
   val oracleSql: Map[String, String] = Map(
     "q29_knn_brute" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
-    "q31_embed_neardup" -> q31Sql)
+    "q31_embed_neardup" -> q31Sql,
+    "q41_ann_ivf" -> q41Sql)
 }
