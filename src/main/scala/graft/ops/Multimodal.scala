@@ -93,13 +93,47 @@ object Multimodal extends QueryModule {
        |GROUP BY kind, frame""".stripMargin
   }
 
+  // --- q42: typed feature-extraction pipeline under the oracle gate -------
+  // Runs the REAL typed path — Dataset[MediaRecord] → mapPartitions
+  // batch decode ([[MediaPipeline.extract]] with the deterministic stub)
+  // — and emits per-doc features. The stub's feature j is the mean of
+  // payload bytes at stride-8 offsets starting at j; on the ASCII corpus
+  // DuckDB reproduces it with ascii()/generate_series arithmetic
+  // (integer sum, one double division, round 6 — bit parity).
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaPipeline.mediaFrom(s, dir)
+    val feats = MediaPipeline.extract(media, MediaPipeline.StubDecoder)
+    feats.toDF()
+      .select(
+        col("docId").as("doc_id"),
+        col("kind"),
+        round(expr("features[0]"), 6).as("f0"),
+        round(expr("features[7]"), 6).as("f7"))
+  }
+
+  private val q42Sql = {
+    def f(j: Int) =
+      s"""CASE WHEN length(text) > $j THEN round(
+         |  CAST(list_sum(list_transform(generate_series(${j + 1}, length(text), 8),
+         |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS DOUBLE)
+         |  / len(generate_series(${j + 1}, length(text), 8)), 6)
+         |ELSE 0.0 END""".stripMargin
+    s"""SELECT doc_id,
+       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |  ${f(0)} AS f0,
+       |  ${f(7)} AS f7
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_meta" -> q32 _,
-    "q33_frame_sample" -> q33 _)
+    "q33_frame_sample" -> q33 _,
+    "q42_media_features" -> q42 _)
 
   val oracleSql: Map[String, String] = Map(
     "q32_media_meta" -> q32Sql,
-    "q33_frame_sample" -> q33Sql)
+    "q33_frame_sample" -> q33Sql,
+    "q42_media_features" -> q42Sql)
 }
 
 /** Typed multimodal pipeline: the Spark-side plumbing (schemas, encoders,
