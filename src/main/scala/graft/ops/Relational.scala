@@ -406,10 +406,44 @@ object Relational extends graft.QueryModule {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // --- Q43: grouped top-k via a bounded-heap typed Aggregator --------------
+  // The window formulation (row_number over partition) sorts every group's
+  // full row set; [[graft.functions.TopKAggregator]] carries at most k
+  // rows per (group × partition) through the shuffle. Same exact result,
+  // verified against the window-SQL oracle.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("tb"))
+      .as[(String, Double, Long)]
+    li.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+      .flatMap { case (flag, items) =>
+        items.zipWithIndex.map { case ((price, tb), i) =>
+          (flag, i + 1, price, tb)
+        }
+      }
+      .toDF("returnflag", "rn", "price", "tb")
+  }
+
+  private val q43Sql =
+    """SELECT l_returnflag AS returnflag, CAST(rn AS INTEGER) AS rn,
+      |       l_extendedprice AS price, tb
+      |FROM (SELECT l_returnflag, l_extendedprice,
+      |        l_orderkey * 8 + l_linenumber AS tb,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |          ORDER BY l_extendedprice DESC,
+      |                   l_orderkey * 8 + l_linenumber ASC) AS rn
+      |      FROM lineitem)
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_grouping_sets" -> q37 _,
     "q38_approx_distinct" -> q38 _,
     "q39_skew_salted_agg" -> q39 _,
+    "q43_topk_grouped" -> q43 _,
     "q1_pricing_summary" -> q1 _,
     "q2_join_agg" -> q2 _,
     "q3_topk" -> q3 _,
@@ -431,6 +465,7 @@ object Relational extends graft.QueryModule {
     "q37_grouping_sets" -> q37Sql,
     // q38_approx_distinct intentionally has no oracle (engine-specific HLL)
     "q39_skew_salted_agg" -> q39Sql,
+    "q43_topk_grouped" -> q43Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,
