@@ -439,7 +439,52 @@ object Relational extends graft.QueryModule {
       |      FROM lineitem)
       |WHERE rn <= 3""".stripMargin
 
+  // --- Q44: JSON/map scalar functions over the props column ---------------
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_num"),
+        expr("array_join(map_keys(from_json(props, 'map<string,string>')), ',')")
+          .as("keys"),
+        upper(col("event_type")).as("et"))
+
+  private val q44Sql =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+      |  array_to_string(json_keys(props), ',') AS keys,
+      |  UPPER(event_type) AS et
+      |FROM events""".stripMargin
+
+  // --- Q45: array higher-order/scalar functions over tokens ----------------
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .select(
+        col("doc_id"),
+        expr("array_join(slice(sort_array(array_distinct(toks)), 1, 3), ',')")
+          .as("first3"),
+        expr("CAST(size(array_union(toks, array('zzzz'))) AS BIGINT)")
+          .as("n_union"),
+        expr("array_contains(toks, 'the')").as("has_the"),
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0," +
+          " (a, x) -> a + x) AS BIGINT)").as("total_chars"))
+
+  private val q45Sql =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+      |  CAST(len(list_distinct(list_concat(toks, ['zzzz']))) AS BIGINT) AS n_union,
+      |  list_contains(toks, 'the') AS has_the,
+      |  CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+      |    (a, x) -> a + x) AS BIGINT) AS total_chars
+      |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks
+      |      FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_json_map_funcs" -> q44 _,
+    "q45_array_funcs" -> q45 _,
     "q37_grouping_sets" -> q37 _,
     "q38_approx_distinct" -> q38 _,
     "q39_skew_salted_agg" -> q39 _,
@@ -466,6 +511,8 @@ object Relational extends graft.QueryModule {
     // q38_approx_distinct intentionally has no oracle (engine-specific HLL)
     "q39_skew_salted_agg" -> q39Sql,
     "q43_topk_grouped" -> q43Sql,
+    "q44_json_map_funcs" -> q44Sql,
+    "q45_array_funcs" -> q45Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,
