@@ -22,10 +22,14 @@ import org.apache.spark.sql.catalyst.expressions._
   *     fragments work on any caller-supplied session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // auto-rewrite the builtin aggregate(zip_with(...)) dot-product idiom
+    // to the native codegen'd expression
+    ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+  }
 }
 
 object GraftFunctions {

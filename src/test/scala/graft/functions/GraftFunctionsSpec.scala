@@ -169,6 +169,35 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("NativeDotRewrite rewrites the builtin dot idiom to graft_dot") {
+    import graft.plans.NativeDotRewrite
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ NativeDotRewrite
+    try {
+      // repartition keeps ConvertToLocalRelation from evaluating the
+      // projection at optimization time
+      val src = vecs.repartition(2)
+      val df = src.select(expr(builtinDot).as("d"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), optimized)
+      // rewritten result identical to the interpreted evaluation
+      val direct = src.select(expr("graft_dot(a, b)").as("d"))
+        .collect().map(_.getDouble(0)).sorted
+      assert(df.collect().map(_.getDouble(0)).sorted.toSeq == direct.toSeq)
+
+      // conservative: a different merge function must NOT fire
+      val other = src.select(expr(
+        """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + 2 * v)""".stripMargin))
+      assert(!other.queryExecution.optimizedPlan.toString
+        .contains("graft_dot"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == NativeDotRewrite)
+    }
+  }
+
   test("extensions class registers on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
