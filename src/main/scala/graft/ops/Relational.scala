@@ -482,7 +482,32 @@ object Relational extends graft.QueryModule {
       |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks
       |      FROM documents)""".stripMargin
 
+  // --- Q46: rank-based statistics (median / percentiles) -------------------
+  // Exact percentile with linear interpolation — rank-based, so the
+  // result is a deterministic function of the sorted values (unlike
+  // variance-style merges, whose partial-aggregation float error depends
+  // on partition order). DuckDB's quantile_cont interpolates identically.
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("round(percentile(l_quantity, 0.5), 4)").as("median_qty"),
+        expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90_price"),
+        expr("round(percentile(l_discount, 0.99), 4)").as("p99_disc"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
+  private val q46Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  round(quantile_cont(l_discount, 0.99), 4) AS p99_disc,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_percentiles" -> q46 _,
     "q44_json_map_funcs" -> q44 _,
     "q45_array_funcs" -> q45 _,
     "q37_grouping_sets" -> q37 _,
@@ -513,6 +538,7 @@ object Relational extends graft.QueryModule {
     "q43_topk_grouped" -> q43Sql,
     "q44_json_map_funcs" -> q44Sql,
     "q45_array_funcs" -> q45Sql,
+    "q46_percentiles" -> q46Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,
