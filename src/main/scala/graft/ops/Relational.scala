@@ -506,7 +506,61 @@ object Relational extends graft.QueryModule {
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- Q47: date/interval arithmetic ---------------------------------------
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        expr("CAST(o_orderdate + INTERVAL 90 DAY AS DATE)").as("due_date"),
+        expr("CAST(datediff(TIMESTAMP '1998-12-31 00:00:00', o_orderdate) AS BIGINT)")
+          .as("age_days"),
+        expr("CAST(last_day(o_orderdate) AS DATE)").as("month_end"),
+        expr("CAST(date_trunc('QUARTER', o_orderdate) AS DATE)").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("bigint").as("dow"))
+
+  // DuckDB: datediff counts date boundaries (matches Spark's datediff);
+  // dayofweek is 1=Sunday in Spark vs 0=Sunday in DuckDB, hence +1.
+  private val q47Sql =
+    """SELECT o_orderkey AS orderkey,
+      |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+      |FROM orders""".stripMargin
+
+  // --- Q48: window frames + lag/lead/ntile ---------------------------------
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val sliding = w.rowsBetween(-2, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_custkey").as("custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(sliding), 2)
+          .cast("double").as("run3_price"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+  }
+
+  private val q48Sql =
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+      |    AS run3_price,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_date_arith" -> q47 _,
+    "q48_window_frames" -> q48 _,
     "q46_percentiles" -> q46 _,
     "q44_json_map_funcs" -> q44 _,
     "q45_array_funcs" -> q45 _,
@@ -539,6 +593,8 @@ object Relational extends graft.QueryModule {
     "q44_json_map_funcs" -> q44Sql,
     "q45_array_funcs" -> q45Sql,
     "q46_percentiles" -> q46Sql,
+    "q47_date_arith" -> q47Sql,
+    "q48_window_frames" -> q48Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,
