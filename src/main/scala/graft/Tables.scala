@@ -21,17 +21,6 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` normalized from raw nanos (long) to TimestampType
-    * (microsecond precision — Spark's native resolution) plus the raw
-    * epoch-millis, which is what the interval/sweep-line operators key on.
-    */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    load(spark, sfDir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
-
   /** Register all tables as temp views so `spark.sql` users get the same
     * relational surface the reference exposes through its CSV pipeline.
     */

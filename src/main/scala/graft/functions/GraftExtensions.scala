@@ -34,6 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** Fold a parameter that must be a literal (k, prime, mod, …) with a
+    * function-named error instead of eval()'s bare
+    * UnsupportedOperationException on a column reference.
+    */
+  private def lit(fn: String, arg: String, e: Expression): Number = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a literal, got ${e.sql}")
+    e.eval().asInstanceOf[Number]
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0",
       "", "built-in")
@@ -78,8 +88,8 @@ object GraftFunctions {
       info("graft_minhash",
         "graft_minhash(hashes, n, prime) - n-element MinHash signature"),
       (cs: Seq[Expression]) => MinHashSig(cs.head,
-        cs(1).eval().asInstanceOf[Number].intValue(),
-        cs(2).eval().asInstanceOf[Number].longValue())),
+        lit("graft_minhash", "n", cs(1)).intValue(),
+        lit("graft_minhash", "prime", cs(2)).longValue())),
     ("graft_simhash60",
       info("graft_simhash60",
         "graft_simhash60(hashes) - 60-bit SimHash signature"),
@@ -88,18 +98,18 @@ object GraftFunctions {
       info("graft_hash60_array",
         "graft_hash60_array(arr[, mod]) - per-element 60-bit md5 hash"),
       (cs: Seq[Expression]) => Hash60Array(cs.head,
-        if (cs.length > 1) cs(1).eval().asInstanceOf[Number].longValue()
+        if (cs.length > 1) lit("graft_hash60_array", "mod", cs(1)).longValue()
         else 0L)),
     ("graft_shingles",
       info("graft_shingles",
         "graft_shingles(tokens, k) - distinct space-joined word k-shingles"),
       (cs: Seq[Expression]) => WordShingles(cs.head,
-        cs(1).eval().asInstanceOf[Number].intValue())),
+        lit("graft_shingles", "k", cs(1)).intValue())),
     ("graft_char_ngrams",
       info("graft_char_ngrams",
         "graft_char_ngrams(text, n) - distinct character n-grams"),
       (cs: Seq[Expression]) => CharNgrams(cs.head,
-        cs(1).eval().asInstanceOf[Number].intValue())))
+        lit("graft_char_ngrams", "n", cs(1)).intValue())))
 
   /** Idempotent programmatic registration on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

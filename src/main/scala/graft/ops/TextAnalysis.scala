@@ -33,8 +33,11 @@ object TextAnalysis extends QueryModule {
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_ws"),
         expr("CAST(size(toks) AS BIGINT)").as("n_re"),
         expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
-        expr("""round(CAST(aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),
-             |  0L, (a, x) -> a + x) AS DOUBLE) / size(toks), 4)""".stripMargin)
+        // CASE guard: zero-token docs yield NULL on both engines (Spark's
+        // 0/0 double and DuckDB's would otherwise disagree)
+        expr("""CASE WHEN size(toks) = 0 THEN NULL ELSE
+             |round(CAST(aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),
+             |  0L, (a, x) -> a + x) AS DOUBLE) / size(toks), 4) END""".stripMargin)
           .as("avg_tok_len"))
 
   private val q21Sql =
@@ -42,8 +45,10 @@ object TextAnalysis extends QueryModule {
       |  len(string_split(text, ' ')) AS n_ws,
       |  len(toks) AS n_re,
       |  len(list_distinct(toks)) AS n_distinct,
-      |  round(CAST(list_reduce(list_transform(toks, t -> CAST(length(t) AS BIGINT)),
-      |    (a, b) -> a + b) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+      |  CASE WHEN len(toks) = 0 THEN NULL ELSE
+      |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+      |    (a, b) -> a + b) AS DOUBLE) / len(toks), 4) END AS avg_tok_len
       |FROM (SELECT doc_id, text, regexp_extract_all(text, '[a-z]+') AS toks
       |      FROM documents)""".stripMargin
 
@@ -212,12 +217,16 @@ object TextAnalysis extends QueryModule {
   // final tiny histogram on chunk ordinal.
   private val ChunkTokens = 64
 
+  // `greatest(..., 1)` pins zero-token docs to exactly ONE empty chunk on
+  // both engines: without it Spark's sequence(0, -1) yields [0, -1]
+  // (descending default step — two phantom chunks) while DuckDB's
+  // generate_series(0, -1) yields [] (zero rows).
   private def q40(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
-           |  sequence(0, CAST(ceil(size(toks) / $ChunkTokens.0) AS INT) - 1),
+           |  sequence(0, greatest(CAST(ceil(size(toks) / $ChunkTokens.0) AS INT), 1) - 1),
            |  c -> slice(toks, c * $ChunkTokens + 1, $ChunkTokens))"""
           .stripMargin)).as(Seq("chunk_idx", "chunk")))
       .groupBy(col("chunk_idx").cast("bigint").as("chunk_idx"))
@@ -235,7 +244,7 @@ object TextAnalysis extends QueryModule {
        |  SELECT doc_id, c AS chunk_idx,
        |    toks[c * $ChunkTokens + 1 : (c + 1) * $ChunkTokens] AS chunk
        |  FROM toks, unnest(generate_series(0,
-       |    CAST(CEIL(len(toks) / $ChunkTokens.0) AS INT) - 1)) AS t(c)
+       |    GREATEST(CAST(CEIL(len(toks) / $ChunkTokens.0) AS INT), 1) - 1)) AS t(c)
        |)
        |SELECT CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |  COUNT(*) AS n_chunks,

@@ -127,7 +127,15 @@ object Pipeline {
   def concurrency(derived: DataFrame): DataFrame = {
     val deltas = Seq("d_count", "d_pods", "d_cache", "d_mem", "d_cpu",
       "d_data_rate", "d_spill")
-    val scanned = PrefixSum.scan(sweepEvents(derived), "ts_us",
+    // Guard: a row with an unparseable/missing end_time (schema allows
+    // null) would emit a null-instant event — PrefixSum buckets nulls
+    // into bucket 0 and the window sorts them FIRST, applying the end
+    // deltas before the query's start and silently depressing every
+    // running sum. Such rows cannot contribute a well-formed interval,
+    // so they are excluded from the sweep (kept in CSV/aggregate paths).
+    val withInstants = derived
+      .filter(col("admitted_us").isNotNull && col("end_us").isNotNull)
+    val scanned = PrefixSum.scan(sweepEvents(withInstants), "ts_us",
       Seq(col("ts_us"), col("kind"), col("query_id")),
       deltas.map(d => d -> d.replace("d_", "run_")))
     scanned

@@ -97,14 +97,22 @@ private[sources] class RestScanBuilder(props: util.Map[String, String])
   private var pushedTo: Option[String] = None
 
   /** F1 pushdown (py:139–141): pool equality + startTime range reach the
-    * server; everything else stays a Spark-side residual.
+    * server; everything else stays a Spark-side residual. startTime
+    * bounds are claimed ONLY when the literal parses as a strict ISO-8601
+    * instant — the window splitter calls `Instant.parse` on them, so a
+    * date-only or offset-formatted literal must stay a residual filter
+    * instead of crashing the scan at planning.
     */
+  private def isInstant(v: String): Boolean =
+    scala.util.Try(java.time.Instant.parse(v)).isSuccess
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot {
       case EqualTo("pool", v: String) => pushedPool = Some(v); true
-      case GreaterThanOrEqual("startTime", v: String) =>
+      case GreaterThanOrEqual("startTime", v: String) if isInstant(v) =>
         pushedFrom = Some(v); true
-      case LessThan("startTime", v: String) => pushedTo = Some(v); true
+      case LessThan("startTime", v: String) if isInstant(v) =>
+        pushedTo = Some(v); true
       case _ => false
     }
 
