@@ -101,6 +101,28 @@ class PipelineSpec extends SparkTestBase {
       Seq("q4|10000|2021-07-12T00:02:00.000Z|2021-07-12T00:02:10.000Z"))
   }
 
+  test("a row with missing end_time cannot corrupt the sweep-line") {
+    // q2's end event would otherwise sort at the null instant (before
+    // every start) and push the running sums negative
+    val dir = Files.createTempDirectory("graft-nullend").toFile
+    val in = new java.io.File(dir, "querylog.csv")
+    Files.writeString(in.toPath,
+      """query_id,pool,start_time,end_time,duration_millis,reqd_cache_gb,reqd_agg_mem,memory_spilled_gb,cpu_time_sec,query_type,admission_wait,num_backends
+        |q1,etl,2021-07-12T00:00:00.000Z,2021-07-12T00:00:10.000Z,10000,3000,500,0,40,QUERY,0,2
+        |q2,etl,2021-07-12T00:00:05.000Z,,10000,500,100,0,10,QUERY,0,1
+        |""".stripMargin)
+    val cfg = SizingConfig(inputFile = Some(in.getAbsolutePath))
+    val r = Pipeline.run(spark, cfg, dir.getAbsolutePath)
+    // q2 still reaches the main CSV and the aggregates...
+    assert(r.totalQueries == 2)
+    val main = spark.read.option("header", "true")
+      .csv(s"${dir.getAbsolutePath}/sizing_output.csv")
+    assert(main.count() == 2)
+    // ...but only q1 contributes a well-formed interval to the sweep
+    assert(r.maxConcurrentQueries == 1)
+    assert(r.maxPodsWorkload == 3.0)
+  }
+
   test("report renders all five sections") {
     val r = report.render
     Seq("Individual Query Analysis", "Concurrent Query Analysis",
