@@ -27,9 +27,10 @@ object Bench {
     // count aggregate and let column pruning drop every projected
     // expression — a pure-projection battery query (string/JSON/array/
     // window work) would time a parquet row-count instead of the operator.
-    // toRdd executes the optimized plan with all output columns live.
+    // The noop sink executes the optimized plan with all columns live.
     def exec(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>

@@ -374,13 +374,24 @@ object Relational extends graft.QueryModule {
   // No oracle entry: HLL sketches are engine-specific, so the driver
   // records a rows-only check. The exact counts column documents the
   // approximation error in the output itself.
-  private def q38(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+  //
+  // The approx and exact aggregates run as SEPARATE aggregations joined
+  // on the 3-row result: mixing them in one agg makes the exact-distinct
+  // rewrite's first-stage aggregate (keyed by the distinct columns,
+  // ~|orders|×|parts| groups) carry a multi-KB HLL buffer PER GROUP —
+  // gigabytes of hash-map state for a 3-row answer (measured: 15–50 s vs
+  // <1 s split).
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(exact, "l_returnflag")
+      .select("l_returnflag", "approx_orders", "exact_orders", "approx_parts")
+  }
 
   // --- Q39: skew-safe two-phase (salted) aggregation ----------------------
   // l_returnflag has 3 heavy keys — the degenerate skew case where a
