@@ -23,8 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's `substring` and DuckDB's `substr`; distinct in
   * first-occurrence order.
   */
-case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression {
+case class CharNgrams(child: Expression, n: Int,
+    distinct: Boolean = true) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
@@ -36,14 +36,14 @@ case class CharNgrams(child: Expression, n: Int)
   override def prettyName: String = "graft_char_ngrams"
 
   override def nullSafeEval(input: Any): Any =
-    CharNgrams.ngrams(input.asInstanceOf[UTF8String], n)
+    CharNgrams.ngrams(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       val helper = CharNgrams.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
-        s" $helper.ngrams($s, $n);"
+        s" $helper.ngrams($s, $n, $distinct);"
     })
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -51,8 +51,11 @@ case class CharNgrams(child: Expression, n: Int)
 }
 
 object CharNgrams {
-  /** Shared by eval and codegen. */
-  def ngrams(text: UTF8String, n: Int): GenericArrayData = {
+  /** Shared by eval and codegen. `distinct=false` keeps every gram in
+    * position order (the rolling-window/k-gram shape).
+    */
+  def ngrams(text: UTF8String, n: Int, distinct: Boolean)
+      : GenericArrayData = {
     val s = text.toString
     // codepoint start offsets (UTF-16 indices), one pass
     val starts = new Array[Int](s.codePointCount(0, s.length) + 1)
@@ -66,17 +69,28 @@ object CharNgrams {
     starts(cp) = s.length
     val chars = cp
     val count = math.max(chars - n + 1, 1)
-    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
-    var i = 0
-    while (i < count) {
-      val hi = math.min(i + n, chars)
-      seen.add(UTF8String.fromString(s.substring(starts(i), starts(hi))))
-      i += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      var i = 0
+      while (i < count) {
+        val hi = math.min(i + n, chars)
+        seen.add(UTF8String.fromString(s.substring(starts(i), starts(hi))))
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { out(m) = it.next(); m += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](count)
+      var i = 0
+      while (i < count) {
+        val hi = math.min(i + n, chars)
+        out(i) = UTF8String.fromString(s.substring(starts(i), starts(hi)))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    val out = new Array[AnyRef](seen.size)
-    val it = seen.iterator()
-    var m = 0
-    while (it.hasNext) { out(m) = it.next(); m += 1 }
-    new GenericArrayData(out)
   }
 }

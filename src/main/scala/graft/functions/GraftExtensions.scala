@@ -109,7 +109,17 @@ object GraftFunctions {
       info("graft_char_ngrams",
         "graft_char_ngrams(text, n) - distinct character n-grams"),
       (cs: Seq[Expression]) => CharNgrams(cs.head,
-        lit("graft_char_ngrams", "n", cs(1)).intValue())))
+        lit("graft_char_ngrams", "n", cs(1)).intValue())),
+    ("graft_char_windows",
+      info("graft_char_windows",
+        "graft_char_windows(text, n) - ALL character n-grams in order"),
+      (cs: Seq[Expression]) => CharNgrams(cs.head,
+        lit("graft_char_windows", "n", cs(1)).intValue(), distinct = false)),
+    ("graft_window_min",
+      info("graft_window_min",
+        "graft_window_min(xs, w) - sliding-window minima (winnowing)"),
+      (cs: Seq[Expression]) => WindowMin(cs.head,
+        lit("graft_window_min", "w", cs(1)).intValue())))
 
   /** Idempotent programmatic registration on an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {

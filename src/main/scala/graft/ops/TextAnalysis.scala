@@ -174,9 +174,10 @@ object TextAnalysis extends QueryModule {
   // min-hash fingerprint, and the winnowing fingerprint count (distinct
   // minima over a 4-hash sliding window — the classic local fingerprinting
   // scheme used for near-dup sketching).
+  // graft_char_windows: all 8-grams in one linear pass — the per-position
+  // substring lambda is O(len²) in UTF8String boundary scans
   private val kgramHashesSpark =
-    "graft_hash60_array(transform(sequence(1, greatest(length(text)-7, 1))," +
-      " i -> substring(text, i, 8)))"
+    "graft_hash60_array(graft_char_windows(text, 8))"
 
   private def q24(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -186,9 +187,9 @@ object TextAnalysis extends QueryModule {
         col("doc_id"),
         expr("CAST(size(hs) AS BIGINT)").as("n_kgrams"),
         expr("array_min(hs)").as("fp_min"),
-        expr("""CAST(size(array_distinct(transform(
-             |  sequence(1, greatest(size(hs)-3, 1)),
-             |  j -> array_min(slice(hs, j, 4))))) AS BIGINT)""".stripMargin)
+        // Native O(n) monotonic-deque minima ([[graft.functions.WindowMin]])
+        // vs the O(n·w) interpreted slice+array_min lambda
+        expr("CAST(size(array_distinct(graft_window_min(hs, 4))) AS BIGINT)")
           .as("n_winnow"))
   }
 

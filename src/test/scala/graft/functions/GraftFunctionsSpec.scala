@@ -198,6 +198,22 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_window_min matches the builtin slice/array_min shape") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = ((1 to 30).map(_ =>
+      Array.fill(1 + rnd.nextInt(40))(rnd.nextLong())) :+ Array(7L, 3L))
+      .toDF("hs")
+    val got = df.select(
+      expr("graft_window_min(hs, 4)").as("native"),
+      expr("""transform(sequence(1, greatest(size(hs)-3, 1)),
+           |  j -> array_min(slice(hs, j, 4)))""".stripMargin).as("builtin"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("extensions class registers on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
