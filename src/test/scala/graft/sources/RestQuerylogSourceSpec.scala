@@ -105,6 +105,20 @@ class RestQuerylogSourceSpec extends SparkTestBase {
     assert(scan.contains("[2021-07-12T01:00:00Z,"), scan)
   }
 
+  test("non-instant startTime literal stays a residual filter, not a crash") {
+    PageFetcher.register("residual", { url =>
+      // the pushed window must remain the option-configured one
+      assert(params(url)("from") == "2021-07-12T00:00:00Z")
+      page(Seq(doc(1, "2021-07-12T00:30:00.000Z"),
+        doc(2, "2021-07-13T00:30:00.000Z")))
+    })
+    // date-only literal: Instant.parse would throw; the source must leave
+    // it to Spark instead of claiming the pushdown
+    val df = read("residual").filter(col("startTime") >= "2021-07-13")
+    assert(df.select("queryId").collect().map(_.getString(0)).toSeq
+      == Seq("q2"))
+  }
+
   test("EP2: full REST-mode pipeline run (sinks + report)") {
     PageFetcher.register("ep2", _ =>
       page(Seq(
