@@ -44,9 +44,13 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try exec(name, sfDir)
-      catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(name, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // a failed query reports -1, never a misleading time-to-failure
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
       name -> t
     }

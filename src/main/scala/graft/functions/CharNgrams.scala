@@ -33,7 +33,8 @@ case class CharNgrams(child: Expression, n: Int,
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_char_ngrams"
+  override def prettyName: String =
+    if (distinct) "graft_char_ngrams" else "graft_char_windows"
 
   override def nullSafeEval(input: Any): Any =
     CharNgrams.ngrams(input.asInstanceOf[UTF8String], n, distinct)

@@ -41,7 +41,12 @@ object GraftFunctions {
   private def lit(fn: String, arg: String, e: Expression): Number = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be a literal, got ${e.sql}")
-    e.eval().asInstanceOf[Number]
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a non-null numeric literal, got " +
+          s"${Option(other).getOrElse("NULL")}")
+    }
   }
 
   private def info(name: String, usage: String) =

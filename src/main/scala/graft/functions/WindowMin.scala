@@ -15,13 +15,15 @@ import org.apache.spark.sql.types._
   * with a fresh array allocation per window; the monotonic-deque
   * algorithm here is O(n) total inside codegen.
   *
-  * Semantics (mirrors the builtin shape used by ops.TextAnalysis q24):
-  * output length = max(n − w + 1, 1); when n < w the single output is
-  * the min of all elements (slice truncates); empty input yields
-  * [Long.MaxValue]? No — the builtin's array_min(slice([], 1, w)) is
-  * NULL, so empty input returns NULL for the whole result instead (the
-  * caller's upstream guarantees non-empty hash arrays). Null elements →
-  * NULL result.
+  * Semantics: output length = max(n − w + 1, 1); when n < w the single
+  * output is the min of all elements (ragged window). DELIBERATELY
+  * STRICTER than the builtin transform/slice/array_min shape on
+  * degenerate inputs: empty input or any null element returns NULL for
+  * the whole row (the builtin yields [NULL] / skips nulls per window).
+  * A null in a fingerprint hash stream indicates corrupt upstream data —
+  * propagating NULL surfaces it instead of silently folding it away.
+  * q24's input (`graft_hash60_array` over ≥1 gram) never hits either
+  * path.
   */
 case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
 
