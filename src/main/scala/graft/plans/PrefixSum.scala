@@ -42,16 +42,32 @@ object PrefixSum {
     * exact, associativity-safe accumulation; see caller notes).
     */
   def scan(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
-      sumCols: Seq[(String, String)]): DataFrame = {
+      sumCols: Seq[(String, String)], uniformBounds: Boolean = false)
+      : DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // Boundary literals: deterministic (Greenwald-Khanna sketch, no RNG),
-    // so every recomputation assigns every row the same bucket.
+    // Boundary literals: deterministic, so every recomputation assigns
+    // every row the same bucket.
+    //  - default: Greenwald-Khanna quantiles (no RNG) — robust to any key
+    //    distribution, costs one sketch aggregation pass;
+    //  - uniformBounds: min/max + even split — one cheap min/max agg,
+    //    right when the caller knows the key is near-uniform (event
+    //    timestamps); correctness never depends on balance, only the
+    //    local-scan parallelism does.
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(bucketCol, probs, 0.001).distinct.sorted
+      else if (uniformBounds) {
+        val mm = df.agg(min(col(bucketCol)).cast("double"),
+          max(col(bucketCol)).cast("double")).head()
+        if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
+          Array.empty[Double]
+        else {
+          val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+          probs.map(p => lo + (hi - lo) * p).distinct.sorted
+        }
+      } else df.stat.approxQuantile(bucketCol, probs, 0.001).distinct.sorted
     val bucketExpr =
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(col(bucketCol) > lit(b), 1).otherwise(0))

@@ -63,9 +63,12 @@ object Concurrency {
       .select(col("query_id"), explode(array(start, end)).as("e"))
       .select(col("query_id"), col("e.*"))
 
+    // uniformBounds: event instants are near-uniform over the analysis
+    // window, so a min/max split replaces the quantile-sketch pass (one
+    // cheap agg instead of a GK aggregation over every event).
     PrefixSum.scan(events, "ts_us",
       Seq(col("ts_us"), col("kind"), col("query_id")),
-      deltas.map(d => d -> d.replace("d_", "run_")))
+      deltas.map(d => d -> d.replace("d_", "run_")), uniformBounds = true)
   }
 
   /** Conditional maxima (py:381–396): max running footprint observed at

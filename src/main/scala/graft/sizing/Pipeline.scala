@@ -137,7 +137,7 @@ object Pipeline {
       .filter(col("admitted_us").isNotNull && col("end_us").isNotNull)
     val scanned = PrefixSum.scan(sweepEvents(withInstants), "ts_us",
       Seq(col("ts_us"), col("kind"), col("query_id")),
-      deltas.map(d => d -> d.replace("d_", "run_")))
+      deltas.map(d => d -> d.replace("d_", "run_")), uniformBounds = true)
     scanned
       .filter(col("d_count") > 0)
       .agg(

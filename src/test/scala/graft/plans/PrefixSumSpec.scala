@@ -55,6 +55,29 @@ class PrefixSumSpec extends SparkTestBase {
     assert(out.schema("run").dataType.typeName == "long")
   }
 
+  test("uniformBounds stays correct on skewed keys (only balance degrades)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 90% of keys in [0,10), rest spread to 10000 — uniform split puts
+    // most rows in bucket 0; the result must still be exact
+    val rows = (1L to 400L).map { i =>
+      val ts = if (rnd.nextInt(10) < 9) rnd.nextInt(10).toLong
+        else rnd.nextInt(10000).toLong
+      (ts, i, rnd.nextInt(11) - 5L)
+    }
+    val df = rows.toDF("ts", "id", "delta").repartition(4)
+    val got = PrefixSum.scan(df, "ts", Seq(col("ts"), col("id")),
+        Seq("delta" -> "run"), uniformBounds = true)
+      .select("ts", "id", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val want = rows.sortBy(t => (t._1, t._2)).map { case (ts, id, d) =>
+      acc += d; (ts, id, acc)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("multiple sum columns scan independently") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
