@@ -569,7 +569,40 @@ object Relational extends graft.QueryModule {
       |WINDOW w AS (PARTITION BY o_custkey
       |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
 
+  // --- Q49: array aggregation + deterministic argmax -----------------------
+  // The generic forms of the sizing pipeline's A2 (distinct-set collect)
+  // and A4 (argmax with tiebreak): collect_set is order-nondeterministic,
+  // so it is always sorted before leaving the operator; max_by carries a
+  // (value, tiebreak) struct so ties cannot flap between partitions.
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+        count(lit(1)).as("n_orders"))
+
+  private val q49Sql =
+    """SELECT o_orderstatus AS status,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+      |    AS priorities,
+      |  (SELECT o2.o_orderkey FROM orders o2
+      |   WHERE o2.o_orderstatus = o.o_orderstatus
+      |   ORDER BY o2.o_totalprice DESC, o2.o_orderkey DESC LIMIT 1)
+      |    AS top_order,
+      |  (SELECT o3.o_orderkey FROM orders o3
+      |   WHERE o3.o_orderstatus = o.o_orderstatus
+      |   ORDER BY o3.o_totalprice ASC, o3.o_orderkey ASC LIMIT 1)
+      |    AS bottom_order,
+      |  COUNT(*) AS n_orders
+      |FROM orders o GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_collect_argmax" -> q49 _,
     "q47_date_arith" -> q47 _,
     "q48_window_frames" -> q48 _,
     "q46_percentiles" -> q46 _,
@@ -606,6 +639,7 @@ object Relational extends graft.QueryModule {
     "q46_percentiles" -> q46Sql,
     "q47_date_arith" -> q47Sql,
     "q48_window_frames" -> q48Sql,
+    "q49_collect_argmax" -> q49Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_join_agg" -> q2Sql,
     "q3_topk" -> q3Sql,
