@@ -37,6 +37,34 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-key totals across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (user, amount)
+    val totals = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          (user, total)
+      }
+    val qn = s"state_${System.nanoTime()}"
+    val q = totals.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Seq(("a", 5L), ("b", 2L), ("a", 1L)))
+      q.processAllAvailable()
+      input.addData(Seq(("a", 10L))) // state must carry the earlier 6
+      q.processAllAvailable()
+      val last = spark.table(qn).as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 16L, "b" -> 2L))
+    } finally q.stop()
+  }
+
   test("tumbling-window counts finalize at the watermark; late rows drop") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
