@@ -92,9 +92,21 @@ object GraftFunctions {
     ("graft_minhash",
       info("graft_minhash",
         "graft_minhash(hashes, n, prime) - n-element MinHash signature"),
-      (cs: Seq[Expression]) => MinHashSig(cs.head,
-        lit("graft_minhash", "n", cs(1)).intValue(),
-        lit("graft_minhash", "prime", cs(2)).longValue())),
+      (cs: Seq[Expression]) => {
+        // Enforce MinHashSig's overflow preconditions (see Sketches.scala:
+        // (2n+1)·x + 101·n must stay < 2^63 with elements < prime):
+        // silently-wrong signatures from Long overflow are worse than an
+        // analysis-time error.
+        val n = lit("graft_minhash", "n", cs(1)).intValue()
+        val prime = lit("graft_minhash", "prime", cs(2)).longValue()
+        if (n < 1 || n > 32) throw new IllegalArgumentException(
+          s"graft_minhash: n must be in [1, 32] (overflow-safe range), got $n")
+        if (prime < 2 || prime >= (1L << 31))
+          throw new IllegalArgumentException(
+            "graft_minhash: prime must be in [2, 2^31) " +
+              s"(overflow-safe range), got $prime")
+        MinHashSig(cs.head, n, prime)
+      }),
     ("graft_simhash60",
       info("graft_simhash60",
         "graft_simhash60(hashes) - 60-bit SimHash signature"),

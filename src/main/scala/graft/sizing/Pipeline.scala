@@ -183,38 +183,47 @@ object Pipeline {
       .format("graft.sources.RestQuerylogSource")
     restOptions.foreach { case (k, v) => reader = reader.option(k, v) }
     cfg.pool.foreach(p => reader = reader.option("pool", p))
-    val api = reader.load()
+    // Persist the fetched pages: the skip sink plus every downstream
+    // action in finish() would otherwise re-run the whole HTTP pagination
+    // (~10 scans of the live server) and could each observe different
+    // data; one cached scan makes the run consistent and polite.
+    val api = reader.load().persist()
+    try {
+      val apiSkipped = graft.sources.RestAdapter.skipped(api)
+      if (!apiSkipped.isEmpty)
+        apiSkipped.select(concat_ws("|", col("query_id"),
+            col("duration_millis"), col("start_time"), col("end_time"),
+            col("query_state")).as("value"))
+          .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
 
-    val apiSkipped = graft.sources.RestAdapter.skipped(api)
-    if (!apiSkipped.isEmpty)
-      apiSkipped.select(concat_ws("|", col("query_id"),
-          col("duration_millis"), col("start_time"), col("end_time"),
-          col("query_state")).as("value"))
-        .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
-
-    val raw = withEventInstants(graft.sources.RestAdapter.toQuerylog(api))
-    finish(spark, cfg, raw, outDir, writeSkipSink = false)
+      val raw = withEventInstants(graft.sources.RestAdapter.toQuerylog(api))
+      finish(spark, cfg, raw, outDir, writeSkipSink = false)
+    } finally api.unpersist()
   }
 
   private def finish(spark: SparkSession, cfg: SizingConfig, raw: DataFrame,
       outDir: String, writeSkipSink: Boolean = true): SizingReport = {
-    val (skipped, kept, pruned) = Routing.route(raw, cfg)
+    // The sinks plus ~8 report aggregations are independent actions; cache
+    // the adapted querylog once so the source (CSV scan or REST pages) is
+    // read a single time and every pass sees identical data.
+    val cached = raw.persist()
+    try {
+      val (skipped, kept, pruned) = Routing.route(cached, cfg)
 
-    // Re-derive the prune split input once: kept and pruned share the
-    // derivation plan; Catalyst reuses the scan across the two writes.
-    outputRow(kept).write.mode("overwrite").option("header", "true")
-      .csv(s"$outDir/${cfg.outputFile}")
-    // K2 lazy creation quirk: the reference only creates the prune file on
-    // the first over-limit row; an empty write is the distributed analog —
-    // but we match observable behavior (no file when no pruned rows).
-    if (!pruned.isEmpty)
-      outputRow(pruned).write.mode("overwrite").option("header", "true")
-        .csv(s"$outDir/${cfg.pruneOutputFile}")
-    if (writeSkipSink && !skipped.isEmpty)
-      skipped.select(concat_ws("|", col("query_id"), col("duration_millis"),
-          col("start_time"), col("end_time")).as("value"))
-        .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
+      outputRow(kept).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/${cfg.outputFile}")
+      // K2 lazy creation quirk: the reference only creates the prune file on
+      // the first over-limit row; an empty write is the distributed analog —
+      // but we match observable behavior (no file when no pruned rows).
+      if (!pruned.isEmpty)
+        outputRow(pruned).write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/${cfg.pruneOutputFile}")
+      if (writeSkipSink && !skipped.isEmpty)
+        skipped.select(concat_ws("|", col("query_id"), col("duration_millis"),
+            col("start_time"), col("end_time")).as("value"))
+          .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
 
-    Report.build(spark, cfg, kept, pruned, concurrency(kept))
+      Report.build(spark, cfg, kept, pruned, concurrency(kept))
+    } finally cached.unpersist()
   }
 }

@@ -192,18 +192,38 @@ private[sources] class RestPageReader(slice: RestSlice)
       s"&limit=${cfg.limit}&offset=$offset"
   }
 
+  /** A truncation warning's last token must be a timestamp (the narrowed
+    * window end). Accepts strict instants and date-only forms; anything
+    * else (an unrelated server warning) must NOT poison the `to` cursor.
+    */
+  private def windowEnd(tok: String): Option[java.time.Instant] =
+    scala.util.Try(java.time.Instant.parse(tok)).toOption
+      .orElse(scala.util.Try(java.time.LocalDate.parse(tok)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant).toOption)
+
   private def loadNextPage(): Boolean = {
     if (done) return false
     val body = fetch(buildUrl)
     val (rows, warning) = RestJson.parsePage(body)
     page = rows.iterator
-    warning match {
-      case Some(w) =>
-        // py:152–158: truncation warning → new window end from the
-        // warning's last token, restart offsets within the narrowed window
-        to = w.split(' ').last
+    // py:150–161: the truncation-window shift applies only when the page
+    // is SHORT (query_count < limit) and the warning's last token parses
+    // as a date that strictly narrows the window; a full page with a
+    // warning, or a non-truncation warning, paginates normally instead of
+    // re-reading the narrowed window from offset 0 (duplicate rows).
+    val shift = warning
+      .filter(_ => rows.size < cfg.limit)
+      .map(_.split(' ').last)
+      .flatMap(tok => windowEnd(tok).map(tok -> _))
+      .filter { case (_, inst) => windowEnd(to).forall(inst.isBefore) }
+    shift match {
+      case Some((tok, _)) =>
+        to = tok
         offset = 0
-      case None if rows.size < cfg.limit => done = true // py:338–339
+      case None if rows.size < cfg.limit && warning.isEmpty =>
+        done = true // py:338–339
+      case None if rows.isEmpty =>
+        done = true // short, warned, un-shiftable: nothing left to read
       case None => offset += cfg.limit // py:160
     }
     rows.nonEmpty || !done

@@ -123,6 +123,24 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
 
+  test("graft_minhash rejects out-of-range n and prime at analysis time") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(Array(1L, 2L)).toDF("hs")
+    def analysisError(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](df.select(expr(sql)).collect())
+      assert(e.getMessage.contains(needle), s"$sql -> ${e.getMessage}")
+    }
+    // overflow preconditions (Sketches.scala): n <= 32, prime < 2^31
+    analysisError("graft_minhash(hs, 1000, 97)", "[1, 32]")
+    analysisError("graft_minhash(hs, 0, 97)", "[1, 32]")
+    analysisError("graft_minhash(hs, 4, 1099511627776)", "2^31")
+    analysisError("graft_minhash(hs, 4, 1)", "2^31")
+    // boundary values stay accepted
+    assert(df.select(expr("graft_minhash(hs, 32, 2147483647)")).head()
+      .getSeq[Long](0).size == 32)
+  }
+
   test("graft_hash60_array matches the scalar hex-parse hash elementwise") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._

@@ -59,13 +59,14 @@ class RestQuerylogSourceSpec extends SparkTestBase {
   }
 
   test("truncation warning shifts the window end and resets offset (py:152)") {
-    // First full page carries a warning whose last token is the new `to`;
-    // the reader must re-query with to=...T02:00:00Z and offset=0.
+    // A SHORT page (py: query_count < limit) carrying a warning whose last
+    // token is the new `to`; the reader must re-query with
+    // to=...T02:00:00Z and offset=0.
     PageFetcher.register("warned", { url =>
       val p = params(url)
       (p("to"), p("offset").toInt) match {
         case ("2021-07-12T04:00:00Z", 0) =>
-          page((1 to 2).map(i => doc(i, "2021-07-12T00:00:01.000Z")),
+          page(Seq(doc(1, "2021-07-12T00:00:01.000Z")),
             warning = Some("window truncated to 2021-07-12T02:00:00Z"))
         case ("2021-07-12T02:00:00Z", 0) =>
           page(Seq(doc(3, "2021-07-12T00:00:03.000Z")))
@@ -74,7 +75,48 @@ class RestQuerylogSourceSpec extends SparkTestBase {
     })
     val ids = read("warned", Map("limit" -> "2"))
       .select("queryId").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("q1", "q3"))
+  }
+
+  test("full page with a warning paginates normally (no window re-read)") {
+    // py:150–161 shift only fires when query_count < limit; a full page
+    // with a warning must advance the offset, NOT reset to offset=0 in a
+    // narrowed window (which would re-emit already-returned rows).
+    PageFetcher.register("full-warned", { url =>
+      val p = params(url)
+      (p("to"), p("offset").toInt) match {
+        case ("2021-07-12T04:00:00Z", 0) =>
+          page((1 to 2).map(i => doc(i, "2021-07-12T00:00:01.000Z")),
+            warning = Some("window truncated to 2021-07-12T02:00:00Z"))
+        case ("2021-07-12T04:00:00Z", 2) =>
+          page(Seq(doc(3, "2021-07-12T00:00:03.000Z")))
+        case other => sys.error(s"unexpected request $other")
+      }
+    })
+    val ids = read("full-warned", Map("limit" -> "2"))
+      .select("queryId").collect().map(_.getString(0)).sorted.toSeq
     assert(ids == Seq("q1", "q2", "q3"))
+  }
+
+  test("non-timestamp warning token does not poison the window cursor") {
+    // A short page with an unrelated warning ("disk spill detected on
+    // host17"): the last token is not a date, so the reader must keep the
+    // configured `to` and terminate/paginate normally instead of sending
+    // to=host17 forever after.
+    PageFetcher.register("odd-warning", { url =>
+      val p = params(url)
+      assert(p("to") == "2021-07-12T04:00:00Z", s"poisoned to=${p("to")}")
+      p("offset").toInt match {
+        case 0 => page(Seq(doc(1, "2021-07-12T00:00:01.000Z")),
+          warning = Some("disk spill detected on host17"))
+        case 2 => page(Seq.empty,
+          warning = Some("disk spill detected on host17"))
+        case o => sys.error(s"unexpected offset $o")
+      }
+    })
+    val ids = read("odd-warning", Map("limit" -> "2"))
+      .select("queryId").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("q1"))
   }
 
   test("slices fan out into parallel partitions over the window") {
