@@ -17,15 +17,20 @@ object DevTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink, same as Bench: count() would let column pruning drop the
+    // projected expressions and time a parquet row-count instead.
+    def exec(n: String, dir: String): Unit =
+      SparkEntry.queries(n)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
     names.foreach { n =>
-      // warm
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      exec(n, "/root/testdata/sf0.001") // warm
+      spark.catalog.clearCache()
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        exec(n, sfDir)
         println(f"TIMING $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache() // match Bench: per-query cache scope
       }
-      spark.catalog.clearCache() // match Bench: per-query cache scope
     }
     spark.stop()
   }

@@ -84,10 +84,14 @@ object Relational extends graft.QueryModule {
   private def q3(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val o = Tables.load(s, dir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("l_orderkey").as("orderkey"))
+    // Aggregate BEFORE the join: o_orderkey is unique, so the inner join
+    // is a key filter — pre-aggregating shrinks the shuffle to one row
+    // per order (4×) and the filter becomes a semi join on the small
+    // grouped side. Same result as join-then-group, better at every scale.
+    li.groupBy(col("l_orderkey").as("orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
         "decimal(18,6)", 4).as("revenue"))
+      .join(o, col("orderkey") === o("o_orderkey"), "left_semi")
       .orderBy(col("revenue").desc, col("orderkey").asc)
       .limit(10)
   }

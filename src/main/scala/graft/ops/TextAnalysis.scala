@@ -105,37 +105,43 @@ object TextAnalysis extends QueryModule {
   private def q23(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = Tables.load(s, dir, "documents")
-    // Persisted: consumed twice (profile build + per-doc scoring); the
-    // alternative is re-running the explode+distinct over the full corpus.
     // Native trigram expr: the builtin per-position substring shape is
     // O(len²) per document ([[graft.functions.CharNgrams]]).
-    val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr("graft_char_ngrams(text, 3)")).as("g"))
-      .persist()
-
+    // Stage 1 (one corpus pass): per-language profile = top-20 trigrams.
+    // The explode feeds a partial-aggregating groupBy on (lang, g), so the
+    // shuffle is the trigram VOCABULARY per language, not the corpus.
     val profW = Window.partitionBy("plang")
       .orderBy(col("n").desc, col("g").asc)
-    val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+    val profile = docs
+      .select(col("lang"), explode(expr("graft_char_ngrams(text, 3)")).as("g"))
+      .groupBy(col("lang").as("plang"), col("g"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(profW))
       .filter(col("rn") <= 20)
-      .select("plang", "g")
+      .groupBy("plang").agg(sort_array(collect_list(col("g"))).as("gs"))
+      .orderBy("plang")
+      .collect()
 
-    val matches = grams.select("doc_id", "g")
-      .join(broadcast(profile), Seq("g"))
-      .groupBy("doc_id", "plang")
-      .agg(count(lit(1)).as("score"))
-
-    val langs = profile.select("plang").distinct()
-    val scored = docs.select("doc_id", "lang").crossJoin(broadcast(langs))
-      .join(matches, Seq("doc_id", "plang"), "left")
-      .withColumn("score", coalesce(col("score"), lit(0L)))
-
-    val predW = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("plang").asc)
-    scored.withColumn("rn", row_number().over(predW))
-      .filter(col("rn") === 1)
-      .groupBy(col("lang"), col("plang").as("pred"))
+    // Stage 2 (one corpus pass): the profile is langs × 20 strings —
+    // collect it and fold it back in as literals, so scoring each document
+    // against every language is one array_intersect per (doc, lang): no
+    // second explode, no join, no per-doc ranking window. The argmax is an
+    // array_max over (score, -langIndex) structs — ties prefer the
+    // lexicographically smallest language, same as the ranking it replaces.
+    val langs = profile.map(_.getAs[String]("plang")).toSeq
+    val scoreStructs = profile.zipWithIndex.map { case (r, i) =>
+      struct(
+        size(array_intersect(col("g3"), typedLit(r.getSeq[String](1))))
+          .as("score"),
+        lit(-i).as("negi"))
+    }
+    docs
+      .select(col("lang"), expr("graft_char_ngrams(text, 3)").as("g3"))
+      .select(col("lang"),
+        element_at(typedLit(langs),
+          -array_max(array(scoreStructs.toIndexedSeq: _*)).getField("negi")
+            + 1).as("pred"))
+      .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
   }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   *      bucketing is deterministic under recomputation by construction.
   *   2. Per-bucket running sums via a window PARTITIONED by bucket id
   *      (parallel, no global sort bottleneck).
-  *   3. Per-bucket totals (≤ numBuckets rows — tiny) are collected, turned
-  *      into exclusive carry-in offsets on the driver, and joined back via
-  *      broadcast.
+  *   3. Per-bucket totals (≤ numBuckets rows — tiny) become exclusive
+  *      carry-in offsets via an unpartitioned window over the totals
+  *      (one task on O(parallelism) rows), broadcast-joined back — all
+  *      lazy, so the whole scan is one eager bounds pass + one job.
   *
   * Every pass is builtin ops — no custom Catalyst work needed. Cost: the
-  * input is evaluated three times (quantile sketch, totals, local scan);
-  * callers scanning an expensive upstream should persist it first.
+  * input is evaluated three times (bounds pass, totals branch, local
+  * scan branch); callers scanning an expensive upstream should persist
+  * it first.
   *
   * The order defined by `orderCols` MUST be total (include a unique
   * tiebreak column) or running values at ties are nondeterministic.
@@ -80,38 +82,22 @@ object PrefixSum {
       d.withColumn(dst, sum(col(src)).over(w))
     }
 
-    // Per-bucket totals → exclusive prefix (carry-ins). The collect is
-    // ≤ nBuckets rows — O(parallelism), not O(data).
-    val totals = bucketed.groupBy("__bucket")
-      .agg(sumCols.map { case (src, _) => sum(col(src)).as(src) }.head,
-        sumCols.tail.map { case (src, _) => sum(col(src)).as(src) }: _*)
-      .collect()
-      .sortBy(_.getAs[Int]("__bucket"))
-
+    // Per-bucket totals → exclusive prefix (carry-ins), computed LAZILY:
+    // an unpartitioned window over the ≤ nBuckets total rows (one task on
+    // O(parallelism) rows — not a scale risk). Keeping the carries inside
+    // the plan instead of collect()ing them saves one blocking job +
+    // driver roundtrip per scan and keeps the driver out of the data
+    // path. Sums run on the source column types (long/decimal), so the
+    // exclusive prefix is exact and associativity-safe.
     val srcs = sumCols.map(_._1)
-    var running: Map[String, BigDecimal] = srcs.map(_ -> BigDecimal(0)).toMap
-    val carryRows = totals.map { r =>
-      val row =
-        Row.fromSeq(r.getAs[Int]("__bucket") +: srcs.map(s => running(s)))
-      running = srcs.map { s =>
-        val v = r.get(r.fieldIndex(s)) match {
-          case null => BigDecimal(0)
-          case l: java.lang.Long => BigDecimal(l)
-          case d: java.lang.Double => BigDecimal(d)
-          case b: java.math.BigDecimal => BigDecimal(b)
-          case i: java.lang.Integer => BigDecimal(i.toLong)
-        }
-        s -> (running(s) + v)
-      }.toMap
-      row
-    }
-
-    import org.apache.spark.sql.types._
-    val carrySchema = StructType(
-      StructField("__bucket", IntegerType) +:
-        srcs.map(s => StructField(s"__carry_$s", DecimalType(38, 10))))
-    val carries = spark.createDataFrame(
-      spark.sparkContext.parallelize(carryRows.toSeq, 1), carrySchema)
+    val totals = bucketed.groupBy("__bucket")
+      .agg(sum(col(srcs.head)).as(srcs.head),
+        srcs.tail.map(s => sum(col(s)).as(s)): _*)
+    val carryW = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = totals.select(
+      col("__bucket") +:
+        srcs.map(s => sum(col(s)).over(carryW).as(s"__carry_$s")): _*)
 
     val joined = local.join(broadcast(carries), Seq("__bucket"), "left")
     sumCols.foldLeft(joined) { case (d, (src, dst)) =>

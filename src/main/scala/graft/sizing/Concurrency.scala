@@ -59,9 +59,17 @@ object Concurrency {
       (-col("cpu_mv_per_backend")).as("d_cpu_mv"),
       (-col("spill_b_per_backend")).as("d_spill_b"))
 
+    // Persisted: PrefixSum.scan evaluates its input three times (bounds,
+    // per-bucket totals, local scan) — without a barrier each pass
+    // re-scans the querylog source and re-derives every sizing column.
+    // The event rows are narrow (9 numeric cols + id), so the cache is
+    // ~2 rows per query; it lives until the session's next clearCache/LRU
+    // eviction (callers hold no handle to unpersist — acceptable because
+    // every consumer aggregates it to one row immediately after).
     val events = derived
       .select(col("query_id"), explode(array(start, end)).as("e"))
       .select(col("query_id"), col("e.*"))
+      .persist()
 
     // uniformBounds: event instants are near-uniform over the analysis
     // window, so a min/max split replaces the quantile-sketch pass (one
