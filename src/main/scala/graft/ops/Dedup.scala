@@ -83,7 +83,11 @@ object Dedup extends QueryModule {
        |    ((2*j + 1) * (${Dialect.duckHash60("x")} % $P) + 101*j) % $P)))"""
       .stripMargin
 
-  private def q26(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification:
+    * (d1, d2, jac), d1 < d2, one row per candidate pair. Shared by the
+    * q26 histogram and the q50 component clustering.
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     // Persist the signature table: without a materialization barrier,
     // CollapseProject inlines `sh` into the minhash lambda, so the md5
@@ -113,24 +117,27 @@ object Dedup extends QueryModule {
       .select("d1", "d2")
       .distinct()
 
-    val pairs = cand
+    cand
       .join(sigs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("jac", expr(
         """CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
           |/ (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))"""
           .stripMargin))
+      .select("d1", "d2", "jac")
+  }
 
-    pairs
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir)
       .groupBy(floor(col("jac") * 10).cast("bigint").as("jac_bucket"))
       .agg(
         count(lit(1)).as("n_pairs"),
         round(min(col("jac")), 6).as("min_jac"),
         round(max(col("jac")), 6).as("max_jac"))
-  }
 
-  private val q26Sql =
-    s"""WITH sigs AS (
+  /** Shared oracle prefix: signatures → bands → verified (d1, d2, jac). */
+  private val lshPairsSqlCtes =
+    s"""sigs AS (
        |  SELECT doc_id, sh, $minhashDuck AS mh
        |  FROM (SELECT doc_id, $shinglesDuck AS sh FROM documents)
        |), banded AS (
@@ -143,10 +150,13 @@ object Dedup extends QueryModule {
        |  FROM banded l JOIN banded r
        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
        |), scored AS (
-       |  SELECT CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+       |  SELECT d1, d2, CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
        |    / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS jac
        |  FROM pairs
-       |)
+       |)""".stripMargin
+
+  private val q26Sql =
+    s"""WITH $lshPairsSqlCtes
        |SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS jac_bucket,
        |  COUNT(*) AS n_pairs,
        |  round(MIN(jac), 6) AS min_jac,
@@ -259,15 +269,56 @@ object Dedup extends QueryModule {
        |FROM g a JOIN g b
        |  ON a.source = b.source AND b.doc_id = a.doc_id + 20""".stripMargin
 
+  // --- q50: near-dup cluster resolution (connected components) ------------
+  // LSH pairs above a Jaccard threshold form an undirected graph; the
+  // duplicate GROUPS a dedup pipeline actually needs ("keep the minimum
+  // doc_id per group") are its connected components ([[Graph]]). Output:
+  // cluster-size histogram + the smallest representative per size class.
+  private val NearDupJac = 0.3
+
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val edges = lshVerifiedPairs(s, dir)
+      .filter(col("jac") >= NearDupJac)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    Graph.connectedComponents(edges)
+      .groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), min(col("comp")).as("min_rep"))
+  }
+
+  // Oracle: transitive closure by recursive CTE (min-reachable = the same
+  // unique fixpoint the distributed label propagation converges to).
+  private val q50Sql =
+    s"""WITH RECURSIVE $lshPairsSqlCtes
+       |, e0 AS (
+       |  SELECT d1, d2 FROM scored WHERE jac >= $NearDupJac
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM e0
+       |  UNION SELECT d2, d1 FROM e0
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+       |), cs AS (
+       |  SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp
+       |)
+       |SELECT csize AS cluster_size, COUNT(*) AS n_clusters,
+       |  MIN(comp) AS min_rep
+       |FROM cs GROUP BY csize""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup" -> q25 _,
     "q26_minhash_lsh" -> q26 _,
     "q27_simhash" -> q27 _,
-    "q28_ngram_jaccard" -> q28 _)
+    "q28_ngram_jaccard" -> q28 _,
+    "q50_dedup_clusters" -> q50 _)
 
   val oracleSql: Map[String, String] = Map(
     "q25_exact_dedup" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,
-    "q28_ngram_jaccard" -> q28Sql)
+    "q28_ngram_jaccard" -> q28Sql,
+    "q50_dedup_clusters" -> q50Sql)
 }

@@ -605,7 +605,121 @@ object Relational extends graft.QueryModule {
       |  COUNT(*) AS n_orders
       |FROM orders o GROUP BY o_orderstatus""".stripMargin
 
+  // --- Q51: pivot (long→wide reshape) --------------------------------------
+  // groupBy().pivot() with EXPLICIT pivot values: without them Spark runs
+  // an extra distinct-scan job to discover the columns, and the output
+  // schema would depend on the data. Empty cells are 0 (count semantics),
+  // matching the oracle's FILTER aggregation.
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
+  private val q51Sql =
+    """SELECT o_orderpriority AS priority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // --- Q52: positional explode (lateral view) ------------------------------
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .filter(col("pos") < 3)
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+        col("col").as("tok"))
+
+  private val q52Sql =
+    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |     unnest(generate_series(1, 3)) AS t(i)
+      |WHERE i <= len(toks)""".stripMargin
+
+  // --- Q53: rank statistics (percent_rank / cume_dist / dense_rank) --------
+  // Exact rational divisions on both engines; total order via the
+  // (acctbal, custkey) tiebreak so ranks are partition-independent.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_nationkey").cast("bigint").as("nationkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        dense_rank().over(w).cast("bigint").as("drank"))
+  }
+
+  private val q53Sql =
+    """SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
+  // --- Q54: deterministic hash sampling (uniform + stratified) -------------
+  // TABLESAMPLE is engine-specific RNG — useless under a cross-engine
+  // oracle and non-reproducible between runs. Hash-mod sampling is the
+  // production alternative: membership is a pure function of the row key,
+  // so samples are stable across engines, runs, and cluster sizes.
+  // Per-stratum rates (A 10% / R 5% / N 2%) make it stratified.
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val key = "concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING))"
+    Tables.load(s, dir, "lineitem")
+      .withColumn("bucket", expr(s"${Dialect.sparkHash60(key)} % 100"))
+      .withColumn("rate",
+        expr("CASE l_returnflag WHEN 'A' THEN 10 WHEN 'R' THEN 5 ELSE 2 END"))
+      .filter(col("bucket") < col("rate"))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum(col("l_quantity"), "decimal(18,2)", 2).as("sum_qty"))
+  }
+
+  private val q54Sql = {
+    val key = "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+    s"""SELECT l_returnflag AS flag, COUNT(*) AS n_sampled,
+       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+       |FROM (SELECT l_returnflag, l_quantity,
+       |        ${Dialect.duckHash60(key)} % 100 AS bucket,
+       |        CASE l_returnflag WHEN 'A' THEN 10 WHEN 'R' THEN 5 ELSE 2 END AS rate
+       |      FROM lineitem)
+       |WHERE bucket < rate
+       |GROUP BY l_returnflag""".stripMargin
+  }
+
+  // --- Q55: correlated scalar subquery (Catalyst decorrelation) ------------
+  // MAX-based so the correlated aggregate is exact (a double AVG would be
+  // partition-order sensitive at the comparison boundary).
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q55_orders")
+    Tables.load(s, dir, "lineitem")
+      .createOrReplaceTempView("graft_q55_lineitem")
+    s.sql("""
+      SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+      FROM graft_q55_orders o
+      WHERE o_totalprice > 3 * (SELECT MAX(l.l_extendedprice)
+                                FROM graft_q55_lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey)""")
+  }
+
+  private val q55Sql =
+    """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 3 * (SELECT MAX(l.l_extendedprice)
+      |                          FROM lineitem l
+      |                          WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_pivot" -> q51 _,
+    "q52_posexplode" -> q52 _,
+    "q53_rank_stats" -> q53 _,
+    "q54_hash_sample" -> q54 _,
+    "q55_corr_subquery" -> q55 _,
     "q49_collect_argmax" -> q49 _,
     "q47_date_arith" -> q47 _,
     "q48_window_frames" -> q48 _,
@@ -634,6 +748,11 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q51_pivot" -> q51Sql,
+    "q52_posexplode" -> q52Sql,
+    "q53_rank_stats" -> q53Sql,
+    "q54_hash_sample" -> q54Sql,
+    "q55_corr_subquery" -> q55Sql,
     "q37_grouping_sets" -> q37Sql,
     // q38_approx_distinct intentionally has no oracle (engine-specific HLL)
     "q39_skew_salted_agg" -> q39Sql,

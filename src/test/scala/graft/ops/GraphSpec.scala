@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Connected components: fixpoint correctness against brute-force
+  * union-find on small graphs, plus edge-case handling.
+  */
+class GraphSpec extends SparkTestBase {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Brute-force union-find reference. */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    ids.map(x => x -> find(x)).toMap
+  }
+
+  test("two triangles joined by a bridge collapse to one component") {
+    val edges = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    assert(components(edges) == brute(edges))
+    assert(components(edges).values.toSet == Set(1L))
+  }
+
+  test("long path graph converges to the minimum endpoint") {
+    // worst case for label propagation: diameter = n
+    val edges = (1L until 12L).map(i => (i, i + 1))
+    val got = components(edges)
+    assert(got == brute(edges))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("disjoint clusters keep separate representatives") {
+    val edges = Seq[(Long, Long)]((5L, 9L), (9L, 7L), (20L, 21L), (30L, 31L))
+    val got = components(edges)
+    assert(got == brute(edges))
+    assert(got.values.toSet == Set(5L, 20L, 30L))
+  }
+
+  test("self-loops and duplicate/reversed edges are tolerated") {
+    val edges = Seq[(Long, Long)]((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))
+    val got = components(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge set yields an empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.connectedComponents(empty).count() == 0)
+  }
+
+  test("random graphs match union-find (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      assert(components(edges) == brute(edges))
+    }
+  }
+}
