@@ -265,15 +265,78 @@ object Similarity extends QueryModule {
        |      FROM scored)
        |WHERE rn <= $TopK""".stripMargin
 
+  // --- q56: k-means assignment + centroid-update step ----------------------
+  // One Lloyd iteration, fully deterministic: k fixed seed centroids
+  // (lowest vec_ids — config-equivalent, not RNG), nearest-centroid
+  // assignment by squared L2 (expanded to three pinned-order dot folds),
+  // then the centroid update as per-dimension means. Mean parity: each
+  // component sums exactly in DECIMAL, and only the final mean is ONE
+  // double division — so the result is independent of partition order on
+  // both engines. Scale: centroids broadcast; assignment is one scan;
+  // the update aggregates (cluster × dim) keys — k·64 groups.
+  private val KClusters = 4
+  private val MeanDims = 8 // dims reported by the centroid update
+
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < KClusters)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cid").asc)
+    val assigned = e.filter(col("vec_id") >= KClusters)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "graft_dot(embedding, embedding) - 2 * graft_dot(embedding, cv)" +
+          " + graft_dot(cv, cv)"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("cluster"), col("embedding"))
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")))
+      .filter(col("pos") < MeanDims)
+      .groupBy(col("cluster"), col("pos").cast("bigint").as("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(
+          sum(col("col").cast("double").cast("decimal(28,10)"))
+            .cast("double") / count(lit(1)), 6).as("mean_val"))
+  }
+
+  private val q56Sql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $KClusters
+       |), assigned AS (
+       |  SELECT cluster, embedding FROM (
+       |    SELECT c.cid AS cluster, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Dialect.duckDot("e.embedding", "e.embedding")}
+       |          - 2 * ${Dialect.duckDot("e.embedding", "c.cv")}
+       |          + ${Dialect.duckDot("c.cv", "c.cv")} ASC,
+       |        c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id >= $KClusters)
+       |  WHERE rn = 1
+       |)
+       |SELECT cluster, CAST(i - 1 AS BIGINT) AS dim,
+       |  COUNT(*) AS n_vecs,
+       |  round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)))
+       |    AS DOUBLE) / COUNT(*), 6) AS mean_val
+       |FROM assigned, unnest(generate_series(1, $MeanDims)) AS t(i)
+       |GROUP BY cluster, i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_knn_brute" -> q29 _,
     "q30_ann_lsh" -> q30 _,
     "q31_embed_neardup" -> q31 _,
-    "q41_ann_ivf" -> q41 _)
+    "q41_ann_ivf" -> q41 _,
+    "q56_kmeans_step" -> q56 _)
 
   val oracleSql: Map[String, String] = Map(
     "q29_knn_brute" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
     "q31_embed_neardup" -> q31Sql,
-    "q41_ann_ivf" -> q41Sql)
+    "q41_ann_ivf" -> q41Sql,
+    "q56_kmeans_step" -> q56Sql)
 }

@@ -260,17 +260,55 @@ object TextAnalysis extends QueryModule {
        |  COUNT(DISTINCT chunk[1]) AS n_first_tokens
        |FROM chunks GROUP BY 1""".stripMargin
 
+  // --- q57: TF-IDF term weighting ------------------------------------------
+  // Corpus-level term importance: tf (total occurrences) weighted by
+  // inverse document frequency. The idf here is the RATIONAL N/df, not
+  // log(N/df): log is not correctly-rounded across libms, which would
+  // break bit-parity with the oracle — and the transform is monotone, so
+  // the ranking (the thing a pipeline consumes) is identical. One
+  // explode → (term) aggregation; N rides along via a broadcast of the
+  // 1-row corpus count.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") * col("n_docs").cast("double")
+          / col("df").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(20)
+  }
+
+  private val q57Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      |  FROM documents
+      |)
+      |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+      |  round(CAST(COUNT(*) AS DOUBLE)
+      |    * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+      |    / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 6) AS score
+      |FROM toks GROUP BY term
+      |ORDER BY score DESC, term ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> q21 _,
     "q22_quality_score" -> q22 _,
     "q23_langid" -> q23 _,
     "q24_fingerprint" -> q24 _,
-    "q40_chunking" -> q40 _)
+    "q40_chunking" -> q40 _,
+    "q57_tfidf" -> q57 _)
 
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
-    "q40_chunking" -> q40Sql)
+    "q40_chunking" -> q40Sql,
+    "q57_tfidf" -> q57Sql)
 }
