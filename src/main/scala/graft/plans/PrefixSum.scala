@@ -44,8 +44,8 @@ object PrefixSum {
     * exact, associativity-safe accumulation; see caller notes).
     */
   def scan(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
-      sumCols: Seq[(String, String)], uniformBounds: Boolean = false)
-      : DataFrame = {
+      sumCols: Seq[(String, String)], uniformBounds: Boolean = false,
+      knownRange: Option[(Double, Double)] = None): DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
@@ -56,19 +56,22 @@ object PrefixSum {
     //  - uniformBounds: min/max + even split — one cheap min/max agg,
     //    right when the caller knows the key is near-uniform (event
     //    timestamps); correctness never depends on balance, only the
-    //    local-scan parallelism does.
+    //    local-scan parallelism does;
+    //  - knownRange: the caller already knows (or can compute more
+    //    cheaply upstream) the [lo, hi] span — skips the eager pass over
+    //    `df` entirely, making the whole scan a single job.
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else if (uniformBounds) {
-        val mm = df.agg(min(col(bucketCol)).cast("double"),
-          max(col(bucketCol)).cast("double")).head()
-        if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
-          Array.empty[Double]
-        else {
-          val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-          probs.map(p => lo + (hi - lo) * p).distinct.sorted
+      else if (knownRange.isDefined || uniformBounds) {
+        val (lo, hi) = knownRange.getOrElse {
+          val mm = df.agg(min(col(bucketCol)).cast("double"),
+            max(col(bucketCol)).cast("double")).head()
+          if (mm.isNullAt(0)) (0.0, 0.0)
+          else (mm.getDouble(0), mm.getDouble(1))
         }
+        if (lo == hi) Array.empty[Double]
+        else probs.map(p => lo + (hi - lo) * p).distinct.sorted
       } else df.stat.approxQuantile(bucketCol, probs, 0.001).distinct.sorted
     val bucketExpr =
       if (bounds.isEmpty) lit(0)

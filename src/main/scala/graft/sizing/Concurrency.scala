@@ -59,24 +59,35 @@ object Concurrency {
       (-col("cpu_mv_per_backend")).as("d_cpu_mv"),
       (-col("spill_b_per_backend")).as("d_spill_b"))
 
-    // Persisted: PrefixSum.scan evaluates its input three times (bounds,
-    // per-bucket totals, local scan) — without a barrier each pass
-    // re-scans the querylog source and re-derives every sizing column.
-    // The event rows are narrow (9 numeric cols + id), so the cache is
-    // ~2 rows per query; it lives until the session's next clearCache/LRU
-    // eviction (callers hold no handle to unpersist — acceptable because
-    // every consumer aggregates it to one row immediately after).
+    // Persisted: PrefixSum.scan's totals and local-scan branches both
+    // read the events — without a barrier each re-scans the querylog
+    // source and re-derives every sizing column. The event rows are
+    // narrow (9 numeric cols + id), so the cache is ~2 rows per query; it
+    // lives until the session's next clearCache/LRU eviction (callers
+    // hold no handle to unpersist — acceptable because every consumer
+    // aggregates it to one row immediately after).
     val events = derived
       .select(col("query_id"), explode(array(start, end)).as("e"))
       .select(col("query_id"), col("e.*"))
       .persist()
 
-    // uniformBounds: event instants are near-uniform over the analysis
-    // window, so a min/max split replaces the quantile-sketch pass (one
-    // cheap agg instead of a GK aggregation over every event).
+    // knownRange: event instants are near-uniform over the analysis
+    // window, and their span is computable from the PRE-explode table
+    // (min admitted, max end over half the rows, two columns) — so the
+    // bucket bounds cost one slim aggregate and the events cache
+    // populates inside the main job instead of needing its own pass.
+    // Bucket balance only affects local-scan parallelism, never
+    // correctness, so min-admitted/max-end is a safe over-span.
+    val mm = derived
+      .agg(min(col("admitted_us")).cast("double"),
+        max(col("end_us")).cast("double")).head()
+    val range = if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
+
     PrefixSum.scan(events, "ts_us",
       Seq(col("ts_us"), col("kind"), col("query_id")),
-      deltas.map(d => d -> d.replace("d_", "run_")), uniformBounds = true)
+      deltas.map(d => d -> d.replace("d_", "run_")),
+      knownRange = Some(range))
   }
 
   /** Conditional maxima (py:381–396): max running footprint observed at
