@@ -641,6 +641,10 @@ object Relational extends graft.QueryModule {
   // --- Q53: rank statistics (percent_rank / cume_dist / dense_rank) --------
   // Exact rational divisions on both engines; total order via the
   // (acctbal, custkey) tiebreak so ranks are partition-independent.
+  // Deliberately UN-rounded: each statistic is one IEEE division, already
+  // bit-identical across engines — whereas round() DIVERGES on exact
+  // halves (rank/n with n = 2^a·5^b lands on them: 41/640 = .0640625;
+  // Spark rounds half-up, DuckDB half-even).
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -648,15 +652,15 @@ object Relational extends graft.QueryModule {
       .select(
         col("c_custkey").as("custkey"),
         col("c_nationkey").cast("bigint").as("nationkey"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cdist"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
         dense_rank().over(w).cast("bigint").as("drank"))
   }
 
   private val q53Sql =
     """SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cdist,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
       |  CAST(dense_rank() OVER w AS BIGINT) AS drank
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey
