@@ -83,6 +83,14 @@ object Dedup extends QueryModule {
        |    ((2*j + 1) * (${Dialect.duckHash60("x")} % $P) + 101*j) % $P)))"""
       .stripMargin
 
+  /** Signature table memo: q26 and q50 both need it; one persisted copy
+    * per (session, sfDir) instead of two identical caches. If the session
+    * cache was cleared since (Verify/Bench do so per query), re-mark the
+    * memoized plan persisted so the barrier below still holds.
+    */
+  private val sigsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification:
     * (d1, d2, jac), d1 < d2, one row per candidate pair. Shared by the
     * q26 histogram and the q50 component clustering.
@@ -94,11 +102,13 @@ object Dedup extends QueryModule {
     // per shingle would be recomputed 12× per row — and again on each
     // side of the self-join. One scan computes signatures exactly once;
     // per-row persisted state is just id + shingle/minhash arrays.
-    val sigs = Tables.load(s, dir, "documents")
-      .withColumn("sh", expr(shinglesSpark))
-      .withColumn("mh", expr(minhashSpark))
-      .select(col("doc_id"), col("sh"), col("mh"))
-      .persist()
+    val sigs = sigsMemo.getOrElseUpdate((s, dir),
+      Tables.load(s, dir, "documents")
+        .withColumn("sh", expr(shinglesSpark))
+        .withColumn("mh", expr(minhashSpark))
+        .select(col("doc_id"), col("sh"), col("mh")))
+    if (sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      sigs.persist()
 
     // band key: md5 of the band's 3 minhash values — one row per (doc, band).
     // Keys only, no shingle payload: the self-join and pair-dedup shuffle

@@ -9,23 +9,22 @@ import org.apache.spark.sql.functions._
   * GROUPS ("keep one doc per component") is a connected-components
   * problem over the pair graph.
   *
-  * Algorithm: iterative min-label propagation, expressed entirely as
-  * DataFrame joins/aggregations —
+  * Algorithm: min-label propagation with pointer jumping, expressed
+  * entirely as DataFrame joins/aggregations —
   *
   *   1. every vertex starts labeled with its own id;
   *   2. each round, every vertex adopts the minimum label in its closed
-  *      neighborhood (its own ∪ its neighbors' labels) via an
-  *      edges⋈labels join + min-aggregate;
-  *   3. stop when a round changes no label (or `maxIter` caps it).
+  *      neighborhood (edges⋈labels join + min-aggregate), then JUMPS to
+  *      its representative's representative (labels⋈labels join) — the
+  *      classic pointer-halving step, so label depth roughly halves per
+  *      round and convergence is O(log diameter), not O(diameter);
+  *   3. stop when a round changes no label.
   *
-  * Rounds = graph diameter. For dedup graphs this is the right trade:
-  * near-dup clusters are small and dense (diameter ≲ 5), so 3–5
-  * bounded-shuffle rounds beat the bookkeeping of the O(log n)
-  * large-star/small-star scheme, which pays off only on adversarially
-  * long path graphs. Every round is a key-partitioned join + partial
-  * aggregate — no driver-side data, no full-graph collect — and each
-  * round's result is localCheckpoint()ed so lineage (and thus recovery
-  * cost) stays O(1) instead of growing per iteration.
+  * Every round is a pair of key-partitioned joins + a partial aggregate —
+  * no driver-side data, no full-graph collect — and each round's result
+  * is localCheckpoint()ed so lineage stays O(1) instead of growing per
+  * iteration (superseded checkpoint blocks are released by Spark's
+  * ContextCleaner once the superseded round's RDD is unreferenced).
   *
   * Determinism: labels are ids, min is associative/commutative, and the
   * fixpoint (min id reachable) is unique — results are independent of
@@ -34,33 +33,50 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges undirected edges as columns `a`, `b` (self-loops and
-    *              duplicates tolerated); vertex type must be orderable.
-    * @return one row per distinct endpoint: (`id`, `comp`) with `comp` =
-    *         the minimum vertex id reachable from `id` (component
-    *         representative).
+    *              duplicates tolerated; null endpoints dropped); vertex
+    *              type must be orderable.
+    * @return one row per distinct non-null endpoint: (`id`, `comp`) with
+    *         `comp` = the minimum vertex id reachable from `id`
+    *         (component representative).
+    * @throws IllegalStateException if labels have not converged after
+    *         `maxIter` rounds (2^maxIter ≥ diameter is ample for any
+    *         real graph at the default) — a silent early stop would
+    *         report one component as several.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Symmetrize once; both the vertex set and every propagation round
-    // read this, so it is persisted for the loop and released after.
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b"))
+    val pairs = edges.select(col("a"), col("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    // Vertex set BEFORE dropping self-loops: a vertex whose only edge is
+    // (v, v) is still a (singleton) component and must appear in the
+    // output.
+    val verts = pairs
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    // Symmetrized edge set; read by every propagation round.
+    val und = pairs.filter(col("a") =!= col("b"))
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
 
-    var labels = und.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    var labels = verts.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // neighbor labels: for edge (a,b), a's current label is a candidate
-      // for b (symmetry already materialized in `und`)
-      val msgs = und
+      // for b (symmetry already materialized in `sym`)
+      val msgs = sym
         .join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("comp"))
-      val next = labels.unionByName(msgs)
+      val nm = labels.unionByName(msgs)
         .groupBy("id").agg(min(col("comp")).as("comp"))
+      // pointer jump: adopt the representative's representative. Labels
+      // are always vertex ids with comp(x) <= x, so the inner self-join
+      // matches every row and labels stay monotone non-increasing.
+      val next = nm
+        .join(nm.select(col("id").as("comp"), col("comp").as("jump")),
+          "comp")
+        .select(col("id"), col("jump").as("comp"))
         .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
@@ -69,7 +85,10 @@ object Graph {
       labels = next
       iter += 1
     }
-    und.unpersist()
+    sym.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter")
     labels
   }
 }

@@ -224,7 +224,11 @@ private[sources] class RestPageReader(slice: RestSlice)
         done = true // py:338–339
       case None if rows.isEmpty =>
         done = true // short, warned, un-shiftable: nothing left to read
-      case None => offset += cfg.limit // py:160
+      case None =>
+        // advance by the rows actually received: equals cfg.limit on a
+        // full page (py:160), and on a short-but-warned page it resumes
+        // exactly after the last row instead of skipping limit−size rows
+        offset += rows.size
     }
     rows.nonEmpty || !done
   }

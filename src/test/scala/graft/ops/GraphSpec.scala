@@ -57,6 +57,22 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("a vertex whose only edge is a self-loop is a singleton component") {
+    assert(components(Seq((5L, 5L))) == Map(5L -> 5L))
+    assert(components(Seq((5L, 5L), (1L, 2L)))
+      == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("refuses to return non-converged labels when maxIter is too small") {
+    import spark.implicits._
+    // path of 9 vertices: diameter 8, one jump-accelerated round is not
+    // enough — must throw, never silently split the component
+    val edges = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, maxIter = 1)
+    }
+  }
+
   test("empty edge set yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
