@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * entirely as DataFrame joins/aggregations —
   *
   *   1. every vertex starts labeled with its own id;
-  *   2. each round, every vertex adopts the minimum label in its closed
-  *      neighborhood (edges⋈labels join + min-aggregate), then JUMPS to
-  *      its representative's representative (labels⋈labels join) — the
-  *      classic pointer-halving step, so label depth roughly halves per
-  *      round and convergence is O(log diameter), not O(diameter);
+  *   2. each round, every vertex adopts the minimum over three candidate
+  *      sets fused into ONE aggregate: its own label, its neighbors'
+  *      labels (edges⋈labels), and its representative's label
+  *      (labels⋈labels — the pointer-jumping step). The jump roughly
+  *      doubles label reach per round, so convergence is O(log diameter)
+  *      rounds at the same two-jobs-per-round cost as plain propagation;
   *   3. stop when a round changes no label.
   *
   * Every round is a pair of key-partitioned joins + a partial aggregate —
@@ -68,15 +69,17 @@ object Graph {
       val msgs = sym
         .join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("comp"))
-      val nm = labels.unionByName(msgs)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-      // pointer jump: adopt the representative's representative. Labels
-      // are always vertex ids with comp(x) <= x, so the inner self-join
-      // matches every row and labels stay monotone non-increasing.
-      val next = nm
-        .join(nm.select(col("id").as("comp"), col("comp").as("jump")),
+      // pointer jump, fused into the same round: the representative's
+      // representative is one more candidate label (labels⋈labels on the
+      // checkpointed frame — a tiny join, no extra materialization pass).
+      // Labels are always vertex ids with comp(x) <= x, so the inner
+      // join matches every row and labels stay monotone non-increasing.
+      val jump = labels
+        .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
           "comp")
         .select(col("id"), col("jump").as("comp"))
+      val next = labels.unionByName(msgs).unionByName(jump)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
