@@ -6,8 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Streaming surface beyond the sweep-line (SURVEY §2.8 streaming row):
-  * watermarked exact dedup and tumbling-window aggregation with late-data
-  * handling — the two standard stateful shapes a training-data ingest
+  * watermarked exact dedup, tumbling-window aggregation with late-data
+  * handling, watermarked stream-stream interval join, and session-window
+  * aggregation — the standard stateful shapes a training-data ingest
   * pipeline needs.
   */
 class StreamingOpsSpec extends SparkTestBase {
@@ -62,6 +63,73 @@ class StreamingOpsSpec extends SparkTestBase {
       val last = spark.table(qn).as[(String, Long)].collect()
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
       assert(last == Map("a" -> 16L, "b" -> 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches clicks to views within bounds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Long)] // (item, view_sec)
+    val clicks = MemoryStream[(Long, Long)] // (item, click_sec)
+    val v = views.toDS()
+      .select(col("_1").as("item"), col("_2").cast("timestamp").as("vts"))
+      .withWatermark("vts", "10 seconds")
+    val c = clicks.toDS()
+      .select(col("_1").as("citem"), col("_2").cast("timestamp").as("cts"))
+      .withWatermark("cts", "10 seconds")
+    // click attributes to a view of the same item at most 20s earlier —
+    // the time bound is what lets Spark expire join state at the watermark
+    val joined = v.join(c,
+      col("item") === col("citem") &&
+        col("cts") >= col("vts") && col("cts") <= col("vts") + expr("interval 20 seconds"))
+      .select(col("item"), col("vts").cast("long").as("v_sec"),
+        col("cts").cast("long").as("c_sec"))
+    val qn = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      views.addData(Seq((1L, 100L), (2L, 103L)))
+      clicks.addData(Seq((1L, 110L), (2L, 150L))) // item 2 click too late
+      views.addData(Seq((3L, 160L))); clicks.addData(Seq((3L, 165L)))
+      q.processAllAvailable()
+      val rows = spark.table(qn)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((1L, 100L, 110L), (3L, 160L, 165L)))
+    } finally q.stop()
+  }
+
+  test("session_window aggregation closes sessions after the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (user, event_sec)
+    val sessions = input.toDS()
+      .select(col("_1").as("user"), col("_2").cast("timestamp").as("ts"))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"),
+        col("session_window.start").cast("long").as("start_sec"),
+        col("session_window.end").cast("long").as("end_sec"),
+        col("n_events"))
+    val qn = s"sess_${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // user a: events at 100, 105 (one session: gap < 10s); then 130
+      input.addData(Seq(("a", 100L), ("a", 105L), ("b", 102L)))
+      q.processAllAvailable()
+      input.addData(Seq(("a", 130L))) // watermark closes the first sessions
+      q.processAllAvailable()
+      input.addData(Seq(("a", 160L))) // closes a's 130-session
+      q.processAllAvailable()
+      val rows = spark.table(qn)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+      // merged session [100, 115): two events; gap-extended end = last+10
+      assert(rows.contains(("a", 100L, 115L, 2L)))
+      assert(rows.contains(("a", 130L, 140L, 1L)))
+      assert(rows.contains(("b", 102L, 112L, 1L)))
     } finally q.stop()
   }
 
