@@ -718,7 +718,70 @@ object Relational extends graft.QueryModule {
       |                          FROM lineitem l
       |                          WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
 
+  // --- Q58: skew-salted broadcast-replicated join ---------------------------
+  // The join-side analog of q39: l_returnflag has 3 heavy keys, so a plain
+  // shuffle join funnels a third of the fact table through one reducer.
+  // Salting: the fact side gets salt = hash(unique key) mod 16; the tiny
+  // dim side replicates 16× (explode), and the join runs on (key, salt) —
+  // 16-way parallel per hot key. The oracle joins unsalted: same result.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val Salts = 16
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(Salts)))
+    val dim = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag")).distinct()
+      .withColumn("weight", expr(
+        "CASE flag WHEN 'A' THEN 1.1 WHEN 'R' THEN 0.9 ELSE 1.0 END"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${Salts - 1})")))
+    li.join(broadcast(dim),
+        li("l_returnflag") === dim("flag") && li("salt") === dim("salt"))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity") * col("weight"), "decimal(18,6)", 2)
+          .as("weighted_qty"))
+  }
+
+  private val q58Sql =
+    """WITH dim AS (
+      |  SELECT flag,
+      |    CASE flag WHEN 'A' THEN 1.1 WHEN 'R' THEN 0.9 ELSE 1.0 END AS weight
+      |  FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
+      |)
+      |SELECT flag, COUNT(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_quantity * weight AS DECIMAL(18,6))),2) AS DOUBLE)
+      |    AS weighted_qty
+      |FROM lineitem JOIN dim ON l_returnflag = flag
+      |GROUP BY flag""".stripMargin
+
+  // --- Q59: value window functions over frames ------------------------------
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_custkey").as("custkey"),
+        first(col("o_totalprice")).over(all).as("first_price"),
+        last(col("o_totalprice")).over(all).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(all).as("second_price"))
+  }
+
+  private val q59Sql =
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_skew_salted_join" -> q58 _,
+    "q59_value_windows" -> q59 _,
     "q51_pivot" -> q51 _,
     "q52_posexplode" -> q52 _,
     "q53_rank_stats" -> q53 _,
@@ -752,6 +815,8 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q58_skew_salted_join" -> q58Sql,
+    "q59_value_windows" -> q59Sql,
     "q51_pivot" -> q51Sql,
     "q52_posexplode" -> q52Sql,
     "q53_rank_stats" -> q53Sql,
