@@ -779,7 +779,59 @@ object Relational extends graft.QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
       .stripMargin
 
+  // --- Q60: theta (inequality-only) join ------------------------------------
+  // No equi-key at all, so Catalyst has no hash/SMJ option: this is the
+  // BroadcastNestedLoopJoin path, correct ONLY because one side is tiny
+  // (suppliers per nation). The predicate compares each supplier's acctbal
+  // against richer suppliers of a DIFFERENT nation — a genuine θ-join.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"),
+        col("s_acctbal").as("bal"))
+    val b = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("sk2"), col("s_nationkey").as("nk2"),
+        col("s_acctbal").as("bal2"))
+    a.join(b, col("nk") =!= col("nk2") && col("bal2") > col("bal") * 2)
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("n_richer_foreign"))
+  }
+
+  private val q60Sql =
+    """SELECT a.s_suppkey AS sk, COUNT(*) AS n_richer_foreign
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_nationkey <> b.s_nationkey AND b.s_acctbal > a.s_acctbal * 2
+      |GROUP BY a.s_suppkey""".stripMargin
+
+  // --- Q61: NOT IN subquery (null-aware anti join) --------------------------
+  // The SQL-level complement of q12's DataFrame left_anti: Catalyst
+  // rewrites NOT IN into a null-aware anti join (the null semantics are
+  // the infamous part; l_orderkey is non-null here so results align with
+  // plain anti, but the plan exercises the rewrite).
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q61_orders")
+    Tables.load(s, dir, "lineitem")
+      .createOrReplaceTempView("graft_q61_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n_untouched
+      FROM graft_q61_orders
+      WHERE o_orderkey NOT IN (
+        SELECT l_orderkey FROM graft_q61_lineitem
+        WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+      GROUP BY o_orderpriority""")
+  }
+
+  private val q61Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_untouched
+      |FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_theta_join" -> q60 _,
+    "q61_not_in" -> q61 _,
+    "q62_typed_dataset" -> Typed.q62 _,
     "q58_skew_salted_join" -> q58 _,
     "q59_value_windows" -> q59 _,
     "q51_pivot" -> q51 _,
@@ -815,6 +867,9 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q60_theta_join" -> q60Sql,
+    "q61_not_in" -> q61Sql,
+    "q62_typed_dataset" -> Typed.q62Sql,
     "q58_skew_salted_join" -> q58Sql,
     "q59_value_windows" -> q59Sql,
     "q51_pivot" -> q51Sql,
