@@ -70,10 +70,12 @@ object Graph {
         .join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("comp"))
       // pointer jump, fused into the same round: the representative's
-      // representative is one more candidate label (labels⋈labels on the
-      // checkpointed frame — a tiny join, no extra materialization pass).
-      // Labels are always vertex ids with comp(x) <= x, so the inner
-      // join matches every row and labels stay monotone non-increasing.
+      // representative is one more candidate label (a |V|-row self-join
+      // on the checkpointed frame, skewed toward converged comp values —
+      // but fused here it rides the round's existing shuffle instead of
+      // needing its own materialization pass). Labels are always vertex
+      // ids with comp(x) <= x, so the inner join matches every row and
+      // labels stay monotone non-increasing.
       val jump = labels
         .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
           "comp")

@@ -721,9 +721,10 @@ object Relational extends graft.QueryModule {
   // --- Q58: skew-salted broadcast-replicated join ---------------------------
   // The join-side analog of q39: l_returnflag has 3 heavy keys, so a plain
   // shuffle join funnels a third of the fact table through one reducer.
-  // Salting: the fact side gets salt = hash(unique key) mod 16; the tiny
-  // dim side replicates 16× (explode), and the join runs on (key, salt) —
-  // 16-way parallel per hot key. The oracle joins unsalted: same result.
+  // Salting: the fact side gets salt = hash(high-cardinality key) mod 16;
+  // the tiny dim side replicates 16× (explode), and the join runs on
+  // (key, salt) — 16-way parallel per hot key. The oracle joins unsalted:
+  // same result.
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val Salts = 16
     val li = Tables.load(s, dir, "lineitem")
@@ -831,7 +832,6 @@ object Relational extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_theta_join" -> q60 _,
     "q61_not_in" -> q61 _,
-    "q62_typed_dataset" -> Typed.q62 _,
     "q58_skew_salted_join" -> q58 _,
     "q59_value_windows" -> q59 _,
     "q51_pivot" -> q51 _,
@@ -869,7 +869,6 @@ object Relational extends graft.QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q60_theta_join" -> q60Sql,
     "q61_not_in" -> q61Sql,
-    "q62_typed_dataset" -> Typed.q62Sql,
     "q58_skew_salted_join" -> q58Sql,
     "q59_value_windows" -> q59Sql,
     "q51_pivot" -> q51Sql,

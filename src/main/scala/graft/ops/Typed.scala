@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * the Aggregator's partial-merge contract keeps it map-side combining
   * at scale (unlike mapGroups, which would buffer whole groups).
   */
-object Typed {
+object Typed extends graft.QueryModule {
 
   final case class LineItemLite(orderkey: Long, flag: String, qty: Double,
       price: Double)
@@ -32,7 +32,12 @@ object Typed {
       extends Aggregator[LineItemLite, java.math.BigDecimal, Double] {
     override def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
     override def reduce(b: java.math.BigDecimal, a: LineItemLite)
-        : java.math.BigDecimal = b.add(new java.math.BigDecimal(a.qty))
+        : java.math.BigDecimal =
+      // valueOf (shortest-string repr), NOT new BigDecimal(double): the
+      // latter takes the exact binary expansion (10.1 -> 10.0999...),
+      // which diverges from Spark's cast(double as decimal) and the
+      // oracle's CAST on any non-integral value
+      b.add(java.math.BigDecimal.valueOf(a.qty))
     override def merge(x: java.math.BigDecimal, y: java.math.BigDecimal)
         : java.math.BigDecimal = x.add(y)
     override def finish(b: java.math.BigDecimal): Double =
@@ -65,4 +70,10 @@ object Typed {
       |FROM lineitem
       |WHERE l_quantity >= 10.0 AND l_extendedprice > 1000.0
       |GROUP BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q62_typed_dataset" -> q62 _)
+
+  val oracleSql: Map[String, String] =
+    Map("q62_typed_dataset" -> q62Sql)
 }
