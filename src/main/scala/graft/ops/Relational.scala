@@ -226,6 +226,33 @@ object Relational extends graft.QueryModule {
       |EXCEPT
       |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin
 
+  // --- Q63: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) ------------
+  // The multiset complement of q9: duplicates count. A customer with 3
+  // qualifying orders and 1 disqualifying one keeps 2 rows — the result
+  // is aggregated to (custkey, multiplicity) so it stays small and the
+  // multiplicity arithmetic is visible to the oracle.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    big.intersectAll(fin).exceptAll(
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+      .groupBy("custkey").agg(count(lit(1)).as("multiplicity"))
+  }
+
+  private val q63Sql =
+    """SELECT custkey, COUNT(*) AS multiplicity FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+      |  INTERSECT ALL
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey AS custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |) GROUP BY custkey""".stripMargin
+
   // --- Q10: distinct aggregation ----------------------------------------
   private def q10(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -831,6 +858,7 @@ object Relational extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_theta_join" -> q60 _,
+    "q63_setops_all" -> q63 _,
     "q61_not_in" -> q61 _,
     "q58_skew_salted_join" -> q58 _,
     "q59_value_windows" -> q59 _,
@@ -868,6 +896,7 @@ object Relational extends graft.QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q60_theta_join" -> q60Sql,
+    "q63_setops_all" -> q63Sql,
     "q61_not_in" -> q61Sql,
     "q58_skew_salted_join" -> q58Sql,
     "q59_value_windows" -> q59Sql,
