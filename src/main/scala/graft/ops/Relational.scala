@@ -253,6 +253,35 @@ object Relational extends graft.QueryModule {
       |  WHERE o_orderpriority = '1-URGENT'
       |) GROUP BY custkey""".stripMargin
 
+  // --- Q64: LATERAL correlated subquery join ------------------------------
+  // Per-order top-2 line items via a correlated LATERAL subquery — the
+  // SQL spelling of grouped top-k. Catalyst decorrelates it into a
+  // WindowGroupLimit (partial per-partition top-2 BEFORE the shuffle) +
+  // broadcast join with the filtered orders: the per-group limit prunes
+  // at the map side, no nested-loop per outer row.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q64_orders")
+    Tables.load(s, dir, "lineitem")
+      .createOrReplaceTempView("graft_q64_lineitem")
+    s.sql("""
+      SELECT o_orderkey AS orderkey, t.l_linenumber AS linenumber,
+             t.l_extendedprice AS price
+      FROM graft_q64_orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM graft_q64_lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) t
+      WHERE o.o_totalprice > 400000""")
+  }
+
+  private val q64Sql =
+    """SELECT o_orderkey AS orderkey, t.l_linenumber AS linenumber,
+      |       t.l_extendedprice AS price
+      |FROM orders o, LATERAL (
+      |  SELECT l_linenumber, l_extendedprice FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) t
+      |WHERE o.o_totalprice > 400000""".stripMargin
+
   // --- Q10: distinct aggregation ----------------------------------------
   private def q10(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -859,6 +888,7 @@ object Relational extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_theta_join" -> q60 _,
     "q63_setops_all" -> q63 _,
+    "q64_lateral_topk" -> q64 _,
     "q61_not_in" -> q61 _,
     "q58_skew_salted_join" -> q58 _,
     "q59_value_windows" -> q59 _,
@@ -897,6 +927,7 @@ object Relational extends graft.QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q60_theta_join" -> q60Sql,
     "q63_setops_all" -> q63Sql,
+    "q64_lateral_topk" -> q64Sql,
     "q61_not_in" -> q61Sql,
     "q58_skew_salted_join" -> q58Sql,
     "q59_value_windows" -> q59Sql,
