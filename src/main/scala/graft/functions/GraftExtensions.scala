@@ -26,9 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
-    // auto-rewrite the builtin aggregate(zip_with(...)) dot-product idiom
-    // to the native codegen'd expression
+    // auto-rewrite builtin idioms to the native codegen'd expressions:
+    // aggregate(zip_with(...)) dot products and size(array_intersect(...))
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.NativeOverlapRewrite)
   }
 }
 
@@ -111,6 +112,11 @@ object GraftFunctions {
       info("graft_simhash60",
         "graft_simhash60(hashes) - 60-bit SimHash signature"),
       (cs: Seq[Expression]) => SimHash60(cs.head)),
+    ("graft_overlap",
+      info("graft_overlap",
+        "graft_overlap(a, b) - distinct-intersection cardinality " +
+          "(= size(array_intersect(a, b)) without the array)"),
+      (cs: Seq[Expression]) => OverlapCount(cs(0), cs(1))),
     ("graft_hash60_array",
       info("graft_hash60_array",
         "graft_hash60_array(arr[, mod]) - per-element 60-bit md5 hash"),
@@ -138,7 +144,11 @@ object GraftFunctions {
       (cs: Seq[Expression]) => WindowMin(cs.head,
         lit("graft_window_min", "w", cs(1)).intValue())))
 
-  /** Idempotent programmatic registration on an existing session. */
+  /** Idempotent programmatic registration on an existing session:
+    * functions into the registry, and the native-rewrite rules into
+    * `experimental.extraOptimizations` (sessions built without
+    * `spark.sql.extensions` still get the fast paths).
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -147,5 +157,11 @@ object GraftFunctions {
       if (!registry.functionExists(id))
         registry.registerFunction(id, inf, builder)
     }
+    val rules =
+      Seq(graft.plans.NativeDotRewrite, graft.plans.NativeOverlapRewrite)
+    val cur = spark.experimental.extraOptimizations
+    val missing = rules.filterNot(cur.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ missing
   }
 }

@@ -141,6 +141,54 @@ class GraftFunctionsSpec extends SparkTestBase {
       .getSeq[Long](0).size == 32)
   }
 
+  test("graft_overlap equals size(array_intersect) incl nulls and dups") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def arr(): Seq[String] = Seq.fill(rnd.nextInt(12))(
+      if (rnd.nextInt(10) == 0) null else s"t${rnd.nextInt(8)}")
+    val rows = Seq.fill(60)((arr(), arr())) :+
+      (Seq.empty[String], Seq("a")) :+ (Seq("a", "a", null), Seq(null, "a"))
+    val df = rows.toDF("a", "b")
+    // expected computed driver-side: comparing against the builtin
+    // composition in-session would be vacuous — ensureRegistered installs
+    // the rewrite that turns size(array_intersect) INTO graft_overlap
+    val expected = rows.map { case (a, b) =>
+      a.distinct.count(e => b.contains(e))
+    }
+    val got = df.select(expr("graft_overlap(a, b)").as("native"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == expected)
+    // long arrays take the same code path with primitive boxing
+    val lg = Seq((Seq(1L, 2L, 2L, 3L), Seq(2L, 3L, 9L))).toDF("a", "b")
+      .select(expr("graft_overlap(a, b)").as("n")).head()
+    assert(lg.getInt(0) == 2)
+    // null input → null, matching size(array_intersect) sizeOfNull=false
+    val nullRow = Seq((null.asInstanceOf[Seq[String]], Seq("x")))
+      .toDF("a", "b").select(expr("graft_overlap(a, b)")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("NativeOverlapRewrite rewrites size(array_intersect) in the plan") {
+    GraftFunctions.ensureRegistered(spark)
+    // Range source, id-dependent arrays: a LocalRelation or literal-only
+    // input would be constant-folded before the plan assertion can look
+    val df = spark.range(3)
+      .select(array(concat(lit("t"), col("id")), lit("b")).as("x"),
+        array(lit("b"), lit("t1")).as("y"))
+      .select(expr("size(array_intersect(x, y))").as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_overlap"), optimized)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 1))
+    // float arrays must NOT rewrite (NaN/-0.0 set-op normalization)
+    val f = spark.range(2)
+      .select(array(col("id").cast("float")).as("x"),
+        array(lit(1.0f)).as("y"))
+      .select(expr("size(array_intersect(x, y))").as("n"))
+    assert(!f.queryExecution.optimizedPlan.toString.contains("graft_overlap"))
+    assert(f.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
+  }
+
   test("graft_hash60_array matches the scalar hex-parse hash elementwise") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
