@@ -282,6 +282,56 @@ object Relational extends graft.QueryModule {
       |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) t
       |WHERE o.o_totalprice > 400000""".stripMargin
 
+  // --- Q65: null semantics (null-safe equality, NULLIF/COALESCE) ----------
+  // Nulls manufactured deterministically via NULLIF; the aggregate counts
+  // how <=> (null-safe, Spark) / IS NOT DISTINCT FROM (DuckDB) differs
+  // from plain = on null operands — the classic three-valued-logic trap.
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(
+        expr("NULLIF(l_linenumber % 3, 0)").as("k1"),
+        expr("NULLIF(CAST(l_suppkey % 3 AS INT), 0)").as("k2"))
+      .agg(
+        count(expr("CASE WHEN k1 <=> k2 THEN 1 END")).as("nullsafe_eq"),
+        count(expr("CASE WHEN k1 = k2 THEN 1 END")).as("plain_eq"),
+        count(expr("CASE WHEN k1 IS NULL AND k2 IS NULL THEN 1 END"))
+          .as("both_null"),
+        sum(coalesce(col("k1"), lit(99)).cast("bigint")).as("coalesced_sum"))
+
+  private val q65Sql =
+    """SELECT
+      |  COUNT(CASE WHEN k1 IS NOT DISTINCT FROM k2 THEN 1 END) AS nullsafe_eq,
+      |  COUNT(CASE WHEN k1 = k2 THEN 1 END) AS plain_eq,
+      |  COUNT(CASE WHEN k1 IS NULL AND k2 IS NULL THEN 1 END) AS both_null,
+      |  CAST(SUM(COALESCE(k1, 99)) AS BIGINT) AS coalesced_sum
+      |FROM (SELECT NULLIF(l_linenumber % 3, 0) AS k1,
+      |             NULLIF(CAST(l_suppkey % 3 AS INT), 0) AS k2
+      |      FROM lineitem)""".stripMargin
+
+  // --- Q66: nested struct manipulation --------------------------------------
+  // Build → withField → getField round trip; fields re-projected to
+  // top-level columns so the oracle compares scalars (struct machinery is
+  // Spark-side, the numbers prove it did not mangle anything).
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          col("o_totalprice").as("tp")).as("sv"))
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("sv").withField("disc", col("sv.tp") * 0.1).as("sv2"))
+      .select(
+        col("orderkey"),
+        col("sv2.st").as("status"),
+        (col("sv2.tp") * 2).as("double_price"),
+        col("sv2.disc").as("disc"))
+
+  private val q66Sql =
+    """SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+      |  o_totalprice * 2 AS double_price,
+      |  o_totalprice * 0.1 AS disc
+      |FROM orders""".stripMargin
+
   // --- Q10: distinct aggregation ----------------------------------------
   private def q10(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -889,6 +939,8 @@ object Relational extends graft.QueryModule {
     "q60_theta_join" -> q60 _,
     "q63_setops_all" -> q63 _,
     "q64_lateral_topk" -> q64 _,
+    "q65_null_semantics" -> q65 _,
+    "q66_struct_ops" -> q66 _,
     "q61_not_in" -> q61 _,
     "q58_skew_salted_join" -> q58 _,
     "q59_value_windows" -> q59 _,
@@ -928,6 +980,8 @@ object Relational extends graft.QueryModule {
     "q60_theta_join" -> q60Sql,
     "q63_setops_all" -> q63Sql,
     "q64_lateral_topk" -> q64Sql,
+    "q65_null_semantics" -> q65Sql,
+    "q66_struct_ops" -> q66Sql,
     "q61_not_in" -> q61Sql,
     "q58_skew_salted_join" -> q58Sql,
     "q59_value_windows" -> q59Sql,
