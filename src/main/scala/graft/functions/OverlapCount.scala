@@ -32,6 +32,8 @@ case class OverlapCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     (left.dataType, right.dataType) match {
+      // element types must match; containsNull may differ (column vs
+      // literal arrays)
       case (ArrayType(l, _), ArrayType(r, _))
           if l == r && OverlapCount.supportedElem(l) =>
         TypeCheckResult.TypeCheckSuccess

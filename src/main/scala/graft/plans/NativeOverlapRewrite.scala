@@ -23,16 +23,22 @@ import org.apache.spark.sql.types.ArrayType
   */
 object NativeOverlapRewrite extends Rule[LogicalPlan] {
 
-  private def supported(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Boolean = e.dataType match {
-    case ArrayType(t, _) => OverlapCount.supportedElem(t)
-    case _ => false
+  private def elemType(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.types.DataType] = e.dataType match {
+    case ArrayType(t, _) => Some(t)
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // compare ELEMENT types only — containsNull routinely differs
+      // between a column array (true) and a literal array (false), and
+      // requiring full ArrayType equality would silently skip the
+      // literal-dictionary case this rule exists for
       case Size(ArrayIntersect(l, r), false)
-          if supported(l) && supported(r) && l.dataType == r.dataType =>
+          if elemType(l).exists(t =>
+            OverlapCount.supportedElem(t) && elemType(r).contains(t)) =>
         OverlapCount(l, r)
     }
 }
