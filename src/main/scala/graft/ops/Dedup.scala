@@ -318,7 +318,43 @@ object Dedup extends QueryModule {
        |  MIN(comp) AS min_rep
        |FROM cs GROUP BY csize""".stripMargin
 
+  // --- q72: keep-first survivor selection ----------------------------------
+  // q25 counts duplicates; this is the other half of exact dedup — pick ONE
+  // canonical survivor per key (lowest doc_id, the usual "keep earliest"
+  // policy) and report what survives. row_number over (key, doc_id) is the
+  // canonical Spark shape: one shuffle on the dup key, per-key local sort,
+  // no global sort. At 100 TB the dup-key cardinality scales with the
+  // corpus so partitions stay balanced; a min_by/argmin aggregate would
+  // also work but the window form generalizes to keep-best-by-quality.
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("doc_id").asc)
+    Tables.load(s, dir, "documents")
+      .withColumn("k", expr(keySpark))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_survivors"),
+        sum(col("n_chars")).as("chars_kept"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  private val q72Sql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, n_chars, $keyDuck AS k FROM documents
+       |), ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
+       |  FROM keyed
+       |)
+       |SELECT source, COUNT(*) AS n_survivors,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       |  MIN(doc_id) AS min_doc
+       |FROM ranked WHERE rn = 1 GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_window_dedup" -> q72 _,
     "q25_exact_dedup" -> q25 _,
     "q26_minhash_lsh" -> q26 _,
     "q27_simhash" -> q27 _,
@@ -326,6 +362,7 @@ object Dedup extends QueryModule {
     "q50_dedup_clusters" -> q50 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q72_window_dedup" -> q72Sql,
     "q25_exact_dedup" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,

@@ -935,7 +935,57 @@ object Relational extends graft.QueryModule {
       |  WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
       |GROUP BY o_orderpriority""".stripMargin
 
+  // --- Q69: full outer join (both-side nulls) -------------------------------
+  // Daily order counts vs daily shipment counts, FULL OUTER on the date:
+  // shipdates run 1–122 days after orderdates, so the earliest dates exist
+  // only on the orders side and the latest only on the shipments side —
+  // both null paths are genuinely exercised, then folded through COALESCE
+  // and a three-way side classifier. Scale: both inputs pre-aggregate to
+  // one row per day BEFORE the join (the same shrink-then-join rule as
+  // q3), so the full-outer shuffle is ~2.4k rows regardless of fact size.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val byOrder = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val byShip = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(count(lit(1)).as("n_ship"))
+    byOrder.join(byShip, Seq("d"), "full_outer")
+      .withColumn("side",
+        when(col("n_orders").isNull, "ship_only")
+          .when(col("n_ship").isNull, "order_only")
+          .otherwise("both"))
+      .groupBy("side")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(coalesce(col("n_orders"), lit(0))).as("orders_total"),
+        sum(coalesce(col("n_ship"), lit(0))).as("ship_total"),
+        min(col("d")).as("first_day"),
+        max(col("d")).as("last_day"))
+  }
+
+  private val q69Sql =
+    """WITH a AS (
+      |  SELECT o_orderdate AS d, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_orderdate
+      |), b AS (
+      |  SELECT l_shipdate AS d, COUNT(*) AS n_ship
+      |  FROM lineitem GROUP BY l_shipdate
+      |), j AS (
+      |  SELECT COALESCE(a.d, b.d) AS d, n_orders, n_ship,
+      |    CASE WHEN n_orders IS NULL THEN 'ship_only'
+      |         WHEN n_ship IS NULL THEN 'order_only'
+      |         ELSE 'both' END AS side
+      |  FROM a FULL OUTER JOIN b ON a.d = b.d
+      |)
+      |SELECT side, COUNT(*) AS n_days,
+      |  SUM(COALESCE(n_orders, 0)) AS orders_total,
+      |  SUM(COALESCE(n_ship, 0)) AS ship_total,
+      |  MIN(d) AS first_day, MAX(d) AS last_day
+      |FROM j GROUP BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_outer_join" -> q69 _,
     "q60_theta_join" -> q60 _,
     "q63_setops_all" -> q63 _,
     "q64_lateral_topk" -> q64 _,
@@ -977,6 +1027,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q69_outer_join" -> q69Sql,
     "q60_theta_join" -> q60Sql,
     "q63_setops_all" -> q63Sql,
     "q64_lateral_topk" -> q64Sql,

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / ordered-aggregation operators (SURVEY §2.8 scalar-agg
+  * complement): decimal-exact second moments (variance, stddev,
+  * correlation), deterministic ordered string aggregation, and ntile
+  * quantile bucketing.
+  *
+  * Why not the builtin `var_samp`/`stddev`/`corr` aggregates: they stream
+  * IEEE-754 doubles through Welford-style merges, so the result depends on
+  * partition boundaries and merge order — re-running the same query on a
+  * repartitioned 100 TB table would produce a different low-order digit,
+  * and the DuckDB oracle (different merge tree) would hash-mismatch.
+  * Instead the moment SUMS are computed in exact DECIMAL (partial+final
+  * hash aggregate, map-side combine, one shuffle of tiny per-group sums)
+  * and the closed-form moment is one deterministic double expression over
+  * those exact sums — identical shape in both engines, bit-for-bit stable
+  * under ANY partitioning. This is the textbook "algebraic aggregate"
+  * decomposition and it scales exactly like SUM/COUNT.
+  */
+object Stats extends QueryModule {
+
+  // --- q67: decimal-exact moments (variance / stddev / correlation) ------
+  // Per l_returnflag over lineitem: sample variance + stddev of quantity,
+  // and Pearson correlation between quantity and extendedprice, all
+  // derived from exact decimal sums {n, Σx, Σx², Σy, Σy², Σxy}.
+  //
+  // Numeric bounds: extendedprice < 1.1e5, so x·y < 5.5e6 and y² < 1.21e10;
+  // 600k rows at sf0.1 → Σy² < 7.3e15, far inside DECIMAL(38,6). Quantity
+  // and price carry ≤ 2 fractional digits, so products have ≤ 4 and
+  // DECIMAL(38,6) images are exact.
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(38,6)")).as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(38,6)"))
+          .as("sxx"),
+        sum(col("l_extendedprice").cast("decimal(38,6)")).as("sy"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(38,6)")).as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice"))
+          .cast("decimal(38,6)")).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        // all downstream arithmetic in DOUBLE over the exact sums, in the
+        // same expression shape as the oracle (IEEE-754 is deterministic
+        // given identical inputs and operation order)
+        expr("""round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             | / (CAST(n AS DOUBLE) - 1.0), 4)""".stripMargin).as("var_qty"),
+        expr("""round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             | / (CAST(n AS DOUBLE) - 1.0)), 4)""".stripMargin)
+          .as("stddev_qty"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"""
+          .stripMargin).as("corr_qty_price"))
+
+  private val q67Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+      |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - 1.0), 4) AS var_qty,
+      |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - 1.0)), 4) AS stddev_qty,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_qty_price
+      |FROM m""".stripMargin
+
+  // --- q68: ordered string aggregation ------------------------------------
+  // Per order priority: the distinct order statuses as one sorted
+  // comma-joined string. collect_set's accumulation order is
+  // partition-dependent, so the SORT is what makes the aggregate
+  // deterministic — same contract as LISTAGG ... WITHIN GROUP (ORDER BY).
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+
+  private val q68Sql =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+      |    AS statuses,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // --- q71: ntile quantile bucketing --------------------------------------
+  // Quartiles of order value within each priority class. ntile is only
+  // well-defined under a TOTAL order, so the unique o_orderkey tiebreak is
+  // part of the operator contract (same rule as every other window in this
+  // battery). Scale: one shuffle on the partition key; each partition
+  // sorts locally — no global sort.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.load(s, dir, "orders")
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("tile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+  }
+
+  private val q71Sql =
+    """WITH t AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS tile
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, tile, COUNT(*) AS n_orders,
+      |  round(MIN(o_totalprice), 2) AS lo,
+      |  round(MAX(o_totalprice), 2) AS hi
+      |FROM t GROUP BY o_orderpriority, tile""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_exact_moments" -> q67 _,
+    "q68_string_agg" -> q68 _,
+    "q71_ntile" -> q71 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q67_exact_moments" -> q67Sql,
+    "q68_string_agg" -> q68Sql,
+    "q71_ntile" -> q71Sql)
+}

@@ -296,13 +296,72 @@ object TextAnalysis extends QueryModule {
       |FROM toks GROUP BY term
       |ORDER BY score DESC, term ASC LIMIT 20""".stripMargin
 
+  // --- q70: benchmark decontamination (n-gram overlap) ---------------------
+  // The standard training-data hygiene pass: drop (here: count) training
+  // documents that share any word 5-gram with a held-out evaluation set.
+  // Held-out set = doc_id ≡ 0 (mod 17) — deterministic and ~6% of the
+  // corpus, mirroring a benchmark suite's size relative to a crawl.
+  //
+  // Scale design: the eval side's distinct shingles are TINY relative to
+  // the corpus (benchmarks are MBs, crawls are TBs), so the containment
+  // check is a BROADCAST semi-join against the exploded training shingles
+  // — the 100 TB side is never shuffled, and the whole operator is one
+  // map-side pass + a small per-source aggregate.
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("sh",
+        expr("graft_shingles(regexp_extract_all(text, '[a-z]+', 0), 5)"))
+    val evalGrams = docs.filter(col("doc_id") % 17 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val contaminated = train
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+      .join(train.groupBy("source").agg(count(lit(1)).as("n_train")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
+  // Oracle mirror of graft_shingles(toks, 5): max(|toks|−4, 1) slices,
+  // deduplicated (first-occurrence order is irrelevant downstream).
+  private val q70Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 4, 1)),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          regexp_extract_all(text, '[a-z]+') AS toks
+      |        FROM documents)
+      |), eval_grams AS (
+      |  SELECT DISTINCT g FROM sh, unnest(sh.sh) AS t(g)
+      |  WHERE doc_id % 17 = 0
+      |), train AS (
+      |  SELECT * FROM sh WHERE doc_id % 17 <> 0
+      |), contaminated AS (
+      |  SELECT DISTINCT doc_id FROM train, unnest(train.sh) AS t(g)
+      |  WHERE g IN (SELECT g FROM eval_grams)
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_train,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM train GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> q21 _,
     "q22_quality_score" -> q22 _,
     "q23_langid" -> q23 _,
     "q24_fingerprint" -> q24 _,
     "q40_chunking" -> q40 _,
-    "q57_tfidf" -> q57 _)
+    "q57_tfidf" -> q57 _,
+    "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
@@ -310,5 +369,6 @@ object TextAnalysis extends QueryModule {
     "q23_langid" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q40_chunking" -> q40Sql,
-    "q57_tfidf" -> q57Sql)
+    "q57_tfidf" -> q57Sql,
+    "q70_decontaminate" -> q70Sql)
 }
