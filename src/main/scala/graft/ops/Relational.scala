@@ -979,8 +979,8 @@ object Relational extends graft.QueryModule {
       |  FROM a FULL OUTER JOIN b ON a.d = b.d
       |)
       |SELECT side, COUNT(*) AS n_days,
-      |  SUM(COALESCE(n_orders, 0)) AS orders_total,
-      |  SUM(COALESCE(n_ship, 0)) AS ship_total,
+      |  CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS orders_total,
+      |  CAST(SUM(COALESCE(n_ship, 0)) AS BIGINT) AS ship_total,
       |  MIN(d) AS first_day, MAX(d) AS last_day
       |FROM j GROUP BY side""".stripMargin
 
