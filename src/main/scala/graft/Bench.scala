@@ -42,22 +42,36 @@ object Bench {
       // their plan.
       spark.catalog.clearCache()
     }
+    // Median of 3 timed runs per query: a single-shot time is hostage to
+    // whatever else the machine is doing (rounds 3-5 recorded 9-13x phantom
+    // "regressions" on plans that had not changed — all contention). The
+    // median of 3 is robust to one contended run; per-run times are kept in
+    // the JSON so variance stays visible.
+    val Runs = 3
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { exec(name, sfDir); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      // a failed query reports -1, never a misleading time-to-failure
-      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      spark.catalog.clearCache()
-      name -> t
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { exec(name, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        // a failed query reports -1, never a misleading time-to-failure
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        spark.catalog.clearCache()
+        t
+      }
+      val median =
+        if (times.contains(-1.0)) -1.0 else times.sorted.apply(Runs / 2)
+      (name, median, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(ops.Relational, ops.Sizing, ops.TextAnalysis, ops.Dedup,
-      ops.Similarity, ops.Multimodal, ops.Temporal, ops.Typed, ops.Stats)
+      ops.Similarity, ops.Multimodal, ops.Temporal, ops.Typed, ops.Stats,
+      ops.StreamSweep)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -80,14 +80,20 @@ object Graph {
         .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
           "comp")
         .select(col("id"), col("jump").as("comp"))
-      val next = labels.unionByName(msgs).unionByName(jump)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count()
-      labels = next
+      // The round's previous label rides the same aggregate (min over the
+      // own-row only), so convergence needs no labels⋈next join; and the
+      // checkpoint is marked LAZY so the changed-count below is the ONE
+      // action per round — it materializes the checkpoint blocks and
+      // returns the count in the same job.
+      val next = labels.withColumn("own", lit(true))
+        .unionByName(msgs.withColumn("own", lit(false)))
+        .unionByName(jump.withColumn("own", lit(false)))
+        .groupBy("id").agg(
+          min(col("comp")).as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
+        .localCheckpoint(false)
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     sym.unpersist()

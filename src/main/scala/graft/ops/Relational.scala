@@ -482,8 +482,11 @@ object Relational extends graft.QueryModule {
 
   // --- Q38: approximate distinct (HLL++) vs exact ------------------------
   // No oracle entry: HLL sketches are engine-specific, so the driver
-  // records a rows-only check. The exact counts column documents the
-  // approximation error in the output itself.
+  // records a rows-only check. What makes that check meaningful is the
+  // `within_5pct` column: |approx − exact| / exact < 0.05, asserted
+  // in-row against the exact distinct count (the sketch is configured at
+  // 2% rsd, so 5% is a generous-but-real bound) — a drifting sketch turns
+  // the bit false even though the oracle cannot hash-compare it.
   //
   // The approx and exact aggregates run as SEPARATE aggregations joined
   // on the 3-row result: mixing them in one agg makes the exact-distinct
@@ -500,7 +503,10 @@ object Relational extends graft.QueryModule {
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     approx.join(exact, "l_returnflag")
-      .select("l_returnflag", "approx_orders", "exact_orders", "approx_parts")
+      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+        col("approx_parts"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          / col("exact_orders") < 0.05).as("within_5pct"))
   }
 
   // --- Q39: skew-safe two-phase (salted) aggregation ----------------------

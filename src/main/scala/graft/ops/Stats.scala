@@ -24,63 +24,76 @@ import org.apache.spark.sql.functions._
   */
 object Stats extends QueryModule {
 
-  // --- q67: decimal-exact moments (variance / stddev / correlation) ------
+  // --- q67: exact moments (variance / stddev / correlation) --------------
   // Per l_returnflag over lineitem: sample variance + stddev of quantity,
   // and Pearson correlation between quantity and extendedprice, all
-  // derived from exact decimal sums {n, Σx, Σx², Σy, Σy², Σxy}.
+  // derived from exact sums {n, Σx, Σx², Σy, Σy², Σxy}.
   //
-  // Numeric bounds: extendedprice < 1.1e5, so x·y < 5.5e6 and y² < 1.21e10;
-  // 600k rows at sf0.1 → Σy² < 7.3e15, far inside DECIMAL(38,6). Quantity
-  // and price carry ≤ 2 fractional digits, so products have ≤ 4 and
-  // DECIMAL(38,6) images are exact.
-  private def q67(s: SparkSession, dir: String): DataFrame =
+  // Accumulation types are picked per-sum from the value bounds so the hot
+  // hash-aggregate adds LONGs wherever a long fits — a codegen'd 64-bit add
+  // beats a Decimal128 add with 38-digit overflow checks per row:
+  //   quantity x ∈ [1, 51], price y < 1.1e5, both with ≤2 fractional digits.
+  //   Σx, Σy   → scaled ×100  longs: per-row ≤ 1.1e7;  6e9 rows → 6.6e16 ≪ 2^63.
+  //   Σxy      → scaled ×10⁴  long:  per-row ≤ 5.6e10; 6e7 rows (sf10) →
+  //              3.4e18 < 9.2e18. (Beyond ~1e8 rows Σxy needs decimal again —
+  //              bound documented, battery max is sf0.1.)
+  //   Σx²      → scaled ×10⁴  long:  per-row ≤ 2.7e7;  6e9 rows → 1.6e17 OK.
+  //   Σy²      → per-row ≤ 1.21e10 ⇒ ×10⁴ scale overflows long at 600k rows
+  //              (7.3e19 > 2^63) — stays exact DECIMAL(38,6).
+  // The ×100 scaling goes through DECIMAL(12,2): a double→decimal(12,2) cast
+  // rounds identically in Spark and DuckDB (the stored doubles are within
+  // 1e-13 of a 2-digit value, never at a .005 boundary), after which ×100 /
+  // ×10⁴ and the long cast are exact integer arithmetic in both engines.
+  // Downstream moments are DOUBLE expressions of identical shape on both
+  // sides, so results stay bit-for-bit stable under any partitioning.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val x2 = col("l_quantity").cast("decimal(12,2)")
+    val y2 = col("l_extendedprice").cast("decimal(12,2)")
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(38,6)")).as("sx"),
-        sum((col("l_quantity") * col("l_quantity")).cast("decimal(38,6)"))
-          .as("sxx"),
-        sum(col("l_extendedprice").cast("decimal(38,6)")).as("sy"),
-        sum((col("l_extendedprice") * col("l_extendedprice"))
-          .cast("decimal(38,6)")).as("syy"),
-        sum((col("l_quantity") * col("l_extendedprice"))
-          .cast("decimal(38,6)")).as("sxy"))
+        sum((x2 * 100).cast("long")).as("sx100"),
+        sum((x2 * x2 * 10000).cast("long")).as("sxx1e4"),
+        sum((y2 * 100).cast("long")).as("sy100"),
+        sum((y2 * y2).cast("decimal(38,6)")).as("syy"),
+        sum((x2 * y2 * 10000).cast("long")).as("sxy1e4"))
       .select(
         col("l_returnflag"),
         col("n"),
         // all downstream arithmetic in DOUBLE over the exact sums, in the
         // same expression shape as the oracle (IEEE-754 is deterministic
         // given identical inputs and operation order)
-        expr("""round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        expr("""round((CAST(sxx1e4 AS DOUBLE) / 10000.0 - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sx100 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
              | / (CAST(n AS DOUBLE) - 1.0), 4)""".stripMargin).as("var_qty"),
-        expr("""round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        expr("""round(sqrt((CAST(sxx1e4 AS DOUBLE) / 10000.0 - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sx100 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
              | / (CAST(n AS DOUBLE) - 1.0)), 4)""".stripMargin)
           .as("stddev_qty"),
-        expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"""
+        expr("""round((CAST(n AS DOUBLE) * (CAST(sxy1e4 AS DOUBLE) / 10000.0) - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sy100 AS DOUBLE) / 100.0))
+             | / (sqrt(CAST(n AS DOUBLE) * (CAST(sxx1e4 AS DOUBLE) / 10000.0) - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sx100 AS DOUBLE) / 100.0))
+             |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - (CAST(sy100 AS DOUBLE) / 100.0) * (CAST(sy100 AS DOUBLE) / 100.0))), 6)"""
           .stripMargin).as("corr_qty_price"))
+  }
 
   private val q67Sql =
     """WITH m AS (
       |  SELECT l_returnflag,
       |    COUNT(*) AS n,
-      |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
-      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
-      |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS syy,
-      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sx100,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 10000 AS BIGINT)) AS sxx1e4,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sy100,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,6))) AS syy,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) * 10000 AS BIGINT)) AS sxy1e4
       |  FROM lineitem GROUP BY l_returnflag
       |)
       |SELECT l_returnflag, n,
-      |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |  round((CAST(sxx1e4 AS DOUBLE) / 10000.0 - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sx100 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
       |    / (CAST(n AS DOUBLE) - 1.0), 4) AS var_qty,
-      |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |  round(sqrt((CAST(sxx1e4 AS DOUBLE) / 10000.0 - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sx100 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
       |    / (CAST(n AS DOUBLE) - 1.0)), 4) AS stddev_qty,
-      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  round((CAST(n AS DOUBLE) * (CAST(sxy1e4 AS DOUBLE) / 10000.0) - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sy100 AS DOUBLE) / 100.0))
+      |    / (sqrt(CAST(n AS DOUBLE) * (CAST(sxx1e4 AS DOUBLE) / 10000.0) - (CAST(sx100 AS DOUBLE) / 100.0) * (CAST(sx100 AS DOUBLE) / 100.0))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - (CAST(sy100 AS DOUBLE) / 100.0) * (CAST(sy100 AS DOUBLE) / 100.0))), 6)
       |    AS corr_qty_price
       |FROM m""".stripMargin
 
@@ -131,7 +144,7 @@ object Stats extends QueryModule {
       |                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS tile
       |  FROM orders
       |)
-      |SELECT o_orderpriority, tile, COUNT(*) AS n_orders,
+      |SELECT o_orderpriority, CAST(tile AS INT) AS tile, COUNT(*) AS n_orders,
       |  round(MIN(o_totalprice), 2) AS lo,
       |  round(MAX(o_totalprice), 2) AS hi
       |FROM t GROUP BY o_orderpriority, tile""".stripMargin

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.QueryModule
+import graft.sizing.{Concurrency, QuerylogAdapter, SizingConfig}
+import graft.streaming.StreamingConcurrency
+import graft.streaming.StreamingConcurrency._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** q73: the streaming sweep-line under the driver's correctness gate.
+  *
+  * Runs [[graft.streaming.StreamingConcurrency]] (the Structured Streaming
+  * analog of the reference's interval-overlap analysis, py:307–396) over
+  * the SAME derived querylog as the batch q20_sweepline, folds the closed
+  * buckets into global maxima, and emits one row with q20's schema plus a
+  * `matches_batch` parity bit computed against the batch operator's own
+  * result on identical input. The oracle cannot execute a stream, so the
+  * driver records a rows-only check — the parity bit is what makes that
+  * check meaningful: a `true` asserts stream == batch == (transitively,
+  * via q20's hash-check) the DuckDB oracle.
+  *
+  * Driver-side collects here are the STREAM HARNESS, not the operator:
+  * MemoryStream is fed from the driver by construction (production would
+  * be a Kafka source), and the folded bucket summaries are one row per
+  * non-empty time bucket — bounded by the analysis window, not the data.
+  * The per-bucket scans — the actual O(events) work — run distributed
+  * inside flatMapGroupsWithState.
+  */
+object StreamSweep extends QueryModule {
+
+  private val cfg = SizingConfig() // reference defaults (sizing.conf)
+  private val keptLimit = 40 // same F4 prune threshold as q18–q20
+  private val BucketUs = 60L * 1000000 // 60 s buckets
+
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = QuerylogAdapter.derived(s, dir, cfg)
+      .filter(col("min_executor_pod") <= keptLimit)
+      .persist() // read 3×: interval collect, batch sweep (×2 inside)
+
+    // Feed the memory stream. queryId is zero-padded so the streaming
+    // String tiebreak orders identically to the batch operator's numeric
+    // query_id sort (Q5 tie rule) — required for exact parity.
+    val intervals = kept.select(
+      format_string("%020d", col("query_id")).as("qid"),
+      col("admitted_us"), col("end_us"),
+      col("min_executor_pod").cast("long"),
+      col("cache_b_per_backend").cast("long"),
+      col("mem_b_per_backend").cast("long"),
+      col("cpu_mv_per_backend").cast("long"),
+      col("spill_b_per_backend").cast("long"))
+      .collect()
+      .map(r => QueryInterval(r.getString(0), usTs(r.getLong(1)),
+        usTs(r.getLong(2)), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+      .toSeq
+
+    val maxEndUs = intervals.map(q => tsUs(q.end)).max
+    // one sentinel interval far past every real bucket: its event time
+    // advances the watermark so the real buckets' event-time timeouts fire
+    val sentinelUs = maxEndUs + 10 * BucketUs
+    val sentinelBucket = Math.floorDiv(sentinelUs, BucketUs)
+
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[QueryInterval]
+    val summaries = StreamingConcurrency.bucketSummaries(
+      StreamingConcurrency.events(input.toDS(), BucketUs), BucketUs,
+      "0 seconds")
+    val qname = s"q73_${System.nanoTime()}"
+    val query = summaries.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    val folded = try {
+      input.addData(intervals)
+      query.processAllAvailable()
+      input.addData(Seq(QueryInterval("sentinel", usTs(sentinelUs),
+        usTs(sentinelUs + BucketUs), 0, 0, 0, 0, 0)))
+      query.processAllAvailable()
+      val closed = s.table(qname).as[BucketSummary].collect().toSeq
+        .filter(_.bucket < sentinelBucket)
+      GlobalAccumulator.fold(closed)
+    } finally {
+      query.stop()
+      s.catalog.dropTempView(qname)
+    }
+    val m = folded.getOrElse(sys.error("q73: no closed buckets — empty querylog?"))
+
+    // Parity against the batch operator on the same kept querylog.
+    val b = Concurrency.maxima(Concurrency.sweep(kept)).head()
+    kept.unpersist()
+    val matches = b.getLong(0) == m.maxConcurrentQueries &&
+      b.getLong(1) == m.maxPods && b.getLong(2) == m.maxCache &&
+      b.getLong(3) == m.maxMem && b.getLong(4) == m.maxCpu &&
+      b.getLong(5) == m.maxSpill && b.getLong(6) == m.maxPodsAtUs
+
+    val schema = StructType(Seq(
+      StructField("max_concurrent_queries", LongType, nullable = false),
+      StructField("max_concurrent_pods", LongType, nullable = false),
+      StructField("max_concurrent_cache_b", LongType, nullable = false),
+      StructField("max_concurrent_mem_b", LongType, nullable = false),
+      StructField("max_concurrent_cpu_mv", LongType, nullable = false),
+      StructField("max_concurrent_spill_b", LongType, nullable = false),
+      StructField("max_pods_at_us", LongType, nullable = false),
+      StructField("matches_batch", BooleanType, nullable = false)))
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(m.maxConcurrentQueries, m.maxPods,
+        m.maxCache, m.maxMem, m.maxCpu, m.maxSpill, m.maxPodsAtUs,
+        matches)),
+      schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_stream_sweep" -> q73 _)
+
+  // not SQL-expressible (the oracle cannot run a stream) → rows-only check;
+  // the matches_batch column carries the real assertion
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -26,20 +26,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     exclusive-prefix trick as the batch scan, O(buckets) work —
   *     typically inside `foreachBatch` or any downstream consumer.
   *
+  * Deltas are LONGs, same contract as the batch operator
+  * ([[graft.sizing.Concurrency]]): pods are counts, cache/mem/spill are
+  * bytes-per-backend, cpu is milli-vcores — integer units whose partial
+  * sums are exact and associativity-safe; doubles would silently lose
+  * low-order bits once a byte-count running sum crosses 2^53 (a few
+  * hundred concurrent 50 TiB-cache queries).
+  *
+  * All instant arithmetic is µs-exact: Spark TimestampType is µs
+  * precision, and [[tsUs]]/[[usTs]] round-trip the full µs through
+  * `java.sql.Timestamp` (getTime alone truncates to ms, which would
+  * mis-order sub-ms events inside a bucket and break the batch-parity
+  * contract).
+  *
   * Late events beyond the watermark are dropped by the timeout contract —
   * the documented streaming trade-off vs the exact batch operator.
   */
 object StreamingConcurrency {
 
+  /** Full-µs instant of a Timestamp (getTime is ms-truncated; the sub-ms
+    * µs live in the nanos field).
+    */
+  def tsUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Inverse of [[tsUs]]: a Timestamp carrying the full µs. */
+  def usTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** One query interval on the stream (admitted/end already resolved). */
   final case class QueryInterval(queryId: String, admitted: Timestamp,
-      end: Timestamp, pods: Double, cachePerBackend: Double,
-      memPerBackend: Double, avgVcores: Double, spillPerBackend: Double)
+      end: Timestamp, pods: Long, cachePerBackend: Long,
+      memPerBackend: Long, cpuMilliVcores: Long, spillPerBackend: Long)
 
   /** A ±delta event with its bucket key. */
   final case class Event(bucket: Long, ts: Timestamp, kind: Int,
-      queryId: String, dCount: Long, dPods: Double, dCache: Double,
-      dMem: Double, dCpu: Double, dSpill: Double)
+      queryId: String, dCount: Long, dPods: Long, dCache: Long,
+      dMem: Long, dCpu: Long, dSpill: Long)
 
   /** Per-bucket local scan result. `maxPref*` are the bucket-internal
     * running-sum maxima observed at start events (relative to a zero
@@ -47,10 +73,10 @@ object StreamingConcurrency {
     * later bucket). `maxPrefAtUs` carries the py:384 `>=` tie rule.
     */
   final case class BucketSummary(bucket: Long, nEvents: Long,
-      netCount: Long, netPods: Double, netCache: Double, netMem: Double,
-      netCpu: Double, netSpill: Double,
-      maxPrefCount: Long, maxPrefPods: Double, maxPrefCache: Double,
-      maxPrefMem: Double, maxPrefCpu: Double, maxPrefSpill: Double,
+      netCount: Long, netPods: Long, netCache: Long, netMem: Long,
+      netCpu: Long, netSpill: Long,
+      maxPrefCount: Long, maxPrefPods: Long, maxPrefCache: Long,
+      maxPrefMem: Long, maxPrefCpu: Long, maxPrefSpill: Long,
       maxPrefAtUs: Long, hasStart: Boolean)
 
   /** Fan a query-interval stream out into ±delta events (py:311–333). */
@@ -58,14 +84,14 @@ object StreamingConcurrency {
       : Dataset[Event] = {
     import intervals.sparkSession.implicits._
     intervals.flatMap { q =>
-      val sUs = q.admitted.getTime * 1000
-      val eUs = q.end.getTime * 1000
+      val sUs = tsUs(q.admitted)
+      val eUs = tsUs(q.end)
       Seq(
-        Event(sUs / bucketUs, q.admitted, 1, q.queryId, 1L, q.pods,
-          q.cachePerBackend, q.memPerBackend, q.avgVcores,
+        Event(Math.floorDiv(sUs, bucketUs), q.admitted, 1, q.queryId, 1L,
+          q.pods, q.cachePerBackend, q.memPerBackend, q.cpuMilliVcores,
           q.spillPerBackend),
-        Event(eUs / bucketUs, q.end, 0, q.queryId, -1L, -q.pods,
-          -q.cachePerBackend, -q.memPerBackend, -q.avgVcores,
+        Event(Math.floorDiv(eUs, bucketUs), q.end, 0, q.queryId, -1L,
+          -q.pods, -q.cachePerBackend, -q.memPerBackend, -q.cpuMilliVcores,
           -q.spillPerBackend))
     }
   }
@@ -99,11 +125,11 @@ object StreamingConcurrency {
     */
   private[streaming] def scanBucket(bucket: Long, evs: List[Event])
       : BucketSummary = {
-    val ordered = evs.sortBy(e => (e.ts.getTime, e.kind, e.queryId))
-    var (c, p, ca, m, cp, sp) = (0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val ordered = evs.sortBy(e => (tsUs(e.ts), e.kind, e.queryId))
+    var (c, p, ca, m, cp, sp) = (0L, 0L, 0L, 0L, 0L, 0L)
     var (mc, mp, mca, mm, mcp, msp) =
-      (Long.MinValue, Double.MinValue, Double.MinValue, Double.MinValue,
-        Double.MinValue, Double.MinValue)
+      (Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue,
+        Long.MinValue, Long.MinValue)
     var atUs = Long.MinValue
     var hasStart = false
     ordered.foreach { e =>
@@ -112,7 +138,7 @@ object StreamingConcurrency {
       if (e.dCount > 0) { // maxima only at starts (py:381–396)
         hasStart = true
         if (c > mc) mc = c
-        if (p >= mp) { mp = p; atUs = e.ts.getTime * 1000 } // py:384 >=
+        if (p >= mp) { mp = p; atUs = tsUs(e.ts) } // py:384 >=
         if (ca > mca) mca = ca
         if (m > mm) mm = m
         if (cp > mcp) mcp = cp
@@ -124,8 +150,8 @@ object StreamingConcurrency {
   }
 
   /** Stage 3 result: the reference's concurrency report fields. */
-  final case class Maxima(maxConcurrentQueries: Long, maxPods: Double,
-      maxCache: Double, maxMem: Double, maxCpu: Double, maxSpill: Double,
+  final case class Maxima(maxConcurrentQueries: Long, maxPods: Long,
+      maxCache: Long, maxMem: Long, maxCpu: Long, maxSpill: Long,
       maxPodsAtUs: Long)
 
   /** Fold closed-bucket summaries (any arrival order) into global maxima
@@ -134,7 +160,7 @@ object StreamingConcurrency {
   object GlobalAccumulator {
     def fold(summaries: Seq[BucketSummary]): Option[Maxima] = {
       val ordered = summaries.sortBy(_.bucket)
-      var (c, p, ca, m, cp, sp) = (0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+      var (c, p, ca, m, cp, sp) = (0L, 0L, 0L, 0L, 0L, 0L)
       var out: Option[Maxima] = None
       ordered.foreach { b =>
         if (b.hasStart) {

@@ -35,6 +35,60 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(out.forall(_.kind == "image"))
   }
 
+  // --- JvmImageDecoder: real javax.imageio decode ------------------------
+
+  /** Deterministic synthesized PNG: pixel (x,y) = RGB(x%256, y%256,
+    * (x+y)%256). ImageIO PNG encode/decode is lossless, so the decoded
+    * stats are exactly computable.
+    */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, ((x % 256) << 16) | ((y % 256) << 8) | ((x + y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("JvmImageDecoder decodes a synthesized PNG to exact pixel stats") {
+    val (w, h) = (16, 9)
+    val f = JvmImageDecoder.decodeBatch(Seq(rec(7, png(w, h)))).head
+    assert(f.docId == 7 && f.kind == "image")
+    assert(f.features.length == JvmImageDecoder.Dim)
+    assert(f.features(0) == w.toDouble && f.features(1) == h.toDouble)
+    assert(f.features(2) == (w * h).toDouble)
+    // meanR = mean of x over the grid = (w-1)/2; meanG = (h-1)/2
+    assert(f.features(3) == (w - 1) / 2.0)
+    assert(f.features(4) == (h - 1) / 2.0)
+    // meanB = mean of (x+y) = (w-1)/2 + (h-1)/2 (all values < 256 here)
+    assert(f.features(5) == (w - 1) / 2.0 + (h - 1) / 2.0)
+    // luma of pixel = (299x + 587y + 114(x+y))/1000, integer-truncated —
+    // recompute exactly
+    val lumas = for (y <- 0 until h; x <- 0 until w)
+      yield ((299 * x + 587 * y + 114 * (x + y)) / 1000).toDouble
+    val ml = lumas.sum / lumas.size
+    assert(f.features(6) == ml)
+    assert(math.abs(f.features(7) -
+      math.sqrt(lumas.map(l => l * l).sum / lumas.size - ml * ml)) < 1e-9)
+  }
+
+  test("JvmImageDecoder drops undecodable payloads instead of failing") {
+    val batch = Seq(rec(1, "not an image".getBytes), rec(2, png(4, 4)),
+      rec(3, Array.empty[Byte]))
+    val out = JvmImageDecoder.decodeBatch(batch)
+    assert(out.map(_.docId) == Seq(2L))
+  }
+
+  test("JvmImageDecoder runs distributed through the extract stage") {
+    import spark.implicits._
+    val media = spark.createDataset(
+      (1L to 40L).map(i => rec(i, png(4 + (i % 4).toInt, 4)))).repartition(3)
+    val out = extract(media, JvmImageDecoder, batchSize = 8).collect()
+    assert(out.map(_.docId).sorted.toSeq == (1L to 40L))
+    assert(out.forall(f => f.features(0) >= 4.0 && f.features(0) <= 7.0))
+  }
+
   test("decoder sees bounded batches regardless of partition size") {
     import spark.implicits._
     // The spy records each record's batch size IN the output features —

@@ -13,9 +13,9 @@ class StreamingConcurrencySpec extends SparkTestBase {
   private val BucketUs = 1000000L // 1s buckets
 
   private def interval(id: String, startSec: Long, endSec: Long,
-      pods: Double): QueryInterval =
+      pods: Long): QueryInterval =
     QueryInterval(id, new Timestamp(startSec * 1000),
-      new Timestamp(endSec * 1000), pods, pods * 2, pods * 3, 1.0, 0.5)
+      new Timestamp(endSec * 1000), pods, pods * 2, pods * 3, 1L, 1L)
 
   /** Run intervals through the streaming pipeline, flushing with a far
     * sentinel so every real bucket times out; returns real summaries.
@@ -47,7 +47,7 @@ class StreamingConcurrencySpec extends SparkTestBase {
     qs.map(q => qs.count(o => o.admitted.getTime <= q.admitted.getTime &&
       q.admitted.getTime < o.end.getTime).toLong).max
 
-  private def bruteMaxPods(qs: Seq[QueryInterval]): Double =
+  private def bruteMaxPods(qs: Seq[QueryInterval]): Long =
     qs.map(q => qs.filter(o => o.admitted.getTime <= q.admitted.getTime &&
       q.admitted.getTime < o.end.getTime).map(_.pods).sum).max
 
@@ -67,29 +67,48 @@ class StreamingConcurrencySpec extends SparkTestBase {
     val qs = Seq(interval("a", 10, 200, 2), interval("b", 150, 160, 3))
     val m = GlobalAccumulator.fold(runStream(qs, sentinelSec = 100000)).get
     assert(m.maxConcurrentQueries == 2)
-    assert(m.maxPods == 5.0)
+    assert(m.maxPods == 5L)
     assert(m.maxPodsAtUs == 150L * 1000000)
+  }
+
+  test("tsUs/usTs round-trip full µs precision (getTime truncates to ms)") {
+    val us = 1736954321123456L // sub-ms µs component: 456
+    assert(tsUs(usTs(us)) == us)
+    assert(usTs(us).getTime == us / 1000) // ms view is truncated
   }
 
   test("scanBucket: end-before-start tiebreak within a bucket") {
     val ts = new Timestamp(5000)
     val evs = List(
-      Event(5, ts, 0, "a", -1L, -2.0, 0, 0, 0, 0), // end of a at t=5
-      Event(5, ts, 1, "b", 1L, 3.0, 0, 0, 0, 0)) // start of b at t=5
+      Event(5, ts, 0, "a", -1L, -2L, 0, 0, 0, 0), // end of a at t=5
+      Event(5, ts, 1, "b", 1L, 3L, 0, 0, 0, 0)) // start of b at t=5
     val s = scanBucket(5, evs)
-    // end sorts first: prefix at b's start is (0)+1 = 1 query, 1.0 pods
+    // end sorts first: prefix at b's start is (0)+1 = 1 query, 1 pod
     assert(s.maxPrefCount == 0L) // -1 then +1 => 0 at the start event
-    assert(s.maxPrefPods == 1.0) // -2 then +3
+    assert(s.maxPrefPods == 1L) // -2 then +3
+  }
+
+  test("scanBucket orders sub-ms events by full µs, not truncated ms") {
+    // two starts 400µs apart inside the same millisecond: the later one
+    // must see the earlier one's delta in its prefix
+    val t1 = usTs(5000100) // 5.000100 s
+    val t2 = usTs(5000500) // 5.000500 s
+    val evs = List(
+      Event(5, t2, 1, "b", 1L, 3L, 0, 0, 0, 0),
+      Event(5, t1, 1, "a", 1L, 2L, 0, 0, 0, 0))
+    val s = scanBucket(5, evs)
+    assert(s.maxPrefPods == 5L)
+    assert(s.maxPrefAtUs == 5000500L)
   }
 
   test("GlobalAccumulator ignores start-free buckets but carries their nets") {
-    val s1 = BucketSummary(1, 1, -1L, -2.0, 0, 0, 0, 0,
-      Long.MinValue, Double.MinValue, Double.MinValue, Double.MinValue,
-      Double.MinValue, Double.MinValue, Long.MinValue, hasStart = false)
-    val s2 = BucketSummary(2, 1, 1L, 5.0, 0, 0, 0, 0,
-      1L, 5.0, 0, 0, 0, 0, 2000000L, hasStart = true)
+    val s1 = BucketSummary(1, 1, -1L, -2L, 0, 0, 0, 0,
+      Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue,
+      Long.MinValue, Long.MinValue, Long.MinValue, hasStart = false)
+    val s2 = BucketSummary(2, 1, 1L, 5L, 0, 0, 0, 0,
+      1L, 5L, 0, 0, 0, 0, 2000000L, hasStart = true)
     val m = GlobalAccumulator.fold(Seq(s2, s1)).get // any arrival order
     assert(m.maxConcurrentQueries == 0L) // carry -1 + local 1
-    assert(m.maxPods == 3.0) // carry -2 + local 5
+    assert(m.maxPods == 3L) // carry -2 + local 5
   }
 }
