@@ -25,7 +25,7 @@ object DevTime {
     names.foreach { n =>
       exec(n, "/root/testdata/sf0.001") // warm
       spark.catalog.clearCache()
-      (1 to 2).foreach { i =>
+      (1 to 5).foreach { i =>
         val t0 = System.nanoTime()
         exec(n, sfDir)
         println(f"TIMING $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")

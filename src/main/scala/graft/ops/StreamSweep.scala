@@ -27,12 +27,24 @@ import org.apache.spark.sql.types._
   * non-empty time bucket — bounded by the analysis window, not the data.
   * The per-bucket scans — the actual O(events) work — run distributed
   * inside flatMapGroupsWithState.
+  *
+  * Cost shape at sf0.1 (measured, DevStreamProbe): ≈1.5 s interval
+  * collect/encode, ≈5 s data micro-batch, ≈2.5 s sentinel micro-batch +
+  * timeout flush, ≈4 s the batch q20 parity run — q73's bench time is the
+  * price of executing BOTH engines plus fixed micro-batch machinery, not
+  * a plan defect; the streamed operator itself is one 2|kept|-row shuffle
+  * and per-bucket local scans.
   */
 object StreamSweep extends QueryModule {
 
   private val cfg = SizingConfig() // reference defaults (sizing.conf)
   private val keptLimit = 40 // same F4 prune threshold as q18–q20
-  private val BucketUs = 60L * 1000000 // 60 s buckets
+  // Bucket count target: buckets are the unit of state AND parallelism —
+  // a state-store group per bucket. Too fine (60s over a month = 43k
+  // groups) and per-group state-store commit overhead dominates; too
+  // coarse and one group sorts everything. ~8 buckets per core balances
+  // both; correctness is bucket-width independent (spec-pinned).
+  private val TargetBuckets = 256L
 
   private def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -58,15 +70,18 @@ object StreamSweep extends QueryModule {
       .toSeq
 
     val maxEndUs = intervals.map(q => tsUs(q.end)).max
+    val minAdmittedUs = intervals.map(q => tsUs(q.admitted)).min
+    val bucketUs = math.max(1_000_000L,
+      (maxEndUs - minAdmittedUs) / TargetBuckets + 1)
     // one sentinel interval far past every real bucket: its event time
     // advances the watermark so the real buckets' event-time timeouts fire
-    val sentinelUs = maxEndUs + 10 * BucketUs
-    val sentinelBucket = Math.floorDiv(sentinelUs, BucketUs)
+    val sentinelUs = maxEndUs + 10 * bucketUs
+    val sentinelBucket = Math.floorDiv(sentinelUs, bucketUs)
 
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[QueryInterval]
     val summaries = StreamingConcurrency.bucketSummaries(
-      StreamingConcurrency.events(input.toDS(), BucketUs), BucketUs,
+      StreamingConcurrency.events(input.toDS(), bucketUs), bucketUs,
       "0 seconds")
     val qname = s"q73_${System.nanoTime()}"
     val query = summaries.writeStream.format("memory").queryName(qname)
@@ -75,7 +90,7 @@ object StreamSweep extends QueryModule {
       input.addData(intervals)
       query.processAllAvailable()
       input.addData(Seq(QueryInterval("sentinel", usTs(sentinelUs),
-        usTs(sentinelUs + BucketUs), 0, 0, 0, 0, 0)))
+        usTs(sentinelUs + bucketUs), 0, 0, 0, 0, 0)))
       query.processAllAvailable()
       val closed = s.table(qname).as[BucketSummary].collect().toSeq
         .filter(_.bucket < sentinelBucket)
