@@ -353,13 +353,56 @@ object Dedup extends QueryModule {
        |  MIN(doc_id) AS min_doc
        |FROM ranked WHERE rn = 1 GROUP BY source""".stripMargin
 
+  // --- q74: STREAMING exact dedup under the driver gate --------------------
+  // The same dedup-key semantics as q25, run through Structured Streaming
+  // from a real FILE SOURCE (no driver-fed harness): readStream over the
+  // documents parquet → stateful dropDuplicates on (source, key) →
+  // complete-mode per-source survivor counts. The oracle cannot run a
+  // stream (rows-only check), so each output row carries a parity bit
+  // against the batch operator — q25's n_unique is oracle-hash-checked,
+  // making the stream's correctness transitive.
+  //
+  // No watermark: this is finite-corpus parity (state must hold every key,
+  // exactly like batch distinct). A production unbounded stream would add
+  // `.withWatermark` on an arrival-time column to bound the state — that
+  // contract is exercised by StreamingOpsSpec's watermarked-dedup test.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    // FileStreamSource force-sets basePath to the path itself (then
+    // requires a directory) unless the path is a GLOB — and this testdata
+    // table is a single file, so stream it through a glob that matches it.
+    val streamed = s.readStream.schema(schema)
+      .parquet(s"$dir/documents*.parquet")
+      .withColumn("k", expr(keySpark))
+      .dropDuplicates("source", "k")
+      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+    val qname = s"q74_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    val fromStream =
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+    val batch = Tables.load(s, dir, "documents")
+      .withColumn("k", expr(keySpark))
+      .groupBy("source").agg(countDistinct(col("k")).as("n_unique_batch"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    fromStream.toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        batch.get(r.getString(0)).contains(r.getLong(1)) &&
+          batch.size == fromStream.length))
+      .toDF("source", "n_unique", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_window_dedup" -> q72 _,
     "q25_exact_dedup" -> q25 _,
     "q26_minhash_lsh" -> q26 _,
     "q27_simhash" -> q27 _,
     "q28_ngram_jaccard" -> q28 _,
-    "q50_dedup_clusters" -> q50 _)
+    "q50_dedup_clusters" -> q50 _,
+    "q74_stream_dedup" -> q74 _)
 
   val oracleSql: Map[String, String] = Map(
     "q72_window_dedup" -> q72Sql,

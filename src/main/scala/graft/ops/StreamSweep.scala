@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.QueryModule
+import graft.{QueryModule, Tables}
 import graft.sizing.{Concurrency, QuerylogAdapter, SizingConfig}
 import graft.streaming.StreamingConcurrency
 import graft.streaming.StreamingConcurrency._
@@ -9,7 +9,16 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** q73: the streaming sweep-line under the driver's correctness gate.
+/** The streaming gate module: Structured Streaming surfaces under the
+  * driver's correctness battery. The oracle cannot execute a stream, so
+  * every entry here is rows-only checked AND carries an in-row
+  * `matches_batch` parity bit against the equivalent batch operator —
+  * whose own result IS oracle-hash-checked, making stream correctness
+  * transitive. q73 = the stateful sweep-line; q75 = watermarked tumbling
+  * windows in append mode (emission-boundary semantics included);
+  * q74 (streaming exact dedup) lives with the dedup ops in [[Dedup]].
+  *
+  * q73: the streaming sweep-line under the driver's correctness gate.
   *
   * Runs [[graft.streaming.StreamingConcurrency]] (the Structured Streaming
   * analog of the reference's interval-overlap analysis, py:307–396) over
@@ -125,8 +134,72 @@ object StreamSweep extends QueryModule {
       schema)
   }
 
+  // --- q75: watermarked tumbling-window aggregation under the gate --------
+  // Streams the events parquet through a real FILE source, watermarks on
+  // event time, aggregates per (1-hour window, event_type) in APPEND mode
+  // — the mode whose contract is the interesting one: a window row is
+  // emitted exactly once, only after the watermark passes its end. The
+  // final (still-open) windows are therefore correctly ABSENT from the
+  // stream output; parity against batch asserts both the emitted values
+  // and that emission boundary:
+  //   streamed == batch rows with window_end <= max event time.
+  // Sum parity uses floor(value*1000) longs — integer partial sums are
+  // order-independent, so stream/batch/any-partitioning agree exactly.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    // events.ts is TIMESTAMP(NANOS): surfaced as a nanos long
+    // (legacy.parquet.nanosAsLong, same stance as Tables.load), re-typed
+    // to a µs TimestampType column for the watermark.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    // events.ts is a nanos long; the µs TimestampType column the watermark
+    // hangs off is derived once and shared by both sides (the watermark
+    // tag lives on the event_ts attribute — it must flow into the window,
+    // not be re-derived after the fact).
+    def withEventTs(df: DataFrame): DataFrame =
+      df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+    def windowed(df: DataFrame): DataFrame = df
+      .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sum_v"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_v"))
+
+    val qname = s"q75_${System.nanoTime()}"
+    // glob, not the bare file: FileStreamSource force-sets basePath to a
+    // non-glob path and then requires it to be a directory
+    val q = windowed(
+      withEventTs(s.readStream.schema(schema)
+          .parquet(s"$dir/events*.parquet"))
+        .withWatermark("event_ts", "0 seconds"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+
+    val events = Tables.load(s, dir, "events")
+    val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)
+    val batch = windowed(withEventTs(events))
+      .filter(expr(s"unix_micros(w_start) + 3600000000L <= $maxTsUs"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    streamed.toSeq
+      .map { r =>
+        val key = (r.getTimestamp(0), r.getString(1))
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+          batch.get(key).contains((r.getLong(2), r.getLong(3))) &&
+            batch.size == streamed.length)
+      }
+      .toDF("w_start", "event_type", "n_events", "sum_v", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q73_stream_sweep" -> q73 _)
+    "q73_stream_sweep" -> q73 _,
+    "q75_stream_window" -> q75 _)
 
   // not SQL-expressible (the oracle cannot run a stream) → rows-only check;
   // the matches_batch column carries the real assertion

@@ -15,4 +15,18 @@ class StreamSweepSpec extends SparkTestBase {
       s"stream/batch divergence: $row")
     assert(row.getLong(row.fieldIndex("max_concurrent_queries")) > 0)
   }
+
+  test("q74 streaming dedup matches batch distinct per source on sf0.001") {
+    val rows = SparkEntry.queries("q74_stream_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), s"divergence: ${rows.mkString(";")}")
+  }
+
+  test("q75 streamed append-mode windows equal finalized batch windows") {
+    val rows = SparkEntry.queries("q75_stream_window")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)), s"divergence: ${rows.take(5).mkString(";")}")
+  }
 }
