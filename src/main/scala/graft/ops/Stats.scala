@@ -149,11 +149,38 @@ object Stats extends QueryModule {
       |  round(MAX(o_totalprice), 2) AS hi
       |FROM t GROUP BY o_orderpriority, tile""".stripMargin
 
+  // --- q76: approximate percentiles (KLL-style sketch) vs exact ----------
+  // The percentile counterpart of q38's HLL entry: percentile_approx is a
+  // mergeable quantile sketch (one pass, bounded memory — the 100 TB path
+  // where q46's exact rank-based percentiles need a per-group sort),
+  // engine-specific, so no oracle — the driver records a rows-only check
+  // and the in-row `within_1pct` bits carry the real assertion against
+  // the exact percentile computed in the same aggregate.
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_exact"))
+      .select(
+        col("l_returnflag"),
+        col("p50_approx"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.01)
+          .as("p50_within_1pct"),
+        col("p90_approx"), col("p90_exact"),
+        (abs(col("p90_approx") - col("p90_exact")) / col("p90_exact") < 0.01)
+          .as("p90_within_1pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_exact_moments" -> q67 _,
     "q68_string_agg" -> q68 _,
-    "q71_ntile" -> q71 _)
+    "q71_ntile" -> q71 _,
+    "q76_approx_percentile" -> q76 _)
 
+  // q76 has no oracle by design: the quantile sketch is engine-specific;
+  // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
     "q67_exact_moments" -> q67Sql,
     "q68_string_agg" -> q68Sql,
