@@ -96,10 +96,12 @@ object StreamSweep extends QueryModule {
     val query = summaries.writeStream.format("memory").queryName(qname)
       .outputMode("append").start()
     val folded = try {
-      input.addData(intervals)
-      query.processAllAvailable()
-      input.addData(Seq(QueryInterval("sentinel", usTs(sentinelUs),
-        usTs(sentinelUs + bucketUs), 0, 0, 0, 0, 0)))
+      // data + sentinel in ONE batch: the watermark advances to the
+      // sentinel's instant after it, and the engine's automatic no-data
+      // micro-batch then fires every real bucket's event-time timeout —
+      // two micro-batches total instead of three.
+      input.addData(intervals :+ QueryInterval("sentinel", usTs(sentinelUs),
+        usTs(sentinelUs + bucketUs), 0, 0, 0, 0, 0))
       query.processAllAvailable()
       val closed = s.table(qname).as[BucketSummary].collect().toSeq
         .filter(_.bucket < sentinelBucket)
@@ -197,9 +199,61 @@ object StreamSweep extends QueryModule {
       .toDF("w_start", "event_type", "n_events", "sum_v", "matches_batch")
   }
 
+  // --- q77: stream-stream interval join under the gate --------------------
+  // The hardest streaming operator: two watermarked streams (views and
+  // clicks, both read from the events file source) joined on user with a
+  // time-range condition — the range bound is what lets the engine evict
+  // join state once the watermark passes it, the contract that makes the
+  // join runnable on an unbounded stream. Inner-join output for a finite
+  // input is complete (state eviction happens only behind the watermark),
+  // so the streamed match SET must equal the batch join exactly —
+  // asserted per-row with the same transitive-parity scheme as q73–q75.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    def side(df: DataFrame, kind: String, alias: String): DataFrame = df
+      .filter(col("event_type") === kind)
+      .select(
+        col("event_id").as(s"${alias}_id"),
+        col("user_id").as(s"${alias}_user"),
+        expr("timestamp_micros(ts div 1000)").as(s"${alias}_ts"))
+    def joined(views: DataFrame, clicks: DataFrame): DataFrame = views
+      .join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
+
+    def stream() = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    val qname = s"q77_${System.nanoTime()}"
+    val q = joined(
+      side(stream(), "view", "v").withWatermark("v_ts", "0 seconds"),
+      side(stream(), "click", "c").withWatermark("c_ts", "0 seconds"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+
+    val events = Tables.load(s, dir, "events")
+    val batch = joined(side(events, "view", "v"), side(events, "click", "c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    streamed.toSeq
+      .map { r =>
+        val t = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (t._1, t._2, t._3,
+          batch.contains(t) && batch.size == streamed.length)
+      }
+      .toDF("v_id", "c_id", "user_id", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_stream_sweep" -> q73 _,
-    "q75_stream_window" -> q75 _)
+    "q75_stream_window" -> q75 _,
+    "q77_stream_join" -> q77 _)
 
   // not SQL-expressible (the oracle cannot run a stream) → rows-only check;
   // the matches_batch column carries the real assertion

@@ -23,6 +23,13 @@ class StreamSweepSpec extends SparkTestBase {
     assert(rows.forall(_.getBoolean(2)), s"divergence: ${rows.mkString(";")}")
   }
 
+  test("q77 stream-stream interval join equals the batch join set") {
+    val rows = SparkEntry.queries("q77_stream_join")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), s"divergence: ${rows.mkString(";")}")
+  }
+
   test("q75 streamed append-mode windows equal finalized batch windows") {
     val rows = SparkEntry.queries("q75_stream_window")(
       spark, "/root/testdata/sf0.001").collect()
