@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: scale-sweep probe — times the heavy operators at sf0.001,
+  * sf0.01, sf0.1 (100× row-count span) so superlinear behavior (shuffle
+  * blowup, state growth, skew) is visible in-repo as time-vs-rows. A
+  * scale-safe plan should track the row count roughly linearly once above
+  * fixed per-job overhead; a superlinear column is the early warning that
+  * a plan would NOT survive the jump to cluster scale. Output is recorded
+  * in PERF.md per round.
+  */
+object DevScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q20_sweepline", "q26_minhash_lsh", "q50_dedup_clusters")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def exec(n: String, dir: String): Unit =
+      SparkEntry.queries(n)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+
+    // row counts of each probe's driving table, for the time-vs-rows read
+    val table = Map("q20_sweepline" -> "orders", "q26_minhash_lsh" -> "documents",
+      "q50_dedup_clusters" -> "documents").withDefaultValue("lineitem")
+
+    names.foreach { n =>
+      exec(n, "/root/testdata/sf0.001") // warm JIT/codegen once
+      spark.catalog.clearCache()
+      val cells = sfs.map { sf =>
+        val dir = s"/root/testdata/$sf"
+        val rows = spark.read.parquet(s"$dir/${table(n)}.parquet").count()
+        // min-of-3: the estimator robust to external contention
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          exec(n, dir)
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        f"$sf=$t%.2fs/$rows%,d rows"
+      }
+      println(s"SCALE $n  ${cells.mkString("  ")}")
+    }
+    spark.stop()
+  }
+}

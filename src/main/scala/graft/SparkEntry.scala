@@ -35,3 +35,33 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
 }
+
+/** Fail-loud gate for the no-oracle battery entries (q38, q73–q78).
+  *
+  * Those entries are rows-only checked by the driver (the DuckDB oracle
+  * cannot execute a stream or an engine-specific sketch); their real
+  * assertion is an in-row boolean (`matches_batch`, `within_5pct`,
+  * `within_1pct`). Without this gate a stream/batch divergence at the
+  * driver's scale (sf0.01/sf0.1) would still produce a green-looking
+  * rows-only row. The gate injects an `assert_true` over the bit columns
+  * into the query's own plan: any false (or NULL) bit raises at execution
+  * time, so the divergence lands in CORRECTNESS's `err` field instead.
+  *
+  * In-plan rather than a driver-side collect: the assertion runs
+  * distributed, where the rows are — the same contract at 100 TB as at
+  * sf0.001 — and adds no extra action or data movement (`coalesce(
+  * assert_true(...), true)` is a per-row filter the optimizer cannot
+  * fold away because the bit is not statically known).
+  */
+object ParityGate {
+  import org.apache.spark.sql.functions._
+
+  def apply(df: DataFrame, qname: String, bits: String*): DataFrame = {
+    val allBits = bits.map(b => col(b).isNotNull && col(b)).reduce(_ && _)
+    df.where(coalesce(
+      assert_true(allBits, concat_ws(" ",
+        lit(s"$qname: parity/accuracy bit false (${bits.mkString(",")}) in row"),
+        to_json(struct(df.columns.map(col): _*)))),
+      lit(true)))
+  }
+}

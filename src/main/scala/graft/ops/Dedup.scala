@@ -372,9 +372,14 @@ object Dedup extends QueryModule {
     // FileStreamSource force-sets basePath to the path itself (then
     // requires a directory) unless the path is a GLOB — and this testdata
     // table is a single file, so stream it through a glob that matches it.
+    // NULL keys (a NULL text md5's to NULL) are excluded BEFORE the
+    // stateful dedup: dropDuplicates+count would tally a NULL key as one
+    // survivor while the batch side's countDistinct ignores NULLs — the
+    // filter gives both sides the same NULL semantics.
     val streamed = s.readStream.schema(schema)
       .parquet(s"$dir/documents*.parquet")
       .withColumn("k", expr(keySpark))
+      .filter(col("k").isNotNull)
       .dropDuplicates("source", "k")
       .groupBy("source").agg(count(lit(1)).as("n_unique"))
     val qname = s"q74_${System.nanoTime()}"
@@ -388,11 +393,13 @@ object Dedup extends QueryModule {
       .groupBy("source").agg(countDistinct(col("k")).as("n_unique_batch"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     import s.implicits._
-    fromStream.toSeq
-      .map(r => (r.getString(0), r.getLong(1),
-        batch.get(r.getString(0)).contains(r.getLong(1)) &&
-          batch.size == fromStream.length))
-      .toDF("source", "n_unique", "matches_batch")
+    graft.ParityGate(
+      fromStream.toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          batch.get(r.getString(0)).contains(r.getLong(1)) &&
+            batch.size == fromStream.length))
+        .toDF("source", "n_unique", "matches_batch"),
+      "q74_stream_dedup", "matches_batch")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -194,11 +194,16 @@ object MediaPipeline {
       batch.flatMap { r =>
         // in-memory decode only: ImageIO's default disk cache would write
         // executor tmp files per payload
+        // NonFatal, not just IOException: ImageIO plugin readers throw
+        // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+        // NegativeArraySize) on malformed-but-recognized payloads, and the
+        // drop-undecodable-rows contract must hold for those too — one
+        // corrupt payload must never fail the task.
         val img =
           try Option(javax.imageio.ImageIO.read(
             new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(r.payload))))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         img.map { im =>
           val (w, h) = (im.getWidth, im.getHeight)
           var (sr, sg, sb, sl, sll) = (0L, 0L, 0L, 0L, 0L)

@@ -157,21 +157,23 @@ object Stats extends QueryModule {
   // and the in-row `within_1pct` bits carry the real assertion against
   // the exact percentile computed in the same aggregate.
   private def q76(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
-        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_exact"))
-      .select(
-        col("l_returnflag"),
-        col("p50_approx"), col("p50_exact"),
-        (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.01)
-          .as("p50_within_1pct"),
-        col("p90_approx"), col("p90_exact"),
-        (abs(col("p90_approx") - col("p90_exact")) / col("p90_exact") < 0.01)
-          .as("p90_within_1pct"))
+    graft.ParityGate(
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_exact"))
+        .select(
+          col("l_returnflag"),
+          col("p50_approx"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.01)
+            .as("p50_within_1pct"),
+          col("p90_approx"), col("p90_exact"),
+          (abs(col("p90_approx") - col("p90_exact")) / col("p90_exact") < 0.01)
+            .as("p90_within_1pct")),
+      "q76_approx_percentile", "p50_within_1pct", "p90_within_1pct")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_exact_moments" -> q67 _,

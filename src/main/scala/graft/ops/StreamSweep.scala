@@ -1,21 +1,22 @@
 package graft.ops
 
-import graft.{QueryModule, Tables}
+import graft.{ParityGate, QueryModule, Tables}
 import graft.sizing.{Concurrency, QuerylogAdapter, SizingConfig}
 import graft.streaming.StreamingConcurrency
 import graft.streaming.StreamingConcurrency._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** The streaming gate module: Structured Streaming surfaces under the
   * driver's correctness battery. The oracle cannot execute a stream, so
   * every entry here is rows-only checked AND carries an in-row
   * `matches_batch` parity bit against the equivalent batch operator —
   * whose own result IS oracle-hash-checked, making stream correctness
-  * transitive. q73 = the stateful sweep-line; q75 = watermarked tumbling
-  * windows in append mode (emission-boundary semantics included);
+  * transitive — and every entry passes through [[graft.ParityGate]], so a
+  * false bit RAISES at execution time and lands in the driver's `err`
+  * field instead of a green rows-only row. q73 = the stateful sweep-line;
+  * q75 = watermarked tumbling windows in append mode (emission-boundary
+  * semantics included); q78 = gap sessions via `session_window`;
   * q74 (streaming exact dedup) lives with the dedup ops in [[Dedup]].
   *
   * q73: the streaming sweep-line under the driver's correctness gate.
@@ -23,26 +24,30 @@ import org.apache.spark.sql.types._
   * Runs [[graft.streaming.StreamingConcurrency]] (the Structured Streaming
   * analog of the reference's interval-overlap analysis, py:307–396) over
   * the SAME derived querylog as the batch q20_sweepline, folds the closed
-  * buckets into global maxima, and emits one row with q20's schema plus a
+  * buckets into global maxima, and emits one row with q20's schema
+  * ([[Concurrency.maximaCols]] — shared, so the two cannot drift) plus a
   * `matches_batch` parity bit computed against the batch operator's own
-  * result on identical input. The oracle cannot execute a stream, so the
-  * driver records a rows-only check — the parity bit is what makes that
-  * check meaningful: a `true` asserts stream == batch == (transitively,
-  * via q20's hash-check) the DuckDB oracle.
+  * result on identical input.
   *
-  * Driver-side collects here are the STREAM HARNESS, not the operator:
-  * MemoryStream is fed from the driver by construction (production would
-  * be a Kafka source), and the folded bucket summaries are one row per
-  * non-empty time bucket — bounded by the analysis window, not the data.
-  * The per-bucket scans — the actual O(events) work — run distributed
-  * inside flatMapGroupsWithState.
+  * The stream is fed from a real FILE SOURCE: the kept intervals are
+  * written once to parquet (a distributed write) and `readStream` picks
+  * them up — no driver-side collect anywhere in the data path, the same
+  * shape as q74/q75/q77/q78. A sentinel interval rides in the same file;
+  * its event time advances the watermark past every real bucket so the
+  * event-time timeouts fire (data + sentinel arrive in one micro-batch,
+  * and the engine's automatic no-data batch then flushes the timeouts —
+  * two micro-batches total). The only driver-side values are the
+  * min/max bounds (one 2-column aggregate — the same bounds fold as
+  * [[graft.plans.PrefixSum]]'s knownRange) and the folded per-bucket
+  * summaries (one tiny row per non-empty time bucket — bounded by the
+  * analysis window, not the data).
   *
   * Cost shape at sf0.1 (measured, DevStreamProbe): ≈1.5 s interval
-  * collect/encode, ≈5 s data micro-batch, ≈2.5 s sentinel micro-batch +
-  * timeout flush, ≈4 s the batch q20 parity run — q73's bench time is the
-  * price of executing BOTH engines plus fixed micro-batch machinery, not
-  * a plan defect; the streamed operator itself is one 2|kept|-row shuffle
-  * and per-bucket local scans.
+  * write+bounds, ≈5 s data micro-batch, ≈2.5 s sentinel/timeout flush,
+  * ≈4 s the batch q20 parity run — q73's bench time is the price of
+  * executing BOTH engines plus fixed micro-batch machinery, not a plan
+  * defect; the streamed operator itself is one 2|kept|-row shuffle and
+  * per-bucket local scans.
   */
 object StreamSweep extends QueryModule {
 
@@ -55,31 +60,24 @@ object StreamSweep extends QueryModule {
   // both; correctness is bucket-width independent (spec-pinned).
   private val TargetBuckets = 256L
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val kept = QuerylogAdapter.derived(s, dir, cfg)
       .filter(col("min_executor_pod") <= keptLimit)
-      .persist() // read 3×: interval collect, batch sweep (×2 inside)
+      .persist() // read 3×: bounds agg + interval write, batch sweep (×2 inside)
 
-    // Feed the memory stream. queryId is zero-padded so the streaming
-    // String tiebreak orders identically to the batch operator's numeric
-    // query_id sort (Q5 tie rule) — required for exact parity.
-    val intervals = kept.select(
-      format_string("%020d", col("query_id")).as("qid"),
-      col("admitted_us"), col("end_us"),
-      col("min_executor_pod").cast("long"),
-      col("cache_b_per_backend").cast("long"),
-      col("mem_b_per_backend").cast("long"),
-      col("cpu_mv_per_backend").cast("long"),
-      col("spill_b_per_backend").cast("long"))
-      .collect()
-      .map(r => QueryInterval(r.getString(0), usTs(r.getLong(1)),
-        usTs(r.getLong(2)), r.getLong(3), r.getLong(4), r.getLong(5),
-        r.getLong(6), r.getLong(7)))
-      .toSeq
-
-    val maxEndUs = intervals.map(q => tsUs(q.end)).max
-    val minAdmittedUs = intervals.map(q => tsUs(q.admitted)).min
+    // Bounds fold: 1 row, 2 columns — sizes the buckets and the sentinel.
+    val mm = kept.agg(min(col("admitted_us")), max(col("end_us"))).head()
+    if (mm.isNullAt(0)) sys.error("q73: empty querylog after pruning")
+    val (minAdmittedUs, maxEndUs) = (mm.getLong(0), mm.getLong(1))
     val bucketUs = math.max(1_000_000L,
       (maxEndUs - minAdmittedUs) / TargetBuckets + 1)
     // one sentinel interval far past every real bucket: its event time
@@ -87,29 +85,46 @@ object StreamSweep extends QueryModule {
     val sentinelUs = maxEndUs + 10 * bucketUs
     val sentinelBucket = Math.floorDiv(sentinelUs, bucketUs)
 
-    implicit val sqlCtx = s.sqlContext
-    val input = MemoryStream[QueryInterval]
-    val summaries = StreamingConcurrency.bucketSummaries(
-      StreamingConcurrency.events(input.toDS(), bucketUs), bucketUs,
-      "0 seconds")
-    val qname = s"q73_${System.nanoTime()}"
-    val query = summaries.writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
+    // The stream's file source: kept intervals + sentinel, written once.
+    // queryId is zero-padded so the streaming String tiebreak orders
+    // identically to the batch operator's numeric query_id sort (Q5 tie
+    // rule) — required for exact parity. timestamp_micros round-trips the
+    // full µs through parquet (Spark writes TIMESTAMP_MICROS).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q73-")
+    val src = s"$tmp/intervals"
+    val intervals = kept.select(
+      format_string("%020d", col("query_id")).as("queryId"),
+      expr("timestamp_micros(admitted_us)").as("admitted"),
+      expr("timestamp_micros(end_us)").as("end"),
+      col("min_executor_pod").cast("long").as("pods"),
+      col("cache_b_per_backend").cast("long").as("cachePerBackend"),
+      col("mem_b_per_backend").cast("long").as("memPerBackend"),
+      col("cpu_mv_per_backend").cast("long").as("cpuMilliVcores"),
+      col("spill_b_per_backend").cast("long").as("spillPerBackend"))
+    val sentinel = Seq(QueryInterval("sentinel", usTs(sentinelUs),
+      usTs(sentinelUs + bucketUs), 0, 0, 0, 0, 0)).toDS()
+      .select(intervals.columns.map(col): _*)
+    intervals.union(sentinel).write.parquet(src)
+
     val folded = try {
-      // data + sentinel in ONE batch: the watermark advances to the
-      // sentinel's instant after it, and the engine's automatic no-data
-      // micro-batch then fires every real bucket's event-time timeout —
-      // two micro-batches total instead of three.
-      input.addData(intervals :+ QueryInterval("sentinel", usTs(sentinelUs),
-        usTs(sentinelUs + bucketUs), 0, 0, 0, 0, 0))
-      query.processAllAvailable()
-      val closed = s.table(qname).as[BucketSummary].collect().toSeq
-        .filter(_.bucket < sentinelBucket)
-      GlobalAccumulator.fold(closed)
-    } finally {
-      query.stop()
-      s.catalog.dropTempView(qname)
-    }
+      val input = s.readStream
+        .schema(Encoders.product[QueryInterval].schema)
+        .parquet(src).as[QueryInterval]
+      val summaries = StreamingConcurrency.bucketSummaries(
+        StreamingConcurrency.events(input, bucketUs), bucketUs, "0 seconds")
+      val qname = s"q73_${System.nanoTime()}"
+      val query = summaries.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        val closed = s.table(qname).as[BucketSummary].collect().toSeq
+          .filter(_.bucket < sentinelBucket)
+        GlobalAccumulator.fold(closed)
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(qname)
+      }
+    } finally deleteRecursively(tmp)
     val m = folded.getOrElse(sys.error("q73: no closed buckets — empty querylog?"))
 
     // Parity against the batch operator on the same kept querylog.
@@ -120,20 +135,11 @@ object StreamSweep extends QueryModule {
       b.getLong(3) == m.maxMem && b.getLong(4) == m.maxCpu &&
       b.getLong(5) == m.maxSpill && b.getLong(6) == m.maxPodsAtUs
 
-    val schema = StructType(Seq(
-      StructField("max_concurrent_queries", LongType, nullable = false),
-      StructField("max_concurrent_pods", LongType, nullable = false),
-      StructField("max_concurrent_cache_b", LongType, nullable = false),
-      StructField("max_concurrent_mem_b", LongType, nullable = false),
-      StructField("max_concurrent_cpu_mv", LongType, nullable = false),
-      StructField("max_concurrent_spill_b", LongType, nullable = false),
-      StructField("max_pods_at_us", LongType, nullable = false),
-      StructField("matches_batch", BooleanType, nullable = false)))
-    s.createDataFrame(
-      java.util.Arrays.asList(Row(m.maxConcurrentQueries, m.maxPods,
-        m.maxCache, m.maxMem, m.maxCpu, m.maxSpill, m.maxPodsAtUs,
-        matches)),
-      schema)
+    ParityGate(
+      Seq((m.maxConcurrentQueries, m.maxPods, m.maxCache, m.maxMem,
+        m.maxCpu, m.maxSpill, m.maxPodsAtUs, matches))
+        .toDF(Concurrency.maximaCols :+ "matches_batch": _*),
+      "q73_stream_sweep", "matches_batch")
   }
 
   // --- q75: watermarked tumbling-window aggregation under the gate --------
@@ -143,8 +149,15 @@ object StreamSweep extends QueryModule {
   // emitted exactly once, only after the watermark passes its end. The
   // final (still-open) windows are therefore correctly ABSENT from the
   // stream output; parity against batch asserts both the emitted values
-  // and that emission boundary:
-  //   streamed == batch rows with window_end <= max event time.
+  // and that emission boundary. The batch-side finalization predicate
+  // mirrors the engine's eviction predicate EXACTLY (WatermarkSupport:
+  // `window.end <= watermark`, where the watermark is the ms-TRUNCATED
+  // max event time):  window_end_us <= floor(maxTsUs/1000)*1000.
+  // For hour-aligned (hence ms-aligned) window ends the truncation cannot
+  // change the outcome, but writing the engine's own predicate keeps the
+  // parity contract byte-for-byte honest at the boundary — the case where
+  // the max event time lands exactly on an hour boundary is pinned by a
+  // boundary-aligned spec test (StreamSweepSpec).
   // Sum parity uses floor(value*1000) longs — integer partial sums are
   // order-independent, so stream/batch/any-partitioning agree exactly.
   private def q75(s: SparkSession, dir: String): DataFrame = {
@@ -184,19 +197,22 @@ object StreamSweep extends QueryModule {
 
     val events = Tables.load(s, dir, "events")
     val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)
+    val watermarkUs = Math.floorDiv(maxTsUs, 1000L) * 1000L // ms-truncated
     val batch = windowed(withEventTs(events))
-      .filter(expr(s"unix_micros(w_start) + 3600000000L <= $maxTsUs"))
+      .filter(expr(s"unix_micros(w_start) + 3600000000L <= $watermarkUs"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
-    streamed.toSeq
-      .map { r =>
-        val key = (r.getTimestamp(0), r.getString(1))
-        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
-          batch.get(key).contains((r.getLong(2), r.getLong(3))) &&
-            batch.size == streamed.length)
-      }
-      .toDF("w_start", "event_type", "n_events", "sum_v", "matches_batch")
+    ParityGate(
+      streamed.toSeq
+        .map { r =>
+          val key = (r.getTimestamp(0), r.getString(1))
+          (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+            batch.get(key).contains((r.getLong(2), r.getLong(3))) &&
+              batch.size == streamed.length)
+        }
+        .toDF("w_start", "event_type", "n_events", "sum_v", "matches_batch"),
+      "q75_stream_window", "matches_batch")
   }
 
   // --- q77: stream-stream interval join under the gate --------------------
@@ -241,21 +257,89 @@ object StreamSweep extends QueryModule {
     val batch = joined(side(events, "view", "v"), side(events, "click", "c"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    streamed.toSeq
-      .map { r =>
-        val t = (r.getLong(0), r.getLong(1), r.getLong(2))
-        (t._1, t._2, t._3,
-          batch.contains(t) && batch.size == streamed.length)
-      }
-      .toDF("v_id", "c_id", "user_id", "matches_batch")
+    ParityGate(
+      streamed.toSeq
+        .map { r =>
+          val t = (r.getLong(0), r.getLong(1), r.getLong(2))
+          (t._1, t._2, t._3,
+            batch.contains(t) && batch.size == streamed.length)
+        }
+        .toDF("v_id", "c_id", "user_id", "matches_batch"),
+      "q77_stream_join", "matches_batch")
+  }
+
+  // --- q78: session_window (gap sessions) under the gate ------------------
+  // Streams the events parquet through the file source and groups by
+  // `session_window(event_ts, 15 minutes)` per user — the engine's native
+  // gap-session operator (dynamic, merging windows: a session is
+  // [first_event, last_event + gap), extended whenever the next event
+  // lands strictly inside the gap). Append mode emits a session exactly
+  // once, when the watermark passes its END — and a session's end (last
+  // event + gap) is NOT ms-aligned like q75's hour windows, so the
+  // ms-truncated-watermark eviction predicate is load-bearing here, not
+  // just documentation:  session_end_us <= floor(maxTsUs/1000)*1000.
+  // The batch analog runs the SAME session_window expression (Spark
+  // supports it in batch), filtered by that exact predicate; parity is
+  // per-session on (start, user) → (end, n_events, sum_v) plus a set-size
+  // check. The batch sessionize operator itself (q36, window-gap islands)
+  // is oracle-hash-checked — same transitive scheme as q73–q77.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def withEventTs(df: DataFrame): DataFrame =
+      df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+    def sessions(df: DataFrame): DataFrame = df
+      .groupBy(session_window(col("event_ts"), "15 minutes").as("w"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sum_v"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_v"))
+
+    val qname = s"q78_${System.nanoTime()}"
+    val q = sessions(
+      withEventTs(s.readStream.schema(schema)
+          .parquet(s"$dir/events*.parquet"))
+        .withWatermark("event_ts", "0 seconds"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+
+    val events = Tables.load(s, dir, "events")
+    val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)
+    val watermarkUs = Math.floorDiv(maxTsUs, 1000L) * 1000L // ms-truncated
+    val batch = sessions(withEventTs(events))
+      .filter(expr(s"unix_micros(s_end) <= $watermarkUs"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2)) ->
+        (r.getTimestamp(1), r.getLong(3), r.getLong(4))).toMap
+    ParityGate(
+      streamed.toSeq
+        .map { r =>
+          val key = (r.getTimestamp(0), r.getLong(2))
+          (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+            r.getLong(4),
+            batch.get(key).contains(
+              (r.getTimestamp(1), r.getLong(3), r.getLong(4))) &&
+              batch.size == streamed.length)
+        }
+        .toDF("s_start", "s_end", "user_id", "n_events", "sum_v",
+          "matches_batch"),
+      "q78_session_window", "matches_batch")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_stream_sweep" -> q73 _,
     "q75_stream_window" -> q75 _,
-    "q77_stream_join" -> q77 _)
+    "q77_stream_join" -> q77 _,
+    "q78_session_window" -> q78 _)
 
   // not SQL-expressible (the oracle cannot run a stream) → rows-only check;
-  // the matches_batch column carries the real assertion
+  // the matches_batch column carries the real assertion, and ParityGate
+  // makes a false bit raise into the driver's `err` field
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -90,20 +90,27 @@ object Concurrency {
       knownRange = Some(range))
   }
 
-  /** Conditional maxima (py:381–396): max running footprint observed at
-    * start events. Returns a single row.
+  /** The maxima row's column order — the single source of truth shared by
+    * the batch [[maxima]] aggregate and the streamed fold (q73), so the
+    * two output schemas cannot drift.
     */
-  def maxima(sweepEvents: DataFrame): DataFrame =
+  val maximaCols: Seq[String] = Seq(
+    "max_concurrent_queries", "max_concurrent_pods",
+    "max_concurrent_cache_b", "max_concurrent_mem_b",
+    "max_concurrent_cpu_mv", "max_concurrent_spill_b", "max_pods_at_us")
+
+  /** Conditional maxima (py:381–396): max running footprint observed at
+    * start events. Returns a single row with [[maximaCols]].
+    */
+  def maxima(sweepEvents: DataFrame): DataFrame = {
+    val aggs = Seq(
+      max(col("run_count")), max(col("run_pods")), max(col("run_cache_b")),
+      max(col("run_mem_b")), max(col("run_cpu_mv")), max(col("run_spill_b")),
+      // py:384 uses >= for pods: at ties the LATEST start wins
+      max_by(col("ts_us"), struct(col("run_pods"), col("ts_us"))))
+      .zip(maximaCols).map { case (a, n) => a.as(n) }
     sweepEvents
       .filter(col("d_count") > 0)
-      .agg(
-        max(col("run_count")).as("max_concurrent_queries"),
-        max(col("run_pods")).as("max_concurrent_pods"),
-        max(col("run_cache_b")).as("max_concurrent_cache_b"),
-        max(col("run_mem_b")).as("max_concurrent_mem_b"),
-        max(col("run_cpu_mv")).as("max_concurrent_cpu_mv"),
-        max(col("run_spill_b")).as("max_concurrent_spill_b"),
-        // py:384 uses >= for pods: at ties the LATEST start wins
-        max_by(col("ts_us"), struct(col("run_pods"), col("ts_us")))
-          .as("max_pods_at_us"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

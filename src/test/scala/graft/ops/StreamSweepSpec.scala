@@ -1,10 +1,12 @@
 package graft.ops
 
-import graft.{SparkEntry, SparkTestBase}
+import graft.{ParityGate, SparkEntry, SparkTestBase}
+import org.apache.spark.sql.functions._
 
 /** q73: the streamed sweep-line maxima must equal the batch q20 operator
   * on the same derived querylog (sf0.001) — the parity bit IS the check
-  * the driver's rows-only gate relies on.
+  * the driver's rows-only gate relies on, and [[graft.ParityGate]] makes
+  * a false bit raise instead of rendering a green row.
   */
 class StreamSweepSpec extends SparkTestBase {
 
@@ -35,5 +37,75 @@ class StreamSweepSpec extends SparkTestBase {
       spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getBoolean(4)), s"divergence: ${rows.take(5).mkString(";")}")
+  }
+
+  test("q78 streamed session_window sessions equal finalized batch sessions") {
+    val rows = SparkEntry.queries("q78_session_window")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(5)), s"divergence: ${rows.take(5).mkString(";")}")
+  }
+
+  // The emission-boundary edge the q75/q78 batch predicate mirrors: when
+  // the maximum event time lands EXACTLY on an hour boundary, the engine's
+  // eviction predicate (window.end <= ms-truncated watermark) emits the
+  // window ending at that instant — the batch side must agree, neither
+  // gaining nor losing a window. Crafted events: max ts exactly at
+  // 2024-01-01T02:00:00Z, plus one sub-ms-offset event inside each hour.
+  test("q75/q78 parity holds when max event time is exactly on an hour boundary") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boundary-")
+    try {
+      val hourUs = 3600L * 1000000L
+      val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+      // (event_id, user_id, event_type, value, ts-nanos, props)
+      val rows = Seq(
+        (1L, 1L, "view", 1.0, (baseUs + 1) * 1000L, "{}"),
+        (2L, 1L, "click", 2.0, (baseUs + hourUs / 2) * 1000L + 500L, "{}"),
+        (3L, 2L, "view", 3.0, (baseUs + hourUs + 7) * 1000L, "{}"),
+        (4L, 2L, "click", 4.0, (baseUs + 2 * hourUs) * 1000L, "{}")) // ON the boundary
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+        .coalesce(1).write.parquet(s"$tmp/events.parquet")
+      // ParityGate raises on any divergence; reaching .collect() green IS
+      // the assertion. q75: the window [01:00,02:00) must be emitted (its
+      // end == the watermark), [02:00,03:00) must not.
+      val w = SparkEntry.queries("q75_stream_window")(spark, tmp.toString).collect()
+      // distinct window starts: (window × event_type) grouping means the
+      // 00:00 window appears once per event type present in it
+      assert(w.map(_.getTimestamp(0).toInstant.toString).distinct.sorted.toSeq ==
+        Seq("2024-01-01T00:00:00Z", "2024-01-01T01:00:00Z"),
+        s"unexpected emitted windows: ${w.mkString(";")}")
+      // q78 (15-min gap): user 1's two events are 30 min apart → two closed
+      // sessions; user 2's 01:00 event closes, but the session opened by
+      // the 02:00 boundary event ends at 02:15 > watermark → still open.
+      // Three finalized sessions, and parity must hold for all of them.
+      val sess = SparkEntry.queries("q78_session_window")(spark, tmp.toString).collect()
+      assert(sess.map(_.getLong(2)).sorted.toSeq == Seq(1L, 1L, 2L),
+        s"unexpected finalized sessions: ${sess.mkString(";")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  // The fail-loud contract itself: a false (or NULL) bit must RAISE at
+  // execution time — this is what turns a silent stream/batch divergence
+  // into an `err` in the driver's CORRECTNESS artifact.
+  test("ParityGate raises on a false or NULL bit and passes true bits through") {
+    import spark.implicits._
+    val good = Seq((1L, true), (2L, true)).toDF("v", "ok")
+    assert(ParityGate(good, "qXX", "ok").collect().length == 2)
+    val bad = Seq((1L, true), (2L, false)).toDF("v", "ok")
+    val e = intercept[Exception] {
+      ParityGate(bad, "qXX", "ok").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("qXX"),
+      s"gate error should name the query: ${e.getMessage}")
+    val nullBit = Seq((1L, Some(true)), (2L, None))
+      .toDF("v", "ok")
+    intercept[Exception] {
+      ParityGate(nullBit, "qXX", "ok").collect()
+    }
   }
 }
