@@ -142,7 +142,26 @@ object GraftFunctions {
       info("graft_window_min",
         "graft_window_min(xs, w) - sliding-window minima (winnowing)"),
       (cs: Seq[Expression]) => WindowMin(cs.head,
-        lit("graft_window_min", "w", cs(1)).intValue())))
+        lit("graft_window_min", "w", cs(1)).intValue())),
+    ("graft_bloom_contains",
+      info("graft_bloom_contains",
+        "graft_bloom_contains(filter_bytes, v) - bloom-filter membership " +
+          "test (runtime-filter pushdown building block)"),
+      (cs: Seq[Expression]) => BloomContains(cs(0), cs(1))))
+
+  /** A bloom-membership probe Column over `valueSql` for a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]]. Routed through the SQL
+    * surface with the bytes as a foldable `unbase64` literal (constant-
+    * folded to a binary literal before execution) — the public-API way to
+    * put a driver-built filter into an executor-side predicate. Requires
+    * [[ensureRegistered]] on the session first.
+    */
+  def bloomProbe(bytes: Array[Byte], valueSql: String)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "graft_bloom_contains(unbase64('" +
+        java.util.Base64.getEncoder.encodeToString(bytes) +
+        s"'), $valueSql)")
 
   /** Idempotent programmatic registration on an existing session:
     * functions into the registry, and the native-rewrite rules into

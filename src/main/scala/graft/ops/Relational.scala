@@ -992,7 +992,59 @@ object Relational extends graft.QueryModule {
       |  MIN(d) AS first_day, MAX(d) AS last_day
       |FROM j GROUP BY side""".stripMargin
 
+  // --- q79: bloom-filter runtime-filter semi join -------------------------
+  // The runtime-filter pushdown pattern, first-class: semi-join lineitem
+  // to the urgent orders, but pre-filter the FACT side with a bloom
+  // filter built over the pruned dim keys before any shuffle happens.
+  // At 100 TB the exact semi join must shuffle (or broadcast) both sides;
+  // the bloom probe runs inside the fact table's scan stage and discards
+  // the ~5/6 of lineitem that cannot match for the price of a few hash
+  // probes per row — only the surviving fraction (+ fpp false positives)
+  // reaches the shuffle. The exact semi join behind the probe removes
+  // the false positives, so the composition is EXACT and the entry stays
+  // oracle-hash-checked (unlike the sketch entries q38/q76, approximation
+  // here affects only the plan's cost, never its result).
+  //
+  // Filter sizing: expectedNumItems from a count() on the pruned dim scan
+  // (cheap — one column, predicate pushed down); 1% fpp ⇒ ~9.6 bits/key,
+  // so even 10^9 dim keys is a ~1.2 GB filter — at that point lower the
+  // ndv or fpp budget; for broadcast-sized dims (the usual runtime-filter
+  // case) it is KBs. The serialized filter travels in the plan as a
+  // foldable binary literal ([[graft.functions.BloomContains]]).
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val bf = urgent.stat.bloomFilter("o_orderkey",
+      math.max(1024L, urgent.count()), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = graft.functions.GraftFunctions.bloomProbe(bytes, "l_orderkey")
+    Tables.load(s, dir, "lineitem")
+      .filter(probe) // runs in the scan stage, before the join shuffle
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+  }
+
+  private val q79Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_bloom_semi_join" -> q79 _,
     "q69_outer_join" -> q69 _,
     "q60_theta_join" -> q60 _,
     "q63_setops_all" -> q63 _,
@@ -1035,6 +1087,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q79_bloom_semi_join" -> q79Sql,
     "q69_outer_join" -> q69Sql,
     "q60_theta_join" -> q60Sql,
     "q63_setops_all" -> q63Sql,

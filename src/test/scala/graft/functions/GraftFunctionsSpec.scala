@@ -288,4 +288,40 @@ class GraftFunctionsSpec extends SparkTestBase {
     // same SparkContext, new session — function must resolve there
     assert(s2.sql("SELECT graft_tsize(25)").head.getString(0) == "LARGE")
   }
+
+  test("graft_bloom_contains: no false negatives, null contract, exact composition") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val keys = (1L to 1000L).map(_ * 7L)
+    val bf = keys.toDF("k").stat.bloomFilter("k", keys.length.toLong, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = GraftFunctions.bloomProbe(bytes, "v")
+    // every inserted key must test true (bloom filters have no false
+    // negatives — the property the runtime-filter pattern relies on)
+    val inserted = keys.toDF("v").select(probe.as("hit")).collect()
+    assert(inserted.forall(_.getBoolean(0)))
+    // a NULL probe value is NULL, not false
+    val nullRow = Seq[Option[Long]](None).toDF("v").select(probe).head()
+    assert(nullRow.isNullAt(0))
+    // exact composition: bloom pre-filter + exact semi join == plain semi
+    // join (false positives removed, nothing lost)
+    val facts = (1L to 10000L).toDF("v")
+    val dims = keys.toDF("k")
+    val viaBloom = facts.filter(probe)
+      .join(dims, col("v") === col("k"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val plain = facts.join(dims, col("v") === col("k"), "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == plain)
+    // non-literal filter argument is rejected at analysis time
+    val e = intercept[Exception] {
+      Seq((bytes, 1L)).toDF("f", "v")
+        .select(expr("graft_bloom_contains(f, v)"))
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 }
