@@ -354,7 +354,60 @@ object TextAnalysis extends QueryModule {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
       |FROM train GROUP BY source""".stripMargin
 
+  // --- q80: token packing (concat-and-chunk context-window assignment) ---
+  // The batch-construction step of a pretraining pipeline: documents are
+  // concatenated per source in a deterministic order (doc_id) and chunked
+  // into fixed token budgets; a document belongs to the context window
+  // where its first token lands — bin = exclusive-prefix-token-count div
+  // budget, the standard concat-and-chunk assignment. Per (source, bin):
+  // document count, token mass, and the doc-id span — the manifest a
+  // downstream batch loader would read.
+  //
+  // Scale shape: one scan computes token counts (map-side higher-order
+  // exprs, no UDF), one window per source computes the exclusive running
+  // sum, one small shuffle aggregates per (source, bin). At 100 TB the
+  // per-source window is the scale limit IF one source dominates — then
+  // the running sum goes through the value-bucketed two-pass scan
+  // ([[graft.plans.PrefixSum]], same trick as q20) instead of a single
+  // window; the battery keeps the window form because sources here are
+  // balanced and the assignment is identical.
+  private val packBudget = 4096L
+
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "documents")
+      .withColumn("n_tok",
+        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)"))
+      .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev div $packBudget"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  private val q80Sql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prev
+       |  FROM t
+       |)
+       |SELECT source, prev // $packBudget AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY source, prev // $packBudget""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_token_packing" -> q80 _,
     "q21_token_stats" -> q21 _,
     "q22_quality_score" -> q22 _,
     "q23_langid" -> q23 _,
@@ -364,6 +417,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q80_token_packing" -> q80Sql,
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
