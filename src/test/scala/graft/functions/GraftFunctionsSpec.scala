@@ -324,4 +324,26 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
+
+  test("q79 plan: the bloom probe runs below the semi join, on the fact side") {
+    // the runtime-filter contract is a PLAN property: the probe must
+    // execute in the fact table's scan stage (before the join and its
+    // exchange), not as a post-join residual — otherwise the shuffle
+    // savings it exists for never happen
+    val plan = graft.SparkEntry.queries("q79_bloom_semi_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = root.collect {
+      case j if j.nodeName.toLowerCase.contains("join") => j
+    }
+    assert(joins.nonEmpty, s"no join in plan:\n$root")
+    val factSide = joins.head.children
+      .filter(_.toString.contains("graft_bloom_contains"))
+    assert(factSide.nonEmpty,
+      s"bloom probe not below the join:\n$root")
+  }
 }
