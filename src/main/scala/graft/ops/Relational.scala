@@ -1043,7 +1043,83 @@ object Relational extends graft.QueryModule {
       |                     WHERE o_orderpriority = '1-URGENT')
       |GROUP BY l_returnflag""".stripMargin
 
+  // --- q81: CDC upsert (apply-changes merge) ------------------------------
+  // The MERGE/apply-changes operator every warehouse pipeline needs:
+  // base snapshot + changelog (insert/update/delete ops) → next snapshot,
+  // expressed as ONE full-outer join on the key with per-row op
+  // resolution — no MERGE syntax required, no per-row driver logic. The
+  // changelog here is derived deterministically from orders itself
+  // (delete keys ≡ 0 mod 11; update keys ≡ 0 mod 3 get +50.00; insert
+  // keys are shifted past max key) so the entry is self-contained and
+  // oracle-checkable. Scale shape: a single key-equi shuffle join — the
+  // plan CDC-apply runs at any scale; with the base bucketed by key
+  // (sources.BucketedTables) the base side's shuffle disappears and the
+  // apply is a map-side zip per bucket. The max-key lookup is a 1-row
+  // bounds fold (same stance as PrefixSum.knownRange).
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+    val del = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"),
+        lit(null).cast("string").as("new_status"))
+    val upd = o.filter(col("o_orderkey") % 11 =!= 0 &&
+        col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        // +50.00 not ×1.1: a double ADD is bit-identical on both engines,
+        // a multiply-then-decimal-round could differ in rounding mode
+        (col("o_totalprice") + 50.0).as("new_price"),
+        col("o_orderstatus").as("new_status"))
+    val ins = o.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + maxKey).as("k"), lit("I").as("op"),
+        col("o_totalprice").as("new_price"), lit("N").as("new_status"))
+    val changes = del.union(upd).union(ins)
+    o.join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("op").isin("U", "I"), col("new_status"))
+          .otherwise(col("o_orderstatus")).as("status"))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("price").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_price"))
+  }
+
+  private val q81Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |), changes AS (
+      |  SELECT o_orderkey AS k, 'D' AS op,
+      |    CAST(NULL AS DOUBLE) AS new_price,
+      |    CAST(NULL AS VARCHAR) AS new_status
+      |  FROM base WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', o_totalprice + 50.0, o_orderstatus
+      |  FROM base WHERE o_orderkey % 11 <> 0 AND o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base), 'I',
+      |    o_totalprice, 'N'
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |), merged AS (
+      |  SELECT
+      |    CASE WHEN op IN ('U','I') THEN new_price
+      |         ELSE o_totalprice END AS price,
+      |    CASE WHEN op IN ('U','I') THEN new_status
+      |         ELSE o_orderstatus END AS status
+      |  FROM base FULL OUTER JOIN changes ON o_orderkey = k
+      |  WHERE op IS NULL OR op <> 'D'
+      |)
+      |SELECT status, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS total_price
+      |FROM merged GROUP BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_cdc_upsert" -> q81 _,
     "q79_bloom_semi_join" -> q79 _,
     "q69_outer_join" -> q69 _,
     "q60_theta_join" -> q60 _,
@@ -1087,6 +1163,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q81_cdc_upsert" -> q81Sql,
     "q79_bloom_semi_join" -> q79Sql,
     "q69_outer_join" -> q69Sql,
     "q60_theta_join" -> q60Sql,

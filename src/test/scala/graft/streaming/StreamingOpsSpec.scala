@@ -167,4 +167,74 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(rows.contains((130L, "click", 2L))) // 130 + 131 both on time
     } finally q.stop()
   }
+
+  test("file-sink windowed agg is exactly-once across a mid-stream checkpoint restart") {
+    // The fault-tolerance contract that makes any of this runnable for
+    // months at 100 TB: kill a stateful query at an ARBITRARY point,
+    // restart it from its checkpoint, and the committed output (file sink
+    // + _spark_metadata, read back through the normal parquet reader)
+    // must equal the batch answer exactly — no lost windows, no
+    // duplicated windows, regardless of where the stop landed.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-recovery-")
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    try {
+      val hourSec = 3600L
+      val base = 1704067200L // 2024-01-01T00:00:00Z
+      // four files, one hour of minute-spaced events each (k0/k1/k2)
+      (0 until 4).foreach { i =>
+        Seq.tabulate(50)(j =>
+          (ts(base + i * hourSec + j * 60L), s"k${j % 3}", 1L))
+          .toDF("ts", "k", "v")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      // sentinel far past every real window: advances the watermark so
+      // all real windows finalize in append mode
+      Seq((ts(base + 100 * hourSec), "sentinel", 0L)).toDF("ts", "k", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+
+      val schema = spark.read.parquet(in).schema
+      def start() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one file per micro-batch
+        .parquet(in)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(sum(col("v")).as("s"))
+        .select(col("window.start").as("ws"), col("k"), col("s"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+
+      // run 1: stop after at least one committed micro-batch, mid-stream
+      val q1 = start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while ((q1.lastProgress == null || q1.lastProgress.batchId < 1) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      } finally q1.stop()
+      // run 2: same checkpoint, drain the rest
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val streamed = spark.read.parquet(out) // _spark_metadata-committed only
+        .filter(col("k") =!= "sentinel")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      // exactly-once: every finalized (window, k) appears ONCE
+      assert(streamed.map(_._1).distinct.length == streamed.length,
+        s"duplicated windows after restart: ${streamed.mkString(";")}")
+      val batch = spark.read.parquet(in)
+        .filter(col("k") =!= "sentinel")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(sum(col("v")).as("s"))
+        .select(col("window.start").as("ws"), col("k"), col("s"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed.toMap == batch,
+        s"stream/batch divergence after restart: got ${streamed.length}, want ${batch.size}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
