@@ -1,13 +1,19 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over `documents`
   * (north-star extensions, SURVEY §2.9): exact dedup, MinHash+LSH
   * near-dup candidate generation with Jaccard verification, SimHash with
   * banded Hamming search, and direct n-gram Jaccard on linear pair sets.
+  *
+  * The PUBLIC API section exposes each operator as a parameterized
+  * function over caller-supplied DataFrames — the library surface; the
+  * qNN entries below are those functions applied to the battery tables
+  * with their default parameters.
   *
   * Scale design: every candidate-generation step is a bucket equi-join
   * (band key / simhash band), never an O(n²) cross join — the classic
@@ -18,24 +24,181 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  // --- q25: exact dedup ---------------------------------------------------
-  // Dedup key: md5 of the first 5 word tokens (a deliberately coarse
-  // normalization so the synthetic corpus actually has collisions). The
-  // aggregate shape (count vs count-distinct-key per group) is the whole
-  // exact-dedup operator: survivors = one row per key.
-  private val keySpark =
-    "md5(array_join(slice(regexp_extract_all(text, '[a-z]+', 0), 1, 5), ' '))"
-  private val keyDuck =
-    "md5(array_to_string(regexp_extract_all(text, '[a-z]+')[1:5], ' '))"
+  // ======================= public operator API ============================
 
-  private def q25(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .withColumn("k", expr(keySpark))
-      .groupBy("source")
+  /** Exact-dedup key: md5 of the first `tokens` word tokens of `textCol`
+    * — a deliberately coarse normalization (swap in any deterministic
+    * Column for stricter policies). NULL text → NULL key; filter NULLs
+    * before stateful/streaming dedup (see q74) to match countDistinct's
+    * NULL semantics.
+    */
+  def dedupKey(textCol: String = "text", tokens: Int = 5): Column =
+    expr(s"md5(array_join(slice(regexp_extract_all($textCol, '[a-z]+', 0)" +
+      s", 1, $tokens), ' '))")
+
+  /** Per-group exact-dedup stats: total docs, distinct keys, duplicates.
+    * One hash aggregate — the whole exact-dedup operator at any scale.
+    */
+  def exactDedupStats(docs: DataFrame, key: Column,
+      groupCol: String = "source"): DataFrame =
+    docs.withColumn("k", key)
+      .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("k")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("k"))).as("n_dups"))
+
+  /** Keep-first survivor selection: ONE canonical row per dedup key (the
+    * lowest `orderCol` — swap the ordering for keep-best-by-quality).
+    * row_number over (key, order) = one shuffle on the dup key, per-key
+    * local sort, no global sort; dup-key cardinality scales with the
+    * corpus so partitions stay balanced at 100 TB.
+    */
+  def keepFirstSurvivors(docs: DataFrame, key: Column,
+      orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col(orderCol).asc)
+    docs.withColumn("k", key)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** MinHash signatures over word `shingleK`-shingles: (idCol, sh, mh).
+    *
+    * Hash family: h_j(x) = (a_j·(H(x) mod P) + b_j) mod P with
+    * P = 2^31−1, a_j = 2j+1, b_j = 101·j, H = the shared md5-based
+    * 60-bit hash ([[Dialect]]). All exact BIGINT arithmetic
+    * (max a_j·x < 2^36·2^31 < 2^63). Native codegen expressions
+    * ([[graft.functions.WordShingles]], [[graft.functions.MinHashSig]])
+    * — the interpreted higher-order-lambda shapes re-evaluate the
+    * tokenizer per shingle index and cost elements × numHashes boxed
+    * calls per row (measured dominant cost).
+    *
+    * PERSIST the result before self-joining: without a materialization
+    * barrier, CollapseProject inlines `sh` into the minhash lambda and
+    * the per-shingle md5 recomputes numHashes× per row on each join side.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 3,
+      numHashes: Int = NumHashes): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .withColumn("sh",
+        expr(s"graft_shingles(regexp_extract_all($textCol, '[a-z]+', 0), $shingleK)"))
+      .withColumn("mh",
+        expr(s"graft_minhash(graft_hash60_array(sh, ${P}L), $numHashes, ${P}L)"))
+      .select(col(idCol), col("sh"), col("mh"))
+  }
+
+  /** LSH band-bucket candidate pairs from minhash signatures: (d1, d2),
+    * d1 < d2, distinct. Band key = md5 of the band's `rowsPerBand`
+    * minhash values; keys only, no shingle payload — the self-join and
+    * pair-dedup shuffle stay narrow.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int = Bands,
+      rowsPerBand: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val banded = sigs.select(col(idCol),
+      explode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
+        |named_struct('band', b,
+        |  'bkey', md5(concat_ws('_', slice(mh, b*$rowsPerBand + 1, $rowsPerBand)))))"""
+        .stripMargin))
+        .as("e"))
+      .select(col(idCol), col("e.band"), col("e.bkey"))
+    banded.select(col("band"), col("bkey"), col(idCol).as("d1"))
+      .join(banded.select(col("band"), col("bkey"), col(idCol).as("d2")),
+        Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification: join candidate (d1, d2) pairs back to
+    * the signature table's shingle sets → (d1, d2, jac). Shingles travel
+    * only for surviving pairs, never through the candidate shuffle.
+    */
+  def verifyJaccard(cand: DataFrame, sigs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    cand
+      .join(sigs.select(col(idCol).as("d1"), col("sh").as("sh1")), "d1")
+      .join(sigs.select(col(idCol).as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("jac", expr(
+        """CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
+          |/ (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))"""
+          .stripMargin))
+      .select("d1", "d2", "jac")
+
+  /** End-to-end MinHash-LSH near-dup pairs over a document table:
+    * (d1, d2, jac), d1 < d2, one row per band-bucket candidate pair,
+    * exact Jaccard. Manages its own signature persist barrier.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol).persist()
+    verifyJaccard(lshCandidates(sigs, idCol = idCol), sigs, idCol)
+  }
+
+  /** 60-bit SimHash per document: (idCol, sim). Bit j is set iff
+    * Σ_tokens (2·bit_j(H(t)) − 1) > 0 (multiplicity-weighted). Native
+    * codegen ([[graft.functions.SimHash60]]) — the interpreted shape
+    * (aggregate of zip_with over 60 bits per token) was the hottest
+    * lambda in the battery. PERSIST before self-joining (16 bytes/row).
+    */
+  def simHashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .withColumn("hs",
+        expr(s"graft_hash60_array(regexp_extract_all($textCol, '[a-z]+', 0))"))
+      .select(col(idCol), expr("graft_simhash60(hs)").as("sim"))
+  }
+
+  /** Banded-Hamming SimHash candidate pairs: documents sharing at least
+    * one of `bands` × `bandBits`-bit bands, with exact Hamming distance:
+    * (d1, d2, s1, s2, ham), d1 < d2.
+    */
+  def simHashPairs(sims: DataFrame, idCol: String = "doc_id",
+      bands: Int = 4, bandBits: Int = 15): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = sims.select(col(idCol), col("sim"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> named_struct('band', b,
+          |  'bkey', shiftright(sim, b * $bandBits) & $mask))""".stripMargin))
+        .as("e"))
+      .select(col(idCol), col("sim"), col("e.band"), col("e.bkey"))
+    val l = banded.select(col("band"), col("bkey"),
+      col(idCol).as("d1"), col("sim").as("s1"))
+    val r = banded.select(col("band"), col("bkey"),
+      col(idCol).as("d2"), col("sim").as("s2"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("ham", expr("bit_count(s1 ^ s2)"))
+  }
+
+  /** Near-dup cluster resolution: LSH pairs at/above `minJac` form an
+    * undirected graph; returns (id, comp) — the duplicate GROUPS a dedup
+    * pipeline actually needs ("keep the minimum id per group") via
+    * distributed connected components ([[Graph.connectedComponents]]).
+    */
+  def nearDupClusters(docs: DataFrame, minJac: Double = NearDupJac,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Graph.connectedComponents(
+      minHashLshPairs(docs, idCol, textCol)
+        .filter(col("jac") >= minJac)
+        .select(col("d1").as("a"), col("d2").as("b")))
+
+  // ===================== battery entries (driver gate) ====================
+
+  // --- q25: exact dedup ---------------------------------------------------
+  // Dedup key: md5 of the first 5 word tokens (a deliberately coarse
+  // normalization so the synthetic corpus actually has collisions) — the
+  // default [[dedupKey]]. The aggregate shape (count vs count-distinct-key
+  // per group) is the whole exact-dedup operator: survivors = one row per
+  // key.
+  private val keyDuck =
+    "md5(array_to_string(regexp_extract_all(text, '[a-z]+')[1:5], ' '))"
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    exactDedupStats(Tables.load(s, dir, "documents"), dedupKey())
 
   private val q25Sql =
     s"""SELECT source, COUNT(*) AS n_docs,
@@ -46,36 +209,17 @@ object Dedup extends QueryModule {
 
   // --- q26: MinHash + LSH near-dup pipeline -------------------------------
   // shingle → 12 minhashes → 4 bands × 3 rows → band-bucket join →
-  // exact-Jaccard verification → similarity histogram.
-  //
-  // Hash family: h_j(x) = (a_j·(H(x) mod P) + b_j) mod P with P = 2^31−1,
-  // a_j = 2j+1, b_j = 101·j, H = the shared md5-based 60-bit hash. All
-  // exact BIGINT arithmetic (max a_j·x < 2^36·2^31 < 2^63).
+  // exact-Jaccard verification → similarity histogram. Composition of the
+  // public minHashSignatures / lshCandidates / verifyJaccard operators.
   private val P = 2147483647L // 2^31 - 1
   private val NumHashes = 12
   private val Bands = 4 // 3 rows per band
-
-  // Native ([[graft.functions.WordShingles]]): the builtin transform/slice
-  // shape re-evaluates regexp_extract_all INSIDE the lambda once per
-  // shingle index (~|tokens|× re-tokenization per document after
-  // CollapseProject) — measured as the dominant cost of this pipeline.
-  private def shinglesSpark =
-    "graft_shingles(regexp_extract_all(text, '[a-z]+', 0), 3)"
 
   private def shinglesDuck =
     """list_distinct(list_transform(
       |  generate_series(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 2, 1)),
       |  i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' ')))"""
       .stripMargin
-
-  // Native sketch expression ([[graft.functions.MinHashSig]]): one tight
-  // codegen'd loop over the hashed shingles updating all 12 minima —
-  // the interpreted-lambda alternative (aggregate + zip_with) costs
-  // elements × 12 boxed calls per row. Same integer recurrence
-  // ((2j+1)·h + 101j mod P, min-fold from P), so bit-identical to the
-  // oracle's per-j array_min formulation.
-  private def minhashSpark =
-    s"graft_minhash(graft_hash60_array(sh, ${P}L), $NumHashes, ${P}L)"
 
   private def minhashDuck =
     s"""list_transform(generate_series(0, ${NumHashes - 1}), j ->
@@ -91,50 +235,14 @@ object Dedup extends QueryModule {
   private val sigsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** MinHash-LSH candidate pairs with exact-Jaccard verification:
-    * (d1, d2, jac), d1 < d2, one row per candidate pair. Shared by the
-    * q26 histogram and the q50 component clustering.
-    */
+  /** Battery-shared MinHash-LSH verified pairs (memoized signatures). */
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    // Persist the signature table: without a materialization barrier,
-    // CollapseProject inlines `sh` into the minhash lambda, so the md5
-    // per shingle would be recomputed 12× per row — and again on each
-    // side of the self-join. One scan computes signatures exactly once;
-    // per-row persisted state is just id + shingle/minhash arrays.
     val sigs = sigsMemo.getOrElseUpdate((s, dir),
-      Tables.load(s, dir, "documents")
-        .withColumn("sh", expr(shinglesSpark))
-        .withColumn("mh", expr(minhashSpark))
-        .select(col("doc_id"), col("sh"), col("mh")))
+      minHashSignatures(Tables.load(s, dir, "documents")))
     if (sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       sigs.persist()
-
-    // band key: md5 of the band's 3 minhash values — one row per (doc, band).
-    // Keys only, no shingle payload: the self-join and pair-dedup shuffle
-    // stay narrow; shingles are joined back only for surviving pairs.
-    val banded = sigs.select(col("doc_id"),
-      explode(expr(s"""transform(sequence(0, ${Bands - 1}), b ->
-        |named_struct('band', b,
-        |  'bkey', md5(concat_ws('_', slice(mh, b*3 + 1, 3)))))""".stripMargin))
-        .as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bkey"))
-
-    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("d1"))
-      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("d2")),
-        Seq("band", "bkey"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2")
-      .distinct()
-
-    cand
-      .join(sigs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sigs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .withColumn("jac", expr(
-        """CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
-          |/ (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))"""
-          .stripMargin))
-      .select("d1", "d2", "jac")
+    verifyJaccard(lshCandidates(sigs), sigs)
   }
 
   private def q26(s: SparkSession, dir: String): DataFrame =
@@ -174,16 +282,8 @@ object Dedup extends QueryModule {
        |FROM scored GROUP BY 1""".stripMargin
 
   // --- q27: SimHash + banded Hamming search -------------------------------
-  // 60-bit simhash from token hashes (multiplicity-weighted): bit j is set
-  // iff Σ_tokens (2·bit_j(H(t)) − 1) > 0. Candidate pairs share at least
-  // one of four 15-bit bands; verified by exact Hamming distance.
-  // Native sketch expression ([[graft.functions.SimHash60]]): one
-  // codegen'd loop accumulating the 60 signed bit-counts — the
-  // interpreted shape (aggregate of zip_with over 60 bits per token) was
-  // the hottest lambda in the battery. Integer-exact, so the oracle's
-  // per-bit formulation matches.
-  private def simhashSpark = "graft_simhash60(hs)"
-
+  // Composition of the public simHashSignatures / simHashPairs operators;
+  // histogram over exact Hamming distances.
   private def simhashDuck =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 59)),
        |  (acc, j) ->
@@ -192,31 +292,12 @@ object Dedup extends QueryModule {
        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)""".stripMargin
 
   private def q27(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
     // Persist (doc_id, sim): the simhash lambda walks the token-hash
     // array once per bit, and CollapseProject would inline `hs` into it —
     // i.e. one md5 per token × 60 bits × both join sides. The barrier
     // makes it one md5 per token, once, and the persisted row is 16 bytes.
-    val sims = Tables.load(s, dir, "documents")
-      .withColumn("hs",
-        expr("graft_hash60_array(regexp_extract_all(text, '[a-z]+', 0))"))
-      .select(col("doc_id"), expr(simhashSpark).as("sim"))
-      .persist()
-
-    val banded = sims.select(col("doc_id"), col("sim"),
-      explode(expr(
-        """transform(sequence(0, 3), b -> named_struct('band', b,
-          |  'bkey', shiftright(sim, b * 15) & 32767))""".stripMargin)).as("e"))
-      .select(col("doc_id"), col("sim"), col("e.band"), col("e.bkey"))
-
-    val l = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("d1"), col("sim").as("s1"))
-    val r = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("d2"), col("sim").as("s2"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("d1") < col("d2"))
-      .dropDuplicates("d1", "d2")
-      .withColumn("ham", expr("bit_count(s1 ^ s2)"))
+    val sims = simHashSignatures(Tables.load(s, dir, "documents")).persist()
+    simHashPairs(sims)
       // integer div, NOT double-div + cast: Spark's cast truncates while
       // DuckDB's rounds-to-nearest, so `/ 8` would split buckets differently
       .groupBy(expr("CAST(ham div 8 AS BIGINT)").as("ham_bucket"))
@@ -319,26 +400,16 @@ object Dedup extends QueryModule {
        |FROM cs GROUP BY csize""".stripMargin
 
   // --- q72: keep-first survivor selection ----------------------------------
-  // q25 counts duplicates; this is the other half of exact dedup — pick ONE
-  // canonical survivor per key (lowest doc_id, the usual "keep earliest"
-  // policy) and report what survives. row_number over (key, doc_id) is the
-  // canonical Spark shape: one shuffle on the dup key, per-key local sort,
-  // no global sort. At 100 TB the dup-key cardinality scales with the
-  // corpus so partitions stay balanced; a min_by/argmin aggregate would
-  // also work but the window form generalizes to keep-best-by-quality.
-  private def q72(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("doc_id").asc)
-    Tables.load(s, dir, "documents")
-      .withColumn("k", expr(keySpark))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("rn") === 1)
+  // q25 counts duplicates; this is the other half of exact dedup — the
+  // public keepFirstSurvivors operator ("keep earliest" policy) plus a
+  // per-source report of what survives.
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    keepFirstSurvivors(Tables.load(s, dir, "documents"), dedupKey())
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_survivors"),
         sum(col("n_chars")).as("chars_kept"),
         min(col("doc_id")).as("min_doc"))
-  }
 
   private val q72Sql =
     s"""WITH keyed AS (
@@ -378,7 +449,7 @@ object Dedup extends QueryModule {
     // filter gives both sides the same NULL semantics.
     val streamed = s.readStream.schema(schema)
       .parquet(s"$dir/documents*.parquet")
-      .withColumn("k", expr(keySpark))
+      .withColumn("k", dedupKey())
       .filter(col("k").isNotNull)
       .dropDuplicates("source", "k")
       .groupBy("source").agg(count(lit(1)).as("n_unique"))
@@ -389,7 +460,7 @@ object Dedup extends QueryModule {
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
     val batch = Tables.load(s, dir, "documents")
-      .withColumn("k", expr(keySpark))
+      .withColumn("k", dedupKey())
       .groupBy("source").agg(countDistinct(col("k")).as("n_unique_batch"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     import s.implicits._

@@ -1,14 +1,20 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over the `embeddings` table (north-star
   * extensions, SURVEY §2.9): brute-force cosine top-k as the exact
   * baseline, and a signed-random-projection (SRP) LSH bucketed ANN as the
-  * scale path — plus embedding-cosine near-dup pairing on the LSH buckets.
+  * scale path — plus embedding-cosine near-dup pairing on the LSH buckets,
+  * IVF coarse quantization, and a deterministic k-means step.
+  *
+  * The PUBLIC API section exposes each operator over caller-supplied
+  * DataFrames (candidates/queries/anchors/centroids with documented
+  * column contracts); the qNN entries below apply them to the battery
+  * tables with default parameters.
   *
   * Scale design (100 TB): the query set is broadcast (a top-k search has
   * few queries vs billions of candidates), so brute force is one scan +
@@ -43,30 +49,145 @@ object Similarity extends QueryModule {
     s"${Dialect.duckDot(a, b)} / (sqrt(${Dialect.duckDot(a, a)}) * " +
       s"sqrt(${Dialect.duckDot(b, b)}))"
 
-  // --- q29: brute-force cosine top-k --------------------------------------
-  private def q29(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    val e = Tables.load(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = e.filter(col("vec_id") >= NQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // Two-phase top-k: a salted local window first, so the final
-    // per-query window sees ≤ 64·k rows per query instead of the whole
-    // scored set — with few queries, a single-phase window would funnel
-    // every scored row through |queries| reducer tasks.
+  // ======================= public operator API ============================
+
+  /** Exact brute-force cosine top-k: `candidates` (cid, cv) × broadcast
+    * `queries` (qid, qv) → (qid, cid, sim, rn), rn ≤ k per query.
+    *
+    * Two-phase top-k: a salted local window first, so the final per-query
+    * window sees ≤ saltBuckets·k rows per query instead of the whole
+    * scored set — with few queries, a single-phase window would funnel
+    * every scored row through |queries| reducer tasks.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+      k: Int = TopK, saltBuckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
     val wLocal = Window.partitionBy("qid", "salt")
       .orderBy(col("sim").desc, col("cid").asc)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    c.join(broadcast(q))
+    candidates.join(broadcast(queries))
       .withColumn("sim", expr(cosineSpark("cv", "qv")))
       .select("qid", "cid", "sim")
-      .withColumn("salt", pmod(hash(col("cid")), lit(64)))
+      .withColumn("salt", pmod(hash(col("cid")), lit(saltBuckets)))
       .withColumn("rl", row_number().over(wLocal))
-      .filter(col("rl") <= TopK)
+      .filter(col("rl") <= k)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** The 8-plane SRP sign-bit signature of a float-array column — the
+    * LSH bucket key for [[srpBucketTopK]] / [[embeddingNearDupPairs]].
+    */
+  def srpSignature(vecCol: String): Column = expr(sigSpark(vecCol))
+
+  /** SRP-LSH bucketed ANN top-k: `candidates` (cid, cv, sig) equi-joined
+    * to broadcast `queries` (qid, qv, sig) on the signature — each query
+    * probes exactly its own bucket; exact cosine only inside the bucket.
+    */
+  def srpBucketTopK(candidates: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    candidates.join(broadcast(queries), "sig")
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .select("qid", "cid", "sim")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Embedding-cosine near-dup pairs: vectors sharing an SRP bucket with
+    * cosine above `threshold` → (v1, lab1, v2, lab2, sim), v1 < v2. The
+    * embedding analog of MinHash-LSH: bucket equi-join, never an O(n²)
+    * cross join; exact verification only on bucket collisions. Persists
+    * the signature projection (the self-join's materialization barrier).
+    */
+  def embeddingNearDupPairs(vectors: DataFrame,
+      threshold: Double = DupThreshold, idCol: String = "vec_id",
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val e = vectors
+      .select(col(idCol), col(labelCol), col(vecCol),
+        expr(sigSpark(vecCol)).as("sig"))
+      .persist()
+    val l = e.select(col("sig"), col(idCol).as("v1"),
+      col(labelCol).as("lab1"), col(vecCol).as("e1"))
+    val r = e.select(col("sig"), col(idCol).as("v2"),
+      col(labelCol).as("lab2"), col(vecCol).as("e2"))
+    l.join(r, Seq("sig"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("sim", expr(cosineSpark("e1", "e2")))
+      .filter(col("sim") > threshold)
+  }
+
+  /** IVF-style ANN top-k: `candidates`/`queries` (vec_id, embedding)
+    * partition into Voronoi cells of broadcast `anchors` (cell, av);
+    * queries probe their `nProbe` nearest cells and exact cosine top-k
+    * runs only inside probed cells. The cell-assignment join is an
+    * equi-join on cell id — per-cell candidate lists are the inverted
+    * file.
+    */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, anchors: DataFrame,
+      nProbe: Int = NProbe, k: Int = TopK): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
+    // nearest-anchor assignment: argmax cosine, tiebreak lowest cell id
+    val cellW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val cells = candidates
+      .crossJoin(broadcast(anchors))
+      .withColumn("csim", expr(cosineSpark("embedding", "av")))
+      .withColumn("crn", row_number().over(cellW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cell"))
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queries
+      .crossJoin(broadcast(anchors))
+      .withColumn("csim", expr(cosineSpark("embedding", "av")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+        col("rn"))
+  }
+
+  /** One deterministic k-means (Lloyd) assignment: `points` (vec_id,
+    * embedding) × broadcast `centroids` (cid, cv) → (cluster, embedding),
+    * nearest centroid by squared L2 expanded to three pinned-order dot
+    * folds, tiebreak lowest centroid id. Feed the result to a
+    * decimal-exact per-dimension mean for the update step (see q56).
+    */
+  def kmeansAssign(points: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(points.sparkSession)
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cid").asc)
+    points.crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(
+        "graft_dot(embedding, embedding) - 2 * graft_dot(embedding, cv)" +
+          " + graft_dot(cv, cv)"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("cluster"), col("embedding"))
+  }
+
+  // ===================== battery entries (driver gate) ====================
+
+  // --- q29: brute-force cosine top-k --------------------------------------
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    bruteForceTopK(
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
   }
 
   private val q29Sql =
@@ -113,21 +234,14 @@ object Similarity extends QueryModule {
     }.mkString("(", " + ", ")")
 
   private def q30(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        expr(sigSpark("embedding")).as("sig"))
-    val c = e.filter(col("vec_id") >= NQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        expr(sigSpark("embedding")).as("sig"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    c.join(broadcast(q), "sig")
-      .withColumn("sim", expr(cosineSpark("cv", "qv")))
-      .select("qid", "cid", "sim")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+    srpBucketTopK(
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          srpSignature("embedding").as("sig")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          srpSignature("embedding").as("sig")))
   }
 
   private val q30Sql =
@@ -147,32 +261,17 @@ object Similarity extends QueryModule {
        |WHERE rn <= $TopK""".stripMargin
 
   // --- q31: embedding-cosine near-dup (bucketed pair generation) ----------
-  // Near-dup = candidate pairs sharing an SRP bucket with cosine above
-  // threshold; reported as a per-label-pair histogram. This is the
-  // embedding analog of q26's MinHash pipeline: bucket equi-join, never
-  // an O(n²) cross join; exact verification only on bucket collisions.
+  // The public embeddingNearDupPairs operator reported as a per-label-pair
+  // histogram.
   private val DupThreshold = 0.2
 
-  private def q31(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        expr(sigSpark("embedding")).as("sig"))
-      .persist()
-    val l = e.select(col("sig"), col("vec_id").as("v1"),
-      col("label").as("lab1"), col("embedding").as("e1"))
-    val r = e.select(col("sig"), col("vec_id").as("v2"),
-      col("label").as("lab2"), col("embedding").as("e2"))
-    l.join(r, Seq("sig"))
-      .filter(col("v1") < col("v2"))
-      .withColumn("sim", expr(cosineSpark("e1", "e2")))
-      .filter(col("sim") > DupThreshold)
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(Tables.load(s, dir, "embeddings"))
       .groupBy(
         least(col("lab1"), col("lab2")).as("lab_lo"),
         greatest(col("lab1"), col("lab2")).as("lab_hi"))
       .agg(count(lit(1)).as("n_pairs"),
         round(max(col("sim")), 6).as("max_sim"))
-  }
 
   private val q31Sql =
     s"""WITH e AS (SELECT vec_id, label, embedding,
@@ -189,48 +288,20 @@ object Similarity extends QueryModule {
        |GROUP BY 1, 2""".stripMargin
 
   // --- q41: IVF-style ANN (coarse quantize → probe nearest cells) ---------
-  // The inverted-file scale path: candidates partition into Voronoi cells
-  // of `NCells` anchor vectors (deterministic anchors: vec_id in
+  // The public ivfTopK operator with deterministic anchors: vec_id in
   // [NQueries, NQueries+NCells) — fixed data rows, so the oracle can
-  // reproduce the exact same quantizer with no training step). Queries
-  // probe their `NProbe` nearest cells; exact cosine top-k runs only
-  // inside probed cells. The cell assignment join is an equi-join on
-  // cell id — per-cell candidate lists are the inverted file.
+  // reproduce the exact same quantizer with no training step.
   private val NCells = 16
   private val NProbe = 4
 
   private def q41(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
-    val anchors = e.filter(col("vec_id") >= NQueries &&
-        col("vec_id") < NQueries + NCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("av"))
-    // nearest-anchor assignment: argmax cosine, tiebreak lowest cell id
-    val cellW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
-    val cells = e.filter(col("vec_id") >= NQueries)
-      .crossJoin(broadcast(anchors))
-      .withColumn("csim", expr(cosineSpark("embedding", "av")))
-      .withColumn("crn", row_number().over(cellW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("cell"))
-    val probeW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
-    val probes = e.filter(col("vec_id") < NQueries)
-      .crossJoin(broadcast(anchors))
-      .withColumn("csim", expr(cosineSpark("embedding", "av")))
-      .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= NProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    cells.join(broadcast(probes), Seq("cell"))
-      .withColumn("sim", expr(cosineSpark("cv", "qv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
-        col("rn"))
+    ivfTopK(
+      e.filter(col("vec_id") >= NQueries),
+      e.filter(col("vec_id") < NQueries),
+      e.filter(col("vec_id") >= NQueries &&
+          col("vec_id") < NQueries + NCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("av")))
   }
 
   private val q41Sql =
@@ -266,33 +337,22 @@ object Similarity extends QueryModule {
        |WHERE rn <= $TopK""".stripMargin
 
   // --- q56: k-means assignment + centroid-update step ----------------------
-  // One Lloyd iteration, fully deterministic: k fixed seed centroids
-  // (lowest vec_ids — config-equivalent, not RNG), nearest-centroid
-  // assignment by squared L2 (expanded to three pinned-order dot folds),
-  // then the centroid update as per-dimension means. Mean parity: each
-  // component sums exactly in DECIMAL, and only the final mean is ONE
-  // double division — so the result is independent of partition order on
-  // both engines. Scale: centroids broadcast; assignment is one scan;
-  // the update aggregates (cluster × dim) keys — k·64 groups.
+  // The public kmeansAssign operator (k fixed seed centroids = lowest
+  // vec_ids — config-equivalent, not RNG) followed by the centroid update
+  // as per-dimension means. Mean parity: each component sums exactly in
+  // DECIMAL, and only the final mean is ONE double division — so the
+  // result is independent of partition order on both engines. Scale:
+  // centroids broadcast; assignment is one scan; the update aggregates
+  // (cluster × dim) keys — k·64 groups.
   private val KClusters = 4
   private val MeanDims = 8 // dims reported by the centroid update
 
   private def q56(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
-    val cents = e.filter(col("vec_id") < KClusters)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("cid").asc)
-    val assigned = e.filter(col("vec_id") >= KClusters)
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", expr(
-        "graft_dot(embedding, embedding) - 2 * graft_dot(embedding, cv)" +
-          " + graft_dot(cv, cv)"))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("cid").as("cluster"), col("embedding"))
-    assigned
+    kmeansAssign(
+      e.filter(col("vec_id") >= KClusters),
+      e.filter(col("vec_id") < KClusters)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
       .select(col("cluster"), posexplode(col("embedding")))
       .filter(col("pos") < MeanDims)
       .groupBy(col("cluster"), col("pos").cast("bigint").as("dim"))

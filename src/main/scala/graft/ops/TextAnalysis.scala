@@ -373,21 +373,34 @@ object TextAnalysis extends QueryModule {
   // balanced and the assignment is identical.
   private val packBudget = 4096L
 
-  private def q80(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+  /** PUBLIC operator: concat-and-chunk token packing. Assigns each
+    * document to the fixed-`budget` context window where its first token
+    * lands (bin = exclusive prefix token count div budget, per
+    * `groupCol` in `orderCol` order) and returns the per-(group, bin)
+    * manifest: doc count, token mass, id span. One scan + one per-group
+    * window + one partial aggregation that reuses the window's hash
+    * partitioning (verified single-exchange plan).
+    */
+  def tokenPacking(docs: DataFrame, budget: Long = packBudget,
+      groupCol: String = "source", orderCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(s, dir, "documents")
+    docs
       .withColumn("n_tok",
-        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)"))
+        expr(s"CAST(size(regexp_extract_all($textCol, '[a-z0-9]+', 0)) AS BIGINT)"))
       .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .withColumn("bin", expr(s"prev div $packBudget"))
-      .groupBy("source", "bin")
+      .withColumn("bin", expr(s"prev div $budget"))
+      .groupBy(groupCol, "bin")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("bin_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
   }
+
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    tokenPacking(Tables.load(s, dir, "documents"))
 
   private val q80Sql =
     s"""WITH t AS (
