@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The public operator API on caller-supplied tables with NON-default
+  * parameters — the battery exercises only the defaults, so this is the
+  * proof the parameterization works (custom columns, custom keys,
+  * custom k/thresholds), i.e. that the functions are a usable library
+  * surface rather than battery plumbing.
+  */
+class PublicApiSpec extends SparkTestBase {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (11L, "alpha beta gamma delta epsilon eta", "s1"), // near-dup of 10
+      (12L, "one two three four five six seven", "s2"),
+      (13L, "alpha beta gamma delta epsilon zeta", "s2"), // exact dup of 10
+      (14L, "totally unrelated text goes here now", "s2"))
+      .toDF("id", "body", "src")
+  }
+
+  test("exact dedup + survivors on custom column names and key width") {
+    val key = Dedup.dedupKey(textCol = "body", tokens = 3)
+    val stats = Dedup.exactDedupStats(corpus, key, groupCol = "src")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10, 11, 13 share the first-3-token key "alpha beta gamma"
+    assert(stats("s1") == ((2L, 1L)), stats.toString)
+    assert(stats("s2") == ((3L, 3L)), stats.toString)
+    val surv = Dedup.keepFirstSurvivors(corpus, key, orderCol = "id")
+    val ids = surv.select("id").collect().map(_.getLong(0)).toSet
+    // one survivor (lowest id) for the shared key, across sources
+    assert(ids == Set(10L, 12L, 14L), ids.toString)
+  }
+
+  test("minHashLshPairs finds the near-dup pair on a custom table") {
+    val pairs = Dedup.minHashLshPairs(corpus, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact dup pair must surface with jac == 1.0
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 13L && p._3 == 1.0),
+      s"pairs: ${pairs.mkString(";")}")
+    // every reported jac is a real Jaccard in (0, 1]
+    assert(pairs.forall(p => p._3 > 0.0 && p._3 <= 1.0))
+  }
+
+  test("simHash pairs rank the exact dup at Hamming zero") {
+    val sims = Dedup.simHashSignatures(corpus, idCol = "id", textCol = "body")
+      .persist()
+    val pairs = Dedup.simHashPairs(sims, idCol = "id")
+      .select("d1", "d2", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 13L && p._3 == 0))
+    sims.unpersist()
+  }
+
+  test("bruteForceTopK honors custom k and matches a hand-computed winner") {
+    import spark.implicits._
+    val cands = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.9f, 0.1f)),
+      (102L, Array(0.0f, 1.0f)), (103L, Array(-1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val top2 = Similarity.bruteForceTopK(cands, qs, k = 2, saltBuckets = 4)
+      .orderBy("rn").collect()
+    assert(top2.length == 2)
+    assert(top2(0).getLong(1) == 100L) // exact match first
+    assert(top2(1).getLong(1) == 101L)
+  }
+
+  test("tokenPacking with a tiny budget splits groups at token boundaries") {
+    val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
+      groupCol = "src", orderCol = "id", textCol = "body")
+      .orderBy("src", "bin").collect()
+    // s1: 12 tokens over 2 docs → doc 10 in bin 0 (prev=0), doc 11 in
+    // bin 0 (prev=6 < 10) → one bin; s2: docs at prev 0, 7, 13 → bins 0,0,1
+    val bySrc = packed.groupBy(_.getString(0))
+    assert(bySrc("s1").map(_.getLong(1)).toSeq == Seq(0L))
+    assert(bySrc("s2").map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    // token mass is conserved across bins
+    val total = packed.map(_.getLong(3)).sum
+    assert(total == 6 + 6 + 7 + 6 + 6, s"rows: ${packed.mkString(";")}")
+  }
+}
