@@ -5,6 +5,7 @@ import graft.sizing.{Concurrency, QuerylogAdapter, SizingConfig}
 import graft.streaming.StreamingConcurrency
 import graft.streaming.StreamingConcurrency._
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The streaming gate module: Structured Streaming surfaces under the
@@ -312,11 +313,43 @@ object StreamSweep extends QueryModule {
     val events = Tables.load(s, dir, "events")
     val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)
     val watermarkUs = Math.floorDiv(maxTsUs, 1000L) * 1000L // ms-truncated
-    val batch = sessions(withEventTs(events))
-      .filter(expr(s"unix_micros(s_end) <= $watermarkUs"))
+    // The batch analog is derived INDEPENDENTLY via the q36-style
+    // lag/cumsum sessionization (new session iff the gap to the previous
+    // event is >= 15 min — the same [start, end) exclusivity as
+    // session_window), NOT via batch session_window. Two reasons:
+    //  1. independence — the parity bit then compares the streaming
+    //     engine against a separately-derived (and, via q36's oracle
+    //     hash-check, transitively DuckDB-verified) implementation rather
+    //     than the same expression run twice;
+    //  2. a sharp edge THIS GATE CAUGHT at sf0.1: filtering on
+    //     session_window's end after the aggregation gets pushed below
+    //     the session merge by the optimizer (the end parses as a
+    //     grouping column, but post-merge it is NOT a per-row function),
+    //     silently dropping pre-merge events whose individual
+    //     [ts, ts+gap) window crosses the watermark — observed as a
+    //     2-event session un-merged into a phantom 1-event session
+    //     (DevQ78Debug reproduces). Tumbling windows (q75) are immune:
+    //     their window IS a per-row function, so that pushdown is sound.
+    // The filter below sits on an aggregate output (max + gap), which
+    // the optimizer cannot push past the aggregation.
+    val gapUs = 15L * 60L * 1000000L
+    val uw = Window.partitionBy("user_id").orderBy("us")
+    val batch = withEventTs(events)
+      .withColumn("us", expr("unix_micros(event_ts)"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(uw) >= gapUs, 1L)
+          .otherwise(lit(0L))) // first event per user: lag NULL → 0
+      .withColumn("sid", sum(col("new_s")).over(uw))
+      .groupBy("user_id", "sid")
+      .agg(
+        min(col("us")).as("s_us"),
+        (max(col("us")) + gapUs).as("e_us"),
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sum_v"))
+      .filter(col("e_us") <= watermarkUs)
       .collect()
-      .map(r => (r.getTimestamp(0), r.getLong(2)) ->
-        (r.getTimestamp(1), r.getLong(3), r.getLong(4))).toMap
+      .map(r => (usTs(r.getLong(2)), r.getLong(0)) ->
+        (usTs(r.getLong(3)), r.getLong(4), r.getLong(5))).toMap
     ParityGate(
       streamed.toSeq
         .map { r =>
