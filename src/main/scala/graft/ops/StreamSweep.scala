@@ -315,8 +315,11 @@ object StreamSweep extends QueryModule {
     val watermarkUs = Math.floorDiv(maxTsUs, 1000L) * 1000L // ms-truncated
     // The batch analog is derived INDEPENDENTLY via the q36-style
     // lag/cumsum sessionization (new session iff the gap to the previous
-    // event is >= 15 min — the same [start, end) exclusivity as
-    // session_window), NOT via batch session_window. Two reasons:
+    // event is STRICTLY more than 15 min — the engine MERGES touching
+    // sessions: two events exactly one gap apart form ONE session, split
+    // only at gap+1µs; pinned empirically by the exact-gap case in
+    // StreamSweepSpec's boundary test), NOT via batch session_window.
+    // Two reasons:
     //  1. independence — the parity bit then compares the streaming
     //     engine against a separately-derived (and, via q36's oracle
     //     hash-check, transitively DuckDB-verified) implementation rather
@@ -337,7 +340,7 @@ object StreamSweep extends QueryModule {
     val batch = withEventTs(events)
       .withColumn("us", expr("unix_micros(event_ts)"))
       .withColumn("new_s",
-        when(col("us") - lag(col("us"), 1).over(uw) >= gapUs, 1L)
+        when(col("us") - lag(col("us"), 1).over(uw) > gapUs, 1L)
           .otherwise(lit(0L))) // first event per user: lag NULL → 0
       .withColumn("sid", sum(col("new_s")).over(uw))
       .groupBy("user_id", "sid")

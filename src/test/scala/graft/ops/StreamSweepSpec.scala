@@ -57,12 +57,19 @@ class StreamSweepSpec extends SparkTestBase {
     val tmp = java.nio.file.Files.createTempDirectory("graft-boundary-")
     try {
       val hourUs = 3600L * 1000000L
-      val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+      val gapUs = 15L * 60L * 1000000L
       // (event_id, user_id, event_type, value, ts-nanos, props)
+      val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
       val rows = Seq(
         (1L, 1L, "view", 1.0, (baseUs + 1) * 1000L, "{}"),
         (2L, 1L, "click", 2.0, (baseUs + hourUs / 2) * 1000L + 500L, "{}"),
         (3L, 2L, "view", 3.0, (baseUs + hourUs + 7) * 1000L, "{}"),
+        // user 3: two events EXACTLY one session gap apart — the engine
+        // MERGES touching sessions (one 2-event session; split happens
+        // only at gap+1µs), the one boundary where session_window and
+        // the independent lag/cumsum batch derivation could disagree
+        (5L, 3L, "view", 5.0, (baseUs + 1000) * 1000L, "{}"),
+        (6L, 3L, "view", 6.0, (baseUs + 1000 + gapUs) * 1000L, "{}"),
         (4L, 2L, "click", 4.0, (baseUs + 2 * hourUs) * 1000L, "{}")) // ON the boundary
       rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
         .coalesce(1).write.parquet(s"$tmp/events.parquet")
@@ -77,11 +84,15 @@ class StreamSweepSpec extends SparkTestBase {
         s"unexpected emitted windows: ${w.mkString(";")}")
       // q78 (15-min gap): user 1's two events are 30 min apart → two closed
       // sessions; user 2's 01:00 event closes, but the session opened by
-      // the 02:00 boundary event ends at 02:15 > watermark → still open.
-      // Three finalized sessions, and parity must hold for all of them.
+      // the 02:00 boundary event ends at 02:15 > watermark → still open;
+      // user 3's exactly-gap-apart events MERGE into one closed 2-event
+      // session (touching sessions merge; split only at gap+1µs). Four
+      // finalized sessions, and parity must hold for all of them.
       val sess = SparkEntry.queries("q78_session_window")(spark, tmp.toString).collect()
-      assert(sess.map(_.getLong(2)).sorted.toSeq == Seq(1L, 1L, 2L),
+      assert(sess.map(_.getLong(2)).sorted.toSeq == Seq(1L, 1L, 2L, 3L),
         s"unexpected finalized sessions: ${sess.mkString(";")}")
+      assert(sess.filter(_.getLong(2) == 3L).forall(_.getLong(3) == 2L),
+        s"boundary events did not merge: ${sess.mkString(";")}")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
