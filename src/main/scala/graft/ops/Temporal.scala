@@ -169,13 +169,105 @@ object Temporal extends QueryModule {
        |    AS avg_events_per_session
        |FROM per_user GROUP BY n_sessions""".stripMargin
 
+  // --- q82: SLIDING event-time windows (batch) ----------------------------
+  // The overlapping-window complement of q75's tumbling windows: 1-hour
+  // windows sliding every 15 minutes, so each event lands in exactly 4
+  // windows. Spark's `window(ts, "1 hour", "15 minutes")` expands each
+  // row to its windows BEFORE the aggregation — a 4× map-side fan-out of
+  // (window, type) keyed partial aggregates, then one shuffle on the
+  // window keys: at 100 TB the fan-out multiplies only the PARTIAL
+  // aggregate rows (bounded by windows × types per partition), never the
+  // event payload. The oracle reproduces the window assignment
+  // arithmetically: starts = (floor(ts/slide) - k) * slide for k = 0..3
+  // (epoch-aligned, window/slide = 4), which is exactly Spark's
+  // windowing — making sliding windows oracle-hash-checkable even though
+  // DuckDB has no window-assign function.
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("event_ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sum_v"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_v"))
+
+  private val q82Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), x AS (
+      |  SELECT make_timestamp(((us // 900000000) - k) * 900000000)
+      |           AS w_start,
+      |         event_type, v
+      |  FROM e, unnest(generate_series(0, 3)) AS t(k)
+      |)
+      |SELECT w_start, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM x GROUP BY w_start, event_type""".stripMargin
+
+  // --- q83: keyed table diff (anti-entropy data validation) ---------------
+  // The validation operator a 100 TB pipeline runs after every
+  // backfill/migration: full-outer join two snapshots on the key and
+  // classify every key as match / mismatch / left_only / right_only.
+  // Column comparison uses null-safe equality on the TYPED values (never
+  // a stringified row hash — double→string formatting differs across
+  // engines and would poison the oracle). One key-equi shuffle join; with
+  // both snapshots bucketed by key it degenerates to a map-side zip.
+  // The "staging" side is derived deterministically from orders so the
+  // entry is self-contained: keys ≡ 0 mod 199 dropped, values at keys
+  // ≡ 0 mod 97 perturbed.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val prod = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+    val staging = prod
+      .filter(col("k") % 199 =!= 0)
+      .select(col("k").as("k2"), col("st").as("st2"),
+        when(col("k") % 97 === 0, col("price") + 1.0)
+          .otherwise(col("price")).as("price2"))
+    prod.join(staging, col("k") === col("k2"), "full_outer")
+      .select(
+        when(col("k").isNull, "right_only")
+          .when(col("k2").isNull, "left_only")
+          .when(col("st") <=> col("st2") && col("price") <=> col("price2"),
+            "match")
+          .otherwise("mismatch").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  private val q83Sql =
+    """WITH prod AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+      |  FROM orders
+      |), staging AS (
+      |  SELECT k AS k2, st AS st2,
+      |    CASE WHEN k % 97 = 0 THEN price + 1.0 ELSE price END AS price2
+      |  FROM prod WHERE k % 199 <> 0
+      |)
+      |SELECT CASE WHEN k IS NULL THEN 'right_only'
+      |            WHEN k2 IS NULL THEN 'left_only'
+      |            WHEN st IS NOT DISTINCT FROM st2
+      |                 AND price IS NOT DISTINCT FROM price2 THEN 'match'
+      |            ELSE 'mismatch' END AS status,
+      |  COUNT(*) AS n_keys
+      |FROM prod FULL OUTER JOIN staging ON k = k2
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join" -> q34 _,
     "q35_range_join" -> q35 _,
-    "q36_sessionize" -> q36 _)
+    "q36_sessionize" -> q36 _,
+    "q82_sliding_window" -> q82 _,
+    "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,
-    "q36_sessionize" -> q36Sql)
+    "q36_sessionize" -> q36Sql,
+    "q82_sliding_window" -> q82Sql,
+    "q83_table_diff" -> q83Sql)
 }
