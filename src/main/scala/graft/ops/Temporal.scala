@@ -26,6 +26,81 @@ import org.apache.spark.sql.functions._
   */
 object Temporal extends QueryModule {
 
+  // ======================= public operator API ============================
+
+  /** As-of join — the operator Spark lacks natively, composed scale-first:
+    * union-tag both sides and take a partitioned running
+    * `last(_, ignoreNulls)` — ONE shuffle on the key, no point-lookup
+    * loop, no theta-join blowup. For each `left` row: the value/id of the
+    * latest `right` row of the same key at-or-before its instant
+    * (right-before-left at equal instants; later right id wins among
+    * simultaneous rights). Both inputs need (keyCol, tsCol, idCol);
+    * `right` additionally valCol. Output = left rows + `asof_val`,
+    * `asof_event` (NULL when no right row precedes).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts_us",
+      idCol: String = "event_id", valCol: String = "value"): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol), lit(1).as("side"),
+      col(idCol), lit(null).cast("double").as("r_val"),
+      lit(null).cast("bigint").as("r_event_id"))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("side"),
+      col(idCol), col(valCol).as("r_val"), col(idCol).as("r_event_id"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
+      .withColumn("asof_event",
+        last(col("r_event_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+  }
+
+  /** Bucketed range join: all pairs (a, b) of same-key rows with b's
+    * instant in (a_ts, a_ts + windowUs] (ties on the instant ordered by
+    * id). A naive BETWEEN theta join degenerates to a per-key cross
+    * product; bucketing by the window width makes b's bucket one of a's
+    * two exploded bucket keys — a pure equi-join on (key, bucket), even
+    * distribution, each qualifying pair joined exactly once.
+    */
+  def rangeJoinPairs(ev: DataFrame, windowUs: Long = WindowUs,
+      keyCol: String = "user_id", tsCol: String = "ts_us",
+      idCol: String = "event_id"): DataFrame = {
+    val a = ev.select(col(keyCol), col(tsCol).as("a_ts"),
+      col(idCol).as("a_id"),
+      explode(expr(s"array($tsCol div ${windowUs}L," +
+        s" $tsCol div ${windowUs}L + 1)")).as("bucket"))
+    val b = ev.select(col(keyCol), col(tsCol).as("b_ts"),
+      col(idCol).as("b_id"),
+      expr(s"$tsCol div ${windowUs}L").as("bucket"))
+    a.join(b, Seq(keyCol, "bucket"))
+      .filter(
+        (col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + windowUs)
+          || (col("b_ts") === col("a_ts") && col("b_id") > col("a_id")))
+  }
+
+  /** Gap sessionization: per-key (n_sessions, n_events) via lag +
+    * cumulative session-start flags. A new session starts when the gap to
+    * the previous event STRICTLY exceeds gapUs — the same
+    * touching-sessions-merge semantics as Spark's `session_window`
+    * (pinned by StreamSweepSpec's exact-gap boundary test).
+    */
+  def sessionCounts(ev: DataFrame, gapUs: Long = GapUs,
+      keyCol: String = "user_id", tsCol: String = "ts_us",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    ev.withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col(tsCol) - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .groupBy(keyCol)
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ===================== battery entries (driver gate) ====================
+
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
@@ -38,22 +113,9 @@ object Temporal extends QueryModule {
   // later right event_id wins among simultaneous rights.
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    val left = ev.filter(col("event_id") % 2 === 0)
-      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
-        col("event_id"), lit(null).cast("double").as("r_val"),
-        lit(null).cast("bigint").as("r_event_id"))
-    val right = ev.filter(col("event_id") % 2 === 1)
-      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
-        col("event_id"), col("value").as("r_val"),
-        col("event_id").as("r_event_id"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("side"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    left.unionByName(right)
-      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
-      .withColumn("asof_event",
-        last(col("r_event_id"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+    asOfJoin(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_left"),
@@ -95,24 +157,10 @@ object Temporal extends QueryModule {
   // bucket keys → pure equi-join, even key distribution, no theta join.
   private val WindowUs = 60000000L // 60s
 
-  private def q35(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val a = ev.select(col("user_id"), col("ts_us").as("a_ts"),
-        col("event_id").as("a_id"),
-        explode(expr(s"array(ts_us div ${WindowUs}L," +
-          s" ts_us div ${WindowUs}L + 1)")).as("bucket"))
-    val b = ev.select(col("user_id"), col("ts_us").as("b_ts"),
-      col("event_id").as("b_id"),
-      expr(s"ts_us div ${WindowUs}L").as("bucket"))
-    a.join(b, Seq("user_id", "bucket"))
-      .filter(
-        (col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + WindowUs)
-          || (col("b_ts") === col("a_ts") && col("b_id") > col("a_id")))
-      // no dedup needed: b's bucket equals exactly one of a's two keys,
-      // so each qualifying (a, b) pair joins exactly once
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    rangeJoinPairs(events(s, dir))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   private val q35Sql =
     s"""WITH ev AS (
@@ -127,26 +175,14 @@ object Temporal extends QueryModule {
   // --- q36: sessionization --------------------------------------------------
   private val GapUs = 300000000L // 5 min
 
-  private def q36(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("event_id"))
-    val sessions = events(s, dir)
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts_us") - col("prev_ts") > GapUs, 1L).otherwise(0L))
-      .groupBy("user_id")
-      .agg(
-        sum(col("new_session")).as("n_sessions"),
-        count(lit(1)).as("n_events"))
-    sessions
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    sessionCounts(events(s, dir))
       .groupBy(col("n_sessions"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(col("n_events")).as("n_events"),
         expr("round(CAST(sum(n_events) AS DOUBLE) / sum(n_sessions), 4)")
           .as("avg_events_per_session"))
-  }
 
   private val q36Sql =
     s"""WITH ev AS (

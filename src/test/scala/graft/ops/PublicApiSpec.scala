@@ -69,6 +69,40 @@ class PublicApiSpec extends SparkTestBase {
     assert(top2(1).getLong(1) == 101L)
   }
 
+  test("asOfJoin / rangeJoinPairs / sessionCounts on custom columns") {
+    import spark.implicits._
+    // (sensor, t, rid, reading): two sensors, readings and probes interleaved
+    val quotes = Seq(
+      (7L, 100L, 1L, 10.0), (7L, 200L, 3L, 20.0), (8L, 150L, 5L, 50.0))
+      .toDF("sensor", "t", "rid", "reading")
+    val probes = Seq(
+      (7L, 150L, 2L), (7L, 250L, 4L), (8L, 100L, 6L))
+      .toDF("sensor", "t", "rid")
+    val joined = Temporal.asOfJoin(probes, quotes,
+      keyCol = "sensor", tsCol = "t", idCol = "rid", valCol = "reading")
+      .select("sensor", "rid", "asof_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(joined((7L, 2L)).contains(10.0)) // probe@150 sees reading@100
+    assert(joined((7L, 4L)).contains(20.0)) // probe@250 sees reading@200
+    assert(joined((8L, 6L)).isEmpty) // probe@100 precedes reading@150
+
+    // range pairs within (0, 100] time units, key/ts/id renamed
+    val ev = Seq((7L, 100L, 1L), (7L, 180L, 2L), (7L, 300L, 3L))
+      .toDF("sensor", "t", "rid")
+    val pairs = Temporal.rangeJoinPairs(ev, windowUs = 100L,
+      keyCol = "sensor", tsCol = "t", idCol = "rid")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString) // 180-100=80 ≤ 100; 300-180=120 > 100
+
+    // sessions with a 100-unit gap: strictly-greater splits
+    val sc = Temporal.sessionCounts(ev, gapUs = 100L,
+      keyCol = "sensor", tsCol = "t", idCol = "rid").head()
+    assert((sc.getLong(1), sc.getLong(2)) == ((2L, 3L)),
+      sc.toString) // [100,180] merge (gap 80), 300 splits (gap 120 > 100)
+  }
+
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
     val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
       groupCol = "src", orderCol = "id", textCol = "body")
