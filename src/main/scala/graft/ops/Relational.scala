@@ -1011,28 +1011,40 @@ object Relational extends graft.QueryModule {
   // ndv or fpp budget; for broadcast-sized dims (the usual runtime-filter
   // case) it is KBs. The serialized filter travels in the plan as a
   // foldable binary literal ([[graft.functions.BloomContains]]).
-  private def q79(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    val urgent = Tables.load(s, dir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_orderkey")
-    val bf = urgent.stat.bloomFilter("o_orderkey",
-      math.max(1024L, urgent.count()), 0.01)
+  /** PUBLIC operator: runtime-filtered semi join. Builds a bloom filter
+    * over `dim`'s key column once (`stat.bloomFilter`, a treeAggregate),
+    * pushes the membership probe into `fact`'s scan stage (so only rows
+    * that can possibly match reach the join shuffle — a ~selectivity-
+    * factor shuffle cut), then removes the filter's false positives with
+    * the exact semi join behind it. Result is EXACT: the approximation
+    * affects only the plan's cost, never its output. The probe-below-join
+    * plan shape is spec-pinned (GraftFunctionsSpec).
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(fact.sparkSession)
+    val keys = dim.select(dimKey)
+    val bf = keys.stat.bloomFilter(dimKey, math.max(1024L, keys.count()), fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
-    val probe = graft.functions.GraftFunctions.bloomProbe(bytes, "l_orderkey")
-    Tables.load(s, dir, "lineitem")
-      .filter(probe) // runs in the scan stage, before the join shuffle
-      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    fact
+      .filter(graft.functions.GraftFunctions.bloomProbe(bytes, factKey))
+      .join(keys, col(factKey) === col(dimKey), "left_semi")
+  }
+
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    bloomSemiJoin(
+      Tables.load(s, dir, "lineitem"), "l_orderkey",
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"), "o_orderkey")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
           .cast("double").as("revenue"))
-  }
 
   private val q79Sql =
     """SELECT l_returnflag, COUNT(*) AS n_items,

@@ -255,22 +255,38 @@ object Temporal extends QueryModule {
   // The "staging" side is derived deterministically from orders so the
   // entry is self-contained: keys ≡ 0 mod 199 dropped, values at keys
   // ≡ 0 mod 97 perturbed.
+  /** PUBLIC operator: keyed table diff. Full-outer joins two snapshots
+    * on `keyCol` and classifies every key as match / mismatch /
+    * left_only / right_only, comparing `compareCols` with typed null-safe
+    * equality (never a stringified row hash — double formatting differs
+    * across engines). Output: one row per key with `status` and the
+    * coalesced key. One key-equi shuffle; bucketed snapshots make it a
+    * map-side zip.
+    */
+  def tableDiff(left: DataFrame, right: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    val r2 = right.select(
+      (keyCol +: compareCols).map(c => col(c).as(c + "__r")): _*)
+    val same = compareCols.map(c => col(c) <=> col(c + "__r")).reduce(_ && _)
+    left.join(r2, col(keyCol) === col(keyCol + "__r"), "full_outer")
+      .select(
+        when(col(keyCol).isNull, "right_only")
+          .when(col(keyCol + "__r").isNull, "left_only")
+          .when(same, "match")
+          .otherwise("mismatch").as("status"),
+        coalesce(col(keyCol), col(keyCol + "__r")).as(keyCol))
+  }
+
   private def q83(s: SparkSession, dir: String): DataFrame = {
     val prod = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         col("o_totalprice").as("price"))
     val staging = prod
       .filter(col("k") % 199 =!= 0)
-      .select(col("k").as("k2"), col("st").as("st2"),
+      .select(col("k"), col("st"),
         when(col("k") % 97 === 0, col("price") + 1.0)
-          .otherwise(col("price")).as("price2"))
-    prod.join(staging, col("k") === col("k2"), "full_outer")
-      .select(
-        when(col("k").isNull, "right_only")
-          .when(col("k2").isNull, "left_only")
-          .when(col("st") <=> col("st2") && col("price") <=> col("price2"),
-            "match")
-          .otherwise("mismatch").as("status"))
+          .otherwise(col("price")).as("price"))
+    tableDiff(prod, staging, "k", Seq("st", "price"))
       .groupBy("status")
       .agg(count(lit(1)).as("n_keys"))
   }

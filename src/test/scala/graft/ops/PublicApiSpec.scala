@@ -103,6 +103,26 @@ class PublicApiSpec extends SparkTestBase {
       sc.toString) // [100,180] merge (gap 80), 300 splits (gap 120 > 100)
   }
 
+  test("bloomSemiJoin equals plain semi join; tableDiff classifies all four statuses") {
+    import spark.implicits._
+    val fact = (1L to 500L).map(i => (i, i % 7)).toDF("fk", "grp")
+    val dim = (1L to 500L by 5).toDF("dk")
+    val viaBloom = Relational.bloomSemiJoin(fact, "fk", dim, "dk")
+      .select("fk").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .select("fk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == plain && plain.nonEmpty)
+
+    val l = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "s", "v")
+    val r = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+      .toDF("id", "s", "v")
+    val statuses = Temporal.tableDiff(l, r, "id", Seq("s", "v"))
+      .collect().map(row => row.getLong(1) -> row.getString(0)).toMap
+    assert(statuses == Map(1L -> "match", 2L -> "mismatch",
+      3L -> "left_only", 4L -> "right_only"), statuses.toString)
+  }
+
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
     val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
       groupCol = "src", orderCol = "id", textCol = "body")
