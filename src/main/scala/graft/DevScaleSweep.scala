@@ -28,8 +28,11 @@ object DevScaleSweep {
         .write.mode("overwrite").format("noop").save()
 
     // row counts of each probe's driving table, for the time-vs-rows read
-    val table = Map("q20_sweepline" -> "orders", "q26_minhash_lsh" -> "documents",
-      "q50_dedup_clusters" -> "documents").withDefaultValue("lineitem")
+    val table = Map(
+      "q20_sweepline" -> "orders", "q26_minhash_lsh" -> "documents",
+      "q50_dedup_clusters" -> "documents", "q78_session_window" -> "events",
+      "q82_sliding_window" -> "events", "q80_token_packing" -> "documents")
+      .withDefaultValue("lineitem")
 
     names.foreach { n =>
       exec(n, "/root/testdata/sf0.001") // warm JIT/codegen once
