@@ -103,13 +103,17 @@ object Bench {
     val runs = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Totals sum only SUCCEEDING queries — folding the -1.0 failure
+    // sentinel into a sum would let a failed query subtract a second and
+    // mask a regression as an improvement; the failed list is explicit.
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map { case (_, _, ts) =>
-      if (ts.contains(-1.0)) -1.0 else ts.min }.sum
+      if (ts.contains(-1.0)) -1.0 else ts.min }.filter(_ >= 0).sum
     val drift = math.max(calibBefore, calibAfter) /
       math.max(1e-9, math.min(calibBefore, calibAfter))
     val contended = drift > 1.5
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"total_min":$totalMin,"runs":$runs,"calib_before":$calibBefore,"calib_after":$calibAfter,"contended":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"total_min":$totalMin,"failed":${failed.mkString("[", ",", "]")},"runs":$runs,"calib_before":$calibBefore,"calib_after":$calibAfter,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

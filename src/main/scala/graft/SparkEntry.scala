@@ -36,6 +36,22 @@ trait QueryModule {
   def oracleSql: Map[String, String]
 }
 
+/** Small filesystem helper shared by the streaming harnesses and specs. */
+object Fs {
+  /** Recursive delete that CLOSES the walk stream (Files.walk holds open
+    * directory handles; without close they live until GC).
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+}
+
 /** Fail-loud gate for the no-oracle battery entries (q38, q73–q78).
   *
   * Those entries are rows-only checked by the driver (the DuckDB oracle

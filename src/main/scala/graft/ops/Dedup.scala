@@ -96,7 +96,16 @@ object Dedup extends QueryModule {
     */
   def lshCandidates(sigs: DataFrame, bands: Int = Bands,
       rowsPerBand: Int = 3, idCol: String = "doc_id"): DataFrame = {
-    val banded = sigs.select(col(idCol),
+    // Fail fast if the banding over-runs the signature: slice past the
+    // end yields an EMPTY band, whose md5("") key is identical for every
+    // document — the equi-join silently degenerates to an all-pairs cross
+    // product. The guard is in-plan (per row, codegen'd, no extra action).
+    val guarded = sigs.where(coalesce(
+      assert_true(size(col("mh")) >= bands * rowsPerBand,
+        lit(s"lshCandidates: signature shorter than bands*rowsPerBand = " +
+          s"${bands * rowsPerBand} — pass matching numHashes")),
+      lit(true)))
+    val banded = guarded.select(col(idCol),
       explode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
         |named_struct('band', b,
         |  'bkey', md5(concat_ws('_', slice(mh, b*$rowsPerBand + 1, $rowsPerBand)))))"""
@@ -128,7 +137,10 @@ object Dedup extends QueryModule {
 
   /** End-to-end MinHash-LSH near-dup pairs over a document table:
     * (d1, d2, jac), d1 < d2, one row per band-bucket candidate pair,
-    * exact Jaccard. Manages its own signature persist barrier.
+    * exact Jaccard. Manages its own signature persist barrier; the cached
+    * signatures stay in the session cache after the call (callers looping
+    * over many corpora should compose minHashSignatures → lshCandidates →
+    * verifyJaccard themselves and unpersist, or clearCache between runs).
     */
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

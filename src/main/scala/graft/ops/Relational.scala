@@ -1021,18 +1021,26 @@ object Relational extends graft.QueryModule {
     * plan shape is spec-pinned (GraftFunctionsSpec).
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(fact.sparkSession)
-    val keys = dim.select(dimKey)
-    val bf = keys.stat.bloomFilter(dimKey, math.max(1024L, keys.count()), fpp)
+    // Pass expectedItems when the dim lineage is expensive: the default
+    // sizes the filter with a count() — one extra dim pass (the
+    // bloomFilter treeAggregate is the second; the semi join re-scans
+    // lazily at execution). Both key references are qualified through
+    // their own DataFrame so fact and dim may share the key column name.
+    val keys = dim.select(col(dimKey))
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(1024L, keys.count())
+    val bf = keys.stat.bloomFilter(dimKey, n, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
-    fact
-      .filter(graft.functions.GraftFunctions.bloomProbe(bytes, factKey))
-      .join(keys, col(factKey) === col(dimKey), "left_semi")
+    val filtered =
+      fact.filter(graft.functions.GraftFunctions.bloomProbe(bytes, factKey))
+    filtered.join(keys, filtered(factKey) === keys(dimKey), "left_semi")
   }
 
   private def q79(s: SparkSession, dir: String): DataFrame =

@@ -101,7 +101,9 @@ object Similarity extends QueryModule {
     * cosine above `threshold` → (v1, lab1, v2, lab2, sim), v1 < v2. The
     * embedding analog of MinHash-LSH: bucket equi-join, never an O(n²)
     * cross join; exact verification only on bucket collisions. Persists
-    * the signature projection (the self-join's materialization barrier).
+    * the signature projection (the self-join's materialization barrier);
+    * the cache outlives the call — loop-heavy callers should build the
+    * signature frame themselves and unpersist, or clearCache between runs.
     */
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",
@@ -234,6 +236,10 @@ object Similarity extends QueryModule {
     }.mkString("(", " + ", ")")
 
   private def q30(s: SparkSession, dir: String): DataFrame = {
+    // register BEFORE building the argument selects: srpSignature expands
+    // to graft_dot calls and Dataset.select analyzes eagerly — on a fresh
+    // session the functions must exist before the first select
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
     srpBucketTopK(
       e.filter(col("vec_id") >= NQueries)

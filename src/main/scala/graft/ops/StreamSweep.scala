@@ -61,14 +61,6 @@ object StreamSweep extends QueryModule {
   // both; correctness is bucket-width independent (spec-pinned).
   private val TargetBuckets = 256L
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
   private def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val kept = QuerylogAdapter.derived(s, dir, cfg)
@@ -125,7 +117,7 @@ object StreamSweep extends QueryModule {
         query.stop()
         s.catalog.dropTempView(qname)
       }
-    } finally deleteRecursively(tmp)
+    } finally graft.Fs.deleteRecursively(tmp)
     val m = folded.getOrElse(sys.error("q73: no closed buckets — empty querylog?"))
 
     // Parity against the batch operator on the same kept querylog.

@@ -41,19 +41,26 @@ object Temporal extends QueryModule {
   def asOfJoin(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts_us",
       idCol: String = "event_id", valCol: String = "value"): DataFrame = {
-    val l = left.select(col(keyCol), col(tsCol), lit(1).as("side"),
-      col(idCol), lit(null).cast("double").as("r_val"),
-      lit(null).cast("bigint").as("r_event_id"))
-    val r = right.select(col(keyCol), col(tsCol), lit(0).as("side"),
-      col(idCol), col(valCol).as("r_val"), col(idCol).as("r_event_id"))
+    // Left keeps ALL its columns (the payload is the point of an as-of
+    // join); right contributes only key/ts/id/val. unionByName with
+    // allowMissingColumns null-fills the payload on the right side, and
+    // the __-prefixed working columns are dropped from the output.
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r_val", lit(null).cast("double"))
+      .withColumn("__r_id", lit(null).cast("bigint"))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("__side"),
+      col(idCol), col(valCol).cast("double").as("__r_val"),
+      col(idCol).cast("bigint").as("__r_id"))
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("side"), col(idCol))
+      .orderBy(col(tsCol), col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("asof_val", last(col("__r_val"), ignoreNulls = true).over(w))
       .withColumn("asof_event",
-        last(col("r_event_id"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+        last(col("__r_id"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__r_val", "__r_id")
   }
 
   /** Bucketed range join: all pairs (a, b) of same-key rows with b's
@@ -265,13 +272,21 @@ object Temporal extends QueryModule {
     */
   def tableDiff(left: DataFrame, right: DataFrame, keyCol: String,
       compareCols: Seq[String]): DataFrame = {
+    // Presence markers, not key-nullness, drive the classification: a
+    // NULL key on one side would otherwise read as "absent" and the row
+    // would be mislabeled. The join itself is null-safe (<=>), so
+    // NULL-keyed rows pair up instead of always diffing (one-per-side
+    // expected; multiple NULL keys per side cross-join among themselves,
+    // as any keyed diff must).
+    val l2 = left.withColumn("__l_present", lit(true))
     val r2 = right.select(
       (keyCol +: compareCols).map(c => col(c).as(c + "__r")): _*)
+      .withColumn("__r_present", lit(true))
     val same = compareCols.map(c => col(c) <=> col(c + "__r")).reduce(_ && _)
-    left.join(r2, col(keyCol) === col(keyCol + "__r"), "full_outer")
+    l2.join(r2, col(keyCol) <=> col(keyCol + "__r"), "full_outer")
       .select(
-        when(col(keyCol).isNull, "right_only")
-          .when(col(keyCol + "__r").isNull, "left_only")
+        when(col("__l_present").isNull, "right_only")
+          .when(col("__r_present").isNull, "left_only")
           .when(same, "match")
           .otherwise("mismatch").as("status"),
         coalesce(col(keyCol), col(keyCol + "__r")).as(keyCol))

@@ -45,6 +45,20 @@ class PublicApiSpec extends SparkTestBase {
     assert(pairs.forall(p => p._3 > 0.0 && p._3 <= 1.0))
   }
 
+  test("lshCandidates fails fast when the banding over-runs the signature") {
+    // 8 hashes cannot cover default 4 bands x 3 rows — without the guard
+    // the empty fourth band gives every doc the same key (all-pairs join)
+    val sigs = Dedup.minHashSignatures(corpus, idCol = "id",
+      textCol = "body", numHashes = 8)
+    val e = intercept[Exception] {
+      Dedup.lshCandidates(sigs, idCol = "id").collect()
+    }
+    assert(e.getMessage.contains("bands*rowsPerBand"), e.getMessage)
+    // a matching banding over the same signatures works
+    assert(Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 2,
+      idCol = "id").collect() != null)
+  }
+
   test("simHash pairs rank the exact dup at Hamming zero") {
     val sims = Dedup.simHashSignatures(corpus, idCol = "id", textCol = "body")
       .persist()
@@ -76,10 +90,15 @@ class PublicApiSpec extends SparkTestBase {
       (7L, 100L, 1L, 10.0), (7L, 200L, 3L, 20.0), (8L, 150L, 5L, 50.0))
       .toDF("sensor", "t", "rid", "reading")
     val probes = Seq(
-      (7L, 150L, 2L), (7L, 250L, 4L), (8L, 100L, 6L))
-      .toDF("sensor", "t", "rid")
-    val joined = Temporal.asOfJoin(probes, quotes,
+      (7L, 150L, 2L, "p2"), (7L, 250L, 4L, "p4"), (8L, 100L, 6L, "p6"))
+      .toDF("sensor", "t", "rid", "tag")
+    val asof = Temporal.asOfJoin(probes, quotes,
       keyCol = "sensor", tsCol = "t", idCol = "rid", valCol = "reading")
+    // contract: left keeps ALL its columns, no internal working columns
+    assert(asof.columns.toSet ==
+      Set("sensor", "t", "rid", "tag", "asof_val", "asof_event"),
+      asof.columns.mkString(","))
+    val joined = asof
       .select("sensor", "rid", "asof_val")
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
@@ -112,6 +131,12 @@ class PublicApiSpec extends SparkTestBase {
     val plain = fact.join(dim, col("fk") === col("dk"), "left_semi")
       .select("fk").collect().map(_.getLong(0)).sorted.toSeq
     assert(viaBloom == plain && plain.nonEmpty)
+    // fact and dim sharing the key NAME must not be ambiguous
+    val sameName = Relational.bloomSemiJoin(
+      fact.withColumnRenamed("fk", "k"), "k", dim.withColumnRenamed("dk", "k"),
+      "k", expectedItems = 100L)
+      .count()
+    assert(sameName == plain.length.toLong)
 
     val l = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("id", "s", "v")
@@ -121,6 +146,15 @@ class PublicApiSpec extends SparkTestBase {
       .collect().map(row => row.getLong(1) -> row.getString(0)).toMap
     assert(statuses == Map(1L -> "match", 2L -> "mismatch",
       3L -> "left_only", 4L -> "right_only"), statuses.toString)
+    // NULL keys pair null-safely and classify by PRESENCE, not key-nullness
+    val ln = Seq((Some(1L), "a"), (None, "n")).toDF("id", "s")
+    val rn = Seq((Some(1L), "a"), (None, "n")).toDF("id", "s")
+    val nullStatuses = Temporal.tableDiff(ln, rn, "id", Seq("s"))
+      .select("status").collect().map(_.getString(0)).sorted.toSeq
+    assert(nullStatuses == Seq("match", "match"), nullStatuses.toString)
+    val leftOnlyNull = Temporal.tableDiff(ln, rn.filter(col("id").isNotNull),
+      "id", Seq("s")).filter(col("id").isNull).head().getString(0)
+    assert(leftOnlyNull == "left_only", leftOnlyNull)
   }
 
   test("tokenPacking with a tiny budget splits groups at token boundaries") {

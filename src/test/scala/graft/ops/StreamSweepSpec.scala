@@ -93,11 +93,7 @@ class StreamSweepSpec extends SparkTestBase {
         s"unexpected finalized sessions: ${sess.mkString(";")}")
       assert(sess.filter(_.getLong(2) == 3L).forall(_.getLong(3) == 2L),
         s"boundary events did not merge: ${sess.mkString(";")}")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.Fs.deleteRecursively(tmp)
   }
 
   // The fail-loud contract itself: a false (or NULL) bit must RAISE at

@@ -231,10 +231,6 @@ class StreamingOpsSpec extends SparkTestBase {
         .toMap
       assert(streamed.toMap == batch,
         s"stream/batch divergence after restart: got ${streamed.length}, want ${batch.size}")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally graft.Fs.deleteRecursively(root)
   }
 }
