@@ -153,7 +153,17 @@ object StreamSweep extends QueryModule {
   // boundary-aligned spec test (StreamSweepSpec).
   // Sum parity uses floor(value*1000) longs — integer partial sums are
   // order-independent, so stream/batch/any-partitioning agree exactly.
-  private def q75(s: SparkSession, dir: String): DataFrame = {
+  /** Shared stream/batch parity harness for fixed-duration event-time
+    * windows (tumbling q75 and sliding q84 — `winFn` builds the window
+    * column from the shared event_ts). The batch finalization predicate
+    * mirrors the engine's eviction exactly (`w_start + duration <=
+    * ms-truncated watermark`); for fixed-duration windows the assignment
+    * is a PER-ROW function, so pushing this predicate below the
+    * aggregation is sound — unlike session windows (see q78).
+    */
+  private def streamWindowParity(s: SparkSession, dir: String,
+      qtag: String, winFn: org.apache.spark.sql.Column,
+      durationUs: Long): DataFrame = {
     import s.implicits._
     val path = s"$dir/events.parquet"
     // events.ts is TIMESTAMP(NANOS): surfaced as a nanos long
@@ -168,14 +178,14 @@ object StreamSweep extends QueryModule {
     def withEventTs(df: DataFrame): DataFrame =
       df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
     def windowed(df: DataFrame): DataFrame = df
-      .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(winFn.as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sum_v"))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_v"))
 
-    val qname = s"q75_${System.nanoTime()}"
+    val qname = s"${qtag}_${System.nanoTime()}"
     // glob, not the bare file: FileStreamSource force-sets basePath to a
     // non-glob path and then requires it to be a directory
     val q = windowed(
@@ -192,7 +202,7 @@ object StreamSweep extends QueryModule {
     val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)
     val watermarkUs = Math.floorDiv(maxTsUs, 1000L) * 1000L // ms-truncated
     val batch = windowed(withEventTs(events))
-      .filter(expr(s"unix_micros(w_start) + 3600000000L <= $watermarkUs"))
+      .filter(expr(s"unix_micros(w_start) + ${durationUs}L <= $watermarkUs"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
@@ -205,8 +215,22 @@ object StreamSweep extends QueryModule {
               batch.size == streamed.length)
         }
         .toDF("w_start", "event_type", "n_events", "sum_v", "matches_batch"),
-      "q75_stream_window", "matches_batch")
+      qtag, "matches_batch")
   }
+
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    streamWindowParity(s, dir, "q75_stream_window",
+      window(col("event_ts"), "1 hour"), 3600000000L)
+
+  // --- q84: STREAMING sliding windows under the gate ----------------------
+  // The streamed twin of batch q82: 1-hour windows sliding every 15
+  // minutes, append mode. Each event fans out to 4 windows of STATE
+  // (bounded by windows-in-flight × types, not the stream); a window
+  // emits exactly once when the watermark passes its end — same eviction
+  // predicate as tumbling, just 4× the concurrently-open windows.
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    streamWindowParity(s, dir, "q84_stream_sliding",
+      window(col("event_ts"), "1 hour", "15 minutes"), 3600000000L)
 
   // --- q77: stream-stream interval join under the gate --------------------
   // The hardest streaming operator: two watermarked streams (views and
@@ -364,7 +388,8 @@ object StreamSweep extends QueryModule {
     "q73_stream_sweep" -> q73 _,
     "q75_stream_window" -> q75 _,
     "q77_stream_join" -> q77 _,
-    "q78_session_window" -> q78 _)
+    "q78_session_window" -> q78 _,
+    "q84_stream_sliding" -> q84 _)
 
   // not SQL-expressible (the oracle cannot run a stream) → rows-only check;
   // the matches_batch column carries the real assertion, and ParityGate

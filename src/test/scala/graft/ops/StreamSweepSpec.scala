@@ -39,6 +39,13 @@ class StreamSweepSpec extends SparkTestBase {
     assert(rows.forall(_.getBoolean(4)), s"divergence: ${rows.take(5).mkString(";")}")
   }
 
+  test("q84 streamed sliding windows equal finalized batch sliding windows") {
+    val rows = SparkEntry.queries("q84_stream_sliding")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)), s"divergence: ${rows.take(5).mkString(";")}")
+  }
+
   test("q78 streamed session_window sessions equal finalized batch sessions") {
     val rows = SparkEntry.queries("q78_session_window")(
       spark, "/root/testdata/sf0.001").collect()
