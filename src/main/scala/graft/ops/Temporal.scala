@@ -44,14 +44,15 @@ object Temporal extends QueryModule {
     // Left keeps ALL its columns (the payload is the point of an as-of
     // join); right contributes only key/ts/id/val. unionByName with
     // allowMissingColumns null-fills the payload on the right side, and
-    // the __-prefixed working columns are dropped from the output.
+    // the __-prefixed working columns are dropped from the output. The
+    // null placeholders take the RIGHT side's actual id/value types (no
+    // forced casts — a string id or decimal value column works as-is).
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__r_val", lit(null).cast("double"))
-      .withColumn("__r_id", lit(null).cast("bigint"))
+      .withColumn("__r_val", lit(null).cast(right.schema(valCol).dataType))
+      .withColumn("__r_id", lit(null).cast(right.schema(idCol).dataType))
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("__side"),
-      col(idCol), col(valCol).cast("double").as("__r_val"),
-      col(idCol).cast("bigint").as("__r_id"))
+      col(idCol), col(valCol).as("__r_val"), col(idCol).as("__r_id"))
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -54,9 +54,12 @@ class PublicApiSpec extends SparkTestBase {
       Dedup.lshCandidates(sigs, idCol = "id").collect()
     }
     assert(e.getMessage.contains("bands*rowsPerBand"), e.getMessage)
-    // a matching banding over the same signatures works
-    assert(Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 2,
-      idCol = "id").collect() != null)
+    // a matching banding over the same signatures works AND still
+    // surfaces the exact-dup pair (identical docs → identical signature
+    // → every band collides)
+    val cand = Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 2,
+      idCol = "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((10L, 13L)), cand.toString)
   }
 
   test("simHash pairs rank the exact dup at Hamming zero") {
