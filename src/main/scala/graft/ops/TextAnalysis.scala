@@ -419,7 +419,58 @@ object TextAnalysis extends QueryModule {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY source, prev // $packBudget""".stripMargin
 
+  // --- q85: weighted mixture sampling (training-mix construction) ---------
+  // The step that turns per-source weights into an actual training mix:
+  // each source gets a deterministic sampling rate and membership is a
+  // pure hash function of the document key — stable across engines, runs,
+  // and cluster sizes (the q54 stance: engine RNG TABLESAMPLE is useless
+  // under a cross-engine oracle and non-reproducible in production). The
+  // per-source rates here derive from the source-name hash (25/50/75/100%
+  // — config-equivalent, so the oracle reproduces them); the output is
+  // the mix manifest: docs, target rate, sampled count, achieved rate.
+  // One scan, one small aggregation — map-side at any scale.
+
+  /** PUBLIC operator: deterministic weighted sampler. Keeps the rows
+    * whose `keySql` hash lands under the per-row `rate` percentage —
+    * membership is a pure function of the key, so the sample is
+    * reproducible everywhere. `rate` is typically a per-source/stratum
+    * weight column joined or derived onto the frame.
+    */
+  def mixtureSample(docs: DataFrame, rate: org.apache.spark.sql.Column,
+      keySql: String): DataFrame =
+    docs.withColumn("rate", rate)
+      .filter(expr(s"${Dialect.sparkHash60(keySql)} % 100") < col("rate"))
+
+  private val q85RateSpark = s"25 * (1 + ${Dialect.sparkHash60("source")} % 4)"
+  private val q85RateDuck = s"25 * (1 + ${Dialect.duckHash60("source")} % 4)"
+
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("rate", expr(q85RateSpark))
+      .withColumn("sampled",
+        (expr(s"${Dialect.sparkHash60("CAST(doc_id AS STRING)")} % 100")
+          < col("rate")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("rate")).cast("bigint").as("rate_pct"),
+        sum(col("sampled")).as("n_sampled"),
+        round(sum(col("sampled")) * 100.0 / count(lit(1)), 2)
+          .as("achieved_pct"))
+
+  private val q85Sql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(MAX(rate) AS BIGINT) AS rate_pct,
+       |  CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+       |  round(SUM(sampled) * 100.0 / COUNT(*), 2) AS achieved_pct
+       |FROM (SELECT source, $q85RateDuck AS rate,
+       |        CASE WHEN ${Dialect.duckHash60("CAST(doc_id AS VARCHAR)")}
+       |          % 100 < $q85RateDuck THEN 1 ELSE 0 END AS sampled
+       |      FROM documents)
+       |GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_mixture_sample" -> q85 _,
     "q80_token_packing" -> q80 _,
     "q21_token_stats" -> q21 _,
     "q22_quality_score" -> q22 _,
@@ -430,6 +481,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q85_mixture_sample" -> q85Sql,
     "q80_token_packing" -> q80Sql,
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
