@@ -469,7 +469,43 @@ object TextAnalysis extends QueryModule {
        |      FROM documents)
        |GROUP BY source""".stripMargin
 
+  // --- q86: deterministic train/val/test split ----------------------------
+  // The dataset-partitioning step: every document lands in EXACTLY one of
+  // train (80%), val (10%), test (10%) by hash of its key — disjoint and
+  // exhaustive by construction (one CASE over one hash bucket), stable
+  // across engines/runs/cluster sizes, and decoupled from q70's
+  // decontamination (which removes eval-overlapping TRAIN docs after the
+  // split). Per split: count, share, doc-id span — the manifest the
+  // downstream loaders consume.
+  private val q86BucketSpark =
+    s"${Dialect.sparkHash60("CAST(doc_id AS STRING)")} % 100"
+  private val q86BucketDuck =
+    s"${Dialect.duckHash60("CAST(doc_id AS VARCHAR)")} % 100"
+
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("split",
+        expr(s"""CASE WHEN $q86BucketSpark < 80 THEN 'train'
+             |WHEN $q86BucketSpark < 90 THEN 'val'
+             |ELSE 'test' END""".stripMargin))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars")).as("chars_total"))
+
+  private val q86Sql =
+    s"""SELECT CASE WHEN $q86BucketDuck < 80 THEN 'train'
+       |            WHEN $q86BucketDuck < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+       |  MAX(doc_id) AS max_doc,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+       |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_dataset_split" -> q86 _,
     "q85_mixture_sample" -> q85 _,
     "q80_token_packing" -> q80 _,
     "q21_token_stats" -> q21 _,
@@ -481,6 +517,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q86_dataset_split" -> q86Sql,
     "q85_mixture_sample" -> q85Sql,
     "q80_token_packing" -> q80Sql,
     "q21_token_stats" -> q21Sql,
