@@ -72,12 +72,44 @@ object Fs {
 object ParityGate {
   import org.apache.spark.sql.functions._
 
-  def apply(df: DataFrame, qname: String, bits: String*): DataFrame = {
+  /** Gate `df` on its boolean `bits` columns, fail-loud.
+    *
+    * A per-row assertion can never fire on ZERO rows, so a stream/batch
+    * pair that both emit nothing (misconfigured source, over-aggressive
+    * eviction) would be vacuously green. The `guardNonEmpty` branch closes
+    * that: a 1-row global-count subtree over the pre-gate frame, broadcast
+    * cross-joined in, asserts count > 0 inside the same plan (the
+    * broadcast side builds first, so the assertion fires even when the
+    * streamed side is empty). The guard re-executes `df`'s plan — free for
+    * the streaming entries (their parity frames are driver-local arrays),
+    * but a full second scan for the sketch aggregates q38/q76, which pass
+    * `guardNonEmpty = false`: a grouped aggregate is empty only when its
+    * source table is, which the driver's rows-only check already exposes
+    * as `spark_rows: 0`.
+    */
+  def apply(df: DataFrame, qname: String, bits: String*): DataFrame =
+    apply(df, qname, guardNonEmpty = true, bits: _*)
+
+  def apply(df: DataFrame, qname: String, guardNonEmpty: Boolean,
+      bits: String*): DataFrame = {
     val allBits = bits.map(b => col(b).isNotNull && col(b)).reduce(_ && _)
-    df.where(coalesce(
+    val gated = df.where(coalesce(
       assert_true(allBits, concat_ws(" ",
         lit(s"$qname: parity/accuracy bit false (${bits.mkString(",")}) in row"),
         to_json(struct(df.columns.map(col): _*)))),
       lit(true)))
+    if (!guardNonEmpty) gated
+    else {
+      val guard = df.groupBy().agg(count(lit(1)).as("__n"))
+        .select(coalesce(
+          assert_true(col("__n") > 0,
+            lit(s"$qname: gated result is EMPTY — no parity bit was ever " +
+              "evaluated (vacuously green)")),
+          lit(true)).as("__nonempty"))
+      // filter on the guard column (not a bare drop) so column pruning
+      // cannot eliminate the assert expression from the guard's project
+      gated.crossJoin(broadcast(guard))
+        .where(col("__nonempty")).drop("__nonempty")
+    }
   }
 }

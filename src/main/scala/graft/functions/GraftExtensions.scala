@@ -149,19 +149,25 @@ object GraftFunctions {
           "test (runtime-filter pushdown building block)"),
       (cs: Seq[Expression]) => BloomContains(cs(0), cs(1))))
 
-  /** A bloom-membership probe Column over `valueSql` for a serialized
-    * [[org.apache.spark.util.sketch.BloomFilter]]. Routed through the SQL
-    * surface with the bytes as a foldable `unbase64` literal (constant-
-    * folded to a binary literal before execution) — the public-API way to
-    * put a driver-built filter into an executor-side predicate. Requires
-    * [[ensureRegistered]] on the session first.
+  /** A bloom-membership probe Column over `value` for a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]]. The bytes become a
+    * BINARY `lit` and the registered expression is invoked via
+    * `call_function` — no SQL-text round-trip: a multi-MB filter is a
+    * direct binary Literal (never a base64 string the parser must chew
+    * through), and the value expression can't splice into or break the
+    * surrounding text. Requires [[ensureRegistered]] on the session first.
     */
-  def bloomProbe(bytes: Array[Byte], valueSql: String)
+  def bloomProbe(bytes: Array[Byte], value: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr(
-      "graft_bloom_contains(unbase64('" +
-        java.util.Base64.getEncoder.encodeToString(bytes) +
-        s"'), $valueSql)")
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains",
+      org.apache.spark.sql.functions.lit(bytes), value)
+
+  /** String-column-name convenience for [[bloomProbe]]. The name is
+    * resolved as a column reference, not parsed as SQL.
+    */
+  def bloomProbe(bytes: Array[Byte], valueCol: String)
+      : org.apache.spark.sql.Column =
+    bloomProbe(bytes, org.apache.spark.sql.functions.col(valueCol))
 
   /** Idempotent programmatic registration on an existing session:
     * functions into the registry, and the native-rewrite rules into

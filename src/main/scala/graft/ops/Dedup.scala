@@ -41,25 +41,30 @@ object Dedup extends QueryModule {
     */
   def exactDedupStats(docs: DataFrame, key: Column,
       groupCol: String = "source"): DataFrame =
-    docs.withColumn("k", key)
+    docs.withColumn("__dedup_k", key)
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("k")).as("n_unique"),
-        (count(lit(1)) - countDistinct(col("k"))).as("n_dups"))
+        countDistinct(col("__dedup_k")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("__dedup_k"))).as("n_dups"))
 
   /** Keep-first survivor selection: ONE canonical row per dedup key (the
     * lowest `orderCol` — swap the ordering for keep-best-by-quality).
     * row_number over (key, order) = one shuffle on the dup key, per-key
     * local sort, no global sort; dup-key cardinality scales with the
     * corpus so partitions stay balanced at 100 TB.
+    *
+    * Working columns are `__`-prefixed and dropped before returning (the
+    * asOfJoin convention): the output is exactly the caller's schema, and
+    * caller columns named `k`/`rn` survive untouched.
     */
   def keepFirstSurvivors(docs: DataFrame, key: Column,
       orderCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("k")).orderBy(col(orderCol).asc)
-    docs.withColumn("k", key)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val w = Window.partitionBy(col("__dedup_k")).orderBy(col(orderCol).asc)
+    docs.withColumn("__dedup_k", key)
+      .withColumn("__dedup_rn", row_number().over(w))
+      .filter(col("__dedup_rn") === 1)
+      .drop("__dedup_k", "__dedup_rn")
   }
 
   /** MinHash signatures over word `shingleK`-shingles: (idCol, sh, mh).
@@ -137,14 +142,19 @@ object Dedup extends QueryModule {
 
   /** End-to-end MinHash-LSH near-dup pairs over a document table:
     * (d1, d2, jac), d1 < d2, one row per band-bucket candidate pair,
-    * exact Jaccard. Manages its own signature persist barrier; the cached
-    * signatures stay in the session cache after the call (callers looping
-    * over many corpora should compose minHashSignatures → lshCandidates →
-    * verifyJaccard themselves and unpersist, or clearCache between runs).
+    * exact Jaccard. The signature barrier is a lazy `localCheckpoint`
+    * rather than `persist`: same materialize-once semantics (CollapseProject
+    * cannot inline the per-shingle md5 into both join sides), but the
+    * blocks are freed automatically by the ContextCleaner once the
+    * returned frame is unreferenced — repeated library calls do NOT
+    * accumulate session-lifetime cache entries. Callers wanting an
+    * explicitly-managed cache should compose minHashSignatures →
+    * lshCandidates → verifyJaccard themselves and own the persist.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol).persist()
+    val sigs = minHashSignatures(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
     verifyJaccard(lshCandidates(sigs, idCol = idCol), sigs, idCol)
   }
 

@@ -100,10 +100,11 @@ object Similarity extends QueryModule {
   /** Embedding-cosine near-dup pairs: vectors sharing an SRP bucket with
     * cosine above `threshold` → (v1, lab1, v2, lab2, sim), v1 < v2. The
     * embedding analog of MinHash-LSH: bucket equi-join, never an O(n²)
-    * cross join; exact verification only on bucket collisions. Persists
-    * the signature projection (the self-join's materialization barrier);
-    * the cache outlives the call — loop-heavy callers should build the
-    * signature frame themselves and unpersist, or clearCache between runs.
+    * cross join; exact verification only on bucket collisions. The
+    * signature projection is lazily `localCheckpoint`ed (the self-join's
+    * materialization barrier): computed once, and the blocks are freed by
+    * the ContextCleaner once the returned frame is unreferenced — unlike
+    * `persist`, repeated calls don't pin session-lifetime cache entries.
     */
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",
@@ -112,7 +113,7 @@ object Similarity extends QueryModule {
     val e = vectors
       .select(col(idCol), col(labelCol), col(vecCol),
         expr(sigSpark(vecCol)).as("sig"))
-      .persist()
+      .localCheckpoint(eager = false)
     val l = e.select(col("sig"), col(idCol).as("v1"),
       col(labelCol).as("lab1"), col(vecCol).as("e1"))
     val r = e.select(col("sig"), col(idCol).as("v2"),

@@ -307,22 +307,28 @@ object Temporal extends QueryModule {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  // Pinned to the operator's exact semantics: NULL-SAFE key join
+  // (IS NOT DISTINCT FROM, matching tableDiff's <=>) and presence-marker
+  // classification (p/p2, matching __l_present/__r_present) — key-nullness
+  // tests would misclassify a null-safely-matched NULL key as right_only.
   private val q83Sql =
     """WITH prod AS (
-      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price,
+      |    1 AS p
       |  FROM orders
       |), staging AS (
       |  SELECT k AS k2, st AS st2,
-      |    CASE WHEN k % 97 = 0 THEN price + 1.0 ELSE price END AS price2
+      |    CASE WHEN k % 97 = 0 THEN price + 1.0 ELSE price END AS price2,
+      |    1 AS p2
       |  FROM prod WHERE k % 199 <> 0
       |)
-      |SELECT CASE WHEN k IS NULL THEN 'right_only'
-      |            WHEN k2 IS NULL THEN 'left_only'
+      |SELECT CASE WHEN p IS NULL THEN 'right_only'
+      |            WHEN p2 IS NULL THEN 'left_only'
       |            WHEN st IS NOT DISTINCT FROM st2
       |                 AND price IS NOT DISTINCT FROM price2 THEN 'match'
       |            ELSE 'mismatch' END AS status,
       |  COUNT(*) AS n_keys
-      |FROM prod FULL OUTER JOIN staging ON k = k2
+      |FROM prod FULL OUTER JOIN staging ON k IS NOT DISTINCT FROM k2
       |GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
