@@ -106,10 +106,20 @@ object ParityGate {
             lit(s"$qname: gated result is EMPTY — no parity bit was ever " +
               "evaluated (vacuously green)")),
           lit(true)).as("__nonempty"))
-      // filter on the guard column (not a bare drop) so column pruning
-      // cannot eliminate the assert expression from the guard's project
-      gated.crossJoin(broadcast(guard))
-        .where(col("__nonempty")).drop("__nonempty")
+      // The guard must be the PRESERVED side of an outer join: a collected
+      // empty stream result is a statically-empty LocalRelation, and
+      // PropagateEmptyRelation deletes an inner/cross join outright when
+      // either input is provably empty — which would silently delete the
+      // guard in exactly the case it exists for. A left-outer join with
+      // the 1-row guard on the left instead optimizes to
+      // Project(guard, null-extended gated) — the global count still
+      // executes and the assert fires. The filter on __nonempty (not a
+      // bare drop) keeps column pruning from discarding the assert; the
+      // null-extended phantom row can never escape because the assert
+      // raises first (count = 0 is the only way that row exists).
+      guard.join(gated, lit(true), "left_outer")
+        .where(col("__nonempty"))
+        .select(df.columns.map(col): _*)
     }
   }
 }

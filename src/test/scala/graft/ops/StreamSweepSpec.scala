@@ -122,4 +122,27 @@ class StreamSweepSpec extends SparkTestBase {
       ParityGate(nullBit, "qXX", "ok").collect()
     }
   }
+
+  // A stream/batch pair that BOTH emit zero rows evaluates no bit at all —
+  // previously vacuously green. The count-guard must turn emptiness itself
+  // into a raise (and stay silent when rows exist).
+  test("ParityGate raises on an EMPTY gated result instead of passing vacuously") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Boolean)].toDF("v", "ok")
+    val e = intercept[Exception] {
+      ParityGate(empty, "qEMPTY", "ok").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("qEMPTY"),
+      s"guard error should name the query: ${e.getMessage}")
+    // opting out (the expensive-aggregate entries) restores the old
+    // rows-only behavior: empty in, empty out, no raise
+    val viaOptOut =
+      ParityGate(empty, "qEMPTY", guardNonEmpty = false, "ok").collect()
+    assert(viaOptOut.isEmpty)
+    // and the guard adds no rows/columns when data IS present
+    val good = Seq((1L, true), (2L, true)).toDF("v", "ok")
+    val gated = ParityGate(good, "qOK", "ok")
+    assert(gated.columns.toSeq == Seq("v", "ok"))
+    assert(gated.collect().length == 2)
+  }
 }
