@@ -504,7 +504,102 @@ object TextAnalysis extends QueryModule {
        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
        |FROM documents GROUP BY 1""".stripMargin
 
+  // --- q87: intra-document repetition metrics (quality filtering) ---------
+  // The repetition signals large-corpus quality filters actually use
+  // (Gopher/C4-style): a document dominated by one repeated bigram, or
+  // whose word 5-grams are mostly repeats, is boilerplate/spam. Both
+  // metrics are PER-ROW higher-order array folds over one scan — no
+  // shuffle anywhere, embarrassingly parallel at 100 TB (the alternative
+  // explode → groupBy(doc, gram) shape shuffles the full n-gram stream;
+  // the per-row sort+fold keeps it map-side: O(n log n) per document).
+
+  /** PUBLIC operator: per-document repetition metrics.
+    *   - `top_bigram_n` / `top_bigram_frac`: occurrences of the most
+    *     frequent word bigram and its share of all bigrams (sort the
+    *     bigram array, longest equal-run via one aggregate fold).
+    *   - `dup5_frac`: fraction of word 5-grams that are repeats
+    *     (1 − distinct/total).
+    * Documents too short for a metric yield NULL (not 0 — absence of
+    * evidence), same contract as q21's zero-token guard.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("toks", expr(s"regexp_extract_all($textCol, '[a-z]+', 0)"))
+      .withColumn("bg", expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+          |END""".stripMargin))
+      .withColumn("g5", expr(
+        """CASE WHEN size(toks) < 5 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 4),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |    element_at(toks, i + 2), element_at(toks, i + 3),
+          |    element_at(toks, i + 4)))
+          |END""".stripMargin))
+      // longest equal-run over the SORTED bigrams = max bigram frequency;
+      // prev-tracking fold, null-safe <=> so the NULL seed never matches
+      .withColumn("top_n", expr(
+        """CASE WHEN size(bg) = 0 THEN CAST(NULL AS BIGINT) ELSE
+          |aggregate(array_sort(bg),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  CASE WHEN x <=> a.prev THEN a.run + 1L ELSE 1L END,
+          |    'best', greatest(a.best,
+          |      CASE WHEN x <=> a.prev THEN a.run + 1L ELSE 1L END)),
+          |  a -> a.best) END""".stripMargin))
+      .select(
+        col(idCol),
+        expr("CAST(size(bg) AS BIGINT)").as("n_bigrams"),
+        col("top_n").as("top_bigram_n"),
+        expr("""CASE WHEN size(bg) = 0 THEN CAST(NULL AS DOUBLE)
+             |ELSE round(CAST(top_n AS DOUBLE) / size(bg), 6) END"""
+          .stripMargin).as("top_bigram_frac"),
+        expr("""CASE WHEN size(g5) = 0 THEN CAST(NULL AS DOUBLE)
+             |ELSE round(1.0 - CAST(size(array_distinct(g5)) AS DOUBLE)
+             |  / size(g5), 6) END""".stripMargin).as("dup5_frac"))
+
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.load(s, dir, "documents"))
+
+  // Oracle computes the max bigram frequency by unnest + GROUP BY — a
+  // different (shuffle) shape proving the per-row fold equals the
+  // canonical count; LEFT JOIN keeps too-short docs with NULL metrics.
+  private val q87Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 2 THEN [] ELSE
+      |      list_transform(generate_series(1, len(w) - 1),
+      |        i -> concat_ws(' ', w[i], w[i + 1])) END AS bg,
+      |    CASE WHEN len(w) < 5 THEN [] ELSE
+      |      list_transform(generate_series(1, len(w) - 4),
+      |        i -> concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3],
+      |          w[i + 4])) END AS g5
+      |  FROM toks
+      |), topb AS (
+      |  SELECT doc_id, MAX(n) AS top_n FROM (
+      |    SELECT doc_id, g, COUNT(*) AS n
+      |    FROM (SELECT doc_id, unnest(bg) AS g FROM grams)
+      |    GROUP BY doc_id, g)
+      |  GROUP BY doc_id
+      |)
+      |SELECT g.doc_id,
+      |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  CAST(top_n AS BIGINT) AS top_bigram_n,
+      |  CASE WHEN len(bg) = 0 THEN NULL
+      |    ELSE round(CAST(top_n AS DOUBLE) / len(bg), 6) END
+      |    AS top_bigram_frac,
+      |  CASE WHEN len(g5) = 0 THEN NULL
+      |    ELSE round(1.0 - CAST(len(list_distinct(g5)) AS DOUBLE)
+      |      / len(g5), 6) END AS dup5_frac
+      |FROM grams g LEFT JOIN topb USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_repetition" -> q87 _,
     "q86_dataset_split" -> q86 _,
     "q85_mixture_sample" -> q85 _,
     "q80_token_packing" -> q80 _,
@@ -517,6 +612,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q87_repetition" -> q87Sql,
     "q86_dataset_split" -> q86Sql,
     "q85_mixture_sample" -> q85Sql,
     "q80_token_packing" -> q80Sql,

@@ -160,6 +160,29 @@ class PublicApiSpec extends SparkTestBase {
     assert(leftOnlyNull == "left_only", leftOnlyNull)
   }
 
+  test("repetitionStats matches hand-computed metrics and NULLs short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // bigrams: "a b","b a","a b","b a","a b","b c" → top "a b" = 3 of 6;
+      // 5-grams: 3 total, all distinct → dup5 = 0
+      (1L, "a b a b a b c"),
+      // 10 tokens, 6 5-grams, "x y z w v" repeats → 5 distinct → 1 - 5/6
+      (2L, "x y z w v x y z w v"),
+      // 1 token: no bigrams, no 5-grams → all metrics NULL
+      (3L, "lonely"),
+      // 4 tokens: bigrams exist, 5-grams don't
+      (4L, "p q p q"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 6L && m(1L).getLong(2) == 3L)
+    assert(m(1L).getDouble(3) == 0.5 && m(1L).getDouble(4) == 0.0)
+    assert(m(2L).getDouble(4) == 0.166667, m(2L).toString)
+    assert(m(3L).isNullAt(2) && m(3L).isNullAt(3) && m(3L).isNullAt(4))
+    assert(m(4L).getLong(1) == 3L && m(4L).getLong(2) == 2L
+      && m(4L).isNullAt(4), m(4L).toString)
+  }
+
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
     val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
       groupCol = "src", orderCol = "id", textCol = "body")
