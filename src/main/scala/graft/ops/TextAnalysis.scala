@@ -598,7 +598,65 @@ object TextAnalysis extends QueryModule {
       |      / len(g5), 6) END AS dup5_frac
       |FROM grams g LEFT JOIN topb USING (doc_id)""".stripMargin
 
+  // --- q88: corpus vocabulary / Zipf statistics ---------------------------
+  // The corpus-level profile a data curator reads before training: per
+  // source, vocabulary size, token mass, hapax fraction (share of terms
+  // seen exactly once — the long tail), and the token-mass share of the
+  // top-100 terms (Zipf head coverage). Cross-document by nature, so it
+  // SHUFFLES — but the shuffle key is (source, term): map-side partial
+  // aggregation collapses the token stream to the VOCABULARY before the
+  // exchange, and the rank window runs over per-source vocab (bounded by
+  // the language, not the corpus) — the shape survives 100 TB.
+  private val zipfTopK = 100
+
+  /** PUBLIC operator: per-`groupCol` vocabulary statistics (see q88). */
+  def vocabularyStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", topK: Int = zipfTopK): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col("tok").asc)
+    docs
+      .select(col(groupCol),
+        explode(expr(s"regexp_extract_all($textCol, '[a-z]+', 0)")).as("tok"))
+      .groupBy(groupCol, "tok")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_n"),
+        expr("""round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |/ count(*), 6)""".stripMargin).as("hapax_frac"),
+        expr(s"""round(CAST(sum(CASE WHEN rn <= $topK THEN n ELSE 0 END)
+             |AS DOUBLE) / sum(n), 6)""".stripMargin).as("topk_coverage"))
+  }
+
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    vocabularyStats(Tables.load(s, dir, "documents"))
+
+  private val q88Sql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok
+       |), r AS (
+       |  SELECT source, n,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY n DESC, tok ASC) AS rn
+       |  FROM c
+       |)
+       |SELECT source, COUNT(*) AS vocab_size,
+       |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_n,
+       |  round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS hapax_frac,
+       |  round(CAST(SUM(CASE WHEN rn <= $zipfTopK THEN n ELSE 0 END)
+       |    AS DOUBLE) / SUM(n), 6) AS topk_coverage
+       |FROM r GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_vocabulary" -> q88 _,
     "q87_repetition" -> q87 _,
     "q86_dataset_split" -> q86 _,
     "q85_mixture_sample" -> q85 _,
@@ -612,6 +670,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q88_vocabulary" -> q88Sql,
     "q87_repetition" -> q87Sql,
     "q86_dataset_split" -> q86Sql,
     "q85_mixture_sample" -> q85Sql,

@@ -183,6 +183,27 @@ class PublicApiSpec extends SparkTestBase {
       && m(4L).isNullAt(4), m(4L).toString)
   }
 
+  test("vocabularyStats computes vocab/hapax/coverage with custom topK") {
+    import spark.implicits._
+    // s1: tokens a a a b c → vocab {a:3, b:1, c:1}, hapax b,c;
+    // top-1 coverage = 3/5. s2: one doc, all-distinct tokens.
+    val docs = Seq(
+      ("s1", "a a a b"), ("s1", "c"),
+      ("s2", "x y z"))
+      .toDF("src", "body")
+    val m = TextAnalysis.vocabularyStats(docs, groupCol = "src",
+      textCol = "body", topK = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("s1").getLong(1) == 3L && m("s1").getLong(2) == 5L)
+    assert(m("s1").getLong(3) == 2L)
+    assert(m("s1").getDouble(4) == 0.666667) // 2 hapax of 3 terms
+    assert(m("s1").getDouble(5) == 0.6)      // top-1 term a = 3/5 tokens
+    assert(m("s2").getLong(1) == 3L && m("s2").getLong(3) == 3L)
+    assert(m("s2").getDouble(4) == 1.0)
+    // deterministic tiebreak: all counts 1 → top-1 is lexicographic 'x'
+    assert(m("s2").getDouble(5) == 0.333333)
+  }
+
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
     val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
       groupCol = "src", orderCol = "id", textCol = "body")
