@@ -31,6 +31,7 @@ object DevScaleSweep {
     val table = Map(
       "q20_sweepline" -> "orders", "q26_minhash_lsh" -> "documents",
       "q50_dedup_clusters" -> "documents", "q78_session_window" -> "events",
+      "q87_repetition" -> "documents", "q88_vocabulary" -> "documents",
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents")
       .withDefaultValue("lineitem")
 

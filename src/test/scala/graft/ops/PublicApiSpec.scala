@@ -204,6 +204,24 @@ class PublicApiSpec extends SparkTestBase {
     assert(m("s2").getDouble(5) == 0.333333)
   }
 
+  test("q87/q88 plan shapes: repetition is shuffle-free, vocabulary shuffles twice") {
+    import spark.implicits._
+    val docs = Seq(("s1", 1L, "a b c d e f g"), ("s2", 2L, "h i j k l m n"))
+      .toDF("source", "doc_id", "text")
+    // per-row folds only → the whole operator is one map-side pass
+    val rep = TextAnalysis.repetitionStats(docs)
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"),
+      rep.queryExecution.executedPlan.toString)
+    // explode → (source, term) partial+final agg [exchange 1] → per-source
+    // rank window [exchange 2] → final per-source agg REUSES the window's
+    // hash partitioning on source — two exchanges total, no third
+    val vocab = TextAnalysis.vocabularyStats(docs)
+    val nEx = "(?<!Reused)Exchange".r
+      .findAllIn(vocab.queryExecution.executedPlan.toString).length
+    assert(nEx == 2, s"expected 2 exchanges:\n" +
+      vocab.queryExecution.executedPlan.toString)
+  }
+
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
     val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
       groupCol = "src", orderCol = "id", textCol = "body")
