@@ -393,7 +393,78 @@ object Similarity extends QueryModule {
        |FROM assigned, unnest(generate_series(1, $MeanDims)) AS t(i)
        |GROUP BY cluster, i""".stripMargin
 
+  // --- q89: int8 scalar quantization (per-dim affine codebook) ------------
+  // The vector-compression step an ANN index runs before sharding: float32
+  // → int8 is a 4× memory cut, per-dimension affine codebook (min/max →
+  // 254 levels in [-127, 127]). Output is the per-dim codebook plus an
+  // EXACT reconstruction-error profile: each element's squared error is
+  // scaled to BIGINT (round(err × 1e12)) so the sum is associativity-safe
+  // integer arithmetic — hash-stable under any partitioning, the q67
+  // scaled-moments trick. Scale shape: pass 1 aggregates per-dim min/max
+  // (dim keys only, map-side combine); pass 2 re-scans with the 64-row
+  // codebook BROADCAST and aggregates per dim again — both shuffles carry
+  // dimensions, never vectors.
+
+  /** PUBLIC operator: int8 quantization codebook + exact error profile. */
+  def quantizationStats(vectors: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    val elems = vectors
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").cast("bigint").as("dim"),
+        col("col").cast("double").as("x"))
+    val params = elems.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    elems.join(broadcast(params), "dim")
+      // constant dimension (mx = mn) quantizes to code 0, reconstructs
+      // exactly — the divide-by-zero guard both engines must share
+      .withColumn("qv", expr(
+        """CASE WHEN mx = mn THEN 0L ELSE
+          |CAST(round((x - mn) / (mx - mn) * 254) AS BIGINT) - 127L
+          |END""".stripMargin))
+      .withColumn("deq", expr(
+        """CASE WHEN mx = mn THEN mn ELSE
+          |CAST(qv + 127L AS DOUBLE) / 254 * (mx - mn) + mn END"""
+          .stripMargin))
+      .withColumn("se_e12",
+        expr("CAST(round((x - deq) * (x - deq) * 1e12) AS BIGINT)"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("x")), 6).as("lo"),
+        round(max(col("x")), 6).as("hi"),
+        sum(col("se_e12")).as("sse_e12"),
+        max(col("se_e12")).as("max_se_e12"))
+  }
+
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    quantizationStats(Tables.load(s, dir, "embeddings"))
+
+  private val q89Sql =
+    """WITH e AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)
+      |), p AS (
+      |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim
+      |), d AS (
+      |  SELECT dim, x, mn, mx,
+      |    CASE WHEN mx = mn THEN mn ELSE
+      |      CAST((CASE WHEN mx = mn THEN 0 ELSE
+      |        CAST(round((x - mn) / (mx - mn) * 254) AS BIGINT) - 127 END)
+      |        + 127 AS DOUBLE) / 254 * (mx - mn) + mn END AS deq
+      |  FROM e JOIN p USING (dim)
+      |)
+      |SELECT dim, COUNT(*) AS n,
+      |  round(MIN(x), 6) AS lo, round(MAX(x), 6) AS hi,
+      |  CAST(SUM(CAST(round((x - deq) * (x - deq) * 1e12) AS BIGINT))
+      |    AS BIGINT) AS sse_e12,
+      |  CAST(MAX(CAST(round((x - deq) * (x - deq) * 1e12) AS BIGINT))
+      |    AS BIGINT) AS max_se_e12
+      |FROM d GROUP BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_quantization" -> q89 _,
     "q29_knn_brute" -> q29 _,
     "q30_ann_lsh" -> q30 _,
     "q31_embed_neardup" -> q31 _,
@@ -401,6 +472,7 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q89_quantization" -> q89Sql,
     "q29_knn_brute" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
     "q31_embed_neardup" -> q31Sql,

@@ -204,6 +204,33 @@ class PublicApiSpec extends SparkTestBase {
     assert(m("s2").getDouble(5) == 0.333333)
   }
 
+  test("quantizationStats: exact on grid points, bounded error, constant-dim guard") {
+    import spark.implicits._
+    // dim 0 spans [0, 2] (x = 1.0 lands exactly on code 0); dim 1 is
+    // CONSTANT (the mx = mn guard: code 0, exact reconstruction); dim 2
+    // holds an off-grid value whose error must be positive but ≤ the
+    // half-step bound (step/2)² = ((mx-mn)/254/2)²
+    val vecs = Seq(
+      (1L, Array(0.0f, 5.0f, 0.0f)),
+      (2L, Array(1.0f, 5.0f, 0.3f)),
+      (3L, Array(2.0f, 5.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.quantizationStats(vecs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet == Set(0L, 1L, 2L))
+    assert(m(0L).getLong(1) == 3L)
+    // grid points (min, exact midpoint, max) reconstruct exactly
+    assert(m(0L).getLong(4) == 0L, s"dim0 sse: ${m(0L)}")
+    // constant dim: zero error, lo == hi
+    assert(m(1L).getLong(4) == 0L && m(1L).getDouble(2) == 5.0
+      && m(1L).getDouble(3) == 5.0)
+    // off-grid 0.3 over [0, 1]: positive error within the half-step bound
+    val halfStepSe = math.pow(1.0 / 254 / 2, 2) * 1e12
+    assert(m(2L).getLong(4) > 0L, s"dim2 sse: ${m(2L)}")
+    assert(m(2L).getLong(5) <= math.ceil(halfStepSe).toLong + 1,
+      s"dim2 max_se ${m(2L).getLong(5)} exceeds half-step bound $halfStepSe")
+  }
+
   test("q87/q88 plan shapes: repetition is shuffle-free, vocabulary shuffles twice") {
     import spark.implicits._
     val docs = Seq(("s1", 1L, "a b c d e f g"), ("s2", 2L, "h i j k l m n"))
