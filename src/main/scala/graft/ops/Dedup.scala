@@ -216,7 +216,8 @@ object Dedup extends QueryModule {
   // default [[dedupKey]]. The aggregate shape (count vs count-distinct-key
   // per group) is the whole exact-dedup operator: survivors = one row per
   // key.
-  private val keyDuck =
+  // shared with TextAnalysis.q90's pipeline oracle
+  private[ops] val keyDuck =
     "md5(array_to_string(regexp_extract_all(text, '[a-z]+')[1:5], ' '))"
 
   private def q25(s: SparkSession, dir: String): DataFrame =

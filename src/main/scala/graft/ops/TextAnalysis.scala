@@ -77,14 +77,18 @@ object TextAnalysis extends QueryModule {
         expr("round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4)")
           .as("avg_tokens"))
 
-  private val q22Sql =
-    """WITH scored AS (
-      |  SELECT lang,
-      |    CAST(len(toks) AS BIGINT) AS n_toks,
-      |    round((1.0 - CAST(len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+  // DuckDB twin of scoreExprSpark, shared by q22 and the q90 pipeline
+  private val scoreExprDuck =
+    """round((1.0 - CAST(len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
       |      / len(toks)) * 0.5
       |      + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5,
-      |      6) AS score
+      |      6)""".stripMargin
+
+  private val q22Sql =
+    s"""WITH scored AS (
+      |  SELECT lang,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    $scoreExprDuck AS score
       |  FROM (SELECT lang, regexp_extract_all(text, '[a-z]+') AS toks
       |        FROM documents)
       |)
@@ -655,7 +659,70 @@ object TextAnalysis extends QueryModule {
        |    AS DOUBLE) / SUM(n), 6) AS topk_coverage
        |FROM r GROUP BY source""".stripMargin
 
+  // --- q90: the curation pipeline, end-to-end ------------------------------
+  // The capstone composition a real corpus run executes as ONE job: exact
+  // dedup (keep-first survivors) → quality filter (score ≥ mid tier) →
+  // deterministic train split (hash bucket < 80) → context-window token
+  // packing → per-source manifest. Every stage is a public operator whose
+  // own battery entry is independently oracle-checked (q72, q22, q86,
+  // q80); this entry proves they COMPOSE into one lazy plan — one
+  // pipeline, no intermediate materialization, each stage's shuffle
+  // feeding the next (dup-key window → map-side score/hash filters →
+  // per-source packing window → small manifest agg).
+  private val q90QualityMin = 0.70
+
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val survivors = Dedup.keepFirstSurvivors(
+      Tables.load(s, dir, "documents"), Dedup.dedupKey())
+    val train = survivors
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .withColumn("score", expr(scoreExprSpark))
+      .filter(col("score") >= q90QualityMin)
+      .filter(expr(s"$q86BucketSpark < 80"))
+    tokenPacking(train)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("n_tokens"))
+  }
+
+  private val q90Sql =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, text,
+       |    ROW_NUMBER() OVER (PARTITION BY ${Dedup.keyDuck}
+       |                       ORDER BY doc_id ASC) AS rn
+       |  FROM documents
+       |), surv AS (
+       |  SELECT doc_id, source, text FROM ranked WHERE rn = 1
+       |), scored AS (
+       |  SELECT doc_id, source, text, $scoreExprDuck AS score
+       |  FROM (SELECT doc_id, source, text,
+       |          regexp_extract_all(text, '[a-z]+') AS toks
+       |        FROM surv)
+       |), train AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+       |  FROM scored
+       |  WHERE score >= $q90QualityMin AND $q86BucketDuck < 80
+       |), packed AS (
+       |  SELECT source,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) // $packBudget AS bin,
+       |    n_tok
+       |  FROM train
+       |), bins AS (
+       |  SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+       |  FROM packed GROUP BY source, bin
+       |)
+       |SELECT source, COUNT(*) AS n_bins,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens
+       |FROM bins GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_curation_pipeline" -> q90 _,
     "q88_vocabulary" -> q88 _,
     "q87_repetition" -> q87 _,
     "q86_dataset_split" -> q86 _,
@@ -670,6 +737,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q90_curation_pipeline" -> q90Sql,
     "q88_vocabulary" -> q88Sql,
     "q87_repetition" -> q87Sql,
     "q86_dataset_split" -> q86Sql,
