@@ -230,6 +230,56 @@ object MediaPipeline {
       }
   }
 
+  /** Deterministic nearest-neighbor image resize, record → record: the
+    * payload is decoded (ImageIO, in-memory), sampled at integer grid
+    * positions (srcX = x·srcW div dstW — explicit arithmetic, no AWT
+    * filtering, so the output is bit-stable across JVMs), and re-encoded
+    * as PNG (lossless, so the sampled pixels round-trip exactly).
+    * Undecodable payloads are DROPPED — the same 100 TB contract as
+    * [[JvmImageDecoder]]: one corrupt row never fails the task.
+    */
+  object JvmImageResizer {
+    def resizeBatch(batch: Seq[MediaRecord], dstW: Int, dstH: Int)
+        : Seq[MediaRecord] =
+      batch.flatMap { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img.map { im =>
+          val (sw, sh) = (im.getWidth, im.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < dstH) {
+            val sy = y * sh / dstH
+            var x = 0
+            while (x < dstW) {
+              out.setRGB(x, y, im.getRGB(x * sw / dstW, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val bytes = bos.toByteArray
+          MediaRecord(r.docId,
+            MediaMeta(r.meta.kind, bytes.length.toLong), bytes)
+        }
+      }
+
+    /** Distributed resize with the same bounded-batch partition flow as
+      * [[extract]]: payloads stream through one batch at a time.
+      */
+    def resize(media: Dataset[MediaRecord], dstW: Int, dstH: Int,
+        batchSize: Int = 64): Dataset[MediaRecord] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions(_.grouped(batchSize).flatMap(b =>
+        resizeBatch(b, dstW, dstH)))
+    }
+  }
+
   /** documents → typed media records (payload = UTF-8 bytes). */
   def mediaFrom(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._

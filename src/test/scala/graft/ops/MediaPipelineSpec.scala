@@ -89,6 +89,44 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(out.forall(f => f.features(0) >= 4.0 && f.features(0) <= 7.0))
   }
 
+  test("JvmImageResizer: exact nearest-neighbor picks, chainable, drops bad rows") {
+    // 4×4 → 2×2 nearest-neighbor with srcX = x·srcW div dstW picks source
+    // pixels (0,0), (2,0), (0,2), (2,2); PNG is lossless so the resized
+    // payload decodes to EXACTLY those pixels
+    val out = JvmImageResizer.resizeBatch(Seq(rec(9, png(4, 4))), 2, 2)
+    assert(out.map(_.docId) == Seq(9L))
+    assert(out.head.meta.nBytes == out.head.payload.length.toLong)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.head.payload))
+    assert(im.getWidth == 2 && im.getHeight == 2)
+    def rgb(x: Int, y: Int) = ((x % 256) << 16) | ((y % 256) << 8) |
+      ((x + y) % 256)
+    assert((im.getRGB(0, 0) & 0xffffff) == rgb(0, 0))
+    assert((im.getRGB(1, 0) & 0xffffff) == rgb(2, 0))
+    assert((im.getRGB(0, 1) & 0xffffff) == rgb(0, 2))
+    assert((im.getRGB(1, 1) & 0xffffff) == rgb(2, 2))
+    // record → record: the resized output feeds the decoder unchanged
+    val f = JvmImageDecoder.decodeBatch(out).head
+    assert(f.features(0) == 2.0 && f.features(1) == 2.0)
+    // undecodable payloads are dropped, same contract as the decoder
+    assert(JvmImageResizer.resizeBatch(
+      Seq(rec(1, "junk".getBytes), rec(2, png(4, 4))), 2, 2)
+      .map(_.docId) == Seq(2L))
+  }
+
+  test("JvmImageResizer runs distributed with bounded batches") {
+    import spark.implicits._
+    val media = spark.createDataset(
+      (1L to 30L).map(i => rec(i, png(8, 8)))).repartition(3)
+    val out = JvmImageResizer.resize(media, 4, 4, batchSize = 7).collect()
+    assert(out.map(_.docId).sorted.toSeq == (1L to 30L))
+    assert(out.forall { r =>
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      im.getWidth == 4 && im.getHeight == 4
+    })
+  }
+
   test("decoder sees bounded batches regardless of partition size") {
     import spark.implicits._
     // The spy records each record's batch size IN the output features —
