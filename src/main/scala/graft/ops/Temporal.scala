@@ -85,6 +85,8 @@ object Temporal extends QueryModule {
       .filter(
         (col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + windowUs)
           || (col("b_ts") === col("a_ts") && col("b_id") > col("a_id")))
+      // the bucket working column is join plumbing, not pair output
+      .drop("bucket")
   }
 
   /** Gap sessionization: per-key (n_sessions, n_events) via lag +

@@ -438,12 +438,13 @@ object TextAnalysis extends QueryModule {
     * whose `keySql` hash lands under the per-row `rate` percentage —
     * membership is a pure function of the key, so the sample is
     * reproducible everywhere. `rate` is typically a per-source/stratum
-    * weight column joined or derived onto the frame.
+    * weight column joined or derived onto the frame. A pure filter: the
+    * output is exactly the caller's schema (no working columns added or
+    * overwritten).
     */
   def mixtureSample(docs: DataFrame, rate: org.apache.spark.sql.Column,
       keySql: String): DataFrame =
-    docs.withColumn("rate", rate)
-      .filter(expr(s"${Dialect.sparkHash60(keySql)} % 100") < col("rate"))
+    docs.filter(expr(s"${Dialect.sparkHash60(keySql)} % 100") < rate)
 
   private val q85RateSpark = s"25 * (1 + ${Dialect.sparkHash60("source")} % 4)"
   private val q85RateDuck = s"25 * (1 + ${Dialect.duckHash60("source")} % 4)"

@@ -183,6 +183,27 @@ class PublicApiSpec extends SparkTestBase {
       && m(4L).isNullAt(4), m(4L).toString)
   }
 
+  test("mixtureSample is a pure reproducible filter on caller schema") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "s1" else "s2"))
+      .toDF("id", "src")
+    // per-source rates: s1 keeps ~100%, s2 ~0% — membership by id hash
+    val rate = when(col("src") === "s1", 100).otherwise(0)
+    val kept = TextAnalysis.mixtureSample(docs, rate,
+      "CAST(id AS STRING)").collect()
+    // exact caller schema, no working columns
+    assert(kept.head.schema.fieldNames.toSeq == Seq("id", "src"))
+    assert(kept.forall(_.getString(1) == "s1") && kept.length == 100)
+    // deterministic: the same call yields the same membership
+    val again = TextAnalysis.mixtureSample(docs, rate,
+      "CAST(id AS STRING)").collect()
+    assert(kept.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+    // a fractional rate keeps a strict, stable subset
+    val some = TextAnalysis.mixtureSample(docs, lit(50),
+      "CAST(id AS STRING)").collect().map(_.getLong(0)).toSet
+    assert(some.nonEmpty && some.size < 200)
+  }
+
   test("vocabularyStats computes vocab/hapax/coverage with custom topK") {
     import spark.implicits._
     // s1: tokens a a a b c → vocab {a:3, b:1, c:1}, hapax b,c;
