@@ -39,7 +39,9 @@ object Bench {
       // Several operators persist() intermediates scoped to one query;
       // without an explicit drop, 33 queries × (warm-up + timed) cached
       // datasets accumulate and later queries time GC pressure, not
-      // their plan.
+      // their plan. (q31's localCheckpoint blocks live OUTSIDE the cache
+      // manager — freed on driver GC via ContextCleaner, not by this
+      // call — but they are KB-scale per run and don't move the battery.)
       spark.catalog.clearCache()
     }
 

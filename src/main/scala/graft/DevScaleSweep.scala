@@ -32,6 +32,7 @@ object DevScaleSweep {
       "q20_sweepline" -> "orders", "q26_minhash_lsh" -> "documents",
       "q50_dedup_clusters" -> "documents", "q78_session_window" -> "events",
       "q87_repetition" -> "documents", "q88_vocabulary" -> "documents",
+      "q89_quantization" -> "embeddings", "q90_curation_pipeline" -> "documents",
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents")
       .withDefaultValue("lineitem")
 

@@ -162,12 +162,14 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_bloom_contains",
       org.apache.spark.sql.functions.lit(bytes), value)
 
-  /** String-column-name convenience for [[bloomProbe]]. The name is
-    * resolved as a column reference, not parsed as SQL.
+  /** SQL-expression convenience for [[bloomProbe]] (back-compatible with
+    * the original String signature): `valueSql` is parsed as ONE
+    * standalone expression — in isolation, never spliced into a larger
+    * SQL string, so it cannot inject into or break the filter literal.
     */
-  def bloomProbe(bytes: Array[Byte], valueCol: String)
+  def bloomProbe(bytes: Array[Byte], valueSql: String)
       : org.apache.spark.sql.Column =
-    bloomProbe(bytes, org.apache.spark.sql.functions.col(valueCol))
+    bloomProbe(bytes, org.apache.spark.sql.functions.expr(valueSql))
 
   /** Idempotent programmatic registration on an existing session:
     * functions into the registry, and the native-rewrite rules into

@@ -147,9 +147,11 @@ object Dedup extends QueryModule {
     * cannot inline the per-shingle md5 into both join sides), but the
     * blocks are freed automatically by the ContextCleaner once the
     * returned frame is unreferenced — repeated library calls do NOT
-    * accumulate session-lifetime cache entries. Callers wanting an
-    * explicitly-managed cache should compose minHashSignatures →
-    * lshCandidates → verifyJaccard themselves and own the persist.
+    * accumulate session-lifetime cache entries. The trade: localCheckpoint
+    * TRUNCATES lineage, so losing an executor after materialization fails
+    * the job instead of recomputing the lost partitions. On preemptible
+    * clusters, compose minHashSignatures → lshCandidates → verifyJaccard
+    * yourself and own a persist (lineage kept) instead.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

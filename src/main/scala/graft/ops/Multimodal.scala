@@ -251,12 +251,15 @@ object MediaPipeline {
           val (sw, sh) = (im.getWidth, im.getHeight)
           val out = new java.awt.image.BufferedImage(
             dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // Long products: x·sw overflows Int for multi-megapixel sources
+          // or large upscale targets, and a negative index would throw out
+          // of the drop-undecodable guard and kill the task on one row
           var y = 0
           while (y < dstH) {
-            val sy = y * sh / dstH
+            val sy = (y.toLong * sh / dstH).toInt
             var x = 0
             while (x < dstW) {
-              out.setRGB(x, y, im.getRGB(x * sw / dstW, sy))
+              out.setRGB(x, y, im.getRGB((x.toLong * sw / dstW).toInt, sy))
               x += 1
             }
             y += 1

@@ -105,6 +105,9 @@ object Similarity extends QueryModule {
     * materialization barrier): computed once, and the blocks are freed by
     * the ContextCleaner once the returned frame is unreferenced — unlike
     * `persist`, repeated calls don't pin session-lifetime cache entries.
+    * The trade: lineage is truncated, so an executor loss after
+    * materialization fails the job rather than recomputing; on
+    * preemptible clusters build the signature frame yourself and persist.
     */
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",

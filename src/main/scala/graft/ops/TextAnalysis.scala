@@ -56,11 +56,18 @@ object TextAnalysis extends QueryModule {
   // score ∈ [0,1]: half from non-stopword density, half from lexical
   // diversity (distinct/total tokens). Deterministic: both terms are one
   // double division + multiply, same shape both engines.
+  // Zero-token guard (q21's convention): without it the engines DIVERGE
+  // on a doc with no [a-z] tokens — Spark's 0/0 double division is NULL
+  // while DuckDB's IEEE mode yields NaN, and DuckDB orders NaN above
+  // every number, so `score >= threshold` would keep the row in the
+  // oracle and drop it in Spark. NULL on both engines → 'low' tier on
+  // both (CASE/otherwise), and every >= filter drops it on both.
   private val scoreExprSpark =
-    """round((1.0 - CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+    """CASE WHEN size(toks) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+      |round((1.0 - CAST(size(filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
       |  / size(toks)) * 0.5
       |  + CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) * 0.5,
-      |  6)""".stripMargin
+      |  6) END""".stripMargin
 
   private def q22(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -79,10 +86,11 @@ object TextAnalysis extends QueryModule {
 
   // DuckDB twin of scoreExprSpark, shared by q22 and the q90 pipeline
   private val scoreExprDuck =
-    """round((1.0 - CAST(len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+    """CASE WHEN len(toks) = 0 THEN NULL ELSE
+      |round((1.0 - CAST(len(list_filter(toks, t -> t = 'a' OR t = 'the')) AS DOUBLE)
       |      / len(toks)) * 0.5
       |      + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5,
-      |      6)""".stripMargin
+      |      6) END""".stripMargin
 
   private val q22Sql =
     s"""WITH scored AS (
@@ -630,10 +638,17 @@ object TextAnalysis extends QueryModule {
         count(lit(1)).as("vocab_size"),
         sum(col("n")).as("n_tokens"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_n"),
-        expr("""round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             |/ count(*), 6)""".stripMargin).as("hapax_frac"),
-        expr(s"""round(CAST(sum(CASE WHEN rn <= $topK THEN n ELSE 0 END)
-             |AS DOUBLE) / sum(n), 6)""".stripMargin).as("topk_coverage"))
+        sum(when(col("rn") <= topK, col("n")).otherwise(0L))
+          .as("__topk_mass"))
+      // ratios derived from the already-computed counts — one aggregation
+      // buffer per quantity, and the numerator/denominator can't drift
+      // from the counts they describe
+      .select(col(groupCol), col("vocab_size"), col("n_tokens"),
+        col("hapax_n"),
+        round(col("hapax_n").cast("double") / col("vocab_size"), 6)
+          .as("hapax_frac"),
+        round(col("__topk_mass").cast("double") / col("n_tokens"), 6)
+          .as("topk_coverage"))
   }
 
   private def q88(s: SparkSession, dir: String): DataFrame =
