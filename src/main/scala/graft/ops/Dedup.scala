@@ -160,6 +160,33 @@ object Dedup extends QueryModule {
     verifyJaccard(lshCandidates(sigs, idCol = idCol), sigs, idCol)
   }
 
+  /** Fuzzy name matching (entity resolution): pairs of DISTINCT values of
+    * `nameCol` within `maxDist` edit distance, prefiltered to pairs
+    * sharing at least `minShared` character trigrams. The scale shape of
+    * every fuzzy-join: (1) collapse rows to the NAME VOCABULARY first
+    * (groupBy — the pair problem is vocab², never rows²); (2) candidates
+    * via a trigram-bucket equi-join (keys shuffle, no cross join);
+    * (3) exact `levenshtein` only on candidates that share enough grams.
+    * Output: (name_a, name_b, shared_3grams, edit_dist), name_a < name_b.
+    */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String,
+      maxDist: Int = 3, minShared: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val g = df.groupBy(nameCol).agg(count(lit(1)).as("__n"))
+      .select(col(nameCol).as("__name"),
+        explode(expr(s"graft_char_ngrams($nameCol, 3)")).as("g"))
+    val a = g.select(col("g"), col("__name").as("name_a"))
+    val b = g.select(col("g"), col("__name").as("name_b"))
+    a.join(b, "g").filter(col("name_a") < col("name_b"))
+      // graft_char_ngrams is DISTINCT per name, so the per-pair join
+      // count IS the shared-distinct-trigram count
+      .groupBy("name_a", "name_b").agg(count(lit(1)).as("shared_3grams"))
+      .filter(col("shared_3grams") >= minShared)
+      .withColumn("edit_dist",
+        expr("CAST(levenshtein(name_a, name_b) AS BIGINT)"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** 60-bit SimHash per document: (idCol, sim). Bit j is set iff
     * Σ_tokens (2·bit_j(H(t)) − 1) > 0 (multiplicity-weighted). Native
     * codegen ([[graft.functions.SimHash60]]) — the interpreted shape
@@ -498,7 +525,40 @@ object Dedup extends QueryModule {
       "q74_stream_dedup", "matches_batch")
   }
 
+  // --- q91: fuzzy name matching over the part vocabulary -------------------
+  // The public fuzzyNamePairs operator on part.p_name: near-identical
+  // product names (one word swapped/misspelled) surface as candidate
+  // pairs through the trigram prefilter and survive the exact edit-
+  // distance verify. The oracle replays the same vocabulary-first +
+  // q-gram-prefilter pipeline in DuckDB (both engines ship classic
+  // unit-cost levenshtein).
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairs(Tables.load(s, dir, "part"), "p_name")
+
+  private val q91TrigramsDuck =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(length(p_name) - 2, 1)),
+      |  i -> substr(p_name, i, 3)))""".stripMargin
+
+  private val q91Sql =
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name FROM part
+       |), g AS (
+       |  SELECT p_name, unnest($q91TrigramsDuck) AS g FROM names
+       |), pairs AS (
+       |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |    COUNT(*) AS shared_3grams
+       |  FROM g a JOIN g b ON a.g = b.g AND a.p_name < b.p_name
+       |  GROUP BY 1, 2
+       |)
+       |SELECT name_a, name_b, shared_3grams,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+       |FROM pairs
+       |WHERE shared_3grams >= 2 AND levenshtein(name_a, name_b) <= 3"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_fuzzy_match" -> q91 _,
     "q72_window_dedup" -> q72 _,
     "q25_exact_dedup" -> q25 _,
     "q26_minhash_lsh" -> q26 _,
@@ -508,6 +568,7 @@ object Dedup extends QueryModule {
     "q74_stream_dedup" -> q74 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q91_fuzzy_match" -> q91Sql,
     "q72_window_dedup" -> q72Sql,
     "q25_exact_dedup" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,

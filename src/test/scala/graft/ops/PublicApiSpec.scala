@@ -183,6 +183,31 @@ class PublicApiSpec extends SparkTestBase {
       && m(4L).isNullAt(4), m(4L).toString)
   }
 
+  test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
+    import spark.implicits._
+    val parts = Seq(
+      "large bolt", "large bolt", // duplicate rows collapse to vocabulary
+      "large bold",               // 1 substitution from "large bolt"
+      "large rod",                // bolt→rod = 3 edits, shares "lar/arg/rge/ge "
+      "tiny screw")               // unrelated: no shared trigrams
+      .toDF("name")
+    val pairs = Dedup.fuzzyNamePairs(parts, "name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // vocabulary-first: the duplicated "large bolt" yields ONE node;
+    // ordering is name_a < name_b
+    assert(pairs.map(p => (p._1, p._2)) ==
+      Set(("large bold", "large bolt"), ("large bold", "large rod"),
+        ("large bolt", "large rod")), pairs.toString)
+    assert(pairs.forall(_._4 <= 3) && pairs.forall(_._3 >= 2))
+    assert(pairs.find(p => p._1 == "large bold" && p._2 == "large bolt")
+      .get._4 == 1L)
+    // tighter maxDist drops the 3-edit pairs, keeps the 1-edit pair
+    val tight = Dedup.fuzzyNamePairs(parts, "name", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tight == Set(("large bold", "large bolt")), tight.toString)
+  }
+
   test("mixtureSample is a pure reproducible filter on caller schema") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "s1" else "s2"))
