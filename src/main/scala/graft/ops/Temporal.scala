@@ -109,6 +109,49 @@ object Temporal extends QueryModule {
         count(lit(1)).as("n_events"))
   }
 
+  /** LOCF gap fill (the time-series "rollforward"): per `keyCol`, build
+    * the complete `bucketUs`-resolution time grid between that key's
+    * first and last observation and carry the last observed `valCol`
+    * forward across empty buckets. Output per (key, bucket): event count
+    * (0 for gaps), the bucket's own last value (NULL for gaps), and the
+    * forward-filled value. Last-in-bucket is deterministic: (ts, id)
+    * DESC row_number, never a tie-arbitrary max_by.
+    *
+    * Scale shape: the per-bucket reduce collapses events to
+    * key × active-bucket rows BEFORE the grid join; the grid explode is
+    * bounded by each key's own active span (never the global span); the
+    * fill window orders each key's grid — rows per key = its span in
+    * buckets, not its event count.
+    */
+  def gapFill(ev: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts_us", valCol: String = "value",
+      idCol: String = "event_id",
+      bucketUs: Long = 86400000000L): DataFrame = {
+    val inBucketW = Window.partitionBy(keyCol, "__gf_bucket")
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val daily = ev
+      .withColumn("__gf_bucket",
+        expr(s"CAST($tsCol div ${bucketUs}L AS BIGINT)"))
+      .withColumn("__gf_rn", row_number().over(inBucketW))
+      .groupBy(keyCol, "__gf_bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col("__gf_rn") === 1, col(valCol))).as("last_val"))
+    val grid = daily.groupBy(keyCol)
+      .agg(min(col("__gf_bucket")).as("__d0"),
+        max(col("__gf_bucket")).as("__d1"))
+      .select(col(keyCol),
+        explode(expr("sequence(__d0, __d1)")).as("__gf_bucket"))
+    val fillW = Window.partitionBy(keyCol).orderBy(col("__gf_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "__gf_bucket"), "left")
+      .select(col(keyCol), col("__gf_bucket").as("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(col("last_val"), 6).as("last_val"),
+        round(last(col("last_val"), ignoreNulls = true).over(fillW), 6)
+          .as("filled"))
+  }
+
   // ===================== battery entries (driver gate) ====================
 
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -333,7 +376,41 @@ object Temporal extends QueryModule {
       |FROM prod FULL OUTER JOIN staging ON k IS NOT DISTINCT FROM k2
       |GROUP BY 1""".stripMargin
 
+  // --- q92: LOCF gap fill (daily rollforward) ------------------------------
+  // The public gapFill operator on the events stream at day resolution:
+  // every user's daily last reading carried across the days they were
+  // silent — the materialized view a monitoring/feature pipeline reads.
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    gapFill(events(s, dir))
+
+  private val q92Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+      |), daily AS (
+      |  SELECT user_id, day, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS last_val
+      |  FROM (SELECT user_id, ts_us // 86400000000 AS day, value,
+      |          ROW_NUMBER() OVER (
+      |            PARTITION BY user_id, ts_us // 86400000000
+      |            ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM ev)
+      |  GROUP BY user_id, day
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+      |        FROM daily GROUP BY user_id)
+      |)
+      |SELECT g.user_id, g.day AS bucket,
+      |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+      |  round(last_val, 6) AS last_val,
+      |  round(LAST_VALUE(last_val IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+      |FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_gap_fill" -> q92 _,
     "q34_asof_join" -> q34 _,
     "q35_range_join" -> q35 _,
     "q36_sessionize" -> q36 _,
@@ -341,6 +418,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q92_gap_fill" -> q92Sql,
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,
     "q36_sessionize" -> q36Sql,

@@ -183,6 +183,28 @@ class PublicApiSpec extends SparkTestBase {
       && m(4L).isNullAt(4), m(4L).toString)
   }
 
+  test("gapFill carries the last observation across empty buckets") {
+    import spark.implicits._
+    // sensor 7: readings in buckets 0 and 3 (gap at 1, 2); bucket 0 has
+    // two readings — the LATER one (ts 90, id 2) must be the carried value.
+    // sensor 8: single bucket, no grid beyond it.
+    val ev = Seq(
+      (7L, 10L, 1L, 1.5), (7L, 90L, 2L, 2.5), (7L, 310L, 3L, 9.0),
+      (8L, 150L, 4L, 4.0))
+      .toDF("sensor", "t", "rid", "v")
+    val filled = Temporal.gapFill(ev, keyCol = "sensor", tsCol = "t",
+      valCol = "v", idCol = "rid", bucketUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)), r.getDouble(4))).toMap
+    assert(filled.keySet == Set((7L, 0L), (7L, 1L), (7L, 2L), (7L, 3L),
+      (8L, 1L)))
+    assert(filled((7L, 0L)) == ((2L, Some(2.5), 2.5))) // later reading wins
+    assert(filled((7L, 1L)) == ((0L, None, 2.5)))      // gap: carried
+    assert(filled((7L, 2L)) == ((0L, None, 2.5)))
+    assert(filled((7L, 3L)) == ((1L, Some(9.0), 9.0)))
+    assert(filled((8L, 1L)) == ((1L, Some(4.0), 4.0)))
+  }
+
   test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
     import spark.implicits._
     val parts = Seq(
