@@ -21,13 +21,28 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_.queries).reduce(_ ++ _)
+    merged(modules.map(_.queries), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    modules.map(_.oracleSql).reduce(_ ++ _)
+    merged(modules.map(_.oracleSql), "oracleSql")
+
+  /** `++` silently keeps the LAST duplicate — a name collision between
+    * two modules would shadow one battery entry and shrink the gate
+    * without any signal. Fail at access time instead.
+    */
+  private def merged[V](maps: Seq[Map[String, V]], what: String)
+      : Map[String, V] = {
+    val m = maps.reduce(_ ++ _)
+    require(m.size == maps.map(_.size).sum,
+      s"duplicate battery $what name across modules: " +
+        maps.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    m
+  }
 }
 
 /** A group of related operators exposing driver-checkable queries. */

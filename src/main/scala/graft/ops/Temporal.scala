@@ -376,6 +376,52 @@ object Temporal extends QueryModule {
       |FROM prod FULL OUTER JOIN staging ON k IS NOT DISTINCT FROM k2
       |GROUP BY 1""".stripMargin
 
+  /** Order-independent grouped content checksum — tableDiff's cheap
+    * cousin for migration/anti-entropy validation at scale: XOR-fold a
+    * 60-bit row fingerprint per group. Equal row multisets ⇒ equal
+    * (checksum, n_rows); one scan, map-side partial XOR, group keys only
+    * on the shuffle — the first-pass check before paying for a full
+    * tableDiff. XOR caveat (why n_rows rides along): a row duplicated an
+    * EVEN number of times cancels out of the XOR; the count catches any
+    * cardinality change.
+    *
+    * `rowKeySql` is the caller's canonical row rendering (cast doubles to
+    * fixed-scale DECIMAL and timestamps to epoch integers — raw
+    * double/timestamp → string formatting is NOT portable across
+    * engines).
+    */
+  def tableChecksum(df: DataFrame, rowKeySql: String,
+      groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(${Dialect.sparkHash60(rowKeySql)})").as("checksum"))
+
+  // --- q93: grouped table checksum over orders ------------------------------
+  // Full-row fingerprint: integer keys, status (NULL-sentineled), price as
+  // fixed-scale DECIMAL text, order date as epoch micros — every piece
+  // renders identically on both engines, so the XOR checksum is a real
+  // cross-engine content check, not a formatting accident.
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    tableChecksum(Tables.load(s, dir, "orders"),
+      rowKeySql = "concat_ws('|', CAST(o_orderkey AS STRING), " +
+        "CAST(o_custkey AS STRING), coalesce(o_orderstatus, '<N>'), " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), " +
+        // NTZ → TIMESTAMP under the session's pinned UTC zone = DuckDB's
+        // naive-as-UTC epoch_us; unix_micros rejects NTZ directly
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING))",
+      groupCols = Seq("o_orderpriority"))
+
+  private val q93Sql = {
+    val rowKey = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+      "CAST(o_custkey AS VARCHAR), coalesce(o_orderstatus, '<N>'), " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), " +
+      "CAST(epoch_us(o_orderdate) AS VARCHAR))"
+    s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+       |  bit_xor(${Dialect.duckHash60(rowKey)}) AS checksum
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+  }
+
   // --- q92: LOCF gap fill (daily rollforward) ------------------------------
   // The public gapFill operator on the events stream at day resolution:
   // every user's daily last reading carried across the days they were
@@ -410,6 +456,7 @@ object Temporal extends QueryModule {
       |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_table_checksum" -> q93 _,
     "q92_gap_fill" -> q92 _,
     "q34_asof_join" -> q34 _,
     "q35_range_join" -> q35 _,
@@ -418,6 +465,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q93_table_checksum" -> q93Sql,
     "q92_gap_fill" -> q92Sql,
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,

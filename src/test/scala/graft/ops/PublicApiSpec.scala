@@ -183,6 +183,30 @@ class PublicApiSpec extends SparkTestBase {
       && m(4L).isNullAt(4), m(4L).toString)
   }
 
+  test("tableChecksum: content-sensitive, order-independent, count-guarded") {
+    import spark.implicits._
+    val a = Seq((1L, "x", "g"), (2L, "y", "g"), (3L, "z", "h"))
+      .toDF("id", "s", "grp")
+    val key = "concat_ws('|', CAST(id AS STRING), s)"
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Temporal.tableChecksum(df, key, Seq("grp"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    // same content in a different row order → identical checksums
+    assert(sums(a) == sums(a.orderBy(col("id").desc)))
+    // one changed value flips its group's checksum, leaves the other
+    val b = Seq((1L, "x", "g"), (2L, "Y", "g"), (3L, "z", "h"))
+      .toDF("id", "s", "grp")
+    assert(sums(a)("g")._2 != sums(b)("g")._2)
+    assert(sums(a)("h") == sums(b)("h"))
+    // XOR caveat: an even duplication cancels the checksum — n_rows is
+    // the guard that still catches it
+    val dup = Seq((1L, "x", "g"), (2L, "y", "g"), (2L, "y", "g"),
+      (2L, "y", "g"), (3L, "z", "h")).toDF("id", "s", "grp")
+    assert(sums(dup)("g")._2 == sums(a)("g")._2
+      && sums(dup)("g")._1 != sums(a)("g")._1)
+  }
+
   test("gapFill carries the last observation across empty buckets") {
     import spark.implicits._
     // sensor 7: readings in buckets 0 and 3 (gap at 1, 2); bucket 0 has
