@@ -33,6 +33,8 @@ object DevScaleSweep {
       "q50_dedup_clusters" -> "documents", "q78_session_window" -> "events",
       "q87_repetition" -> "documents", "q88_vocabulary" -> "documents",
       "q89_quantization" -> "embeddings", "q90_curation_pipeline" -> "documents",
+      "q91_fuzzy_match" -> "part", "q92_gap_fill" -> "events",
+      "q93_table_checksum" -> "orders",
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents")
       .withDefaultValue("lineitem")
 
