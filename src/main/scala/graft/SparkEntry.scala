@@ -19,14 +19,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.queries("q5_multiway_join")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Lazy: the
+    * merge + collision check is a one-time structural invariant, not a
+    * per-lookup cost (Bench/Verify index this inside per-query loops).
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     merged(modules.map(_.queries), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     merged(modules.map(_.oracleSql), "oracleSql")
 
   /** `++` silently keeps the LAST duplicate — a name collision between

@@ -172,9 +172,11 @@ object Dedup extends QueryModule {
   def fuzzyNamePairs(df: DataFrame, nameCol: String,
       maxDist: Int = 3, minShared: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val g = df.groupBy(nameCol).agg(count(lit(1)).as("__n"))
+    // backtick-quoted so caller columns with spaces/dots resolve as
+    // plain identifiers inside the expr string
+    val g = df.select(col(nameCol)).distinct()
       .select(col(nameCol).as("__name"),
-        explode(expr(s"graft_char_ngrams($nameCol, 3)")).as("g"))
+        explode(expr(s"graft_char_ngrams(`$nameCol`, 3)")).as("g"))
     val a = g.select(col("g"), col("__name").as("name_a"))
     val b = g.select(col("g"), col("__name").as("name_b"))
     a.join(b, "g").filter(col("name_a") < col("name_b"))

@@ -130,8 +130,15 @@ object Temporal extends QueryModule {
     val inBucketW = Window.partitionBy(keyCol, "__gf_bucket")
       .orderBy(col(tsCol).desc, col(idCol).desc)
     val daily = ev
+      // FLOOR division, not `div`: div truncates toward zero, which makes
+      // a pre-epoch timestamp land one bucket high (and bucket 0 span two
+      // bucket-widths around the epoch). (ts - pmod(ts, b)) div b is exact
+      // integer floor-div for any sign — identical to div for ts >= 0 and
+      // to DuckDB's `//` everywhere. tsCol is backtick-quoted so columns
+      // with spaces/dots resolve as plain identifiers.
       .withColumn("__gf_bucket",
-        expr(s"CAST($tsCol div ${bucketUs}L AS BIGINT)"))
+        expr(s"CAST((`$tsCol` - pmod(`$tsCol`, ${bucketUs}L)) " +
+          s"div ${bucketUs}L AS BIGINT)"))
       .withColumn("__gf_rn", row_number().over(inBucketW))
       .groupBy(keyCol, "__gf_bucket")
       .agg(
@@ -144,12 +151,13 @@ object Temporal extends QueryModule {
         explode(expr("sequence(__d0, __d1)")).as("__gf_bucket"))
     val fillW = Window.partitionBy(keyCol).orderBy(col("__gf_bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // values pass through UNROUNDED — display/oracle rounding is the
+    // caller's concern (q92 rounds in its battery wrapper)
     grid.join(daily, Seq(keyCol, "__gf_bucket"), "left")
       .select(col(keyCol), col("__gf_bucket").as("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        round(col("last_val"), 6).as("last_val"),
-        round(last(col("last_val"), ignoreNulls = true).over(fillW), 6)
-          .as("filled"))
+        col("last_val"),
+        last(col("last_val"), ignoreNulls = true).over(fillW).as("filled"))
   }
 
   // ===================== battery entries (driver gate) ====================
@@ -428,6 +436,9 @@ object Temporal extends QueryModule {
   // silent — the materialized view a monitoring/feature pipeline reads.
   private def q92(s: SparkSession, dir: String): DataFrame =
     gapFill(events(s, dir))
+      .select(col("user_id"), col("bucket"), col("n_events"),
+        round(col("last_val"), 6).as("last_val"),
+        round(col("filled"), 6).as("filled"))
 
   private val q92Sql =
     """WITH ev AS (

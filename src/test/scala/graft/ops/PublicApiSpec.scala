@@ -227,6 +227,19 @@ class PublicApiSpec extends SparkTestBase {
     assert(filled((7L, 2L)) == ((0L, None, 2.5)))
     assert(filled((7L, 3L)) == ((1L, Some(9.0), 9.0)))
     assert(filled((8L, 1L)) == ((1L, Some(4.0), 4.0)))
+
+    // FLOOR bucketing for pre-epoch timestamps: t = -150 lands in bucket
+    // -2 (floor), not -1 (truncation), and the grid spans -2..0 with the
+    // gap at -1 carried — `div`'s toward-zero truncation would give a
+    // double-width bucket 0 and a wrong grid
+    val pre = Seq((9L, -150L, 1L, 1.0), (9L, 50L, 2L, 7.0))
+      .toDF("sensor", "t", "rid", "v")
+    val preFilled = Temporal.gapFill(pre, keyCol = "sensor", tsCol = "t",
+      valCol = "v", idCol = "rid", bucketUs = 100L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    assert(preFilled == Map(-2L -> ((1L, 1.0)), -1L -> ((0L, 1.0)),
+      0L -> ((1L, 7.0))), preFilled.toString)
   }
 
   test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
