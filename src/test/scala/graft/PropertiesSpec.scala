@@ -56,6 +56,90 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("tableChecksum is invariant under permutation and partitioning") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.alphaLowerStr.map(_.take(6)),
+        Gen.oneOf("g", "h")))
+    samples(gen, 5).foreach { rows =>
+      val df = rows.toDF("id", "s", "grp")
+      val key = "concat_ws('|', CAST(id AS STRING), s)"
+      def sums(d: org.apache.spark.sql.DataFrame) =
+        ops.Temporal.tableChecksum(d, key, Seq("grp"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val base = sums(df)
+      // any row order, any partitioning → identical checksums
+      assert(sums(df.orderBy(col("s").desc, col("id"))) == base)
+      assert(sums(df.repartition(7)) == base)
+      // flipping one row's content flips exactly that group's checksum
+      val flipped = rows.zipWithIndex
+        .map { case ((i, s, g), idx) =>
+          if (idx == 0) (i, s + "!", g) else (i, s, g) }
+        .toDF("id", "s", "grp")
+      val grp0 = rows.head._3
+      assert(sums(flipped)(grp0)._2 != base(grp0)._2)
+    }
+  }
+
+  test("fuzzyNamePairs equals brute-force all-pairs on arbitrary vocab") {
+    import spark.implicits._
+    val word = Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val gen = Gen.listOfN(25, Gen.zip(word, word).map { case (a, b) =>
+      s"$a $b" })
+    samples(gen, 5).foreach { names =>
+      val got = ops.Dedup.fuzzyNamePairs(names.toDF("nm"), "nm")
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      def grams(s: String) =
+        (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val vocab = names.distinct
+      val want = (for {
+        a <- vocab; b <- vocab
+        if a < b && grams(a).intersect(grams(b)).size >= 2 && lev(a, b) <= 3
+      } yield (a, b)).toSet
+      assert(got == want, s"names=$names\n got=$got\n want=$want")
+    }
+  }
+
+  test("gapFill filled equals a sequential LOCF scan on arbitrary series") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(-300L, 600L),
+        Gen.chooseNum(0.0, 9.0)))
+    samples(gen, 5).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, t, i.toLong, math.rint(v * 100) / 100) }
+      val got = ops.Temporal.gapFill(rows.toDF("k", "t", "rid", "v"),
+        keyCol = "k", tsCol = "t", valCol = "v", idCol = "rid",
+        bucketUs = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(4))).toMap
+      rows.groupBy(_._1).foreach { case (k, evs) =>
+        def bucket(t: Long) = Math.floorDiv(t, 100L)
+        val byBucket = evs.groupBy(e => bucket(e._2))
+        val (b0, b1) = (byBucket.keys.min, byBucket.keys.max)
+        var carry = Double.NaN
+        (b0 to b1).foreach { b =>
+          val here = byBucket.getOrElse(b, Nil)
+          if (here.nonEmpty)
+            carry = here.maxBy(e => (e._2, e._3))._4 // latest (ts, id) wins
+          val (n, filled) = got((k, b))
+          assert(n == here.size.toLong, s"k=$k b=$b")
+          assert(filled == carry, s"k=$k b=$b got=$filled want=$carry")
+        }
+      }
+    }
+  }
+
   test("sweep-line max concurrency equals brute force on arbitrary intervals") {
     import spark.implicits._
     val gen = Gen.listOfN(40,
