@@ -482,6 +482,46 @@ object TextAnalysis extends QueryModule {
        |      FROM documents)
        |GROUP BY source""".stripMargin
 
+  /** PUBLIC operator: deterministic EXACT-SIZE stratified sample — the
+    * min(k, |stratum|) rows with the smallest key-hash per stratum
+    * (hash then key as tiebreak: fully deterministic, engine-portable,
+    * stable across runs/cluster sizes — the eval-set counterpart of
+    * [[mixtureSample]]'s rate-based mix). Scale shape: ONE window
+    * shuffle, and the rank-limit filter compiles to WindowGroupLimit
+    * (spec-pinned), so each map task pre-prunes to its local top-k and
+    * no reducer ever sees a full stratum. Output is exactly the
+    * caller's schema.
+    */
+  def stratifiedSample(df: DataFrame, k: Int, keySql: String,
+      strataCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(expr(Dialect.sparkHash60(keySql)).asc, expr(keySql).asc)
+    df.withColumn("__ss_rn", row_number().over(w))
+      .filter(col("__ss_rn") <= k)
+      .drop("__ss_rn")
+  }
+
+  // --- q94: exact-size stratified sample over documents --------------------
+  // 5 documents per source, membership a pure function of doc_id — the
+  // deterministic "pick n examples per stratum" primitive an eval-set
+  // build runs. Oracle replays the identical hash-ranked window.
+  private val q94K = 5
+
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.load(s, dir, "documents"), q94K,
+      keySql = "CAST(doc_id AS STRING)", strataCols = Seq("source"))
+      .select("source", "doc_id", "n_chars")
+
+  private val q94Sql = {
+    val h = Dialect.duckHash60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY $h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+       |  FROM documents)
+       |WHERE rn <= $q94K""".stripMargin
+  }
+
   // --- q86: deterministic train/val/test split ----------------------------
   // The dataset-partitioning step: every document lands in EXACTLY one of
   // train (80%), val (10%), test (10%) by hash of its key — disjoint and
@@ -738,6 +778,7 @@ object TextAnalysis extends QueryModule {
        |FROM bins GROUP BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_stratified_sample" -> q94 _,
     "q90_curation_pipeline" -> q90 _,
     "q88_vocabulary" -> q88 _,
     "q87_repetition" -> q87 _,
@@ -753,6 +794,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q94_stratified_sample" -> q94Sql,
     "q90_curation_pipeline" -> q90Sql,
     "q88_vocabulary" -> q88Sql,
     "q87_repetition" -> q87Sql,

@@ -267,6 +267,34 @@ class PublicApiSpec extends SparkTestBase {
     assert(tight == Set(("large bold", "large bolt")), tight.toString)
   }
 
+  test("stratifiedSample: exact k per stratum, deterministic, map-side pruned") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("id", "grp")
+    val sampled = TextAnalysis.stratifiedSample(docs, k = 7,
+      keySql = "CAST(id AS STRING)", strataCols = Seq("grp"))
+    // exact caller schema; exactly min(k, |stratum|) rows per stratum
+    assert(sampled.columns.toSeq == Seq("id", "grp"))
+    val bySize = sampled.collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(bySize("big").size == 7 && bySize("small").size == 7)
+    // deterministic: re-running picks the identical membership
+    val again = TextAnalysis.stratifiedSample(docs, k = 7,
+      keySql = "CAST(id AS STRING)", strataCols = Seq("grp"))
+      .collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(bySize == again)
+    // a stratum smaller than k returns whole
+    val tiny = TextAnalysis.stratifiedSample(docs.filter(col("id") > 95),
+      k = 7, keySql = "CAST(id AS STRING)", strataCols = Seq("grp"))
+    assert(tiny.count() == 5)
+    // the rank-limit filter must compile to WindowGroupLimit: each map
+    // task pre-prunes to its local top-k BEFORE the stratum shuffle
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      sampled.queryExecution.executedPlan.toString)
+  }
+
   test("mixtureSample is a pure reproducible filter on caller schema") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "s1" else "s2"))
