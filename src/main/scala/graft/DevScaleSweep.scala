@@ -34,7 +34,7 @@ object DevScaleSweep {
       "q87_repetition" -> "documents", "q88_vocabulary" -> "documents",
       "q89_quantization" -> "embeddings", "q90_curation_pipeline" -> "documents",
       "q91_fuzzy_match" -> "part", "q92_gap_fill" -> "events",
-      "q93_table_checksum" -> "orders",
+      "q93_table_checksum" -> "orders", "q94_stratified_sample" -> "documents",
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents")
       .withDefaultValue("lineitem")
 
