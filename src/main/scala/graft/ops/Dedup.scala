@@ -385,9 +385,11 @@ object Dedup extends QueryModule {
   // document of the same source — a deterministic LINEAR pair set (the
   // all-pairs version is exactly what LSH above exists to avoid at scale).
   private val trigramsSpark = "graft_char_ngrams(text, 3)"
-  private val trigramsDuck =
-    """list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),
-      |  i -> substr(text, i, 3)))""".stripMargin
+  // DuckDB twin of graft_char_ngrams(c, 3), shared by q28 and q91
+  private def trigramsDuckOf(c: String) =
+    s"""list_distinct(list_transform(generate_series(1, greatest(length($c)-2, 1)),
+       |  i -> substr($c, i, 3)))""".stripMargin
+  private val trigramsDuck = trigramsDuckOf("text")
 
   private def q28(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -537,16 +539,11 @@ object Dedup extends QueryModule {
   private def q91(s: SparkSession, dir: String): DataFrame =
     fuzzyNamePairs(Tables.load(s, dir, "part"), "p_name")
 
-  private val q91TrigramsDuck =
-    """list_distinct(list_transform(
-      |  generate_series(1, greatest(length(p_name) - 2, 1)),
-      |  i -> substr(p_name, i, 3)))""".stripMargin
-
   private val q91Sql =
     s"""WITH names AS (
        |  SELECT DISTINCT p_name FROM part
        |), g AS (
-       |  SELECT p_name, unnest($q91TrigramsDuck) AS g FROM names
+       |  SELECT p_name, unnest(${trigramsDuckOf("p_name")}) AS g FROM names
        |), pairs AS (
        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
        |    COUNT(*) AS shared_3grams
