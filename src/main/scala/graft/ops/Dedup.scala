@@ -168,6 +168,7 @@ object Dedup extends QueryModule {
     * via a trigram-bucket equi-join (keys shuffle, no cross join);
     * (3) exact `levenshtein` only on candidates that share enough grams.
     * Output: (name_a, name_b, shared_3grams, edit_dist), name_a < name_b.
+    * NULL names are excluded (a NULL has no trigrams to bucket by).
     */
   def fuzzyNamePairs(df: DataFrame, nameCol: String,
       maxDist: Int = 3, minShared: Int = 2): DataFrame = {

@@ -115,7 +115,11 @@ object Temporal extends QueryModule {
     * forward across empty buckets. Output per (key, bucket): event count
     * (0 for gaps), the bucket's own last value (NULL for gaps), and the
     * forward-filled value. Last-in-bucket is deterministic: (ts, id)
-    * DESC row_number, never a tie-arbitrary max_by.
+    * DESC row_number, never a tie-arbitrary max_by. A row whose `valCol`
+    * is NULL still counts in `n_events` and still WINS last-in-bucket if
+    * latest — its bucket reports last_val NULL and the carry then skips
+    * it (last ignoreNulls), i.e. an observed NULL never overwrites the
+    * carried value.
     *
     * Scale shape: the per-bucket reduce collapses events to
     * key × active-bucket rows BEFORE the grid join; the grid explode is

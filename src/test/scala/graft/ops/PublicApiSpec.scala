@@ -240,6 +240,20 @@ class PublicApiSpec extends SparkTestBase {
         (r.getLong(2), r.getDouble(4))).toMap
     assert(preFilled == Map(-2L -> ((1L, 1.0)), -1L -> ((0L, 1.0)),
       0L -> ((1L, 7.0))), preFilled.toString)
+
+    // NULL-value contract: a NULL observation that is LATEST in its bucket
+    // makes the bucket's last_val NULL (the last observation had no
+    // value), counts in n_events, and never overwrites the carry — here
+    // nothing was carried yet, so filled is NULL too until a real value
+    val nv = Seq((10L, 10L, 1L, Some(3.0)), (10L, 20L, 2L, None),
+      (10L, 110L, 3L, Some(8.0)))
+      .toDF("sensor", "t", "rid", "v")
+    val nvRows = Temporal.gapFill(nv, keyCol = "sensor", tsCol = "t",
+      valCol = "v", idCol = "rid", bucketUs = 100L)
+      .orderBy("bucket").collect()
+    assert(nvRows(0).getLong(2) == 2L && nvRows(0).isNullAt(3)
+      && nvRows(0).isNullAt(4), nvRows(0).toString)
+    assert(nvRows(1).getDouble(4) == 8.0)
   }
 
   test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
