@@ -414,6 +414,72 @@ object TextAnalysis extends QueryModule {
   private def q80(s: SparkSession, dir: String): DataFrame =
     tokenPacking(Tables.load(s, dir, "documents"))
 
+  /** PUBLIC operator: [[tokenPacking]]'s DOMINANT-SOURCE scale path —
+    * the same concat-and-chunk assignment computed through the
+    * distributed two-pass prefix scan ([[graft.plans.PrefixSum]])
+    * instead of a per-source window. When one source is so large that a
+    * single window partition would serialize it, the scan range-buckets
+    * the order key, runs per-bucket local sums in parallel, and
+    * broadcasts exclusive carry-ins — same manifest, no single-task
+    * bottleneck. Callers feed ONE source's documents (the stream being
+    * packed); q95 proves bit-equality with the window form under the
+    * oracle.
+    */
+  def tokenPackingViaScan(docs: DataFrame, budget: Long = packBudget,
+      groupCol: String = "source", orderCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.withColumn("n_tok",
+      expr(s"CAST(size(regexp_extract_all(`$textCol`, '[a-z0-9]+', 0)) " +
+        "AS BIGINT)"))
+    graft.plans.PrefixSum
+      .scan(toks, orderCol, Seq(col(orderCol)), Seq("n_tok" -> "__run"))
+      // inclusive running sum → exclusive prefix (the doc's own tokens
+      // don't count toward its bin assignment)
+      .withColumn("__prev", col("__run") - col("n_tok"))
+      .withColumn("bin", expr(s"__prev div $budget"))
+      .groupBy(groupCol, "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("bin_tokens"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+  }
+
+  // --- q95: the dominant-source packing path under the oracle --------------
+  // The lexicographically-first source packed via the PrefixSum scan; the
+  // oracle is q80's SQL shape restricted to that source — proving the
+  // two-pass scan assigns every document the exact same bin as the
+  // window form. The source selection is in-plan (broadcast 1-row min),
+  // no driver hop. Budget 512 (not q80's 4096) so one source's token
+  // mass genuinely splits into many bins at the gate scale — a 1-bin
+  // result would verify nothing about carry-in arithmetic.
+  private val q95Budget = 512L
+
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val oneSource = docs.join(
+      broadcast(docs.agg(min(col("source")).as("source"))), "source")
+    tokenPackingViaScan(oneSource, budget = q95Budget)
+  }
+
+  private val q95Sql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |  WHERE source = (SELECT MIN(source) FROM documents)
+       |), c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prev
+       |  FROM t
+       |)
+       |SELECT source, prev // $q95Budget AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY source, prev // $q95Budget""".stripMargin
+
   private val q80Sql =
     s"""WITH t AS (
        |  SELECT source, doc_id,
@@ -778,6 +844,7 @@ object TextAnalysis extends QueryModule {
        |FROM bins GROUP BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_packing_scan" -> q95 _,
     "q94_stratified_sample" -> q94 _,
     "q90_curation_pipeline" -> q90 _,
     "q88_vocabulary" -> q88 _,
@@ -794,6 +861,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q95_packing_scan" -> q95Sql,
     "q94_stratified_sample" -> q94Sql,
     "q90_curation_pipeline" -> q90Sql,
     "q88_vocabulary" -> q88Sql,

@@ -396,6 +396,24 @@ class PublicApiSpec extends SparkTestBase {
       vocab.queryExecution.executedPlan.toString)
   }
 
+  test("tokenPackingViaScan equals the window form on a single stream") {
+    import spark.implicits._
+    // 60 docs, ~5 tokens each, budget 16 → bins split mid-stream many
+    // times; repartition so the scan's buckets genuinely span partitions
+    val docs = (1L to 60L)
+      .map(i => (i, "src", s"w$i " * (1 + (i % 5).toInt)))
+      .toDF("doc_id", "source", "text").repartition(5)
+    def collectManifest(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val viaWindow = collectManifest(
+      TextAnalysis.tokenPacking(docs, budget = 16L))
+    val viaScan = collectManifest(
+      TextAnalysis.tokenPackingViaScan(docs, budget = 16L))
+    assert(viaScan == viaWindow, s"scan=$viaScan\nwin=$viaWindow")
+    assert(viaWindow.size > 3) // the budget genuinely split the stream
+  }
+
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
     val packed = TextAnalysis.tokenPacking(corpus, budget = 10L,
       groupCol = "src", orderCol = "id", textCol = "body")
