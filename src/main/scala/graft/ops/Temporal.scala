@@ -414,15 +414,53 @@ object Temporal extends QueryModule {
   // fixed-scale DECIMAL text, order date as epoch micros — every piece
   // renders identically on both engines, so the XOR checksum is a real
   // cross-engine content check, not a formatting accident.
+  // NTZ → TIMESTAMP under the session's pinned UTC zone = DuckDB's
+  // naive-as-UTC epoch_us; unix_micros rejects NTZ directly.
+  private val ordersRowKeySpark =
+    "concat_ws('|', CAST(o_orderkey AS STRING), " +
+      "CAST(o_custkey AS STRING), coalesce(o_orderstatus, '<N>'), " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), " +
+      "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING))"
+
   private def q93(s: SparkSession, dir: String): DataFrame =
     tableChecksum(Tables.load(s, dir, "orders"),
-      rowKeySql = "concat_ws('|', CAST(o_orderkey AS STRING), " +
-        "CAST(o_custkey AS STRING), coalesce(o_orderstatus, '<N>'), " +
-        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), " +
-        // NTZ → TIMESTAMP under the session's pinned UTC zone = DuckDB's
-        // naive-as-UTC epoch_us; unix_micros rejects NTZ directly
-        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING))",
+      rowKeySql = ordersRowKeySpark,
       groupCols = Seq("o_orderpriority"))
+
+  // --- q96: STREAMING table checksum under the gate -------------------------
+  // Continuous validation: the same grouped XOR fingerprint computed by
+  // Structured Streaming from a real file source in complete mode (XOR is
+  // associative-commutative, so the unordered micro-batch fold is exact),
+  // parity-checked per group against the batch operator whose own result
+  // is oracle-hash-checked (q93) — the transitive scheme of q74. At scale
+  // this is the anti-entropy monitor a landing zone runs: each arriving
+  // file folds into per-group checksums without re-scanning history.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/orders.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamed = s.readStream.schema(schema)
+      .parquet(s"$dir/orders*.parquet")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(${Dialect.sparkHash60(ordersRowKeySpark)})")
+          .as("checksum"))
+    val qname = s"q96_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    val fromStream =
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+    val batch = q93(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import s.implicits._
+    graft.ParityGate(
+      fromStream.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          batch.get(r.getString(0)).contains((r.getLong(1), r.getLong(2)))
+            && batch.size == fromStream.length))
+        .toDF("o_orderpriority", "n_rows", "checksum", "matches_batch"),
+      "q96_stream_checksum", "matches_batch")
+  }
 
   private val q93Sql = {
     val rowKey = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
@@ -471,6 +509,7 @@ object Temporal extends QueryModule {
       |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_stream_checksum" -> q96 _,
     "q93_table_checksum" -> q93 _,
     "q92_gap_fill" -> q92 _,
     "q34_asof_join" -> q34 _,

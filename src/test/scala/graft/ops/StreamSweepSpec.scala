@@ -103,6 +103,13 @@ class StreamSweepSpec extends SparkTestBase {
     } finally graft.Fs.deleteRecursively(tmp)
   }
 
+  test("q96 streamed checksums equal the batch checksums per group") {
+    val rows = SparkEntry.queries("q96_stream_checksum")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), s"divergence: ${rows.mkString(";")}")
+  }
+
   // The fail-loud contract itself: a false (or NULL) bit must RAISE at
   // execution time — this is what turns a silent stream/batch divergence
   // into an `err` in the driver's CORRECTNESS artifact.
