@@ -70,7 +70,8 @@ object Fs {
   }
 }
 
-/** Fail-loud gate for the no-oracle battery entries (q38, q73–q78, q84).
+/** Fail-loud gate for the no-oracle battery entries (q38, q73–q78, q84,
+  * q96).
   *
   * Those entries are rows-only checked by the driver (the DuckDB oracle
   * cannot execute a stream or an engine-specific sketch); their real

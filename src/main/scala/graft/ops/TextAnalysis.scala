@@ -428,10 +428,17 @@ object TextAnalysis extends QueryModule {
   def tokenPackingViaScan(docs: DataFrame, budget: Long = packBudget,
       groupCol: String = "source", orderCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // localCheckpoint barrier: PrefixSum.scan evaluates its input three
+    // times (bounds pass, totals branch, local scan) — without the
+    // barrier the regexp tokenization (and any upstream join) re-executes
+    // per branch, 2-3× the dominant source's scan cost thrown away at
+    // the very scale this operator exists for. Same lineage-truncation
+    // trade as minHashLshPairs (blocks auto-freed on GC).
     val toks = docs.withColumn("n_tok",
       expr(s"CAST(size(regexp_extract_all(`$textCol`, '[a-z0-9]+', 0)) " +
         "AS BIGINT)"))
-    graft.plans.PrefixSum
+      .localCheckpoint(eager = false)
+    val packed = graft.plans.PrefixSum
       .scan(toks, orderCol, Seq(col(orderCol)), Seq("n_tok" -> "__run"))
       // inclusive running sum → exclusive prefix (the doc's own tokens
       // don't count toward its bin assignment)
@@ -443,6 +450,21 @@ object TextAnalysis extends QueryModule {
         sum(col("n_tok")).as("bin_tokens"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
+    // The single-group contract is ENFORCED, not just documented: the
+    // global scan ignores groupCol, so multi-group input would produce
+    // per-group-looking rows whose bins are offset by every OTHER
+    // group's token mass — silently wrong. In-plan one-row guard (the
+    // ParityGate preserved-side pattern); reads the checkpointed toks.
+    val guard = toks.select(countDistinct(col(groupCol)).as("__n"))
+      .select(coalesce(
+        assert_true(col("__n") <= 1,
+          lit("tokenPackingViaScan: input spans multiple groupCol values " +
+            "— the global scan packs ONE dominant source; use " +
+            "tokenPacking for multi-group input")),
+        lit(true)).as("__one_group"))
+    guard.join(packed, lit(true), "left_outer")
+      .where(col("__one_group"))
+      .select(packed.columns.map(col): _*)
   }
 
   // --- q95: the dominant-source packing path under the oracle --------------

@@ -412,6 +412,17 @@ class PublicApiSpec extends SparkTestBase {
       TextAnalysis.tokenPackingViaScan(docs, budget = 16L))
     assert(viaScan == viaWindow, s"scan=$viaScan\nwin=$viaWindow")
     assert(viaWindow.size > 3) // the budget genuinely split the stream
+    // the single-group contract is enforced: multi-source input would get
+    // bins offset by other sources' token mass — it must RAISE, not
+    // silently return a wrong manifest
+    val multi = (1L to 10L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", "w x y"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.tokenPackingViaScan(multi, budget = 16L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("ONE dominant"),
+      e.getMessage)
   }
 
   test("tokenPacking with a tiny budget splits groups at token boundaries") {
