@@ -98,17 +98,24 @@ object Bench {
     // (a co-tenant can make a run slower, never faster); the median is the
     // honest estimator under self-noise. Reported side by side.
     //
-    // FIELD ORDER IS LOAD-BEARING: the driver stores only the last ~2000
-    // characters of stdout, so with 86 queries the START of this line is
-    // cut from the artifact the judge reads (observed in BENCH_r07: the
-    // headline total and all medians were truncated away; only the fields
-    // at the END survived). Bulky full-precision per-run arrays go FIRST
-    // (sacrificial), the per-query medians/mins (3-decimal — ms precision,
-    // the noise floor is ±50 ms anyway) next, and the headline totals +
-    // calibration verdict LAST so they always land inside the tail.
+    // STDOUT BUDGET IS LOAD-BEARING: the driver stores only the last
+    // ~2000 characters of stdout, so one fat line with per-run arrays and
+    // full query names gets its START truncated and the stored artifact
+    // no longer parses as JSON (observed: BENCH_r07 lost the headline,
+    // BENCH_r08 parsed=null). Fix: stdout carries EXACTLY ONE compact
+    // line — short "qNN" ids, millisecond-int [median, min] pairs —
+    // sized well inside the tail; the full-precision per-run detail goes
+    // to stderr and to BENCH_LOCAL.json in the repo instead.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    // "q95_token_pack_scan" → "q95": unique by construction (numbered)
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    val qms = results.map { case (k, v, ts) =>
+      val mn = if (ts.contains(-1.0)) -1.0 else ts.min
+      "\"" + shortId(k) + "\":[" + ms(v) + "," + ms(mn) + "]"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, ts) =>
@@ -121,13 +128,23 @@ object Bench {
     // sentinel into a sum would let a failed query subtract a second and
     // mask a regression as an improvement; the failed list is explicit.
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map { case (_, _, ts) =>
       if (ts.contains(-1.0)) -1.0 else ts.min }.filter(_ >= 0).sum
     val drift = math.max(calibBefore, calibAfter) /
       math.max(1e-9, math.min(calibBefore, calibAfter))
     val contended = drift > 1.5
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"queries_min":$mins,"queries":$qs,"n_queries":${names.length},"failed":${failed.mkString("[", ",", "]")},"calib_before":${r3(calibBefore)},"calib_after":${r3(calibAfter)},"contended":$contended,"total_min":${r3(totalMin)},"total":${r3(total)}}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.length},"failed":$failed,"calib_before":${r3(calibBefore)},"calib_after":${r3(calibAfter)},"contended":$contended,"total_min":${r3(totalMin)},"queries":$qs,"queries_min":$mins,"runs":$runs}"""
+    System.err.println(detail)
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json")
+      java.nio.file.Files.write(out,
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () } // detail is best-effort
+    // the one stdout line; q_ms maps short id → [median_ms, min_ms]
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfName","n_queries":${names.length},"failed":$failed,"calib_ms":[${ms(calibBefore)},${ms(calibAfter)}],"contended":$contended,"total_min":${r3(totalMin)},"q_unit":"ms","q_ms":$qms}""")
     spark.stop()
   }
 }

@@ -173,21 +173,59 @@ object Dedup extends QueryModule {
   def fuzzyNamePairs(df: DataFrame, nameCol: String,
       maxDist: Int = 3, minShared: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    fuzzyCandidatePairs(df, nameCol, maxDist)
+      // exact shared-distinct-trigram count recomputed per CANDIDATE pair
+      // (graft_char_ngrams is distinct per name, so the intersect size is
+      // the same number the old full gram-join counted) — the rare-gram
+      // index only decides WHO gets compared, never the reported values
+      .withColumn("shared_3grams",
+        expr("CAST(size(array_intersect(graft_char_ngrams(name_a, 3), " +
+          "graft_char_ngrams(name_b, 3))) AS BIGINT)"))
+      .filter(col("shared_3grams") >= minShared)
+      .withColumn("edit_dist",
+        expr("CAST(levenshtein(name_a, name_b) AS BIGINT)"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  /** Candidate stage of [[fuzzyNamePairs]], capped against hot-gram skew:
+    * instead of self-joining the full inverted index (where one stop-gram
+    * bucket — "an ", "er " — is QUADRATIC in the names containing it), the
+    * probe side keeps only each name's K = 3·maxDist+1 rarest trigrams
+    * (document frequency over the name vocabulary, ties broken by gram
+    * value so the ranking is deterministic) and joins them against the
+    * full index. Completeness: one edit destroys at most 3 of a name's
+    * distinct trigrams, so a pair within maxDist differs in at most
+    * 3·maxDist grams — among K = 3·maxDist+1 rarest at least one survives
+    * into the partner's gram set (and if the name has fewer than K grams,
+    * ALL are indexed). Cost: a stop-gram is near-nobody's rarest, so its
+    * probe bucket is tiny — buckets go |probe|×|index| ≈ O(index), not
+    * |index|²; FuzzySkewSpec pins the near-linear candidate count on a
+    * stop-gram-saturated vocabulary.
+    */
+  private[graft] def fuzzyCandidatePairs(df: DataFrame, nameCol: String,
+      maxDist: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val k = 3 * maxDist + 1
     // backtick-quoted so caller columns with spaces/dots resolve as
     // plain identifiers inside the expr string
     val g = df.select(col(nameCol)).distinct()
       .select(col(nameCol).as("__name"),
         explode(expr(s"graft_char_ngrams(`$nameCol`, 3)")).as("g"))
-    val a = g.select(col("g"), col("__name").as("name_a"))
-    val b = g.select(col("g"), col("__name").as("name_b"))
-    a.join(b, "g").filter(col("name_a") < col("name_b"))
-      // graft_char_ngrams is DISTINCT per name, so the per-pair join
-      // count IS the shared-distinct-trigram count
-      .groupBy("name_a", "name_b").agg(count(lit(1)).as("shared_3grams"))
-      .filter(col("shared_3grams") >= minShared)
-      .withColumn("edit_dist",
-        expr("CAST(levenshtein(name_a, name_b) AS BIGINT)"))
-      .filter(col("edit_dist") <= maxDist)
+    val freq = g.groupBy("g").agg(count(lit(1)).as("__df"))
+    val rareW = Window.partitionBy("__name")
+      .orderBy(col("__df"), col("g"))
+    val probe = g.join(freq, "g")
+      .withColumn("__rk", row_number().over(rareW))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("__name").as("__a"))
+    val index = g.select(col("g"), col("__name").as("__b"))
+    // asymmetric: EITHER side's rare grams hitting the other's full set
+    // finds the pair, and the completeness bound holds for both sides
+    probe.join(index, "g")
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("name_a"),
+        greatest(col("__a"), col("__b")).as("name_b"))
+      .distinct()
   }
 
   /** 60-bit SimHash per document: (idCol, sim). Bit j is set iff

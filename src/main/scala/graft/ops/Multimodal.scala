@@ -265,7 +265,12 @@ object MediaPipeline {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
+          // write returns false when no PNG ImageWriter is registered —
+          // an environment defect, not row corruption: fail loudly rather
+          // than emit a zero-byte payload (the drop contract is only for
+          // undecodable INPUT rows)
+          require(javax.imageio.ImageIO.write(out, "png", bos),
+            "JvmImageResizer: no PNG ImageWriter registered in this JVM")
           val bytes = bos.toByteArray
           MediaRecord(r.docId,
             MediaMeta(r.meta.kind, bytes.length.toLong), bytes)

@@ -438,25 +438,31 @@ object Temporal extends QueryModule {
   private def q96(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/orders.parquet"
     val schema = s.read.parquet(path).schema
-    val streamed = s.readStream.schema(schema)
-      .parquet(s"$dir/orders*.parquet")
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_rows"),
-        expr(s"bit_xor(${Dialect.sparkHash60(ordersRowKeySpark)})")
-          .as("checksum"))
+    // tableChecksum itself builds the streaming aggregation: groupBy/agg
+    // is streaming-capable in complete mode, so the stream computes the
+    // IDENTICAL agg body as the batch operator — one drift surface, not two
+    val streamed = tableChecksum(
+      s.readStream.schema(schema).parquet(s"$dir/orders*.parquet"),
+      rowKeySql = ordersRowKeySpark,
+      groupCols = Seq("o_orderpriority"))
     val qname = s"q96_${System.nanoTime()}"
     val q = streamed.writeStream.format("memory").queryName(qname)
       .outputMode("complete").start()
     val fromStream =
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
+    // group keys NULL-sentineled on BOTH sides (same treatment the row
+    // fingerprint gives o_orderstatus): a NULL group must compare as a
+    // real key, not collapse onto Scala null map semantics
+    def gkey(r: org.apache.spark.sql.Row): String =
+      Option(r.getString(0)).getOrElse("<NULL>")
     val batch = q93(s, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => gkey(r) -> (r.getLong(1), r.getLong(2))).toMap
     import s.implicits._
     graft.ParityGate(
       fromStream.toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          batch.get(r.getString(0)).contains((r.getLong(1), r.getLong(2)))
+          batch.get(gkey(r)).contains((r.getLong(1), r.getLong(2)))
             && batch.size == fromStream.length))
         .toDF("o_orderpriority", "n_rows", "checksum", "matches_batch"),
       "q96_stream_checksum", "matches_batch")

@@ -462,8 +462,12 @@ object TextAnalysis extends QueryModule {
             "— the global scan packs ONE dominant source; use " +
             "tokenPacking for multi-group input")),
         lit(true)).as("__one_group"))
+    // n_docs is a COUNT — never NULL in a real packed row — so filtering
+    // on it drops exactly the null-extended phantom row the preserved-side
+    // guard join manufactures for EMPTY input (empty in → empty out, not
+    // one all-NULL garbage row), while the guard's raise path is intact.
     guard.join(packed, lit(true), "left_outer")
-      .where(col("__one_group"))
+      .where(col("__one_group") && col("n_docs").isNotNull)
       .select(packed.columns.map(col): _*)
   }
 
