@@ -549,11 +549,14 @@ object Dedup extends QueryModule {
       .dropDuplicates("source", "k")
       .groupBy("source").agg(count(lit(1)).as("n_unique"))
     val qname = s"q74_${System.nanoTime()}"
-    val q = streamed.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
-    val fromStream =
+    // 8 state parts: dedup state is one row per distinct (source, key) —
+    // larger than the window harnesses' state, smaller than q77's
+    val fromStream = graft.streaming.StreamConf.withStateParts(s, n = 8) {
+      val q = streamed.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
     val batch = Tables.load(s, dir, "documents")
       .withColumn("k", dedupKey())
       .groupBy("source").agg(countDistinct(col("k")).as("n_unique_batch"))

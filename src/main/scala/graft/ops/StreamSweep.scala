@@ -100,22 +100,24 @@ object StreamSweep extends QueryModule {
     intervals.union(sentinel).write.parquet(src)
 
     val folded = try {
-      val input = s.readStream
-        .schema(Encoders.product[QueryInterval].schema)
-        .parquet(src).as[QueryInterval]
-      val summaries = StreamingConcurrency.bucketSummaries(
-        StreamingConcurrency.events(input, bucketUs), bucketUs, "0 seconds")
-      val qname = s"q73_${System.nanoTime()}"
-      val query = summaries.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
-      try {
-        query.processAllAvailable()
-        val closed = s.table(qname).as[BucketSummary].collect().toSeq
-          .filter(_.bucket < sentinelBucket)
-        GlobalAccumulator.fold(closed)
-      } finally {
-        query.stop()
-        s.catalog.dropTempView(qname)
+      graft.streaming.StreamConf.withStateParts(s) {
+        val input = s.readStream
+          .schema(Encoders.product[QueryInterval].schema)
+          .parquet(src).as[QueryInterval]
+        val summaries = StreamingConcurrency.bucketSummaries(
+          StreamingConcurrency.events(input, bucketUs), bucketUs, "0 seconds")
+        val qname = s"q73_${System.nanoTime()}"
+        val query = summaries.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          query.processAllAvailable()
+          val closed = s.table(qname).as[BucketSummary].collect().toSeq
+            .filter(_.bucket < sentinelBucket)
+          GlobalAccumulator.fold(closed)
+        } finally {
+          query.stop()
+          s.catalog.dropTempView(qname)
+        }
       }
     } finally graft.Fs.deleteRecursively(tmp)
     val m = folded.getOrElse(sys.error("q73: no closed buckets — empty querylog?"))
@@ -188,15 +190,16 @@ object StreamSweep extends QueryModule {
     val qname = s"${qtag}_${System.nanoTime()}"
     // glob, not the bare file: FileStreamSource force-sets basePath to a
     // non-glob path and then requires it to be a directory
-    val q = windowed(
-      withEventTs(s.readStream.schema(schema)
-          .parquet(s"$dir/events*.parquet"))
-        .withWatermark("event_ts", "0 seconds"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    val streamed =
+    val streamed = graft.streaming.StreamConf.withStateParts(s) {
+      val q = windowed(
+        withEventTs(s.readStream.schema(schema)
+            .parquet(s"$dir/events*.parquet"))
+          .withWatermark("event_ts", "0 seconds"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
 
     val events = Tables.load(s, dir, "events")
     val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)
@@ -261,14 +264,18 @@ object StreamSweep extends QueryModule {
 
     def stream() = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
     val qname = s"q77_${System.nanoTime()}"
-    val q = joined(
-      side(stream(), "view", "v").withWatermark("v_ts", "0 seconds"),
-      side(stream(), "click", "c").withWatermark("c_ts", "0 seconds"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    val streamed =
+    // 8 state parts, not the harness default 4: join state is per-EVENT
+    // (every view/click inside the watermark horizon), not per-window —
+    // an order of magnitude more state rows than the window harnesses
+    val streamed = graft.streaming.StreamConf.withStateParts(s, n = 8) {
+      val q = joined(
+        side(stream(), "view", "v").withWatermark("v_ts", "0 seconds"),
+        side(stream(), "click", "c").withWatermark("c_ts", "0 seconds"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
 
     val events = Tables.load(s, dir, "events")
     val batch = joined(side(events, "view", "v"), side(events, "click", "c"))
@@ -316,15 +323,16 @@ object StreamSweep extends QueryModule {
         col("user_id"), col("n_events"), col("sum_v"))
 
     val qname = s"q78_${System.nanoTime()}"
-    val q = sessions(
-      withEventTs(s.readStream.schema(schema)
-          .parquet(s"$dir/events*.parquet"))
-        .withWatermark("event_ts", "0 seconds"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append").start()
-    val streamed =
+    val streamed = graft.streaming.StreamConf.withStateParts(s) {
+      val q = sessions(
+        withEventTs(s.readStream.schema(schema)
+            .parquet(s"$dir/events*.parquet"))
+          .withWatermark("event_ts", "0 seconds"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
 
     val events = Tables.load(s, dir, "events")
     val maxTsUs = events.agg(max(expr("ts div 1000"))).head().getLong(0)

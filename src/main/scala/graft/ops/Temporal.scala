@@ -446,11 +446,13 @@ object Temporal extends QueryModule {
       rowKeySql = ordersRowKeySpark,
       groupCols = Seq("o_orderpriority"))
     val qname = s"q96_${System.nanoTime()}"
-    val q = streamed.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
-    val fromStream =
+    // state = one row per group (5 order priorities) — minimal state parts
+    val fromStream = graft.streaming.StreamConf.withStateParts(s) {
+      val q = streamed.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
       try { q.processAllAvailable(); s.table(qname).collect() }
       finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
     // group keys NULL-sentineled on BOTH sides (same treatment the row
     // fingerprint gives o_orderstatus): a NULL group must compare as a
     // real key, not collapse onto Scala null map semantics
