@@ -419,11 +419,13 @@ object TextAnalysis extends QueryModule {
     * distributed two-pass prefix scan ([[graft.plans.PrefixSum]])
     * instead of a per-source window. When one source is so large that a
     * single window partition would serialize it, the scan range-buckets
-    * the order key, runs per-bucket local sums in parallel, and
-    * broadcasts exclusive carry-ins — same manifest, no single-task
-    * bottleneck. Callers feed ONE source's documents (the stream being
-    * packed); q95 proves bit-equality with the window form under the
-    * oracle.
+    * the order key, runs per-(source, bucket) local sums in parallel,
+    * and broadcasts per-source exclusive carry-ins — same manifest, no
+    * single-task bottleneck. The scan is GROUPED (PrefixSum groupCols):
+    * every source packs independently in ONE pass, so mixed input —
+    * some sources huge, some small — needs no per-source dispatch;
+    * q95 proves bit-equality with the window form under the oracle
+    * across all sources.
     */
   def tokenPackingViaScan(docs: DataFrame, budget: Long = packBudget,
       groupCol: String = "source", orderCol: String = "doc_id",
@@ -438,8 +440,9 @@ object TextAnalysis extends QueryModule {
       expr(s"CAST(size(regexp_extract_all(`$textCol`, '[a-z0-9]+', 0)) " +
         "AS BIGINT)"))
       .localCheckpoint(eager = false)
-    val packed = graft.plans.PrefixSum
-      .scan(toks, orderCol, Seq(col(orderCol)), Seq("n_tok" -> "__run"))
+    graft.plans.PrefixSum
+      .scan(toks, orderCol, Seq(col(orderCol)), Seq("n_tok" -> "__run"),
+        groupCols = Seq(groupCol))
       // inclusive running sum → exclusive prefix (the doc's own tokens
       // don't count toward its bin assignment)
       .withColumn("__prev", col("__run") - col("n_tok"))
@@ -450,50 +453,27 @@ object TextAnalysis extends QueryModule {
         sum(col("n_tok")).as("bin_tokens"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
-    // The single-group contract is ENFORCED, not just documented: the
-    // global scan ignores groupCol, so multi-group input would produce
-    // per-group-looking rows whose bins are offset by every OTHER
-    // group's token mass — silently wrong. In-plan one-row guard (the
-    // ParityGate preserved-side pattern); reads the checkpointed toks.
-    val guard = toks.select(countDistinct(col(groupCol)).as("__n"))
-      .select(coalesce(
-        assert_true(col("__n") <= 1,
-          lit("tokenPackingViaScan: input spans multiple groupCol values " +
-            "— the global scan packs ONE dominant source; use " +
-            "tokenPacking for multi-group input")),
-        lit(true)).as("__one_group"))
-    // n_docs is a COUNT — never NULL in a real packed row — so filtering
-    // on it drops exactly the null-extended phantom row the preserved-side
-    // guard join manufactures for EMPTY input (empty in → empty out, not
-    // one all-NULL garbage row), while the guard's raise path is intact.
-    guard.join(packed, lit(true), "left_outer")
-      .where(col("__one_group") && col("n_docs").isNotNull)
-      .select(packed.columns.map(col): _*)
   }
 
-  // --- q95: the dominant-source packing path under the oracle --------------
-  // The lexicographically-first source packed via the PrefixSum scan; the
-  // oracle is q80's SQL shape restricted to that source — proving the
-  // two-pass scan assigns every document the exact same bin as the
-  // window form. The source selection is in-plan (broadcast 1-row min),
-  // no driver hop. Budget 512 (not q80's 4096) so one source's token
-  // mass genuinely splits into many bins at the gate scale — a 1-bin
-  // result would verify nothing about carry-in arithmetic.
+  // --- q95: the scan-based packing path under the oracle -------------------
+  // ALL sources packed in one grouped PrefixSum scan; the oracle is q80's
+  // SQL shape at this budget — proving the two-pass scan assigns every
+  // document of every source the exact same bin as the per-source window
+  // form (per-group carry-in arithmetic included). Budget 512 (not q80's
+  // 4096) so each source's token mass genuinely splits into many bins at
+  // the gate scale — a 1-bin-per-source result would verify nothing
+  // about carry-ins.
   private val q95Budget = 512L
 
-  private def q95(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val oneSource = docs.join(
-      broadcast(docs.agg(min(col("source")).as("source"))), "source")
-    tokenPackingViaScan(oneSource, budget = q95Budget)
-  }
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    tokenPackingViaScan(Tables.load(s, dir, "documents"),
+      budget = q95Budget)
 
   private val q95Sql =
     s"""WITH t AS (
        |  SELECT source, doc_id,
        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
        |  FROM documents
-       |  WHERE source = (SELECT MIN(source) FROM documents)
        |), c AS (
        |  SELECT source, doc_id, n_tok,
        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

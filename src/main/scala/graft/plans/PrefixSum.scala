@@ -37,15 +37,28 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Adds a running-sum column `dst` for each `(src, dst)` in `sumCols`,
-    * over the global `orderCols` ordering. `bucketCol` names a numeric
-    * column that is the leading component of `orderCols` — it drives the
-    * range bucketing; ties on it never straddle buckets. Sums are computed
+    * over the global `orderCols` ordering — or, when `groupCols` is
+    * non-empty, one independent running sum PER GROUP, all computed in
+    * the same two-pass scan. `bucketCol` names a numeric column that is
+    * the leading component of `orderCols` — it drives the range
+    * bucketing; ties on it never straddle buckets. Sums are computed
     * on the source column's own type (use integer/decimal deltas for
     * exact, associativity-safe accumulation; see caller notes).
+    *
+    * Grouped mode: bucket boundaries stay GLOBAL over `bucketCol` (one
+    * bounds pass shared by every group — a dominant group dominates the
+    * quantiles, which is exactly the group that needed splitting), the
+    * local window partitions by (group, bucket), and carry-ins chain per
+    * group. The carry frame is ~nGroups × nBuckets rows; the grouped
+    * scan targets FEW HUGE groups (the case where a per-group window
+    * serializes into one task), so the broadcast stays tiny — with very
+    * many small groups a plain per-group window needs no scan at all.
+    * NULL group values are real keys end-to-end (null-safe carry join).
     */
   def scan(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
       sumCols: Seq[(String, String)], uniformBounds: Boolean = false,
-      knownRange: Option[(Double, Double)] = None): DataFrame = {
+      knownRange: Option[(Double, Double)] = None,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
@@ -79,7 +92,9 @@ object PrefixSum {
         .reduce(_ + _)
     val bucketed = df.withColumn("__bucket", bucketExpr)
 
-    val w = Window.partitionBy("__bucket").orderBy(orderCols: _*)
+    val w = Window
+      .partitionBy((groupCols.map(col) :+ col("__bucket")): _*)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sumCols.foldLeft(bucketed) { case (d, (src, dst)) =>
       d.withColumn(dst, sum(col(src)).over(w))
@@ -93,22 +108,32 @@ object PrefixSum {
     // path. Sums run on the source column types (long/decimal), so the
     // exclusive prefix is exact and associativity-safe.
     val srcs = sumCols.map(_._1)
-    val totals = bucketed.groupBy("__bucket")
+    val totals = bucketed.groupBy(("__bucket" +: groupCols).map(col): _*)
       .agg(sum(col(srcs.head)).as(srcs.head),
         srcs.tail.map(s => sum(col(s)).as(s)): _*)
-    val carryW = Window.orderBy("__bucket")
+    // Grouped: carries chain per group — each group's totals frame is
+    // ≤ nBuckets rows, windows run in parallel across groups.
+    val carryW = (if (groupCols.isEmpty) Window.orderBy("__bucket")
+      else Window.partitionBy(groupCols.map(col): _*).orderBy("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Join keys aliased __c*: group columns join NULL-SAFELY (<=>) so a
+    // NULL group — a real key to the window and the groupBy — keeps its
+    // carry-in instead of silently losing it to equi-join null semantics.
     val carries = totals.select(
-      col("__bucket") +:
+      (col("__bucket").as("__cbucket") +:
+        groupCols.map(g => col(g).as(s"__cg_$g"))) ++
         srcs.map(s => sum(col(s)).over(carryW).as(s"__carry_$s")): _*)
+    val joinCond = ((col("__bucket") === col("__cbucket")) +:
+      groupCols.map(g => col(g) <=> col(s"__cg_$g"))).reduce(_ && _)
 
-    val joined = local.join(broadcast(carries), Seq("__bucket"), "left")
+    val joined = local.join(broadcast(carries), joinCond, "left")
     sumCols.foldLeft(joined) { case (d, (src, dst)) =>
       // Carry-in is exact decimal; cast back to the running column's type
       // so integer-delta scans stay integral end-to-end.
       d.withColumn(dst,
         (col(dst) + coalesce(col(s"__carry_$src"), lit(0)))
           .cast(d.schema(dst).dataType))
-    }.drop("__bucket" +: srcs.map(s => s"__carry_$s"): _*)
+    }.drop(Seq("__bucket", "__cbucket") ++ groupCols.map(g => s"__cg_$g") ++
+      srcs.map(s => s"__carry_$s"): _*)
   }
 }

@@ -412,17 +412,19 @@ class PublicApiSpec extends SparkTestBase {
       TextAnalysis.tokenPackingViaScan(docs, budget = 16L))
     assert(viaScan == viaWindow, s"scan=$viaScan\nwin=$viaWindow")
     assert(viaWindow.size > 3) // the budget genuinely split the stream
-    // the single-group contract is enforced: multi-source input would get
-    // bins offset by other sources' token mass — it must RAISE, not
-    // silently return a wrong manifest
-    val multi = (1L to 10L)
-      .map(i => (i, if (i % 2 == 0) "a" else "b", "w x y"))
-      .toDF("doc_id", "source", "text")
-    val e = intercept[Exception] {
-      TextAnalysis.tokenPackingViaScan(multi, budget = 16L).collect()
-    }
-    assert(e.getMessage != null && e.getMessage.contains("ONE dominant"),
-      e.getMessage)
+    // grouped scan: multi-source input packs EVERY source independently
+    // in one pass — each source's bins match the per-source window form
+    // exactly (carry-ins chain within a source, never across sources)
+    val multi = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", s"w$i " * (1 + (i % 4).toInt)))
+      .toDF("doc_id", "source", "text").repartition(5)
+    val multiWin = collectManifest(
+      TextAnalysis.tokenPacking(multi, budget = 16L))
+    val multiScan = collectManifest(
+      TextAnalysis.tokenPackingViaScan(multi, budget = 16L))
+    assert(multiScan == multiWin, s"scan=$multiScan\nwin=$multiWin")
+    assert(multiWin.keySet.map(_._1) == Set("a", "b"))
+    assert(multiWin.size > 4) // both sources genuinely split into bins
   }
 
   test("tokenPacking with a tiny budget splits groups at token boundaries") {

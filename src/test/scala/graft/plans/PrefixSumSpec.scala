@@ -78,6 +78,34 @@ class PrefixSumSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("grouped scan runs one independent prefix sum per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 groups (incl. a NULL group) interleaved over a shared ts domain —
+    // carries must chain within a group only, and the NULL group must
+    // keep its carry-ins through the null-safe join
+    val rows = (1L to 400L).map { i =>
+      val g = rnd.nextInt(3) match {
+        case 0 => "x"; case 1 => "y"; case _ => null
+      }
+      (g, rnd.nextInt(60).toLong, i, rnd.nextInt(15) - 7L)
+    }
+    val df = rows.toDF("g", "ts", "id", "delta").repartition(4)
+    val got = PrefixSum.scan(df, "ts", Seq(col("ts"), col("id")),
+        Seq("delta" -> "run"), groupCols = Seq("g"))
+      .select("g", "ts", "id", "run").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(t => (t._1.getOrElse(""), t._2, t._3))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(t => (t._2, t._3)).map { case (_, ts, id, d) =>
+        acc += d; (Option(g), ts, id, acc)
+      }
+    }.sortBy(t => (t._1.getOrElse(""), t._2, t._3))
+    assert(got.toSeq == want)
+  }
+
   test("multiple sum columns scan independently") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
