@@ -130,9 +130,30 @@ object Temporal extends QueryModule {
   def gapFill(ev: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts_us", valCol: String = "value",
       idCol: String = "event_id",
-      bucketUs: Long = 86400000000L): DataFrame = {
+      bucketUs: Long = 86400000000L): DataFrame =
+    gapFillMulti(ev, keyCol, tsCol, Seq(valCol -> "filled"), idCol, bucketUs)
+      .withColumnRenamed(s"last_$valCol", "last_val")
+
+  /** Multi-column [[gapFill]]: each `(valCol, outCol)` pair rolls
+    * forward independently — a NULL observation in one column never
+    * blocks another column's carry (real feature pipelines roll several
+    * readings per key). Output per (key, bucket): `n_events`, then per
+    * pair the bucket's own `last_<valCol>` and the forward-filled
+    * `outCol`. All fills share ONE window spec (single sort, N
+    * last-ignoreNulls projections — no extra shuffle per column).
+    */
+  def gapFillMulti(ev: DataFrame, keyCol: String, tsCol: String,
+      valCols: Seq[(String, String)], idCol: String,
+      bucketUs: Long): DataFrame = {
+    require(valCols.nonEmpty, "gapFillMulti: at least one (valCol, outCol)")
+    require(valCols.map(_._1).distinct.size == valCols.size &&
+      valCols.map(_._2).distinct.size == valCols.size,
+      s"gapFillMulti: duplicate value/output column in $valCols")
     val inBucketW = Window.partitionBy(keyCol, "__gf_bucket")
       .orderBy(col(tsCol).desc, col(idCol).desc)
+    val lastAggs = valCols.map { case (src, _) =>
+      max(when(col("__gf_rn") === 1, col(src))).as(s"last_$src")
+    }
     val daily = ev
       // FLOOR division, not `div`: div truncates toward zero, which makes
       // a pre-epoch timestamp land one bucket high (and bucket 0 span two
@@ -145,9 +166,7 @@ object Temporal extends QueryModule {
           s"div ${bucketUs}L AS BIGINT)"))
       .withColumn("__gf_rn", row_number().over(inBucketW))
       .groupBy(keyCol, "__gf_bucket")
-      .agg(
-        count(lit(1)).as("n_events"),
-        max(when(col("__gf_rn") === 1, col(valCol))).as("last_val"))
+      .agg(count(lit(1)).as("n_events"), lastAggs: _*)
     val grid = daily.groupBy(keyCol)
       .agg(min(col("__gf_bucket")).as("__d0"),
         max(col("__gf_bucket")).as("__d1"))
@@ -158,10 +177,13 @@ object Temporal extends QueryModule {
     // values pass through UNROUNDED — display/oracle rounding is the
     // caller's concern (q92 rounds in its battery wrapper)
     grid.join(daily, Seq(keyCol, "__gf_bucket"), "left")
-      .select(col(keyCol), col("__gf_bucket").as("bucket"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("last_val"),
-        last(col("last_val"), ignoreNulls = true).over(fillW).as("filled"))
+      .select(Seq(col(keyCol), col("__gf_bucket").as("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events")) ++
+        valCols.flatMap { case (src, dst) => Seq(
+          col(s"last_$src"),
+          last(col(s"last_$src"), ignoreNulls = true).over(fillW)
+            .as(dst))
+        }: _*)
   }
 
   // ===================== battery entries (driver gate) ====================

@@ -256,6 +256,44 @@ class PublicApiSpec extends SparkTestBase {
     assert(nvRows(1).getDouble(4) == 8.0)
   }
 
+  test("gapFillMulti rolls several columns forward independently") {
+    import spark.implicits._
+    // two readings per row; temperature NULL at t=90 must NOT block
+    // humidity's carry, and vice versa — each column's LOCF is its own
+    val ev = Seq(
+      (7L, 10L, 1L, Some(1.5), Some(40.0)),
+      (7L, 90L, 2L, None, Some(55.0)), // temp missing, hum present
+      (7L, 310L, 3L, Some(9.0), None)) // temp present, hum missing
+      .toDF("sensor", "t", "rid", "temp", "hum")
+    val rows = Temporal.gapFillMulti(ev, keyCol = "sensor", tsCol = "t",
+      valCols = Seq("temp" -> "temp_filled", "hum" -> "hum_filled"),
+      idCol = "rid", bucketUs = 100L)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    def f(r: org.apache.spark.sql.Row, c: String): Option[Double] = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    // bucket 0: latest row (t=90) has temp NULL, hum 55 — temp's bucket
+    // last is NULL but its carry falls back to nothing-before (NULL);
+    // hum carries 55
+    assert(f(rows(0), "last_temp").isEmpty
+      && f(rows(0), "temp_filled").isEmpty)
+    assert(f(rows(0), "hum_filled").contains(55.0))
+    // gap buckets 1-2: both columns carry their own last non-null
+    assert(f(rows(1), "temp_filled").isEmpty
+      && f(rows(1), "hum_filled").contains(55.0))
+    // bucket 3: temp 9.0 observed; hum NULL observed → hum still 55
+    assert(f(rows(3), "temp_filled").contains(9.0)
+      && f(rows(3), "hum_filled").contains(55.0))
+    // single physical window: one sort satisfies every fill column
+    val plan = Temporal.gapFillMulti(ev, "sensor", "t",
+      Seq("temp" -> "tf", "hum" -> "hf"), "rid", 100L)
+      .queryExecution.executedPlan.toString
+    assert("(?m)^\\s*\\+?-?\\s*Window ".r.findAllIn(plan).size <= 2,
+      plan) // in-bucket rank window + ONE shared fill window
+  }
+
   test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
     import spark.implicits._
     val parts = Seq(
