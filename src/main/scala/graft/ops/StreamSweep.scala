@@ -107,7 +107,13 @@ object StreamSweep extends QueryModule {
         val summaries = StreamingConcurrency.bucketSummaries(
           StreamingConcurrency.events(input, bucketUs), bucketUs, "0 seconds")
         val qname = s"q73_${System.nanoTime()}"
+        // checkpoint under the SAME managed temp root as the file source:
+        // the one finally-deleted directory owns every artifact this
+        // entry creates — a killed JVM leaks nothing outside it (the
+        // other streaming entries create no files at all: their implicit
+        // temp checkpoints are removed by stop()).
         val query = summaries.writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", s"$tmp/chk")
           .outputMode("append").start()
         try {
           query.processAllAvailable()
