@@ -158,9 +158,12 @@ object Temporal extends QueryModule {
       // FLOOR division, not `div`: div truncates toward zero, which makes
       // a pre-epoch timestamp land one bucket high (and bucket 0 span two
       // bucket-widths around the epoch). (ts - pmod(ts, b)) div b is exact
-      // integer floor-div for any sign — identical to div for ts >= 0 and
-      // to DuckDB's `//` everywhere. tsCol is backtick-quoted so columns
-      // with spaces/dots resolve as plain identifiers.
+      // integer floor-div for any sign — identical to div (and to
+      // DuckDB's integer `//`, which ALSO truncates: (-7)//2 = -3) for
+      // ts >= 0; q99's oracle shows the explicit-floor form both engines
+      // agree on when the dividend can be negative. tsCol is
+      // backtick-quoted so columns with spaces/dots resolve as plain
+      // identifiers.
       .withColumn("__gf_bucket",
         expr(s"CAST((`$tsCol` - pmod(`$tsCol`, ${bucketUs}L)) " +
           s"div ${bucketUs}L AS BIGINT)"))

@@ -849,7 +849,207 @@ object TextAnalysis extends QueryModule {
        |  CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens
        |FROM bins GROUP BY source""".stripMargin
 
+  // --- q98: PII detection + redaction -------------------------------------
+  // The compliance pass every training corpus needs before anything else
+  // touches it: detect and mask emails, phone numbers, IPv4 addresses,
+  // and long digit runs (account/SSN-shaped ids). Pure map-side — four
+  // codegen'd regexps per row, no shuffle, no UDF — so at 100 TB it runs
+  // at scan speed and composes in front of any pipeline (the curation
+  // capstone's shape). Patterns are RE2-safe (no lookaround) so the same
+  // literal runs on Spark's Java regex and DuckDB's RE2 identically.
+  private val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+      "<EMAIL>"),
+    ("phones", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"),
+    ("ipv4s", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("digit_ids", """\b\d{9,}\b""", "<ID>"))
+
+  /** PUBLIC operator: PII detection + redaction. Appends per-class match
+    * counts (`n_emails`, `n_phones`, `n_ipv4s`, `n_digit_ids`, counted on
+    * the ORIGINAL text so overlapping classes report independently) and
+    * the masked `redacted` text (classes replaced in the declared order —
+    * email, phone, IPv4, digit-run — so a phone never half-matches inside
+    * an already-masked email). Map-side only; keeps caller schema.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    docs.select(docs.columns.map(col) ++ counts
+      :+ redacted.as("redacted"): _*)
+  }
+
+  // The synthetic corpus carries no digits at all, so the battery entry
+  // plants deterministic PII — the same pure-arithmetic snippets on both
+  // engines (doc_id-keyed, every class exercised) — then proves detection
+  // counts AND the exact redacted string (md5) match.
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val aug = docs.withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 250 + 1).cast("string"))).otherwise(""),
+      when(col("doc_id") % 7 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0, concat(lit(" account 9"),
+        lpad((col("doc_id") % 100000000).cast("string"), 8, "0")))
+        .otherwise("")))
+    piiRedact(aug).select(
+      col("doc_id"), col("source"),
+      col("n_emails"), col("n_phones"), col("n_ipv4s"), col("n_digit_ids"),
+      length(col("redacted")).cast("long").as("redacted_len"),
+      md5(col("redacted")).as("redacted_md5"))
+  }
+
+  private val q98Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+      |         || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.'
+      |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |         || CAST(doc_id % 250 + 1 AS VARCHAR)
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+      |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' account 9'
+      |         || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+      |       ELSE '' END AS t
+      |  FROM documents
+      |), red AS (
+      |  SELECT doc_id, source, t,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{9,}\b', '<ID>', 'g') AS redacted
+      |  FROM aug
+      |)
+      |SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(len(regexp_extract_all(t,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4s,
+      |  CAST(len(regexp_extract_all(t, '\b\d{9,}\b')) AS BIGINT)
+      |    AS n_digit_ids,
+      |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+      |  md5(redacted) AS redacted_md5
+      |FROM red""".stripMargin
+
+  // --- q99: unigram LM scoring (the "perplexity filter") ------------------
+  // The quality gate real curation pipelines run: score each document by
+  // its mean token log-probability under a unigram model of the corpus
+  // itself; improbable-token-heavy docs rank low. Two passes: (1) the
+  // vocabulary build — q88's shape, partial map-side counts, the shuffle
+  // carries (token, count) bounded by the LANGUAGE's vocabulary, never
+  // the token stream; (2) scoring — the (token → quantized logp) table
+  // is folded into ONE broadcast map row and every document scores
+  // map-side with an in-array fold (no shuffle, no join). At open-web
+  // vocabulary scale, swap stage 2 for the explode + vocab equi-join
+  // (decontamination's shape); semantics identical.
+  //
+  // Cross-engine exactness: ln() is libm, not IEEE-pinned, so per-token
+  // log-probs are QUANTIZED to integer millinats — floor(ln(p)·1000) —
+  // and each doc aggregates a BIGINT sum (order-independent, exact).
+  // A last-ulp libm difference flips a quantized value only when
+  // ln(p)·1000 sits within ~1e-10 of an integer, and only DISTINCT
+  // vocabulary probabilities (not tokens) are exposed to that — margin
+  // documented, vanishing in practice. The per-doc mean stays in
+  // INTEGER micro-nats via explicit floor division (a double mean hit a
+  // real round-half tie at 6dp on the first gate run: Spark HALF_UP vs
+  // DuckDB's nearest-even disagreed on -3.4877125).
+
+  /** PUBLIC operator: per-document unigram log-prob scoring. Returns
+    * doc_id/source plus `n_toks`, the exact `sum_logp_milli` (BIGINT
+    * millinats), and `mean_logp_micro` (BIGINT micro-nats, floor of the
+    * exact rational mean; NULL for zero-token docs). The model is the
+    * corpus's own unigram distribution; unseen tokens are impossible by
+    * construction (score NULLs loudly if a caller scores foreign text
+    * against this corpus's map).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val toks = docs
+      .withColumn("toks",
+        expr(s"regexp_extract_all(`$textCol`, '[a-z]+', 0)"))
+      // both passes (vocab build + scoring) read the tokenization;
+      // truncate lineage so the regexp runs once (q95's trade)
+      .localCheckpoint(eager = false)
+    val vocab = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val vmap = vocab
+      .crossJoin(broadcast(vocab.agg(sum("cnt").as("total"))))
+      .agg(map_from_entries(collect_list(struct(col("t"),
+        floor(log(col("cnt").cast("double") / col("total")) * 1000)
+          .cast("long")))).as("m"))
+    toks.crossJoin(broadcast(vmap))
+      .select(
+        col("doc_id"), col("source"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+        expr("aggregate(transform(toks, t -> element_at(m, t)), 0L, " +
+          "(a, x) -> a + x)").as("sum_logp_milli"))
+      // FLOOR division on a NEGATIVE sum: Spark `div` truncates toward
+      // zero, DuckDB `//` floors — (x - pmod(x, n)) div n is exact floor
+      // for any sign (gapFill's bucketing identity)
+      .withColumn("mean_logp_micro",
+        when(col("n_toks") === 0, lit(null).cast("long"))
+          .otherwise(expr("(sum_logp_milli * 1000 " +
+            "- pmod(sum_logp_milli * 1000, n_toks)) div n_toks")))
+  }
+
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    unigramLogProb(Tables.load(s, dir, "documents"))
+
+  private val q99Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_extract_all(text, '[a-z]+') AS toks
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT t, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+      |), lp AS (
+      |  SELECT t,
+      |    CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / total) * 1000) AS BIGINT)
+      |      AS lq
+      |  FROM vocab, (SELECT SUM(cnt) AS total FROM vocab)
+      |), perdoc AS (
+      |  SELECT doc_id, SUM(lq) AS s
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM toks) JOIN lp USING (t)
+      |  GROUP BY doc_id
+      |)
+      |SELECT toks.doc_id, source,
+      |  CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(COALESCE(s, 0) AS BIGINT) AS sum_logp_milli,
+      |  CASE WHEN len(toks) = 0 THEN NULL
+      |       -- explicit FLOOR: DuckDB's integer // truncates toward zero
+      |       -- ((-7)//2 = -3), so subtract the positive remainder first —
+      |       -- the quotient is then exact and truncation == floor
+      |       ELSE CAST((COALESCE(s, 0) * 1000
+      |         - ((COALESCE(s, 0) * 1000 % len(toks)) + len(toks))
+      |           % len(toks)) // len(toks) AS BIGINT)
+      |  END AS mean_logp_micro
+      |FROM toks LEFT JOIN perdoc ON toks.doc_id = perdoc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_lm_score" -> q99 _,
+    "q98_pii_redact" -> q98 _,
     "q95_packing_scan" -> q95 _,
     "q94_stratified_sample" -> q94 _,
     "q90_curation_pipeline" -> q90 _,
@@ -867,6 +1067,8 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q99_lm_score" -> q99Sql,
+    "q98_pii_redact" -> q98Sql,
     "q95_packing_scan" -> q95Sql,
     "q94_stratified_sample" -> q94Sql,
     "q90_curation_pipeline" -> q90Sql,

@@ -294,6 +294,55 @@ class PublicApiSpec extends SparkTestBase {
       plan) // in-bucket rank window + ONE shared fill window
   }
 
+  test("piiRedact masks every class in order and counts on the original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at a.b+c@mail.example.org or 555-123-4567, " +
+        "host 10.0.0.1, acct 123456789"),
+      (2L, "two mails x@y.io and z@w.co; ip-ish 999.1.2.3"),
+      (3L, "clean text, no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("n_emails")) == 1
+      && r1.getLong(r1.fieldIndex("n_phones")) == 1
+      && r1.getLong(r1.fieldIndex("n_ipv4s")) == 1
+      && r1.getLong(r1.fieldIndex("n_digit_ids")) == 1)
+    val red1 = r1.getString(r1.fieldIndex("redacted"))
+    assert(red1 == "reach me at <EMAIL> or <PHONE>, host <IP>, acct <ID>",
+      red1)
+    val r2 = out(2L)
+    assert(r2.getLong(r2.fieldIndex("n_emails")) == 2)
+    // 999.1.2.3 still matches the shape pattern (redaction is a masker,
+    // not a validator — over-masking beats leaking)
+    assert(r2.getLong(r2.fieldIndex("n_ipv4s")) == 1)
+    val r3 = out(3L)
+    assert(r3.getString(r3.fieldIndex("redacted")) ==
+      "clean text, no pii at all")
+    assert((1 to 4).forall(_ => r3.getLong(r3.fieldIndex("n_emails")) == 0))
+  }
+
+  test("unigramLogProb: exact millinat sums from the corpus's own model") {
+    import spark.implicits._
+    // corpus: 4 'a', 2 'b', 2 'c' → total 8; ln(p) quantized to millinats:
+    // a: ln(.5)=-0.6931→-694 (floor); b,c: ln(.25)=-1.3863→-1387
+    val docs = Seq(
+      (1L, "s", "a a b"), (2L, "s", "b c c a a"), (3L, "s", ""))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // doc 1: 2 a + 1 b = -694*2 + -1387 = -2775; floor(-2775000/3) = -925000
+    assert(got(1L) == ((3L, -2775L, Some(-925000L))), got(1L).toString)
+    // doc 2: 2a + 1b + 2c = -1388 - 1387 - 2774 = -5549;
+    // floor(-5549000/5) = -1109800
+    assert(got(2L) == ((5L, -5549L, Some(-1109800L))), got(2L).toString)
+    // zero-token doc: n=0, sum=0, mean NULL
+    assert(got(3L) == ((0L, 0L, None)), got(3L).toString)
+  }
+
   test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
     import spark.implicits._
     val parts = Seq(
