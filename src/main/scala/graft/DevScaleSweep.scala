@@ -35,7 +35,9 @@ object DevScaleSweep {
       "q89_quantization" -> "embeddings", "q90_curation_pipeline" -> "documents",
       "q91_fuzzy_match" -> "part", "q92_gap_fill" -> "events",
       "q93_table_checksum" -> "orders", "q94_stratified_sample" -> "documents",
-      "q82_sliding_window" -> "events", "q80_token_packing" -> "documents")
+      "q82_sliding_window" -> "events", "q80_token_packing" -> "documents",
+      "q95_packing_scan" -> "documents", "q97_rest_ingest" -> "events",
+      "q98_pii_redact" -> "documents", "q99_lm_score" -> "documents")
       .withDefaultValue("lineitem")
 
     names.foreach { n =>

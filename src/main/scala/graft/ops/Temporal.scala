@@ -541,7 +541,60 @@ object Temporal extends QueryModule {
       |FROM grid g LEFT JOIN daily d
       |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
 
+  // --- q100: multi-column gap fill under the oracle ------------------------
+  // gapFillMulti with a numeric AND a categorical column rolling forward
+  // together: `v` (value with deterministic NULL injections — every 13th
+  // event reports no reading) and `event_type` (the "last known state").
+  // The NULL injections make per-column independence oracle-visible: a
+  // bucket whose latest reading is NULL carries v from an earlier bucket
+  // while state still advances from the same row.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("v",
+      when(col("event_id") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    gapFillMulti(ev, keyCol = "user_id", tsCol = "ts_us",
+      valCols = Seq("v" -> "v_filled", "event_type" -> "state_filled"),
+      idCol = "event_id", bucketUs = 86400000000L)
+      .select(col("user_id"), col("bucket"), col("n_events"),
+        round(col("last_v"), 6).as("last_v"),
+        round(col("v_filled"), 6).as("v_filled"),
+        col("last_event_type"), col("state_filled"))
+  }
+
+  private val q100Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN rn = 1 THEN v END) AS last_v,
+      |    MAX(CASE WHEN rn = 1 THEN event_type END) AS last_event_type
+      |  FROM (SELECT user_id, ts_us // 86400000000 AS day, v, event_type,
+      |          ROW_NUMBER() OVER (
+      |            PARTITION BY user_id, ts_us // 86400000000
+      |            ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM ev)
+      |  GROUP BY user_id, day
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+      |        FROM daily GROUP BY user_id)
+      |)
+      |SELECT g.user_id, g.day AS bucket,
+      |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+      |  round(last_v, 6) AS last_v,
+      |  round(LAST_VALUE(last_v IGNORE NULLS) OVER w, 6) AS v_filled,
+      |  last_event_type,
+      |  LAST_VALUE(last_event_type IGNORE NULLS) OVER w AS state_filled
+      |FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day
+      |WINDOW w AS (PARTITION BY g.user_id ORDER BY g.day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_gapfill_multi" -> q100 _,
     "q96_stream_checksum" -> q96 _,
     "q93_table_checksum" -> q93 _,
     "q92_gap_fill" -> q92 _,
@@ -552,6 +605,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q100_gapfill_multi" -> q100Sql,
     "q93_table_checksum" -> q93Sql,
     "q92_gap_fill" -> q92Sql,
     "q34_asof_join" -> q34Sql,
