@@ -77,7 +77,8 @@ object QuerylogAdapter {
   /** DuckDB mirror of [[derived]] as a WITH-clause prefix defining view
     * `sized`. Column-for-column identical to the Spark derivation.
     */
-  def sqlCte(cfg: SizingConfig = SizingConfig()): String = {
+  def sqlCte(cfg: SizingConfig = SizingConfig(),
+      where: String = ""): String = {
     val cacheAdj = cfg.cacheAdjustmentPct / 100.0
     val memAdj = cfg.memAdjustmentPct / 100.0
     val cpuAdj = cfg.cpuAdjustmentPct / 100.0
@@ -93,7 +94,7 @@ object QuerylogAdapter {
        |    (event_id % 500 + 1) * ${GiB} AS mem_bytes,
        |    event_id % 100 * ${GiB} AS spill_bytes,
        |    (CAST(FLOOR(value * 1000) AS BIGINT) + 1) * (user_id % 5 + 1) AS cpu_time_ms
-       |  FROM events
+       |  FROM events $where
        |), units AS (
        |  SELECT *,
        |    hdfs_bytes / ${GiB}.0 AS reqd_cache_gb,
