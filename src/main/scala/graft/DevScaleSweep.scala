@@ -37,7 +37,8 @@ object DevScaleSweep {
       "q93_table_checksum" -> "orders", "q94_stratified_sample" -> "documents",
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents",
       "q95_packing_scan" -> "documents", "q97_rest_ingest" -> "events",
-      "q98_pii_redact" -> "documents", "q99_lm_score" -> "documents")
+      "q98_pii_redact" -> "documents", "q99_lm_score" -> "documents",
+      "q100_gapfill_multi" -> "events", "q101_pipeline_e2e" -> "events")
       .withDefaultValue("lineitem")
 
     names.foreach { n =>
