@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   * missing-metric skip flow — are SET-EQUAL to the same API frame
   * adapted without the HTTP hop, which is transitive to the
   * oracle-checked sizing surface (q17–q20 run the same adapter shapes).
+  * EP2's full run is covered by composition: `Pipeline.runRest` = these
+  * gated adapter flows (querylog + skip) feeding the same `finish()`
+  * that q101 gates end-to-end on the CSV path.
   *
   * Harness note: the driver-side collect builds the SERVER's fixture
   * store (a test double needs its data in memory, like the streaming
