@@ -207,10 +207,16 @@ object Dedup extends QueryModule {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val k = 3 * maxDist + 1
     // backtick-quoted so caller columns with spaces/dots resolve as
-    // plain identifiers inside the expr string
+    // plain identifiers inside the expr string. localCheckpoint barrier:
+    // `g` feeds THREE plan branches (gram-frequency agg, probe, index)
+    // and Catalyst does not dedupe common subplans — without the barrier
+    // the distinct + explode + n-gram scan over the name vocabulary
+    // executes three times per query (tokenPackingViaScan's trade;
+    // blocks auto-freed on driver GC).
     val g = df.select(col(nameCol)).distinct()
       .select(col(nameCol).as("__name"),
         explode(expr(s"graft_char_ngrams(`$nameCol`, 3)")).as("g"))
+      .localCheckpoint(eager = false)
     val freq = g.groupBy("g").agg(count(lit(1)).as("__df"))
     val rareW = Window.partitionBy("__name")
       .orderBy(col("__df"), col("g"))

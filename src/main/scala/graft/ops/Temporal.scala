@@ -146,9 +146,16 @@ object Temporal extends QueryModule {
       valCols: Seq[(String, String)], idCol: String,
       bucketUs: Long): DataFrame = {
     require(valCols.nonEmpty, "gapFillMulti: at least one (valCol, outCol)")
-    require(valCols.map(_._1).distinct.size == valCols.size &&
-      valCols.map(_._2).distinct.size == valCols.size,
-      s"gapFillMulti: duplicate value/output column in $valCols")
+    // one combined namespace: srcs, dsts, the generated last_<src>
+    // columns, and the fixed output columns must all be distinct — a dst
+    // named "last_<someSrc>" (or "bucket"/"n_events") would emit two
+    // same-named columns and poison downstream name resolution
+    val emitted = valCols.flatMap { case (src, dst) =>
+      Seq(s"last_$src", dst) } ++ Seq(keyCol, "bucket", "n_events")
+    require(emitted.distinct.size == emitted.size &&
+      valCols.map(_._1).distinct.size == valCols.size,
+      s"gapFillMulti: colliding value/output column names in $valCols " +
+        s"(emitted namespace: ${emitted.sorted.mkString(", ")})")
     val inBucketW = Window.partitionBy(keyCol, "__gf_bucket")
       .orderBy(col(tsCol).desc, col(idCol).desc)
     val lastAggs = valCols.map { case (src, _) =>

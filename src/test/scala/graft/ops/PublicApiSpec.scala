@@ -320,7 +320,8 @@ class PublicApiSpec extends SparkTestBase {
     val r3 = out(3L)
     assert(r3.getString(r3.fieldIndex("redacted")) ==
       "clean text, no pii at all")
-    assert((1 to 4).forall(_ => r3.getLong(r3.fieldIndex("n_emails")) == 0))
+    assert(Seq("n_emails", "n_phones", "n_ipv4s", "n_digit_ids")
+      .forall(c => r3.getLong(r3.fieldIndex(c)) == 0))
   }
 
   test("unigramLogProb: exact millinat sums from the corpus's own model") {
