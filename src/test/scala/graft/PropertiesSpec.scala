@@ -140,6 +140,106 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("grouped prefix scan equals a per-group sequential fold") {
+    import spark.implicits._
+    // interleaved groups (incl. null) over a shared key domain — carries
+    // must chain within a group only, across any partitioning
+    val gen = Gen.listOfN(150,
+      Gen.zip(Gen.oneOf("x", "y", "z", null), Gen.chooseNum(0L, 50L),
+        Gen.chooseNum(-9L, 9L)))
+    samples(gen, 5).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((g, ts, d), i) =>
+        (g, ts, i.toLong, d) }
+      val got = PrefixSum.scan(
+          rows.toDF("g", "ts", "id", "delta").repartition(4),
+          "ts", Seq(col("ts"), col("id")), Seq("delta" -> "run"),
+          groupCols = Seq("g"))
+        .select("g", "ts", "id", "run")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getLong(2)) -> r.getLong(3)).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(t => (t._2, t._3)).foreach { case (_, ts, id, d) =>
+          acc += d
+          assert(got((Option(g), ts, id)) == acc, s"g=$g ts=$ts id=$id")
+        }
+      }
+    }
+  }
+
+  test("piiRedact leaves no residual matches and is idempotent") {
+    import spark.implicits._
+    // documents assembled from words + planted PII of every class
+    val word = Gen.oneOf("alpha", "beta", "gamma", "x1y", "k9")
+    val pii = Gen.oneOf(
+      "bob.smith+1@corp.example.com", "10.20.30.40", "555-867-5309",
+      "123456789012", "no-pii-here")
+    val gen = Gen.listOfN(12, Gen.oneOf(word, pii))
+    samples(gen, 6).foreach { toks =>
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val once = ops.TextAnalysis.piiRedact(docs).collect()(0)
+      val red = once.getString(once.fieldIndex("redacted"))
+      // residual-free: re-running detection on the redacted text finds 0
+      val again = ops.TextAnalysis
+        .piiRedact(Seq((1L, red)).toDF("doc_id", "text")).collect()(0)
+      Seq("n_emails", "n_phones", "n_ipv4s", "n_digit_ids").foreach { c =>
+        assert(again.getLong(again.fieldIndex(c)) == 0L, s"$c on: $red")
+      }
+      // idempotent: redacting the redacted text is a fixpoint
+      assert(again.getString(again.fieldIndex("redacted")) == red)
+    }
+  }
+
+  test("unigramLogProb conserves total log-prob mass (exchange of sums)") {
+    import spark.implicits._
+    // Σ_docs sum_logp_milli == Σ_vocab count(t) · lq(t): both sides sum
+    // the same per-token integers, grouped differently — any mismatch
+    // means a token was dropped/duplicated by the scoring join/map
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+    val gen = Gen.listOfN(8, Gen.listOfN(10, word))
+    samples(gen, 5).foreach { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, "s", ws.mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+      val perDoc = ops.TextAnalysis.unigramLogProb(df).collect()
+        .map(r => r.getLong(r.fieldIndex("sum_logp_milli"))).sum
+      val all = docs.flatten
+      val total = all.size.toDouble
+      val byVocab = all.groupBy(identity).map { case (_, ts) =>
+        ts.size * math.floor(math.log(ts.size / total) * 1000).toLong
+      }.sum
+      assert(perDoc == byVocab, s"docs=$perDoc vocab=$byVocab")
+    }
+  }
+
+  test("gapFillMulti equals N independent single-column gapFill runs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(1L, 2L), Gen.chooseNum(0L, 500L),
+        Gen.option(Gen.chooseNum(0.0, 9.0)), Gen.chooseNum(0L, 99L)))
+    samples(gen, 5).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, t, v, w), i) =>
+        (k, t, i.toLong, v.map(x => math.rint(x * 10) / 10), w)
+      }
+      val df = rows.toDF("k", "t", "rid", "v", "w")
+      val multi = ops.Temporal.gapFillMulti(df, "k", "t",
+          Seq("v" -> "vf", "w" -> "wf"), "rid", 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+            Option(r.get(6)))).toMap
+      def single(vc: String) = ops.Temporal.gapFill(df, keyCol = "k",
+          tsCol = "t", valCol = vc, idCol = "rid", bucketUs = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.get(3)), Option(r.get(4)))).toMap
+      val (sv, sw) = (single("v"), single("w"))
+      assert(multi.keySet == sv.keySet && multi.keySet == sw.keySet)
+      multi.foreach { case (key, (lv, vf, lw, wf)) =>
+        assert((lv, vf) == sv(key), s"v at $key")
+        assert((lw, wf) == sw(key), s"w at $key")
+      }
+    }
+  }
+
   test("sweep-line max concurrency equals brute force on arbitrary intervals") {
     import spark.implicits._
     val gen = Gen.listOfN(40,
