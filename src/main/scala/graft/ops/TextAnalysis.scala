@@ -994,11 +994,18 @@ object TextAnalysis extends QueryModule {
       .localCheckpoint(eager = false)
     val vocab = toks.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
+    // ONE aggregation yields both the vocabulary entries and the total
+    // mass — aggregating `vocab` twice (map build + total) would make
+    // Catalyst recompute the whole token-explode subtree per branch.
+    // The quantization expression is value-identical to per-row
+    // floor(ln(CAST(cnt AS DOUBLE)/total)·1000) (oracle-pinned).
     val vmap = vocab
-      .crossJoin(broadcast(vocab.agg(sum("cnt").as("total"))))
-      .agg(map_from_entries(collect_list(struct(col("t"),
-        floor(log(col("cnt").cast("double") / col("total")) * 1000)
-          .cast("long")))).as("m"))
+      .agg(collect_list(struct(col("t"), col("cnt"))).as("tc"),
+        sum("cnt").as("total"))
+      .select(expr(
+        """map_from_entries(transform(tc, e -> struct(e.t,
+          |CAST(floor(ln(CAST(e.cnt AS DOUBLE) / total) * 1000)
+          |AS BIGINT))))""".stripMargin).as("m"))
     toks.crossJoin(broadcast(vmap))
       .select(
         col("doc_id"), col("source"),

@@ -324,6 +324,25 @@ class PublicApiSpec extends SparkTestBase {
       .forall(c => r3.getLong(r3.fieldIndex(c)) == 0))
   }
 
+  test("q98/q99 plan shapes: redaction is map-only, scoring shuffles once") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, "s", s"w$i a b c"))
+      .toDF("doc_id", "source", "text")
+    // piiRedact: pure projection — NO exchange anywhere (scan-speed claim)
+    val p98 = TextAnalysis.piiRedact(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p98.contains("Exchange"), p98)
+    // unigramLogProb: exactly 3 exchanges — the single vocabulary
+    // hash-shuffle (the token stream shuffles ONCE), the 1-row map
+    // aggregation, and the broadcast of the map to the scorers; a
+    // regression that re-aggregates the vocabulary per branch shows up
+    // as 5-6 here
+    val p99 = TextAnalysis.unigramLogProb(docs)
+      .queryExecution.executedPlan.toString
+    val nEx = "(?<!Reused)Exchange".r.findAllIn(p99).length
+    assert(nEx == 3, s"expected 3 exchanges, got $nEx:\n$p99")
+  }
+
   test("unigramLogProb: exact millinat sums from the corpus's own model") {
     import spark.implicits._
     // corpus: 4 'a', 2 'b', 2 'c' → total 8; ln(p) quantized to millinats:
