@@ -38,7 +38,8 @@ object DevScaleSweep {
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents",
       "q95_packing_scan" -> "documents", "q97_rest_ingest" -> "events",
       "q98_pii_redact" -> "documents", "q99_lm_score" -> "documents",
-      "q100_gapfill_multi" -> "events", "q101_pipeline_e2e" -> "events")
+      "q100_gapfill_multi" -> "events", "q101_pipeline_e2e" -> "events",
+      "q102_domain_cap" -> "documents")
       .withDefaultValue("lineitem")
 
     names.foreach { n =>

@@ -1054,7 +1054,77 @@ object TextAnalysis extends QueryModule {
       |  END AS mean_logp_micro
       |FROM toks LEFT JOIN perdoc ON toks.doc_id = perdoc.doc_id""".stripMargin
 
+  // --- q102: per-domain document cap ---------------------------------------
+  // The web-curation step that stops one host from dominating a corpus
+  // (the C4/RefinedWeb "domain cap"): parse the domain out of each URL
+  // and keep at most K documents per domain, picked by the deterministic
+  // hash rank (engine/run/cluster stable — q94's primitive, reused).
+  // Scale shape: one regexp projection + the stratified-rank window,
+  // which compiles to WindowGroupLimit map-side pruning — tasks pre-trim
+  // to local top-K before the per-domain shuffle, so a 100 TB crawl
+  // shuffles at most K rows per (task, domain), never a hot domain's
+  // full row set.
+
+  /** PUBLIC operator: per-domain cap. Adds `domain` (authority component
+    * of `urlCol`) and keeps at most `k` documents per domain by the
+    * deterministic hash-of-`keySql` rank. Callers keep their schema
+    * (plus `domain`).
+    */
+  def domainCap(docs: DataFrame, k: Int, urlCol: String = "url",
+      keySql: String = "CAST(doc_id AS STRING)"): DataFrame =
+    stratifiedSample(
+      docs.withColumn("domain",
+        regexp_extract(col(urlCol), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)),
+      k, keySql, Seq("domain"))
+
+  private val q102K = 3
+
+  // The synthetic corpus has no URL column, so the battery plants one
+  // deterministically (21 domains across 3 TLDs — every domain holds
+  // well over K docs at every sf, so the cap genuinely binds); the
+  // oracle replays the same URL arithmetic, domain regexp, and hash rank.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").withColumn("url",
+      concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example."),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' " +
+          "ELSE 'net' END"),
+        lit("/p/"), col("doc_id").cast("string")))
+    domainCap(docs, k = q102K)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum"),
+        min(col("doc_id")).as("first_kept"),
+        max(col("doc_id")).as("last_kept"))
+  }
+
+  private val q102Sql = {
+    val h = Dialect.duckHash60("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.' ||
+       |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+       |         ELSE 'net' END || '/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents
+       |), x AS (
+       |  SELECT doc_id,
+       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+       |      AS domain
+       |  FROM d
+       |), r AS (
+       |  SELECT domain, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY domain
+       |      ORDER BY $h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+       |  FROM x
+       |)
+       |SELECT domain, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+       |  MIN(doc_id) AS first_kept, MAX(doc_id) AS last_kept
+       |FROM r WHERE rn <= $q102K GROUP BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_domain_cap" -> q102 _,
     "q99_lm_score" -> q99 _,
     "q98_pii_redact" -> q98 _,
     "q95_packing_scan" -> q95 _,
@@ -1074,6 +1144,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q102_domain_cap" -> q102Sql,
     "q99_lm_score" -> q99Sql,
     "q98_pii_redact" -> q98Sql,
     "q95_packing_scan" -> q95Sql,

@@ -324,6 +324,31 @@ class PublicApiSpec extends SparkTestBase {
       .forall(c => r3.getLong(r3.fieldIndex(c)) == 0))
   }
 
+  test("domainCap: parses authorities, binds the cap, map-side pruned") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"https://h${i % 2}.example.com/page/$i"))
+      .toDF("doc_id", "url")
+    val kept = TextAnalysis.domainCap(docs, k = 3).collect()
+    val byDomain = kept.groupBy(_.getString(kept.head.fieldIndex("domain")))
+    assert(byDomain.keySet == Set("h0.example.com", "h1.example.com"))
+    // the cap binds exactly: 20 docs per domain → 3 kept each
+    assert(byDomain.values.forall(_.length == 3))
+    // deterministic: a second run keeps the identical doc ids
+    val again = TextAnalysis.domainCap(docs, k = 3).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.map(_.getLong(0)).sorted.toSeq)
+    // under-cap domains pass through whole
+    val tiny = Seq((1L, "https://only.example.org/x"))
+      .toDF("doc_id", "url")
+    assert(TextAnalysis.domainCap(tiny, k = 5).count() == 1)
+    // rank-limit compiles to WindowGroupLimit: map tasks pre-trim to
+    // local top-k before the per-domain shuffle (q94's scale property)
+    val plan = TextAnalysis.domainCap(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q98/q99 plan shapes: redaction is map-only, scoring shuffles once") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, "s", s"w$i a b c"))
