@@ -127,8 +127,10 @@ object Bench {
     // Totals sum only SUCCEEDING queries — folding the -1.0 failure
     // sentinel into a sum would let a failed query subtract a second and
     // mask a regression as an improvement; the failed list is explicit.
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    // Short ids keep the list bounded: 102 full names ≈ 1.9k chars would
+    // blow the stdout budget below exactly when everything fails.
+    val failed = results.collect { case (k, v, _) if v < 0 =>
+      "\"" + shortId(k) + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map { case (_, _, ts) =>
       if (ts.contains(-1.0)) -1.0 else ts.min }.filter(_ >= 0).sum

@@ -24,8 +24,8 @@ object DevQ73Probe {
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // warm once like Bench
-    SparkEntry.queries("q73_stream_sweep")(spark, "/root/testdata/sf0.001")
+    // warm once like Bench (on the probe's own dir so any layout works)
+    SparkEntry.queries("q73_stream_sweep")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
     (1 to 3).foreach { round =>
@@ -56,8 +56,8 @@ object DevQ73Probe {
           col("spill_b_per_backend").cast("long").as("spillPerBackend"))
           .write.parquet(src)
       }
-      println("  interval files: " + java.nio.file.Files.list(
-        java.nio.file.Paths.get(src)).count())
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      try println("  interval files: " + ls.count()) finally ls.close()
       time("stream drain") {
         graft.streaming.StreamConf.withStateParts(spark) {
           import spark.implicits._

@@ -1065,17 +1065,30 @@ object TextAnalysis extends QueryModule {
   // shuffles at most K rows per (task, domain), never a hot domain's
   // full row set.
 
-  /** PUBLIC operator: per-domain cap. Adds `domain` (authority component
-    * of `urlCol`) and keeps at most `k` documents per domain by the
-    * deterministic hash-of-`keySql` rank. Callers keep their schema
-    * (plus `domain`).
+  /** PUBLIC operator: per-domain cap. Adds `domain` (the LOWERCASED
+    * authority component of `urlCol` — RFC 3986 hostnames are
+    * case-insensitive, so case variants of one host cannot evade the
+    * cap) and keeps at most `k` documents per domain by the
+    * deterministic hash-of-`keySql` rank. Rows whose URL has no
+    * parseable authority (null, schemeless, malformed) PASS THROUGH
+    * UNCAPPED with `domain` NULL: silently capping the garbage bucket
+    * as if it were one domain would mass-drop data AND serialize a
+    * single hot window partition — the caller decides that bucket's
+    * fate. Callers keep their schema (plus `domain`; a pre-existing
+    * `domain` column is rejected rather than silently clobbered).
     */
   def domainCap(docs: DataFrame, k: Int, urlCol: String = "url",
-      keySql: String = "CAST(doc_id AS STRING)"): DataFrame =
-    stratifiedSample(
-      docs.withColumn("domain",
-        regexp_extract(col(urlCol), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)),
-      k, keySql, Seq("domain"))
+      keySql: String = "CAST(doc_id AS STRING)"): DataFrame = {
+    require(!docs.columns.contains("domain"),
+      "domainCap emits a `domain` column; rename the existing one")
+    val ext = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val withDomain = docs.withColumn("domain",
+      when(ext === "" || col(urlCol).isNull, lit(null)).otherwise(ext))
+    stratifiedSample(withDomain.filter(col("domain").isNotNull),
+        k, keySql, Seq("domain"))
+      .unionByName(withDomain.filter(col("domain").isNull))
+  }
 
   private val q102K = 3
 
@@ -1108,8 +1121,8 @@ object TextAnalysis extends QueryModule {
        |  FROM documents
        |), x AS (
        |  SELECT doc_id,
-       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
-       |      AS domain
+       |    lower(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS domain
        |  FROM d
        |), r AS (
        |  SELECT domain, doc_id,

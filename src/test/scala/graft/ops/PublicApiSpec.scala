@@ -342,6 +342,32 @@ class PublicApiSpec extends SparkTestBase {
     val tiny = Seq((1L, "https://only.example.org/x"))
       .toDF("doc_id", "url")
     assert(TextAnalysis.domainCap(tiny, k = 5).count() == 1)
+    // case variants of one host are ONE domain (RFC 3986) — the cap
+    // cannot be evaded by mixed-case URLs
+    val cased = (1L to 9L).map(i => (i, i % 3 match {
+      case 0 => s"https://Host.Example.com/$i"
+      case 1 => s"https://host.example.com/$i"
+      case _ => s"HTTPS://HOST.EXAMPLE.COM/$i"
+    })).toDF("doc_id", "url")
+    val casedKept = TextAnalysis.domainCap(cased, k = 4).collect()
+    assert(casedKept.length == 4, casedKept.mkString(";"))
+    assert(casedKept.forall(r =>
+      r.getString(r.fieldIndex("domain")) == "host.example.com"))
+    // unparseable / null URLs pass through UNCAPPED with domain NULL —
+    // never silently capped as one garbage stratum
+    val junk = Seq((1L, "www.nohost.example/x"), (2L, null),
+      (3L, "https://real.example.com/a"), (4L, "ftp//broken"),
+      (5L, "relative/path")).toDF("doc_id", "url")
+    val junkOut = TextAnalysis.domainCap(junk, k = 1).collect()
+    assert(junkOut.length == 5, junkOut.mkString(";"))
+    assert(junkOut.count(r => r.isNullAt(r.fieldIndex("domain"))) == 4)
+    // a pre-existing domain column is rejected, not clobbered
+    val clash = Seq((1L, "https://a.example.com/x", "meta"))
+      .toDF("doc_id", "url", "domain")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.domainCap(clash, k = 1)
+    }
+    assert(e.getMessage.contains("domain"))
     // rank-limit compiles to WindowGroupLimit: map tasks pre-trim to
     // local top-k before the per-domain shuffle (q94's scale property)
     val plan = TextAnalysis.domainCap(docs, k = 3)
