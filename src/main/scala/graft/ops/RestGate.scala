@@ -52,8 +52,17 @@ object RestGate extends QueryModule {
     * the nested string-attributes map the sizing metrics live in, and a
     * ~3% slice of rows MISSING `memory_aggregate_peak` to exercise the
     * skip flow (py:197–200) through the wire.
+    *
+    * `date_format` renders in the SESSION time zone, and these strings
+    * carry a literal 'Z' — they are true UTC instants only when the
+    * session is pinned UTC (every battery main does; q101's harness
+    * shares the assumption). Asserted here rather than silently
+    * mislabeling absolute times under a drifted session.
     */
   private def apiDocs(s: SparkSession, dir: String): DataFrame = {
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "apiDocs renders ISO instants with a literal 'Z'; the session time " +
+        "zone must be UTC (battery mains pin it)")
     val GiB = 1073741824L
     def iso(usCol: org.apache.spark.sql.Column) =
       date_format(timestamp_micros(usCol), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")

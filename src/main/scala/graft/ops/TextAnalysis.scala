@@ -857,11 +857,19 @@ object TextAnalysis extends QueryModule {
   // at scan speed and composes in front of any pipeline (the curation
   // capstone's shape). Patterns are RE2-safe (no lookaround) so the same
   // literal runs on Spark's Java regex and DuckDB's RE2 identically.
+  // IPv4 is OCTET-RANGE-EXACT (0–255 per octet, no leading zeros): a
+  // naive \d{1,3} quad also masks version strings and section numbers
+  // ("999.999.1.1") — over-redaction that silently eats non-PII text.
+  // The \b guards also stop a mid-number match ("1234.5.6.7" never
+  // yields ".5.6.7" as an IP). Alternation order is longest-first and
+  // both engines (Java regex, DuckDB RE2) match leftmost-first, so the
+  // same literal behaves identically.
+  private val Octet = """(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"""
   private val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("emails", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
       "<EMAIL>"),
     ("phones", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"),
-    ("ipv4s", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("ipv4s", s"""\\b$Octet(\\.$Octet){3}\\b""", "<IP>"),
     ("digit_ids", """\b\d{9,}\b""", "<ID>"))
 
   /** PUBLIC operator: PII detection + redaction. Appends per-class match
@@ -935,7 +943,7 @@ object TextAnalysis extends QueryModule {
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b', '<IP>', 'g'),
       |      '\b\d{9,}\b', '<ID>', 'g') AS redacted
       |  FROM aug
       |)
@@ -946,7 +954,8 @@ object TextAnalysis extends QueryModule {
       |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
       |    AS n_phones,
       |  CAST(len(regexp_extract_all(t,
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4s,
+      |    '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b'))
+      |    AS BIGINT) AS n_ipv4s,
       |  CAST(len(regexp_extract_all(t, '\b\d{9,}\b')) AS BIGINT)
       |    AS n_digit_ids,
       |  CAST(length(redacted) AS BIGINT) AS redacted_len,

@@ -22,6 +22,14 @@ object StreamConf {
     * query) with `spark.sql.shuffle.partitions` = `n`, restoring the
     * caller's value after — batch twins in the same entry keep the
     * session's partitioning.
+    *
+    * SINGLE-THREADED BY ASSUMPTION: this mutates the session-global
+    * conf and restores it on exit, which is only safe because battery
+    * entries run sequentially on one session. A concurrent entry — or a
+    * BATCH plan built inside `body`, which would capture `n` as its
+    * shuffle parallelism — would be silently misconfigured. Keep batch
+    * twins OUTSIDE the block (as every current call site does) and
+    * never call this from parallel test suites sharing a session.
     */
   def withStateParts[T](s: SparkSession, n: Int = HarnessStateParts)(
       body: => T): T = {

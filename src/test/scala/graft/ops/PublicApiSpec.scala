@@ -314,14 +314,42 @@ class PublicApiSpec extends SparkTestBase {
       red1)
     val r2 = out(2L)
     assert(r2.getLong(r2.fieldIndex("n_emails")) == 2)
-    // 999.1.2.3 still matches the shape pattern (redaction is a masker,
-    // not a validator — over-masking beats leaking)
-    assert(r2.getLong(r2.fieldIndex("n_ipv4s")) == 1)
+    // 999.1.2.3 is NOT an IPv4 address: the octet-range pattern rejects
+    // out-of-range quads instead of eating version strings / section
+    // numbers (round-9 advice — the masker is now also a validator)
+    assert(r2.getLong(r2.fieldIndex("n_ipv4s")) == 0)
+    assert(r2.getString(r2.fieldIndex("redacted")).contains("999.1.2.3"))
     val r3 = out(3L)
     assert(r3.getString(r3.fieldIndex("redacted")) ==
       "clean text, no pii at all")
     assert(Seq("n_emails", "n_phones", "n_ipv4s", "n_digit_ids")
       .forall(c => r3.getLong(r3.fieldIndex(c)) == 0))
+  }
+
+  test("piiRedact IPv4 octet ranges and class precedence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "edge 255.255.255.255 ok"), // max octets mask
+      (2L, "v 999.999.1.1 and 256.1.1.1 and 01.2.3.4"), // all out of range
+      (3L, "mid 1234.5.6.7 run"), // \b stops a mid-number ".5.6.7" match
+      (4L, "mail user123456789@mail.example.com only"), // digit run INSIDE
+      // an email: counts are on the original (where \b\d{9,}\b fails on
+      // the letter boundary) and masking order means the run is already
+      // inside <EMAIL> — no double-fire, no <ID> fragment
+      (5L, "acct 9876543210 plus 10.0.0.1")) // independent classes coexist
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def n(id: Long, c: String) = out(id).getLong(out(id).fieldIndex(c))
+    def red(id: Long) = out(id).getString(out(id).fieldIndex("redacted"))
+    assert(n(1L, "n_ipv4s") == 1 && red(1L) == "edge <IP> ok")
+    assert(n(2L, "n_ipv4s") == 0 && red(2L) ==
+      "v 999.999.1.1 and 256.1.1.1 and 01.2.3.4")
+    assert(n(3L, "n_ipv4s") == 0 && red(3L) == "mid 1234.5.6.7 run")
+    assert(n(4L, "n_emails") == 1 && n(4L, "n_digit_ids") == 0
+      && red(4L) == "mail <EMAIL> only")
+    assert(n(5L, "n_digit_ids") == 1 && n(5L, "n_ipv4s") == 1
+      && red(5L) == "acct <ID> plus <IP>")
   }
 
   test("domainCap: parses authorities, binds the cap, map-side pruned") {
