@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1074,26 +1074,145 @@ object TextAnalysis extends QueryModule {
   // shuffles at most K rows per (task, domain), never a hot domain's
   // full row set.
 
-  /** PUBLIC operator: per-domain cap. Adds `domain` (the LOWERCASED
-    * authority component of `urlCol` — RFC 3986 hostnames are
-    * case-insensitive, so case variants of one host cannot evade the
-    * cap) and keeps at most `k` documents per domain by the
-    * deterministic hash-of-`keySql` rank. Rows whose URL has no
-    * parseable authority (null, schemeless, malformed) PASS THROUGH
-    * UNCAPPED with `domain` NULL: silently capping the garbage bucket
-    * as if it were one domain would mass-drop data AND serialize a
-    * single hot window partition — the caller decides that bucket's
-    * fate. Callers keep their schema (plus `domain`; a pre-existing
-    * `domain` column is rejected rather than silently clobbered).
+  /** Embedded snapshot of publicsuffix.org rules (the PUBLIC list real
+    * crawl pipelines key their domain caps on). A deliberate SUBSET —
+    * the common gTLDs/ccTLDs, their second-level registries, and the
+    * hot user-content suffixes (github.io, blogspot.com,
+    * s3.amazonaws.com, …) that dominate crawl skew; a production
+    * deployment swaps in the full ~9k-rule list, and the matching code
+    * below is depth-generic over whatever is here. Wildcard (`*.ck`)
+    * and exception (`!www.ck`) rules are out of scope for the
+    * snapshot (none present); unknown TLDs fall back to the PSL's
+    * default `*` rule (last label is the public suffix).
+    */
+  private[ops] val PublicSuffixSnapshot: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "dev", "app", "xyz", "me",
+    "uk", "jp", "au", "de", "fr", "it", "nl", "es", "se", "ch", "br",
+    "in", "cn", "ru", "us", "ca", "nz", "kr", "mx", "pl",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn",
+    "co.nz", "net.nz", "org.nz",
+    "co.kr", "or.kr", "com.mx", "com.pl",
+    // PSL private-section entries: user-content platforms where each
+    // SUBDOMAIN is an independent publisher — exactly the hosts a
+    // registrable-only cap would wrongly collapse into one bucket
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "cloudfront.net", "s3.amazonaws.com")
+
+  private val suffixesByDepth: Map[Int, Seq[String]] =
+    PublicSuffixSnapshot.groupBy(_.count(_ == '.') + 1)
+  private val maxSuffixDepth: Int = suffixesByDepth.keys.max
+
+  /** Hostname of `url`: the RFC 3986 authority, lowercased (hostnames
+    * are case-insensitive), with userinfo and port stripped —
+    * `https://user:pw@Host.Example.COM:8443/x` → `host.example.com` —
+    * so URL variants that differ only in those components cannot count
+    * as distinct domains. A bracketed IPv6 literal keeps its brackets
+    * (it never ends in `:digits`, so the port strip is safe); a
+    * trailing dot (`example.com.`) is dropped, as the PSL algorithm
+    * does. NULL when the URL is null or has no `scheme://authority`.
+    */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val host = regexp_replace(regexp_replace(regexp_replace(lower(auth),
+      "^[^@]*@", ""), ":[0-9]+$", ""), "\\.$", "")
+    when(url.isNull || auth === "", lit(null)).otherwise(host)
+  }
+
+  /** The DuckDB twin of [[urlHost]] minus the null guard (SQL callers
+    * filter on the authority themselves); same regexps, same order. */
+  private def urlHostSql(urlExpr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(lower(" +
+      s"regexp_extract($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))," +
+      s" '^[^@]*@', ''), ':[0-9]+$$', ''), '\\.$$', '')"
+
+  /** Registrable domain (eTLD+1) of a lowercased `host` under
+    * [[PublicSuffixSnapshot]]: the public suffix plus one label —
+    * `a.b.example.co.uk` → `example.co.uk`. Longest-suffix match, the
+    * PSL algorithm restricted to exact rules; a host with an unknown
+    * TLD uses the default `*` rule (last two labels), and a host that
+    * IS a public suffix, or has a single label, has no registrable
+    * domain → NULL. Pure `Column` expression: label slicing + set
+    * membership (`InSet` at this cardinality), codegen-friendly, no
+    * UDF — at a full 9k-rule list the same shape still holds (one
+    * hash-set probe per depth).
+    */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    // last k labels / last k+1 labels, joined back with dots. The
+    // greatest(…, 1) clamp keeps slice() total — its value is only USED
+    // under an `n > k` guard, but slice throws on start ≤ 0 and the
+    // clamp removes any reliance on conjunct evaluation order.
+    def lastK(k: Int) =
+      concat_ws(".", slice(parts, greatest(n - lit(k) + 1, lit(1)), lit(k)))
+    def regAt(k: Int) =
+      concat_ws(".", slice(parts, greatest(n - lit(k), lit(1)), lit(k + 1)))
+    val cascade = (1 to maxSuffixDepth).foldLeft(
+      // default `*` rule: unknown TLD → last label is the suffix
+      when(n >= 2, regAt(1)).otherwise(lit(null))) { (acc, k) =>
+      suffixesByDepth.get(k) match {
+        case Some(sufs) =>
+          when(n > k && lastK(k).isin(sufs: _*), regAt(k)).otherwise(acc)
+        case None => acc
+      }
+    } // built inside-out: the deepest suffix depth is checked FIRST
+    when(host.isNull || host.isin(PublicSuffixSnapshot: _*), lit(null))
+      .otherwise(cascade)
+  }
+
+  /** DuckDB CASE expression replaying [[registrableDomain]] over a
+    * `host` column, with `parts`/`n` (its split + length) in scope —
+    * generated from the SAME snapshot Seq so the two engines cannot
+    * drift. DuckDB's `list_slice` is 1-based inclusive-both-ends.
+    */
+  private def registrableSqlCase: String = {
+    def inList(vals: Seq[String]) = vals.map(s => s"'$s'").mkString(", ")
+    def lastK(k: Int) =
+      if (k == 1) "parts[n]"
+      else s"array_to_string(list_slice(parts, n - ${k - 1}, n), '.')"
+    def regAt(k: Int) = s"array_to_string(list_slice(parts, n - $k, n), '.')"
+    val branches = (maxSuffixDepth to 1 by -1).flatMap { k =>
+      suffixesByDepth.get(k).map { sufs =>
+        s"WHEN n > $k AND ${lastK(k)} IN (${inList(sufs)}) THEN ${regAt(k)}"
+      }
+    }
+    s"""CASE WHEN host IN (${inList(PublicSuffixSnapshot)}) THEN NULL
+       |  ${branches.mkString("\n  ")}
+       |  WHEN n >= 2 THEN ${regAt(1)}
+       |  ELSE NULL END""".stripMargin
+  }
+
+  /** PUBLIC operator: per-domain cap. Adds `domain` and keeps at most
+    * `k` documents per domain by the deterministic hash-of-`keySql`
+    * rank. The domain key is [[urlHost]] — the lowercased hostname with
+    * userinfo/port stripped, so `user@host`, `host:8443`, and case
+    * variants cannot evade the cap — or, with `registrable = true`, the
+    * [[registrableDomain]] (eTLD+1), the C4/RefinedWeb policy where
+    * `a.spam.example.com` and `b.spam.example.com` share one budget
+    * while `foo.github.io` publishers stay independent. Rows with no
+    * domain under the chosen key (null/schemeless/malformed URL; in
+    * registrable mode also bare public suffixes and single-label
+    * hosts) PASS THROUGH UNCAPPED with `domain` NULL: silently capping
+    * the garbage bucket as if it were one domain would mass-drop data
+    * AND serialize a single hot window partition — the caller decides
+    * that bucket's fate. Callers keep their schema (plus `domain`; a
+    * pre-existing `domain` column is rejected rather than silently
+    * clobbered).
     */
   def domainCap(docs: DataFrame, k: Int, urlCol: String = "url",
-      keySql: String = "CAST(doc_id AS STRING)"): DataFrame = {
+      keySql: String = "CAST(doc_id AS STRING)",
+      registrable: Boolean = false): DataFrame = {
     require(!docs.columns.contains("domain"),
       "domainCap emits a `domain` column; rename the existing one")
-    val ext = lower(regexp_extract(col(urlCol),
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = urlHost(col(urlCol))
     val withDomain = docs.withColumn("domain",
-      when(ext === "" || col(urlCol).isNull, lit(null)).otherwise(ext))
+      if (registrable) registrableDomain(host) else host)
     stratifiedSample(withDomain.filter(col("domain").isNotNull),
         k, keySql, Seq("domain"))
       .unionByName(withDomain.filter(col("domain").isNull))
@@ -1145,7 +1264,75 @@ object TextAnalysis extends QueryModule {
        |FROM r WHERE rn <= $q102K GROUP BY domain""".stripMargin
   }
 
+  // --- q103: registrable-domain (eTLD+1) cap -------------------------------
+  // q102 under the adversarial conditions real crawls exhibit: the
+  // planted URLs vary userinfo (`crawler:pw@`), port (`:8443`), host
+  // case, AND subdomain label — every one a distinct raw authority —
+  // while the registrable domain collapses them to 12 groups
+  // (d{0..3} × {com, co.uk, net.au}), so the cap binds exactly where
+  // the C4/RefinedWeb policy says it should. The oracle replays the
+  // full chain — URL arithmetic, host strip, the suffix CASE (generated
+  // from the same snapshot Seq), and the hash rank — in DuckDB.
+  private val q103K = 3
+
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").withColumn("url",
+      concat(
+        lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("crawler:pw@")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("H")).otherwise(lit("h")),
+        (col("doc_id") % 13).cast("string"),
+        lit(".d"), (col("doc_id") % 4).cast("string"), lit("."),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+          "ELSE 'net.au' END"),
+        when(col("doc_id") % 4 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string")))
+    domainCap(docs, k = q103K, registrable = true)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum"),
+        min(col("doc_id")).as("first_kept"),
+        max(col("doc_id")).as("last_kept"))
+  }
+
+  private val q103Sql = {
+    val h = Dialect.duckHash60("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://' ||
+       |    CASE WHEN doc_id % 5 = 0 THEN 'crawler:pw@' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0 THEN 'H' ELSE 'h' END ||
+       |    CAST(doc_id % 13 AS VARCHAR) ||
+       |    '.d' || CAST(doc_id % 4 AS VARCHAR) || '.' ||
+       |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+       |         ELSE 'net.au' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END ||
+       |    '/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents
+       |), hosts AS (
+       |  SELECT doc_id, ${urlHostSql("url")} AS host FROM d
+       |), p AS (
+       |  SELECT doc_id, host, string_split(host, '.') AS parts,
+       |    len(string_split(host, '.')) AS n
+       |  FROM hosts
+       |), x AS (
+       |  SELECT doc_id,
+       |    $registrableSqlCase AS domain
+       |  FROM p
+       |), r AS (
+       |  SELECT domain, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY domain
+       |      ORDER BY $h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+       |  FROM x WHERE domain IS NOT NULL
+       |)
+       |SELECT domain, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+       |  MIN(doc_id) AS first_kept, MAX(doc_id) AS last_kept
+       |FROM r WHERE rn <= $q103K GROUP BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_domain_cap_etld" -> q103 _,
     "q102_domain_cap" -> q102 _,
     "q99_lm_score" -> q99 _,
     "q98_pii_redact" -> q98 _,
@@ -1166,6 +1353,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q103_domain_cap_etld" -> q103Sql,
     "q102_domain_cap" -> q102Sql,
     "q99_lm_score" -> q99Sql,
     "q98_pii_redact" -> q98Sql,

@@ -403,6 +403,86 @@ class PublicApiSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("urlHost strips the evasion vectors: userinfo, port, case, dot") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://user:pw@Host.Example.COM:8443/x" -> "host.example.com",
+      "https://x@host.example.com/a" -> "host.example.com",
+      "https://host.example.com:443/" -> "host.example.com",
+      "https://HOST.EXAMPLE.COM./p" -> "host.example.com",
+      "http://[2001:db8::1]:8080/v6" -> "[2001:db8::1]",
+      "http://[2001:db8::1]/v6" -> "[2001:db8::1]",
+      "https://plain.example.org" -> "plain.example.org",
+      "not-a-url" -> null,
+      (null: String) -> null)
+    val out = cases.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("i", "u")
+      .select(col("i"), TextAnalysis.urlHost(col("u")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(out(i.toLong) == want, s"urlHost($u) = ${out(i.toLong)}")
+    }
+  }
+
+  test("registrableDomain follows PSL semantics over the snapshot") {
+    import spark.implicits._
+    val cases = Seq(
+      // multi-label registry: eTLD+1 under co.uk, not uk
+      "a.b.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "deep.sub.tree.example.com" -> "example.com",
+      // PSL private-section: each subdomain is its own publisher
+      "foo.github.io" -> "foo.github.io",
+      "a.foo.github.io" -> "foo.github.io",
+      "bucket.s3.amazonaws.com" -> "bucket.s3.amazonaws.com",
+      // a bare public suffix has NO registrable domain
+      "github.io" -> null,
+      "co.uk" -> null,
+      "com" -> null,
+      // unknown TLD: the PSL default `*` rule (last label is suffix)
+      "foo.randomtld" -> "foo.randomtld",
+      "a.b.foo.randomtld" -> "foo.randomtld",
+      // single label: nothing to register under
+      "localhost" -> null)
+    val out = cases.zipWithIndex
+      .map { case ((h, _), i) => (i.toLong, h) }.toDF("i", "h")
+      .select(col("i"), TextAnalysis.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(out(i.toLong) == want,
+        s"registrableDomain($h) = ${out(i.toLong)}, want $want")
+    }
+  }
+
+  test("domainCap registrable mode: one budget per eTLD+1") {
+    import spark.implicits._
+    // 12 URL variants of ONE registrable domain (example.co.uk):
+    // subdomain, userinfo, port, and case all vary — every raw
+    // authority distinct, so host-mode would never bind at k=3
+    val docs = (1L to 12L).map { i =>
+      val user = if (i % 3 == 0) "u:p@" else ""
+      val hostLabel = if (i % 2 == 0) s"S$i" else s"s$i"
+      val port = if (i % 4 == 0) ":8443" else ""
+      (i, s"https://$user$hostLabel.example.co.uk$port/d/$i")
+    }.toDF("doc_id", "url")
+    val kept = TextAnalysis.domainCap(docs, k = 3, registrable = true)
+      .collect()
+    assert(kept.length == 3, kept.mkString(";"))
+    assert(kept.forall(r =>
+      r.getString(r.fieldIndex("domain")) == "example.co.uk"))
+    // host mode on the same rows: 12 distinct hosts → nothing capped
+    assert(TextAnalysis.domainCap(docs, k = 3).count() == 12)
+    // no-registrable rows (bare suffix, single label) pass UNCAPPED
+    val edge = Seq((1L, "https://github.io/x"), (2L, "https://github.io/y"),
+      (3L, "https://localhost/z")).toDF("doc_id", "url")
+    val eOut = TextAnalysis.domainCap(edge, k = 1, registrable = true)
+      .collect()
+    assert(eOut.length == 3)
+    assert(eOut.forall(_.isNullAt(eOut.head.fieldIndex("domain"))))
+  }
+
   test("q98/q99 plan shapes: redaction is map-only, scoring shuffles once") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, "s", s"w$i a b c"))
