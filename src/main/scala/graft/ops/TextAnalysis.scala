@@ -992,9 +992,24 @@ object TextAnalysis extends QueryModule {
     * corpus's own unigram distribution; unseen tokens are impossible by
     * construction (score NULLs loudly if a caller scores foreign text
     * against this corpus's map).
+    *
+    * TWO scoring paths, bit-identical (integer millinat sums are
+    * order-independent; UnigramPathSpec proves equality):
+    *  - broadcast: the (token → quantized logp) table folds into ONE
+    *    map row broadcast to the scorers — zero scoring shuffle, the
+    *    right plan while the vocabulary fits a driver/executor map row;
+    *  - join: explode + pre-aggregated (doc, token) counts equi-joined
+    *    against a DISTRIBUTED logp table — the open-web-vocabulary
+    *    plan (a 100M-term map row cannot broadcast; a cached
+    *    vocabulary-bounded table shuffles fine).
+    * `scoreViaJoin` pins a path; `None` auto-selects by counting the
+    * vocabulary (one extra vocabulary-bounded aggregation job — the
+    * lazy checkpoint means tokenization itself still runs once) and
+    * switching to the join above `broadcastVocabMax` distinct terms.
     */
-  def unigramLogProb(docs: DataFrame, textCol: String = "text")
-      : DataFrame = {
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+      broadcastVocabMax: Long = 1L << 20,
+      scoreViaJoin: Option[Boolean] = None): DataFrame = {
     val toks = docs
       .withColumn("toks",
         expr(s"regexp_extract_all(`$textCol`, '[a-z]+', 0)"))
@@ -1003,35 +1018,73 @@ object TextAnalysis extends QueryModule {
       .localCheckpoint(eager = false)
     val vocab = toks.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
-    // ONE aggregation yields both the vocabulary entries and the total
-    // mass — aggregating `vocab` twice (map build + total) would make
-    // Catalyst recompute the whole token-explode subtree per branch.
-    // The quantization expression is value-identical to per-row
-    // floor(ln(CAST(cnt AS DOUBLE)/total)·1000) (oracle-pinned).
-    val vmap = vocab
-      .agg(collect_list(struct(col("t"), col("cnt"))).as("tc"),
-        sum("cnt").as("total"))
-      .select(expr(
-        """map_from_entries(transform(tc, e -> struct(e.t,
-          |CAST(floor(ln(CAST(e.cnt AS DOUBLE) / total) * 1000)
-          |AS BIGINT))))""".stripMargin).as("m"))
-    toks.crossJoin(broadcast(vmap))
-      .select(
-        col("doc_id"), col("source"),
-        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-        expr("aggregate(transform(toks, t -> element_at(m, t)), 0L, " +
-          "(a, x) -> a + x)").as("sum_logp_milli"))
-      // FLOOR division on a NEGATIVE sum: Spark `div` truncates toward
-      // zero, DuckDB `//` floors — (x - pmod(x, n)) div n is exact floor
-      // for any sign (gapFill's bucketing identity)
+    // The floor-division identity used by both paths: Spark `div`
+    // truncates toward zero, DuckDB `//` floors — (x - pmod(x, n)) div n
+    // is exact floor for any sign (gapFill's bucketing identity)
+    def withMean(df: DataFrame): DataFrame = df
       .withColumn("mean_logp_micro",
         when(col("n_toks") === 0, lit(null).cast("long"))
           .otherwise(expr("(sum_logp_milli * 1000 " +
             "- pmod(sum_logp_milli * 1000, n_toks)) div n_toks")))
+    val useJoin =
+      scoreViaJoin.getOrElse(vocab.count() > broadcastVocabMax)
+    if (useJoin) {
+      // open-vocabulary path. The logp table stays DISTRIBUTED; it is
+      // read twice (total mass + scoring join), so cache it — it is
+      // vocabulary-bounded, never token-stream-bounded.
+      val v = vocab.persist()
+      val lp = v
+        .crossJoin(broadcast(v.agg(sum("cnt").as("total"))))
+        .select(col("t"), expr(
+          "CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000) AS BIGINT)")
+          .as("lq"))
+      // pre-aggregate to DISTINCT (doc, term) pairs before the join:
+      // the join input shrinks from the token stream to the doc-term
+      // matrix, and the per-doc sum weights by the in-doc count
+      val perdoc = toks
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .join(lp, "t")
+        .groupBy("doc_id").agg(sum(col("c") * col("lq")).as("s"))
+      withMean(toks
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
+        .join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          coalesce(col("s"), lit(0L)).as("sum_logp_milli")))
+    } else {
+      // ONE aggregation yields both the vocabulary entries and the total
+      // mass — aggregating `vocab` twice (map build + total) would make
+      // Catalyst recompute the whole token-explode subtree per branch.
+      // The quantization expression is value-identical to per-row
+      // floor(ln(CAST(cnt AS DOUBLE)/total)·1000) (oracle-pinned).
+      val vmap = vocab
+        .agg(collect_list(struct(col("t"), col("cnt"))).as("tc"),
+          sum("cnt").as("total"))
+        .select(expr(
+          """map_from_entries(transform(tc, e -> struct(e.t,
+            |CAST(floor(ln(CAST(e.cnt AS DOUBLE) / total) * 1000)
+            |AS BIGINT))))""".stripMargin).as("m"))
+      withMean(toks.crossJoin(broadcast(vmap))
+        .select(
+          col("doc_id"), col("source"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+          expr("aggregate(transform(toks, t -> element_at(m, t)), 0L, " +
+            "(a, x) -> a + x)").as("sum_logp_milli")))
+    }
   }
 
   private def q99(s: SparkSession, dir: String): DataFrame =
     unigramLogProb(Tables.load(s, dir, "documents"))
+
+  // q104: the OPEN-VOCABULARY scoring path under the same oracle — the
+  // explode + pre-aggregated-counts + distributed-logp equi-join plan a
+  // web-scale vocabulary forces (a 100M-term map row cannot broadcast).
+  // Integer millinat sums are order-independent, so the two paths are
+  // bit-equal and the oracle SQL is literally q99's.
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    unigramLogProb(Tables.load(s, dir, "documents"),
+      scoreViaJoin = Some(true))
 
   private val q99Sql =
     """WITH toks AS (
@@ -1332,6 +1385,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_lm_score_join" -> q104 _,
     "q103_domain_cap_etld" -> q103 _,
     "q102_domain_cap" -> q102 _,
     "q99_lm_score" -> q99 _,
@@ -1353,6 +1407,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q104_lm_score_join" -> q99Sql, // bit-equal paths share the oracle
     "q103_domain_cap_etld" -> q103Sql,
     "q102_domain_cap" -> q102Sql,
     "q99_lm_score" -> q99Sql,

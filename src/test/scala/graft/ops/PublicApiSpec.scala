@@ -522,6 +522,34 @@ class PublicApiSpec extends SparkTestBase {
     assert(got(3L) == ((0L, 0L, None)), got(3L).toString)
   }
 
+  test("unigramLogProb: join path bit-equal, auto-selected by vocab size") {
+    import spark.implicits._
+    val docs = ((1 to 40).map(i =>
+      (i.toLong, "s", s"w${i % 7} alpha beta w${i % 5} gamma"))
+      :+ ((99L, "s", ""))).toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val bc = rows(TextAnalysis.unigramLogProb(docs,
+      scoreViaJoin = Some(false)))
+    val jn = rows(TextAnalysis.unigramLogProb(docs,
+      scoreViaJoin = Some(true)))
+    // bit-equality: integer millinat sums are order-independent, so the
+    // broadcast fold and the distributed join MUST agree exactly
+    assert(bc == jn, s"broadcast=$bc\njoin=$jn")
+    assert(jn(99L) == ((0L, 0L, None))) // empty doc survives the join path
+    // auto-select: vocabulary (10 terms) above a threshold of 2 → the
+    // join plan (no map_from_entries broadcast fold); the default 2^20
+    // threshold → the broadcast plan. Same rows either way.
+    val auto = TextAnalysis.unigramLogProb(docs, broadcastVocabMax = 2)
+    assert(!auto.queryExecution.optimizedPlan.toString
+      .contains("map_from_entries"))
+    assert(rows(auto) == bc)
+    val autoBc = TextAnalysis.unigramLogProb(docs)
+    assert(autoBc.queryExecution.optimizedPlan.toString
+      .contains("map_from_entries"))
+  }
+
   test("fuzzyNamePairs: trigram prefilter + exact edit-distance verify") {
     import spark.implicits._
     val parts = Seq(
