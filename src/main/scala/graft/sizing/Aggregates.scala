@@ -18,7 +18,12 @@ object Aggregates {
     * order (Spark 4 runs ANSI mode, so a long overflow would throw).
     */
   def global(derived: DataFrame): DataFrame =
-    derived.agg(
+    derived.agg(globalExprs.head, globalExprs.tail: _*)
+
+  /** The A1–A6 aggregate expressions, exposed so [[Report]] can fuse them
+    * with the rounded-maxima set into ONE pass over the kept rows.
+    */
+  private[sizing] val globalExprs: Seq[org.apache.spark.sql.Column] = Seq(
       count(lit(1)).as("total_queries"), // A1
       count_distinct(col("pool")).as("n_pools"), // A2
       array_join(sort_array(collect_set(col("pool"))), ",").as("pools"),
@@ -46,6 +51,18 @@ object Aggregates {
         .cast("double").as("util_cache_gb_sec"),
       sum((col("memory_spilled_gb") * col("duration_sec"))
         .cast("decimal(38,6)")).cast("double").as("util_spill_gb_sec"))
+
+  /** Maxima over the 2dp-ROUNDED per-node averages (the reference rounds
+    * at derivation, py:223–227, and compares the rounded values,
+    * py:279–292). Prefixed names — the UN-rounded A3 maxima in
+    * [[globalExprs]] already own `max_vcores` etc.
+    */
+  private[sizing] val roundedMaxExprs: Seq[org.apache.spark.sql.Column] = Seq(
+    max(round(col("avg_vcores_per_node"), 2)).as("r_max_vcores"),
+    max(round(col("avg_mem_per_node"), 2)).as("r_max_mem"),
+    max(round(col("avg_cache_per_node"), 2)).as("r_max_data"),
+    max(round(col("avg_data_rate_per_node"), 2)).as("r_max_data_rate"),
+    max(round(col("avg_spill_per_node"), 2)).as("r_max_spill"))
 
   /** A5: the (tsize × dimension) count matrix. The reference maintains five
     * independent histograms (py:294–298); we unpivot the five bucketed

@@ -209,21 +209,24 @@ object Pipeline {
     val cached = raw.persist()
     try {
       val (skipped, kept, pruned) = Routing.route(cached, cfg)
+      // ONE routing pre-pass replaces the per-sink isEmpty probes AND the
+      // report's prune count / pool roster actions (Report.routedCounts)
+      val pre = Report.routedCounts(kept, pruned, skipped)
 
       outputRow(kept).write.mode("overwrite").option("header", "true")
         .csv(s"$outDir/${cfg.outputFile}")
       // K2 lazy creation quirk: the reference only creates the prune file on
       // the first over-limit row; an empty write is the distributed analog —
       // but we match observable behavior (no file when no pruned rows).
-      if (!pruned.isEmpty)
+      if (pre.getAs[Long]("n_pruned") > 0)
         outputRow(pruned).write.mode("overwrite").option("header", "true")
           .csv(s"$outDir/${cfg.pruneOutputFile}")
-      if (writeSkipSink && !skipped.isEmpty)
+      if (writeSkipSink && pre.getAs[Long]("n_skipped") > 0)
         skipped.select(concat_ws("|", col("query_id"), col("duration_millis"),
             col("start_time"), col("end_time")).as("value"))
           .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
 
-      Report.build(spark, cfg, kept, pruned, concurrency(kept))
+      Report.build(cfg, kept, concurrency(kept), pre)
     } finally cached.unpersist()
   }
 }

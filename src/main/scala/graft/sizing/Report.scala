@@ -1,6 +1,6 @@
 package graft.sizing
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The reference's five report sections (SURVEY §2.7 K4, py:399–458) as a
@@ -92,32 +92,46 @@ final case class SizingReport(
 
 object Report {
 
-  /** Assemble the report from the routed flows. Collects exactly four tiny
-    * results (one agg row, one matrix, one concurrency row, one count) —
-    * everything else stays distributed.
+  /** ONE pre-pass over the routed flows, run by [[Pipeline]] BEFORE the
+    * sinks: total queries + pool roster (Q10 — both include pruned rows,
+    * never skipped ones) and the prune/skip counts. Replaces three
+    * separate driver actions (the kept∪pruned head, `pruned.count()`,
+    * and the sinks' `isEmpty` probes) with a single union aggregate;
+    * `count(when(...))` counts only the matching flow (COUNT skips the
+    * NULL of the un-matched branch), and `collect_set` likewise drops
+    * the NULL pools of skipped rows.
+    */
+  def routedCounts(kept: DataFrame, pruned: DataFrame,
+      skipped: DataFrame): org.apache.spark.sql.Row =
+    kept.select(col("query_id"), col("pool"), lit("kept").as("flow"))
+      .unionByName(pruned.select(col("query_id"), col("pool"),
+        lit("pruned").as("flow")))
+      .unionByName(skipped.select(col("query_id"), col("pool"),
+        lit("skipped").as("flow")))
+      .agg(
+        count(when(col("flow") =!= "skipped", 1)).as("n"),
+        array_join(sort_array(collect_set(
+          when(col("flow") =!= "skipped", col("pool")))), ",").as("pools"),
+        count(when(col("flow") === "pruned", 1)).as("n_pruned"),
+        count(when(col("flow") === "skipped", 1)).as("n_skipped"))
+      .head()
+
+  /** Assemble the report. Collects exactly THREE tiny results — the fused
+    * global + rounded-maxima row (ONE pass over kept), the size matrix,
+    * and the concurrency row; the routing counts arrive pre-computed in
+    * `pre` (see [[routedCounts]]). Down from six driver actions: at the
+    * battery's scale the fixed per-action floor, not data volume,
+    * dominated the e2e entry's cost.
     *
     * Parity notes: the reference takes maxima over the 2dp-ROUNDED
     * per-node averages (py:223–227 round at derivation, py:279–292 compare
     * the rounded values), so the maxima here round before aggregating.
     * A1/A2 count pools/queries BEFORE the prune split (Q10, py:215–216).
     */
-  def build(spark: SparkSession, cfg: SizingConfig, kept: DataFrame,
-      pruned: DataFrame, concurrencyRow: DataFrame): SizingReport = {
-    val g = Aggregates.global(kept).head()
-
-    val roundedMax = kept.agg(
-      max(round(col("avg_vcores_per_node"), 2)).as("max_vcores"),
-      max(round(col("avg_mem_per_node"), 2)).as("max_mem"),
-      max(round(col("avg_cache_per_node"), 2)).as("max_data"),
-      max(round(col("avg_data_rate_per_node"), 2)).as("max_data_rate"),
-      max(round(col("avg_spill_per_node"), 2)).as("max_spill")).head()
-
-    // Q10: totals and pools include pruned rows
-    val pre = kept.select("query_id", "pool")
-      .unionByName(pruned.select("query_id", "pool"))
-      .agg(count(lit(1)).as("n"),
-        array_join(sort_array(collect_set(col("pool"))), ",").as("pools"))
-      .head()
+  def build(cfg: SizingConfig, kept: DataFrame, concurrencyRow: DataFrame,
+      pre: org.apache.spark.sql.Row): SizingReport = {
+    val fused = Aggregates.globalExprs ++ Aggregates.roundedMaxExprs
+    val g = kept.agg(fused.head, fused.tail: _*).head()
 
     val matrixRows = Aggregates.sizeMatrix(kept).collect()
     val matrix = matrixRows.map { r =>
@@ -128,20 +142,19 @@ object Report {
     val c = concurrencyRow.head()
     val podWorkload = g.getAs[Long]("min_executor_pod_workload")
     val tsizeWl = Bucketing.tsizeValue(podWorkload)
-    val pruneCount = pruned.count()
 
     SizingReport(
       totalQueries = pre.getAs[Long]("n"),
       totalQueryTimeSec = g.getAs[Double]("total_query_time_sec"),
       maxPodsQueryId = g.getAs[String]("max_pods_query_id"),
       maxBackends = g.getAs[Int]("max_backends"),
-      maxVcores = roundedMax.getAs[Double]("max_vcores"),
-      maxData = roundedMax.getAs[Double]("max_data"),
-      maxSpill = roundedMax.getAs[Double]("max_spill"),
-      maxMem = roundedMax.getAs[Double]("max_mem"),
-      maxDataRate = roundedMax.getAs[Double]("max_data_rate"),
+      maxVcores = g.getAs[Double]("r_max_vcores"),
+      maxData = g.getAs[Double]("r_max_data"),
+      maxSpill = g.getAs[Double]("r_max_spill"),
+      maxMem = g.getAs[Double]("r_max_mem"),
+      maxDataRate = g.getAs[Double]("r_max_data_rate"),
       pools = pre.getAs[String]("pools").split(",").toSeq.filter(_.nonEmpty),
-      pruneCount = pruneCount,
+      pruneCount = pre.getAs[Long]("n_pruned"),
       podLimit = cfg.podLimit,
       maxConcurrentQueries = c.getAs[Long]("max_concurrent_queries"),
       maxPodsWorkloadStartUs = c.getAs[Long]("max_pods_workload_start_us"),
