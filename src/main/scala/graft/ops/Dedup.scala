@@ -99,24 +99,33 @@ object Dedup extends QueryModule {
     * minhash values; keys only, no shingle payload — the self-join and
     * pair-dedup shuffle stay narrow.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int = Bands,
-      rowsPerBand: Int = 3, idCol: String = "doc_id"): DataFrame = {
-    // Fail fast if the banding over-runs the signature: slice past the
-    // end yields an EMPTY band, whose md5("") key is identical for every
-    // document — the equi-join silently degenerates to an all-pairs cross
-    // product. The guard is in-plan (per row, codegen'd, no extra action).
+  /** (id, band, bkey) band-key projection from signature rows — pure
+    * stateless per-row work, shared by the batch candidate join and the
+    * STREAMING monitor (q105), so the two engines band identically by
+    * construction. The in-plan guard fails fast if the banding over-runs
+    * the signature: slice past the end yields an EMPTY band, whose
+    * md5("") key is identical for every document — the equi-join would
+    * silently degenerate to an all-pairs cross product.
+    */
+  private[ops] def bandKeys(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, idCol: String): DataFrame = {
     val guarded = sigs.where(coalesce(
       assert_true(size(col("mh")) >= bands * rowsPerBand,
         lit(s"lshCandidates: signature shorter than bands*rowsPerBand = " +
           s"${bands * rowsPerBand} — pass matching numHashes")),
       lit(true)))
-    val banded = guarded.select(col(idCol),
+    guarded.select(col(idCol),
       explode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
         |named_struct('band', b,
         |  'bkey', md5(concat_ws('_', slice(mh, b*$rowsPerBand + 1, $rowsPerBand)))))"""
         .stripMargin))
         .as("e"))
       .select(col(idCol), col("e.band"), col("e.bkey"))
+  }
+
+  def lshCandidates(sigs: DataFrame, bands: Int = Bands,
+      rowsPerBand: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val banded = bandKeys(sigs, bands, rowsPerBand, idCol)
     banded.select(col("band"), col("bkey"), col(idCol).as("d1"))
       .join(banded.select(col("band"), col("bkey"), col(idCol).as("d2")),
         Seq("band", "bkey"))
@@ -577,6 +586,96 @@ object Dedup extends QueryModule {
       "q74_stream_dedup", "matches_batch")
   }
 
+  // --- q105: STREAMING MinHash-LSH near-dup monitor ------------------------
+  // The landing-zone incremental near-dup check a training-data pipeline
+  // runs as documents arrive: readStream over the documents parquet →
+  // the SAME stateless shingle→minhash→band-key projection the batch
+  // join uses (shared `bandKeys`, so the engines band identically by
+  // construction) → stateful per-(band, bkey) membership sets. State is
+  // ids-only — shingle payloads never enter the stream or its state;
+  // each arriving document costs one 12-int signature plus 4 band-key
+  // upserts, and a new member's candidate set is exactly its buckets'
+  // existing membership. Candidate pairs are then expanded IN-PLAN from
+  // the ≥2-doc buckets and exact-Jaccard-verified against the
+  // deterministic batch signature table (q26's memoized copy).
+  //
+  // Parity: q26's jac-bucket histogram recomputed from the STREAM-derived
+  // pairs, each row carrying a fail-loud bit = (its batch histogram row
+  // is identical) AND (the full (d1, d2) pair SETS agree — checked as a
+  // zero symmetric difference, so a pair the stream invents or drops
+  // trips the gate even when the histograms happen to collide). q26 is
+  // oracle-hash-checked, so stream correctness is transitive, the q74
+  // pattern. No watermark: bucket membership is dedup state and must
+  // persist for the corpus (q74's finite-corpus contract); a production
+  // monitor bounds it with a bucket TTL, not event-time eviction.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamedSigs = minHashSignatures(
+      s.readStream.schema(schema).parquet(s"$dir/documents*.parquet"))
+    val buckets = bandKeys(streamedSigs.select("doc_id", "mh"),
+        Bands, rowsPerBand = 3, idCol = "doc_id")
+      .groupBy("band", "bkey")
+      .agg(collect_set(col("doc_id")).as("ids"))
+
+    val sigs = sigsMemo.getOrElseUpdate((s, dir),
+      minHashSignatures(Tables.load(s, dir, "documents")))
+    if (sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      sigs.persist()
+    val batchVerified = verifyJaccard(lshCandidates(sigs), sigs)
+      .localCheckpoint(eager = false) // read twice: histogram + pair diff
+
+    def hist(pairs: DataFrame): DataFrame = pairs
+      .groupBy(floor(col("jac") * 10).cast("bigint").as("jac_bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jac")), 6).as("min_jac"),
+        round(max(col("jac")), 6).as("max_jac"))
+
+    val qname = s"q105_${System.nanoTime()}"
+    // 8 state parts, q74's sizing: one state row per occupied bucket
+    val (streamHist, nDiff) =
+      graft.streaming.StreamConf.withStateParts(s, n = 8) {
+        val q = buckets.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          // pair expansion stays IN-PLAN (explode × explode over the
+          // final bucket state), never a driver-side loop
+          val streamPairs = s.table(qname)
+            .filter(size(col("ids")) >= 2)
+            .select(explode(col("ids")).as("d1"), col("ids"))
+            .select(col("d1"), explode(col("ids")).as("d2"))
+            .filter(col("d1") < col("d2"))
+            .select("d1", "d2").distinct()
+          val streamVerified = verifyJaccard(streamPairs, sigs)
+            .localCheckpoint(eager = false)
+          val diff = streamVerified.select(col("d1"), col("d2"))
+            .withColumn("side", lit(1))
+            .unionByName(batchVerified.select(col("d1"), col("d2"))
+              .withColumn("side", lit(2)))
+            .groupBy("d1", "d2")
+            .agg(count_distinct(col("side")).as("ns"))
+            .filter(col("ns") =!= 2)
+            .count()
+          (hist(streamVerified).collect(), diff)
+        } finally { q.stop(); s.catalog.dropTempView(qname) }
+      }
+    val batchHist = hist(batchVerified).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+
+    import s.implicits._
+    graft.ParityGate(
+      streamHist.toSeq.map { r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          nDiff == 0L && batchHist.size == streamHist.length &&
+            batchHist.get(r.getLong(0)).contains(r.toSeq.tail))
+      }.toDF("jac_bucket", "n_pairs", "min_jac", "max_jac",
+        "matches_batch"),
+      "q105_stream_neardup", "matches_batch")
+  }
+
   // --- q91: fuzzy name matching over the part vocabulary -------------------
   // The public fuzzyNamePairs operator on part.p_name: near-identical
   // product names (one word swapped/misspelled) surface as candidate
@@ -605,6 +704,7 @@ object Dedup extends QueryModule {
       .stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_stream_neardup" -> q105 _,
     "q91_fuzzy_match" -> q91 _,
     "q72_window_dedup" -> q72 _,
     "q25_exact_dedup" -> q25 _,

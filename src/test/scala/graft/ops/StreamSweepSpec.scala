@@ -25,6 +25,14 @@ class StreamSweepSpec extends SparkTestBase {
     assert(rows.forall(_.getBoolean(2)), s"divergence: ${rows.mkString(";")}")
   }
 
+  test("q105 streaming near-dup monitor equals the batch LSH pipeline") {
+    val rows = SparkEntry.queries("q105_stream_neardup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // bit = identical histogram row AND zero pair-set symmetric diff
+    assert(rows.forall(_.getBoolean(4)), s"divergence: ${rows.mkString(";")}")
+  }
+
   test("q77 stream-stream interval join equals the batch join set") {
     val rows = SparkEntry.queries("q77_stream_join")(
       spark, "/root/testdata/sf0.001").collect()
