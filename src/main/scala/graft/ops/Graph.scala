@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the cluster-
@@ -31,7 +32,7 @@ import org.apache.spark.sql.functions._
   * fixpoint (min id reachable) is unique — results are independent of
   * partitioning and iteration interleaving.
   */
-object Graph {
+object Graph extends QueryModule {
 
   /** @param edges undirected edges as columns `a`, `b` (self-loops and
     *              duplicates tolerated; null endpoints dropped); vertex
@@ -102,4 +103,140 @@ object Graph {
         s"($changed labels still changing) — raise maxIter")
     labels
   }
+
+  // --- weighted PageRank, fixed iterations, integer-scaled -----------------
+
+  /** Weighted PageRank over a directed edge list, `iters` synchronous
+    * rounds, all arithmetic in SCALED 64-bit integers so the result is
+    * bit-reproducible across engines, partitionings, and cluster sizes
+    * (double summation is order-dependent; integer summation is not).
+    *
+    * Semantics per round (damping d = `dampingPct`/100, scale R):
+    *   contrib(s→t, w) = (r(s) · w) div out_w(s)        — floor per edge
+    *   r'(t)           = ((R div |V|)·(100−dampingPct)) div 100
+    *                     + (Σ contrib(·→t) · dampingPct) div 100
+    * Dangling nodes (no out-edges) leak their mass — the common
+    * simplification; the floors lose ≤1 unit per edge per round, i.e.
+    * ~1e-12 of total mass at the default scale. Both are part of the
+    * operator's pinned contract (the oracle replays them exactly).
+    *
+    * Scale shape: each round is one key-partitioned edges⋈ranks join +
+    * one `dst` aggregate — the standard distributed PageRank step; the
+    * edge frame is persisted by the CALLER if reused. `|V|` is computed
+    * once (the only driver action; O(distinct nodes) ≪ edges at crawl
+    * scale — callers with huge vertex sets pass `numNodes` explicitly).
+    *
+    * @param edges columns `src`, `dst`, `w` (positive integral weight)
+    * @return (`id`, `rank_scaled`) — rank in units of R⁻¹
+    */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      dampingPct: Int = 85, numNodes: Option[Long] = None): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().persist()
+    val n = numNodes.getOrElse(nodes.count())
+    val base = ((scale / n) * (100 - dampingPct)) / 100
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val in = edges
+        .join(outw, "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst").as("id"),
+          expr("(r * w) div ow").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(coalesce(m, 0L) * " + dampingPct +
+            ") div 100")).as("r"))
+    }
+    // nodes stays persisted until the caller's action (battery harnesses
+    // clearCache() per entry); unpersisting here would force |iters|+1
+    // recomputes of the node set inside the final plan.
+    ranks.withColumnRenamed("r", "rank_scaled")
+  }
+
+  // --- q107: PageRank over the nation-level trade graph --------------------
+  // Edge (customer nation → supplier nation, weight = lineitem count):
+  // "who buys from whom" at nation grain. The edge build is the 100 TB
+  // part — a fact-table aggregation where every dimension join is a
+  // broadcast, so the only shuffle is the final (src,dst) groupBy (625
+  // keys max); the PageRank rounds then run on a dimension-sized frame.
+  // 3 rounds, d=0.85, R=1e12 — every floor pinned by the oracle.
+  private val PrIters = 3
+  private val PrScale = 1000000000000L
+
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(s, dir, "nation")
+    Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("src"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("dst"))), col("s_nationkey") === col("snk"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the fact-table aggregation feeds |V| + every round; the
+    // battery harness clearCache()s per entry
+    val edges = tradeEdges(s, dir).persist()
+    pageRank(edges, PrIters, PrScale)
+      .withColumnRenamed("id", "nation")
+      .orderBy(col("rank_scaled").desc, col("nation").asc)
+  }
+
+  /** Oracle: the identical integer recurrence, iterations unrolled as
+    * CTEs (r0 → it1 → … → itN). DuckDB `//` truncates toward zero —
+    * identical to Spark `div` on the all-positive values here; SUMs are
+    * cast back to BIGINT (DuckDB widens to HUGEINT).
+    */
+  private val q107Sql = {
+    val base = s"(($PrScale // nn) * 15) // 100"
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT nodes.id,
+         |    CAST($base + (COALESCE(m.s, 0) * 85) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (
+         |    SELECT dst AS id, CAST(SUM((r * w) // ow) AS BIGINT) AS s
+         |    FROM e JOIN outw USING (src) JOIN $prev ON e.src = $prev.id
+         |    GROUP BY dst) m ON nodes.id = m.id
+         |)""".stripMargin
+    val iters = (1 to PrIters)
+      .map(i => iter(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2
+       |), nodes AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e
+       |), n AS (SELECT COUNT(*) AS nn FROM nodes),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST($PrScale // nn AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT id AS nation, r AS rank_scaled FROM it$PrIters
+       |ORDER BY rank_scaled DESC, nation ASC""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_pagerank" -> q107 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q107_pagerank" -> q107Sql)
 }

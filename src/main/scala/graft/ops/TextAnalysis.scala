@@ -1384,7 +1384,91 @@ object TextAnalysis extends QueryModule {
        |FROM r WHERE rn <= $q103K GROUP BY domain""".stripMargin
   }
 
+  // --- q106: BM25 relevance scoring ----------------------------------------
+  // The retrieval-side ranking function (Robertson/Spärck Jones BM25,
+  // k1=1.2 b=0.75) against a fixed query-term set — the scoring pass a
+  // retrieval-augmented curation pipeline runs to pick documents relevant
+  // to a topic. Scale shape: the per-doc term frequencies come from ARRAY
+  // lambdas over one tokenization (no explode, no shuffle for the per-doc
+  // side); the corpus statistics (N, total tokens, per-term df) fold into
+  // ONE 1-row aggregate that broadcasts — so the whole operator is a
+  // single scan plus a broadcast, and the 100 TB side never shuffles.
+  //
+  // Determinism: each query term's BM25 contribution is floored to
+  // integer millinats BEFORE the per-doc sum (integer addition is
+  // order-independent; double addition is not), and the double arithmetic
+  // inside each term is shape-identical to the oracle's (same
+  // parenthesization, same casts), following q99's ln-quantization
+  // precedent.
+  private val q106Terms = Seq("spark", "query", "vector", "customer")
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+
+  /** One query term's floored-millinat BM25 contribution; `tf`/`dl` are
+    * SQL fragments for this doc's term frequency and token count, `df`
+    * the term's document frequency fragment (corpus-stat columns ride in
+    * via the broadcast 1-row struct).
+    */
+  private def bm25TermMilli(tf: String, df: String, dl: String,
+      n: String, total: String): String =
+    s"""CAST(floor(
+       |  ln((CAST($n - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)
+       |  * (CAST($tf AS DOUBLE) * (${Bm25K1} + 1.0))
+       |  / (CAST($tf AS DOUBLE) + ${Bm25K1} * ((1.0 - ${Bm25B})
+       |     + ${Bm25B} * (CAST($dl AS DOUBLE) * $n / $total)))
+       |  * 1000) AS BIGINT)""".stripMargin
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("toks",
+        expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .withColumn("dl", expr("CAST(size(toks) AS BIGINT)"))
+    val withTf = q106Terms.foldLeft(docs) { (d, t) =>
+      d.withColumn(s"tf_$t",
+        expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)"))
+    }
+    // ONE corpus-stat row: N, total tokens, per-term df. sum((tf>0)::int)
+    // == df without a distinct or second scan.
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks") +:
+        q106Terms.map(t =>
+          sum(expr(s"CAST(tf_$t > 0 AS BIGINT)")).as(s"df_$t")): _*)
+    val scoreMilli = q106Terms.map(t =>
+      bm25TermMilli(s"tf_$t", s"df_$t", "dl", "n_docs", "total_toks"))
+      .mkString(" + ")
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), col("dl").as("n_toks"),
+        expr(scoreMilli).as("bm25_milli"))
+      .orderBy(col("bm25_milli").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
+  private val q106Sql = {
+    val tfs = q106Terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(", ")
+    val dfs = q106Terms.map(t =>
+      s"SUM(CAST(tf_$t > 0 AS BIGINT)) AS df_$t").mkString(", ")
+    val score = q106Terms.map(t =>
+      bm25TermMilli(s"tf_$t", s"df_$t", "dl", "n_docs", "total_toks"))
+      .mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS dl, $tfs
+       |  FROM (SELECT doc_id, source,
+       |          regexp_extract_all(text, '[a-z]+') AS toks
+       |        FROM documents)
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks, $dfs FROM tf
+       |)
+       |SELECT doc_id, source, dl AS n_toks, $score AS bm25_milli
+       |FROM tf, stats
+       |ORDER BY bm25_milli DESC, doc_id ASC LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_bm25" -> q106 _,
     "q104_lm_score_join" -> q104 _,
     "q103_domain_cap_etld" -> q103 _,
     "q102_domain_cap" -> q102 _,
@@ -1407,6 +1491,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q106_bm25" -> q106Sql,
     "q104_lm_score_join" -> q99Sql, // bit-equal paths share the oracle
     "q103_domain_cap_etld" -> q103Sql,
     "q102_domain_cap" -> q102Sql,
