@@ -703,7 +703,83 @@ object Dedup extends QueryModule {
        |WHERE shared_3grams >= 2 AND levenshtein(name_a, name_b) <= 3"""
       .stripMargin
 
+  // --- q110: cross-source overlap (contamination) matrix -------------------
+  // The corpus-audit step before mixing sources into one training set:
+  // for every source pair, how much content do they share? Shared unit =
+  // distinct word 5-gram (q70's decontamination shingle). Per pair
+  // (src_a < src_b): the number of distinct shared shingles and the
+  // count of distinct documents on each side touching any shared
+  // shingle.
+  //
+  // Scale shape: project to DISTINCT (source, gram) FIRST — the self-join
+  // input shrinks from the token stream to the source-level gram
+  // vocabulary, and a gram shared by all S sources fans out to at most
+  // S² pairs (bounded by the source count, never by corpus size). The
+  // doc-side count joins the doc-gram pairs against the shared-gram set
+  // on the gram key — at production scale the shared-gram set is the
+  // small side (pairwise intersections ≪ vocabulary) and broadcasts.
+  private val q110K = 5
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val dg = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"graft_shingles(regexp_extract_all(text, '[a-z]+', 0), $q110K)"))
+          .as("g"))
+    val sg = dg.select("source", "g").distinct()
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.g").as("g"))
+      .persist()
+    val nGrams = shared.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    val nDocs = dg.join(shared.withColumnRenamed("g", "sg"),
+        col("g") === col("sg") &&
+          (col("source") === col("src_a") || col("source") === col("src_b")))
+      .groupBy("src_a", "src_b")
+      .agg(
+        countDistinct(when(col("source") === col("src_a"), col("doc_id")))
+          .as("n_docs_a"),
+        countDistinct(when(col("source") === col("src_b"), col("doc_id")))
+          .as("n_docs_b"))
+    nGrams.join(nDocs, Seq("src_a", "src_b"))
+  }
+
+  private val q110Sql =
+    s"""WITH dg AS (
+       |  SELECT DISTINCT doc_id, source, g
+       |  FROM (SELECT doc_id, source,
+       |          unnest(list_distinct(list_transform(
+       |            generate_series(1, greatest(len(toks) - ${q110K - 1}, 1)),
+       |            i -> array_to_string(toks[i:i+${q110K - 1}], ' ')))) AS g
+       |        FROM (SELECT doc_id, source,
+       |                regexp_extract_all(text, '[a-z]+') AS toks
+       |              FROM documents))
+       |), sg AS (
+       |  SELECT DISTINCT source, g FROM dg
+       |), shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, a.g AS g
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |), ng AS (
+       |  SELECT src_a, src_b, COUNT(*) AS n_shared_grams
+       |  FROM shared GROUP BY 1, 2
+       |), nd AS (
+       |  SELECT src_a, src_b,
+       |    COUNT(DISTINCT CASE WHEN dg.source = src_a THEN doc_id END)
+       |      AS n_docs_a,
+       |    COUNT(DISTINCT CASE WHEN dg.source = src_b THEN doc_id END)
+       |      AS n_docs_b
+       |  FROM dg JOIN shared ON dg.g = shared.g
+       |    AND (dg.source = src_a OR dg.source = src_b)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, n_shared_grams, n_docs_a, n_docs_b
+       |FROM ng JOIN nd USING (src_a, src_b)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_overlap_matrix" -> q110 _,
     "q105_stream_neardup" -> q105 _,
     "q91_fuzzy_match" -> q91 _,
     "q72_window_dedup" -> q72 _,
@@ -715,6 +791,7 @@ object Dedup extends QueryModule {
     "q74_stream_dedup" -> q74 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q110_overlap_matrix" -> q110Sql,
     "q91_fuzzy_match" -> q91Sql,
     "q72_window_dedup" -> q72Sql,
     "q25_exact_dedup" -> q25Sql,

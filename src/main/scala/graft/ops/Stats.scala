@@ -179,7 +179,122 @@ object Stats extends QueryModule {
       "q76_approx_percentile", guardNonEmpty = false,
       "p50_within_1pct", "p90_within_1pct")
 
+  // --- q109: rank-based winsorization --------------------------------------
+  // Outlier clipping at the 5th/95th percentile before aggregate stats —
+  // the robust-statistics pass a metrics pipeline runs ahead of means.
+  // Deliberately RANK-based (percentile_disc semantics: the boundary is
+  // an ACTUAL data value at a pinned integer rank), not interpolated:
+  // an interpolated boundary is a derived double whose last-ulp could
+  // classify a borderline row differently across engines, whereas rank
+  // arithmetic is integers and the clip boundaries are values both
+  // engines read identically from parquet. Ranks are total-ordered via
+  // the unique (orderkey, linenumber) tiebreak, the battery's standard
+  // window contract.
+  //
+  // Scale shape: one shuffle on the group key; rn/n and the boundary
+  // broadcast are two window passes over the SAME partitioning (no
+  // second shuffle); the final aggregate is per-group. At 100 TB a
+  // per-group sort is the honest cost of exact percentiles (q76 is the
+  // sketch path when approximation is acceptable).
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val whole = Window.partitionBy("l_returnflag")
+    val ranked = Tables.load(s, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(whole))
+      // first/last KEPT rank: clip the bottom and top floor(5% · n) rows
+      .withColumn("klo", expr("(n * 5) div 100 + 1"))
+      .withColumn("khi", expr("n - (n * 5) div 100"))
+    val bounded = ranked
+      .withColumn("lo_val",
+        max(when(col("rn") === col("klo"), col("l_extendedprice"))).over(whole))
+      .withColumn("hi_val",
+        max(when(col("rn") === col("khi"), col("l_extendedprice"))).over(whole))
+      .withColumn("wins",
+        least(greatest(col("l_extendedprice"), col("lo_val")), col("hi_val")))
+    bounded.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("lo_val")).as("lo_val"),
+        max(col("hi_val")).as("hi_val"),
+        sum(expr("CAST(rn < klo AS BIGINT)")).as("n_clipped_low"),
+        sum(expr("CAST(rn > khi AS BIGINT)")).as("n_clipped_high"),
+        round(sum(col("wins").cast("decimal(18,2)")), 2).cast("double")
+          .as("sum_winsorized"))
+  }
+
+  private val q109Sql =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |), k AS (
+      |  SELECT *, (n * 5) // 100 + 1 AS klo, n - (n * 5) // 100 AS khi
+      |  FROM ranked
+      |), b AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN rn = klo THEN l_extendedprice END)
+      |      OVER (PARTITION BY l_returnflag) AS lo_val,
+      |    MAX(CASE WHEN rn = khi THEN l_extendedprice END)
+      |      OVER (PARTITION BY l_returnflag) AS hi_val
+      |  FROM k
+      |)
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  MAX(lo_val) AS lo_val, MAX(hi_val) AS hi_val,
+      |  CAST(SUM(CAST(rn < klo AS BIGINT)) AS BIGINT) AS n_clipped_low,
+      |  CAST(SUM(CAST(rn > khi AS BIGINT)) AS BIGINT) AS n_clipped_high,
+      |  CAST(ROUND(SUM(CAST(least(greatest(l_extendedprice, lo_val), hi_val)
+      |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_winsorized
+      |FROM b GROUP BY l_returnflag""".stripMargin
+
+  // --- q114: equi-width histogram + cumulative distribution ----------------
+  // The profiling primitive: fixed-width value buckets per group with
+  // count, cumulative count, and per-mille share — histogram + CDF in one
+  // pass. Bucketing is floor(v / width) (one correctly-rounded IEEE
+  // division + floor — identical across engines); the CDF is an integer
+  // running sum over bucket order; the share is integer per-mille
+  // floor-division. One shuffle (group key), bucket-count aggregate, then
+  // a window over the BUCKETS (group-cardinality rows, not data rows).
+  private val q114Width = 5000
+
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.load(s, dir, "lineitem")
+      .withColumn("bucket",
+        expr(s"CAST(floor(l_extendedprice / $q114Width.0) AS BIGINT)"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+    buckets
+      .withColumn("cum_n",
+        sum(col("n")).over(w.orderBy(col("bucket").asc)))
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("l_returnflag"), col("bucket"), col("n"), col("cum_n"),
+        expr("(n * 1000) div total").as("per_mille"))
+  }
+
+  private val q114Sql =
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    CAST(FLOOR(l_extendedprice / $q114Width.0) AS BIGINT) AS bucket,
+       |    COUNT(*) AS n
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT l_returnflag, bucket, n,
+       |  CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket ASC)
+       |    AS BIGINT) AS cum_n,
+       |  CAST((n * 1000) // SUM(n) OVER (PARTITION BY l_returnflag)
+       |    AS BIGINT) AS per_mille
+       |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_winsorize" -> q109 _,
+    "q114_histogram" -> q114 _,
     "q67_exact_moments" -> q67 _,
     "q68_string_agg" -> q68 _,
     "q71_ntile" -> q71 _,
@@ -188,6 +303,8 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q109_winsorize" -> q109Sql,
+    "q114_histogram" -> q114Sql,
     "q67_exact_moments" -> q67Sql,
     "q68_string_agg" -> q68Sql,
     "q71_ntile" -> q71Sql)

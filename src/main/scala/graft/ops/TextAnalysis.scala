@@ -1467,7 +1467,98 @@ object TextAnalysis extends QueryModule {
        |ORDER BY bm25_milli DESC, doc_id ASC LIMIT 100""".stripMargin
   }
 
+  // --- q108: probability-proportional-to-size sampling ---------------------
+  // Sequential Poisson sampling (Ohlsson '98): priority = u/w with u a
+  // per-row uniform and w the row's weight; the k smallest priorities are
+  // an (approximately) probability-proportional-to-size sample WITHOUT
+  // replacement — the standard one-pass weighted sampler (here: favor
+  // LONG documents, w = n_chars). Engine-portable determinism: u is the
+  // shared 60-bit md5 hash and the priority is integer floor-division
+  // (h div w) with doc_id tiebreak — no doubles, no RNG state, identical
+  // on any engine/partitioning. Scale shape: priority is a map-side
+  // projection and the k-smallest select compiles to TakeOrderedAndProject
+  // (per-partition bounded heaps, no global sort, no shuffle of the
+  // corpus).
+  private val q108K = 25
+
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("priority",
+        expr(s"${Dialect.sparkHash60("CAST(doc_id AS STRING)")} " +
+          "div greatest(n_chars, 1L)"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(q108K)
+      .select("doc_id", "source", "n_chars", "priority")
+
+  private val q108Sql = {
+    val h = Dialect.duckHash60("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST($h // greatest(n_chars, 1) AS BIGINT) AS priority
+       |FROM documents
+       |ORDER BY priority ASC, doc_id ASC LIMIT $q108K""".stripMargin
+  }
+
+  // --- q111: character-level Shannon entropy -------------------------------
+  // The classic gibberish/boilerplate quality signal: per-document char
+  // distribution entropy (low = repeated filler, high = noise). One
+  // explode → (doc, char) count aggregate → per-doc integer sum; each
+  // char class's term, (c/n)·ln(n/c) in millinats, is floored to an
+  // integer BEFORE the per-doc sum (order-independent; q99's ln
+  // quantization precedent — the double arithmetic inside a term is
+  // shape-identical to the oracle's). Bucketed histogram output keeps
+  // the result corpus-sized, not doc-sized.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+      .groupBy("doc_id", "source", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(floor((CAST(c AS DOUBLE) / n) " +
+          "* ln(CAST(n AS DOUBLE) / c) * 1000) AS BIGINT)").as("term_milli"),
+        col("n"))
+    terms
+      .groupBy("doc_id", "source")
+      .agg(sum(col("term_milli")).as("entropy_milli"),
+        max(col("n")).as("n_chars_matched"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(min(entropy_milli) AS BIGINT)").as("min_entropy"),
+        expr("CAST(max(entropy_milli) AS BIGINT)").as("max_entropy"),
+        expr("CAST(sum(entropy_milli) AS BIGINT)").as("sum_entropy"),
+        expr("CAST(sum(CAST(entropy_milli < 2500 AS BIGINT)) AS BIGINT)")
+          .as("n_low_entropy"))
+  }
+
+  private val q111Sql =
+    """WITH cc AS (
+      |  SELECT doc_id, source, ch, COUNT(*) AS c
+      |  FROM (SELECT doc_id, source,
+      |          unnest(regexp_extract_all(text, '.')) AS ch
+      |        FROM documents)
+      |  GROUP BY doc_id, source, ch
+      |), t AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)
+      |      * 1000) AS BIGINT) AS term_milli
+      |  FROM (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cc)
+      |), e AS (
+      |  SELECT doc_id, source, CAST(SUM(term_milli) AS BIGINT)
+      |    AS entropy_milli
+      |  FROM t GROUP BY doc_id, source
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(MIN(entropy_milli) AS BIGINT) AS min_entropy,
+      |  CAST(MAX(entropy_milli) AS BIGINT) AS max_entropy,
+      |  CAST(SUM(entropy_milli) AS BIGINT) AS sum_entropy,
+      |  CAST(SUM(CAST(entropy_milli < 2500 AS BIGINT)) AS BIGINT)
+      |    AS n_low_entropy
+      |FROM e GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_char_entropy" -> q111 _,
+    "q108_pps_sample" -> q108 _,
     "q106_bm25" -> q106 _,
     "q104_lm_score_join" -> q104 _,
     "q103_domain_cap_etld" -> q103 _,
@@ -1491,6 +1582,8 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q111_char_entropy" -> q111Sql,
+    "q108_pps_sample" -> q108Sql,
     "q106_bm25" -> q106Sql,
     "q104_lm_score_join" -> q99Sql, // bit-equal paths share the oracle
     "q103_domain_cap_etld" -> q103Sql,
