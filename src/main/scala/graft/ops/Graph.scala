@@ -127,11 +127,20 @@ object Graph extends QueryModule {
     * scale — callers with huge vertex sets pass `numNodes` explicitly).
     *
     * @param edges columns `src`, `dst`, `w` (positive integral weight)
+    * @param smallVertexSet set when |V| is dimension-sized (fits a
+    *        broadcast): the per-round rank and out-weight sides become
+    *        broadcast joins, so the edge set is NEVER shuffled — each
+    *        round costs one map-side pass + the `dst` aggregate. Leave
+    *        false for web-scale graphs, where ranks are |V|-sized and
+    *        the rounds are key-partitioned shuffle joins.
     * @return (`id`, `rank_scaled`) — rank in units of R⁻¹
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
-      dampingPct: Int = 85, numNodes: Option[Long] = None): DataFrame = {
+      dampingPct: Int = 85, numNodes: Option[Long] = None,
+      smallVertexSet: Boolean = false): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val bc: DataFrame => DataFrame =
+      if (smallVertexSet) broadcast else identity
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().persist()
     val n = numNodes.getOrElse(nodes.count())
@@ -140,16 +149,23 @@ object Graph extends QueryModule {
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
       val in = edges
-        .join(outw, "src")
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(bc(outw), "src")
+        .join(bc(ranks.select(col("id").as("src"), col("r"))), "src")
         .select(col("dst").as("id"),
           expr("(r * w) div ow").as("c"))
         .groupBy("id").agg(sum(col("c")).as("m"))
+      // broadcast the RIGHT side: the left-preserved side of an outer
+      // join can't be the broadcast build side
       ranks = nodes
-        .join(in, Seq("id"), "left")
+        .join(bc(in), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(coalesce(m, 0L) * " + dampingPct +
             ") div 100")).as("r"))
+        // truncate lineage per round (connectedComponents' trade): an
+        // uncheckpointed round-k plan nests round-(k−1)'s whole subtree
+        // inside its broadcast/shuffle, so the rounds re-execute
+        // serially inside one another instead of each running once
+        .localCheckpoint(false)
     }
     // nodes stays persisted until the caller's action (battery harnesses
     // clearCache() per entry); unpersisting here would force |iters|+1
@@ -189,7 +205,7 @@ object Graph extends QueryModule {
     // persisted: the fact-table aggregation feeds |V| + every round; the
     // battery harness clearCache()s per entry
     val edges = tradeEdges(s, dir).persist()
-    pageRank(edges, PrIters, PrScale)
+    pageRank(edges, PrIters, PrScale, smallVertexSet = true)
       .withColumnRenamed("id", "nation")
       .orderBy(col("rank_scaled").desc, col("nation").asc)
   }

@@ -600,7 +600,82 @@ object Temporal extends QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
       .stripMargin
 
+  // --- q113: interval union (overlap merge) --------------------------------
+  // The coverage primitive: each event opens an interval
+  // [ts, ts + value·60 s); per user, overlapping/adjacent intervals merge
+  // into islands and the operator reports island count, exact covered
+  // time (union length, double-counting removed), and the longest
+  // island — the sweep a session-coverage or SLA-availability pipeline
+  // runs. Classic running-max island detection: a row opens a new island
+  // iff its start exceeds the max end among all EARLIER rows (window
+  // running max over the start order, frame ...,-1), island id = running
+  // sum of the open flags. All integer microsecond arithmetic; the only
+  // shuffle is the per-user partition, and both windows plus the island
+  // aggregate share that one partitioning.
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val byStart = Window.partitionBy("user_id")
+      .orderBy(col("s_us").asc, col("e_us").asc, col("event_id").asc)
+    val iv = events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us").as("s_us"),
+      (col("ts_us") + expr("CAST(floor(value * 60000000.0) AS BIGINT)"))
+        .as("e_us"))
+    val islands = iv
+      .withColumn("prev_max_e",
+        max(col("e_us")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max_e").isNull ||
+          col("s_us") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("opens")).over(
+          byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("s_us")).as("i_start"),
+        max(col("e_us")).as("i_end"))
+    islands.groupBy("user_id")
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"),
+        max(col("i_end") - col("i_start")).as("max_island_us"))
+  }
+
+  private val q113Sql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS e_us
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |    CASE WHEN prev_max_e IS NULL OR s_us > prev_max_e
+      |         THEN 1 ELSE 0 END AS opens
+      |  FROM (SELECT *,
+      |          MAX(e_us) OVER (PARTITION BY user_id
+      |            ORDER BY s_us ASC, e_us ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |            AS prev_max_e
+      |        FROM iv)
+      |), isl AS (
+      |  SELECT user_id, island, COUNT(*) AS n_events,
+      |    MIN(s_us) AS i_start, MAX(e_us) AS i_end
+      |  FROM (SELECT *,
+      |          CAST(SUM(opens) OVER (PARTITION BY user_id
+      |            ORDER BY s_us ASC, e_us ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS island
+      |        FROM flagged)
+      |  GROUP BY user_id, island
+      |)
+      |SELECT user_id,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  COUNT(*) AS n_islands,
+      |  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+      |  MAX(i_end - i_start) AS max_island_us
+      |FROM isl GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_interval_merge" -> q113 _,
     "q100_gapfill_multi" -> q100 _,
     "q96_stream_checksum" -> q96 _,
     "q93_table_checksum" -> q93 _,
@@ -612,6 +687,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q113_interval_merge" -> q113Sql,
     "q100_gapfill_multi" -> q100Sql,
     "q93_table_checksum" -> q93Sql,
     "q92_gap_fill" -> q92Sql,
