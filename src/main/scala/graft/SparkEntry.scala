@@ -13,7 +13,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] =
     Seq(ops.Relational, ops.Sizing, ops.TextAnalysis, ops.Dedup,
       ops.Similarity, ops.Multimodal, ops.Temporal, ops.Typed, ops.Stats,
-      ops.StreamSweep, ops.RestGate, ops.Graph, ops.Formats)
+      ops.StreamSweep, ops.RestGate, ops.Graph, ops.Formats, ops.Behavior)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams (SURVEY §2.8 widened): weekly
+  * cohort retention and the windowed conversion funnel — the two queries
+  * every product-analytics engine (and the reference's querylog-style
+  * event data) ultimately answers.
+  *
+  * All time arithmetic is integer microseconds (`epoch_us` twins on the
+  * oracle side): day = floor-div by 86 400 000 000, week = day div 7 —
+  * no calendar/session-time-zone surface anywhere, so results are
+  * bit-identical across engines and partitionings.
+  */
+object Behavior extends QueryModule {
+
+  private val UsPerDay = 86400000000L
+  private val UsPerWeek = 7L * UsPerDay
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+
+  // --- q116: weekly cohort retention ---------------------------------------
+  // Cohort = week of the user's FIRST event of any type; "retained at
+  // offset k" = made a purchase during cohort_week + k. Two aggregates
+  // on user_id (the per-user min and the distinct active weeks) share
+  // one shuffle key, the cohort⋈activity join is again user_id-keyed,
+  // and the final counts/sizes tables are cohort-cardinality — tiny, so
+  // the sizes side is broadcast. At 100 TB nothing here materializes
+  // more than (users) and (users × active weeks) rows, both linear
+  // passes with map-side partial aggregation.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .withColumn("day", expr(s"ts_us div $UsPerDay"))
+    // persisted: cohort feeds BOTH the activity join and the sizes
+    // aggregate — uncached, each branch would re-run the full events
+    // scan + user_id shuffle (the battery harness clearCache()s per
+    // entry, so the block is released before the next query)
+    val cohort = e.groupBy("user_id")
+      .agg(expr("min(day) div 7").as("cohort_week"))
+      .persist()
+    val active = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("day div 7").as("week"))
+      .distinct()
+    val counts = active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      // (user, week) is distinct by construction, so the count is the
+      // distinct-user count without a second dedup
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    counts.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("(n_active * 1000) div n_cohort").as("per_mille"))
+  }
+
+  private val q116Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(day) // 7 AS cohort_week FROM e GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, day // 7 AS week
+      |  FROM e WHERE event_type = 'purchase'
+      |), counts AS (
+      |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM active a JOIN cohort c USING (user_id) GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY 1
+      |)
+      |SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+      |  (c.n_active * 1000) // s.n_cohort AS per_mille
+      |FROM counts c JOIN sizes s USING (cohort_week)""".stripMargin
+
+  // --- q117: windowed conversion funnel ------------------------------------
+  // view → click → purchase, each step strictly after the previous AND
+  // within 24 h of it — the ClickHouse `windowFunnel` contract, built
+  // from per-user sequential min-aggregates: t1 = first view; t2 = first
+  // click in (t1, t1+24 h]; t3 = first purchase in (t2, t2+24 h].
+  // Output per first-view cohort week: users reaching each stage plus
+  // exact total/max end-to-end conversion time in microseconds.
+  //
+  // Scale shape: the step dependency is inherently sequential (t2 needs
+  // t1), so the plan is a chain of user_id-keyed aggregate→join stages —
+  // every shuffle is on the SAME key, the step tables shrink
+  // monotonically (each stage filters its predecessor), and no stage
+  // ever holds more than one row per user. This composition is how a
+  // funnel stays expressible to Catalyst (predicate pushdown reaches
+  // the event-type filters in the scan) instead of a per-user
+  // collect-and-replay UDF.
+  private val FunnelWindowUs = 24L * 3600L * 1000000L
+
+  /** First `stepType` event strictly after `prev.tPrev` and within
+    * `windowUs` of it, as (`user_id`, `tCol`): one filtered join +
+    * min-aggregate per funnel stage.
+    */
+  private def nextStep(e: DataFrame, prev: DataFrame, prevCol: String,
+      stepType: String, tCol: String, windowUs: Long): DataFrame =
+    e.filter(col("event_type") === stepType)
+      .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+      .filter(col("ts_us") > col(prevCol) &&
+        col("ts_us") <= col(prevCol) + windowUs)
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as(tCol))
+
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s2 = nextStep(e, s1, "t1", "click", "t2", FunnelWindowUs)
+    val s3 = nextStep(e, s2, "t2", "purchase", "t3", FunnelWindowUs)
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .groupBy(expr(s"t1 div $UsPerWeek").as("cohort_week"))
+      .agg(
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click"),
+        count(col("t3")).as("n_purchase"),
+        sum(col("t3") - col("t1")).as("sum_convert_us"),
+        max(col("t3") - col("t1")).as("max_convert_us"))
+  }
+
+  private val q117Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+       |), s1 AS (
+       |  SELECT user_id, MIN(ts_us) AS t1
+       |  FROM e WHERE event_type = 'view' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, MIN(e.ts_us) AS t2
+       |  FROM e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND e.ts_us > s1.t1 AND e.ts_us <= s1.t1 + $FunnelWindowUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, MIN(e.ts_us) AS t3
+       |  FROM e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND e.ts_us > s2.t2 AND e.ts_us <= s2.t2 + $FunnelWindowUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT s1.t1 // 604800000000 AS cohort_week,
+       |  COUNT(s1.t1) AS n_view, COUNT(s2.t2) AS n_click,
+       |  COUNT(s3.t3) AS n_purchase,
+       |  CAST(SUM(s3.t3 - s1.t1) AS BIGINT) AS sum_convert_us,
+       |  MAX(s3.t3 - s1.t1) AS max_convert_us
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_cohort_retention" -> q116 _,
+    "q117_funnel" -> q117 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q116_cohort_retention" -> q116Sql,
+    "q117_funnel" -> q117Sql)
+}

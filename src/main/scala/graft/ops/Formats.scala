@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Interchange-format round trips (SURVEY §2 sources/sinks, widened).
   *
@@ -50,9 +51,64 @@ object Formats extends QueryModule {
        |FROM documents GROUP BY source""".stripMargin
   }
 
+  // --- q118: deterministic corpus shuffle + shard assignment ---------------
+  // The global-shuffle job a training pipeline runs before writing
+  // shards: every document gets a pseudo-random but DETERMINISTIC
+  // position (hash of its id under a fixed salt — reproducible across
+  // engines, runs, and cluster sizes, unlike rand()), shard =
+  // position mod N, within-shard order = position. The entry emits the
+  // per-shard audit row — doc count, byte mass, position range, and an
+  // ORDER-SENSITIVE checksum Σ rank·(doc_id mod P) that flips if any
+  // two engines disagree on any shard's total order, not just its
+  // membership.
+  //
+  // Scale shape: ONE shuffle keyed by shard (at 100 TB this is
+  // `repartition(N, shard)` + `sortWithinPartitions(pos)` straight into
+  // the shard writer — the window here is the same partitioning); the
+  // rank and the aggregate both run inside that partitioning. N scales
+  // with corpus size; 8 keeps the audit readable at test SF.
+  private val q118Shards = 8
+
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Dialect.sparkHash60("concat(CAST(doc_id AS STRING), ':shuffle')")
+    val w = Window.partitionBy("shard")
+      .orderBy(col("p").asc, col("doc_id").asc)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), expr(pos).as("p"))
+      .withColumn("shard", col("p") % q118Shards)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("p")).as("first_pos"),
+        max(col("p")).as("last_pos"),
+        sum(col("rn") * (col("doc_id") % 1000003L)).as("order_checksum"))
+  }
+
+  private val q118Sql = {
+    val pos = Dialect.duckHash60("CAST(doc_id AS VARCHAR) || ':shuffle'")
+    s"""WITH pos AS (
+       |  SELECT doc_id, n_chars, $pos AS p FROM documents
+       |), sh AS (
+       |  SELECT *, p % $q118Shards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY p % $q118Shards
+       |      ORDER BY p ASC, doc_id ASC) AS rn
+       |  FROM pos
+       |)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(p) AS first_pos, MAX(p) AS last_pos,
+       |  CAST(SUM(rn * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+       |FROM sh GROUP BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q112_jsonl_roundtrip" -> q112 _)
+    "q112_jsonl_roundtrip" -> q112 _,
+    "q118_corpus_shuffle" -> q118 _)
 
   val oracleSql: Map[String, String] = Map(
-    "q112_jsonl_roundtrip" -> q112Sql)
+    "q112_jsonl_roundtrip" -> q112Sql,
+    "q118_corpus_shuffle" -> q118Sql)
 }

@@ -292,8 +292,91 @@ object Stats extends QueryModule {
        |    AS BIGINT) AS per_mille
        |FROM b""".stripMargin
 
+  // --- q115: MAD-based robust outlier detection ----------------------------
+  // The other half of the robust-stats toolkit next to q109's
+  // winsorization: flag rows whose modified z-score
+  // |0.6745·(x − median) / MAD| exceeds 3.5 (Iglewicz–Hoaglin cutoff).
+  // Median and MAD are RANK-based actual data values (q109's
+  // percentile_disc argument: interpolated boundaries are ulp-fragile
+  // across engines), values are exact integer centi-units
+  // (floor(value·100)), and the cutoff test is pure integer arithmetic —
+  // dev·6745 > mad·35000 — so classification is bit-stable everywhere.
+  // Runs on events.value (heavy-tailed; lineitem/orders prices are
+  // near-uniform, where max modified z ≈ 1.35 and NOTHING ever flags —
+  // a threshold op needs data with a tail to be a meaningful entry).
+  //
+  // Scale shape: one shuffle on the group key; the value rank, the
+  // deviation rank, and the per-group broadcast of median/MAD are three
+  // window passes over the SAME partitioning (in-partition re-sorts, no
+  // extra exchange); the verdict aggregate is per-group. Exact medians
+  // cost the per-group sort — q76's sketch is the approximation path.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val whole = Window.partitionBy("event_type")
+    val byVal = whole.orderBy(col("v100").asc, col("event_id").asc)
+    val ranked = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(whole))
+      // lower median: the actual value at rank ceil(n/2)
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v100")))
+          .over(whole))
+      .withColumn("dev", abs(col("v100") - col("med")))
+    val byDev = whole.orderBy(col("dev").asc, col("event_id").asc)
+    ranked
+      .withColumn("rn2", row_number().over(byDev))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev")))
+          .over(whole))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("med")).as("median_v100"),
+        max(col("mad")).as("mad_v100"),
+        sum(expr("CAST(dev * 6745 > mad * 35000 AS BIGINT)"))
+          .as("n_outliers"),
+        max(when(expr("dev * 6745 > mad * 35000"), col("v100")))
+          .as("max_outlier_v100"))
+  }
+
+  private val q115Sql =
+    """WITH base AS (
+      |  SELECT event_type, event_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v100
+      |  FROM events
+      |), r1 AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY v100 ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM base
+      |), r2 AS (
+      |  SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN v100 END)
+      |    OVER (PARTITION BY event_type) AS med
+      |  FROM r1
+      |), r3 AS (
+      |  SELECT *, ABS(v100 - med) AS dev FROM r2
+      |), r4 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY dev ASC, event_id ASC) AS rn2
+      |  FROM r3
+      |), r5 AS (
+      |  SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+      |    OVER (PARTITION BY event_type) AS mad
+      |  FROM r4
+      |)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  MAX(med) AS median_v100, MAX(mad) AS mad_v100,
+      |  CAST(SUM(CAST(dev * 6745 > mad * 35000 AS BIGINT)) AS BIGINT)
+      |    AS n_outliers,
+      |  MAX(CASE WHEN dev * 6745 > mad * 35000 THEN v100 END)
+      |    AS max_outlier_v100
+      |FROM r5 GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_winsorize" -> q109 _,
+    "q115_mad_outliers" -> q115 _,
     "q114_histogram" -> q114 _,
     "q67_exact_moments" -> q67 _,
     "q68_string_agg" -> q68 _,
@@ -304,6 +387,7 @@ object Stats extends QueryModule {
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
     "q109_winsorize" -> q109Sql,
+    "q115_mad_outliers" -> q115Sql,
     "q114_histogram" -> q114Sql,
     "q67_exact_moments" -> q67Sql,
     "q68_string_agg" -> q68Sql,

@@ -1556,7 +1556,68 @@ object TextAnalysis extends QueryModule {
       |    AS n_low_entropy
       |FROM e GROUP BY source""".stripMargin
 
+  // --- q119: bigram PMI collocation mining ---------------------------------
+  // The phrase-detection pass (word2vec-style collocations, n-gram
+  // merge candidates for tokenizer training): pointwise mutual
+  // information ln(c12·N / (c1·c2)) over adjacent token pairs, top 50
+  // by PMI among bigrams with support ≥ 3. Bigrams come from ONE
+  // tokenization via an index lambda (struct(x, element_at(t, i+2)) —
+  // no self-join of the exploded corpus); both count aggregates get
+  // map-side partial combine; the support filter runs BEFORE the
+  // unigram joins so only surviving bigrams shuffle; the unigram side
+  // is token-keyed (web-scale vocabularies don't broadcast — q104's
+  // argument); N is one broadcast row. PMI is quantized to integer
+  // millinats (q99's ln precedent) and the top-k is a total order →
+  // TakeOrderedAndProject bounded heaps, never a global sort.
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(expr("regexp_extract_all(text, '[a-z]+', 0)").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 3)
+    val nb = big.agg(count(lit(1)).as("nb"))
+    bc
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("CAST(FLOOR(ln(CAST(c12 AS DOUBLE) * nb / (c1 * c2)) * 1000) " +
+          "AS BIGINT)").as("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
+  private val q119Sql =
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(text, '[a-z]+') AS t FROM documents
+      |), big AS (
+      |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+      |  FROM toks WHERE len(t) >= 2
+      |), bc AS (
+      |  SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS c12
+      |  FROM big GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT unnest(t) AS w FROM toks
+      |), uni AS (
+      |  SELECT w, COUNT(*) AS c FROM uc GROUP BY w
+      |), tot AS (
+      |  SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM bc
+      |)
+      |SELECT w1, w2, c12,
+      |  CAST(FLOOR(ln(CAST(c12 AS DOUBLE) * nb / (u1.c * u2.c)) * 1000)
+      |    AS BIGINT) AS pmi_milli
+      |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, tot
+      |WHERE c12 >= 3
+      |ORDER BY pmi_milli DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_pmi_collocations" -> q119 _,
     "q111_char_entropy" -> q111 _,
     "q108_pps_sample" -> q108 _,
     "q106_bm25" -> q106 _,
@@ -1582,6 +1643,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q119_pmi_collocations" -> q119Sql,
     "q111_char_entropy" -> q111Sql,
     "q108_pps_sample" -> q108Sql,
     "q106_bm25" -> q106Sql,

@@ -196,6 +196,152 @@ class Round10OpsSpec extends SparkTestBase {
       assert(s <= worstKept) }
   }
 
+  // --- MAD outliers vs direct computation ----------------------------------
+
+  test("q115 median/MAD/outlier counts match a direct per-group replay") {
+    val got = graft.SparkEntry.queries("q115_mad_outliers")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { case (t, vs) =>
+      val v = vs.map(_._2).sorted
+      val med = v((v.length + 1) / 2 - 1)
+      val dev = v.map(x => math.abs(x - med)).sorted
+      val mad = dev((dev.length + 1) / 2 - 1)
+      val nOut = v.count(x => math.abs(x - med) * 6745 > mad * 35000)
+      val (gn, gmed, gmad, gout) = got(t)
+      assert(gn == v.length && gmed == med && gmad == mad, s"type $t")
+      assert(gout == nOut, s"type $t outliers")
+      assert(nOut > 0, s"type $t: degenerate fixture, nothing flagged")
+    }
+  }
+
+  // --- Funnel vs sequential per-user replay --------------------------------
+
+  test("q117 funnel stages match a sequential per-user replay") {
+    val W = 24L * 3600L * 1000000L
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    case class U(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+    val users = ev.map { case (u, es) =>
+      def firstIn(tpe: String, after: Option[Long]): Option[Long] =
+        after.flatMap { a =>
+          val c = es.filter(e => e._2 == tpe && e._3 > a && e._3 <= a + W)
+          if (c.isEmpty) None else Some(c.map(_._3).min)
+        }
+      val t1 = { val v = es.filter(_._2 == "view"); if (v.isEmpty) None
+        else Some(v.map(_._3).min) }
+      val t2 = firstIn("click", t1)
+      val t3 = firstIn("purchase", t2)
+      u -> U(t1, t2, t3)
+    }
+    val byCohort = users.values.filter(_.t1.isDefined)
+      .groupBy(u => u.t1.get / 604800000000L)
+    val got = graft.SparkEntry.queries("q117_funnel")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == byCohort.keySet)
+    byCohort.foreach { case (w, us) =>
+      val (gv, gc, gp) = got(w)
+      assert(gv == us.size, s"week $w n_view")
+      assert(gc == us.count(_.t2.isDefined), s"week $w n_click")
+      assert(gp == us.count(_.t3.isDefined), s"week $w n_purchase")
+    }
+    // the window constraint must actually drop users (else the fixture
+    // proves nothing about the 24 h bound)
+    val all = users.values.toSeq
+    assert(all.count(_.t2.isDefined) < all.count(_.t1.isDefined))
+  }
+
+  // --- Cohort retention vs direct replay -----------------------------------
+
+  test("q116 retention matches a direct per-cohort replay") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000 div 86400000000 AS d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cohort = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._3).min / 7 }
+    val active = ev.filter(_._2 == "purchase")
+      .map(e => (e._1, e._3 / 7)).distinct
+    val expect = active.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, us) => k -> us.size }
+    val got = graft.SparkEntry.queries("q116_cohort_retention")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet)
+    val sizes = cohort.values.groupBy(identity).map { case (w, xs) => w -> xs.size }
+    expect.foreach { case ((cw, off), n) =>
+      val (gn, gsz, gpm) = got((cw, off))
+      assert(gn == n && gsz == sizes(cw) && gpm == n * 1000L / sizes(cw),
+        s"cohort $cw offset $off")
+    }
+  }
+
+  // --- Corpus shuffle vs sequential replay ---------------------------------
+
+  test("q118 shard stats match a sequential shuffle replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "n_chars",
+        s"${Dialect.sparkHash60("concat(CAST(doc_id AS STRING), ':shuffle')")} AS p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._3 % 8).map { case (shard, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1))
+      val checksum = ordered.zipWithIndex
+        .map { case (d, i) => (i + 1) * (d._1 % 1000003L) }.sum
+      shard -> (ds.length.toLong, ds.map(_._2).sum,
+        ds.map(_._3).min, ds.map(_._3).max, checksum)
+    }
+    val got = graft.SparkEntry.queries("q118_corpus_shuffle")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (s, e) => assert(got(s) == e, s"shard $s") }
+    // every shard populated: the hash really spreads the corpus
+    assert(got.keySet == (0L until 8L).toSet)
+  }
+
+  test("q118 runs in ONE shuffle (window and aggregate share the shard key)") {
+    val plan = graft.SparkEntry.queries("q118_corpus_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(nExchanges == 1, s"expected 1 shuffle, plan:\n${plan.take(800)}")
+  }
+
+  // --- PMI vs direct formula -----------------------------------------------
+
+  test("q119 PMI matches the direct formula and keeps only top bigrams") {
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("regexp_extract_all(text, '[a-z]+', 0) AS t")
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val bigs = toks.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+    val nb = bigs.length.toLong
+    val bc = bigs.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      .filter(_._2 >= 3)
+    val pmi = bc.map { case ((w1, w2), c12) =>
+      (w1, w2) -> math.floor(math.log(
+        c12.toDouble * nb / (uni(w1) * uni(w2))) * 1000).toLong
+    }
+    val got = graft.SparkEntry.queries("q119_pmi_collocations")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+    assert(got.length == math.min(50, pmi.size))
+    got.foreach { case (k, (c12, p)) =>
+      assert(bc(k) == c12 && pmi(k) == p, s"bigram $k") }
+    // nothing outside the kept set strictly beats the weakest kept row
+    // under the (pmi, w1, w2) total order
+    val keptKeys = got.map(_._1).toSet
+    val worst = got.map { case ((w1, w2), (_, p)) => (-p, w1, w2) }.max
+    pmi.collect { case ((w1, w2), p) if !keptKeys.contains((w1, w2)) =>
+      assert(Ordering[(Long, String, String)].gt((-p, w1, w2), worst)) }
+  }
+
   // --- JSONL round trip on adversarial strings -----------------------------
 
   test("JSONL round trip preserves quotes, newlines, unicode, backslashes") {
