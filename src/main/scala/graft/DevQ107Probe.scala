@@ -17,11 +17,7 @@ object DevQ107Probe {
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     (1 to 3).foreach { i =>
-      val m = classOf[ops.Graph.type].getDeclaredMethods
-        .find(_.getName == "tradeEdges").get
-      m.setAccessible(true)
-      val edges = m.invoke(ops.Graph, spark, sfDir)
-        .asInstanceOf[org.apache.spark.sql.DataFrame].persist()
+      val edges = ops.Graph.tradeEdges(spark, sfDir).persist()
       t(s"edges_materialize_$i")(edges.count())
       val pr = ops.Graph.pageRank(edges, 3, smallVertexSet = true)
       t(s"rounds_$i")(pr.write.mode("overwrite").format("noop").save())

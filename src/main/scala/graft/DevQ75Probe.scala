@@ -45,8 +45,9 @@ object DevQ75Probe {
       val nStateParts = sys.env.getOrElse("PROBE_STATE_PARTS", cpus)
       spark.conf.set("spark.sql.shuffle.partitions", nStateParts)
       val q = time("stream_start") {
-        windowed(withEventTs(spark.readStream.schema(schema)
-            .parquet(s"$sfDir/events*.parquet"))
+        windowed(withEventTs(Tables.normalizeEvents(
+            spark.readStream.schema(schema)
+              .parquet(s"$sfDir/events*.parquet")))
           .withWatermark("event_ts", "0 seconds"))
           .writeStream.format("memory").queryName(qname)
           .outputMode("append").start()

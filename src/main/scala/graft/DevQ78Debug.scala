@@ -32,7 +32,8 @@ object DevQ78Debug {
 
     val qname = s"dbg_${System.nanoTime()}"
     val q = sessions(
-      withEventTs(s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+      withEventTs(Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(s"$dir/events*.parquet")))
         .withWatermark("event_ts", "0 seconds"))
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").start()

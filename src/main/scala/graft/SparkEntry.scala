@@ -28,6 +28,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Timestamp layout note: the oracle dialect reads `events.ts` as a
+    * DuckDB TIMESTAMP (`epoch_us(ts)` for µs) regardless of whether the
+    * parquet carries TIMESTAMP(NANOS) or TIMESTAMP(MICROS, NTZ); the
+    * Spark side pins the matching internal contract (ts = epoch nanos as
+    * BIGINT) once, in [[Tables.normalizeEvents]].
     */
   lazy val oracleSql: Map[String, String] =
     merged(modules.map(_.oracleSql), "oracleSql")

@@ -28,11 +28,28 @@ object Formats extends QueryModule {
     "concat_ws('|', CAST(doc_id AS STRING), text, " +
       "coalesce(lang, '<N>'), CAST(n_chars AS STRING))"
 
+  /** Scratch root for sink→source round trips. Honors
+    * `spark.graft.scratch.dir` (any Hadoop-FS URI — set it to a SHARED
+    * filesystem on a multi-node cluster, where a driver-local /tmp would
+    * silently lose every executor-written partition); unset, falls back
+    * to a driver-local temp dir, which is correct only in local mode
+    * (the harness's `local[32]`). Cleanup goes through the Hadoop
+    * FileSystem API so both schemes delete the same way.
+    */
+  private def withScratch[A](s: SparkSession, tag: String)(
+      body: String => A): A = {
+    val base = s.conf.getOption("spark.graft.scratch.dir").getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft-$tag-").toUri.toString)
+    val path = new org.apache.hadoop.fs.Path(
+      s"$base/${tag}-${java.util.UUID.randomUUID()}")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try body(path.toString)
+    finally fs.delete(path, true)
+  }
+
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q112-")
-    try {
-      val path = s"$tmp/docs_jsonl"
+    withScratch(s, "q112") { path =>
       docs.write.mode("overwrite").json(path)
       // schema-pinned read: JSONL carries no types; inference would make
       // the round trip depend on sampled data (and read the files twice)
@@ -40,7 +57,7 @@ object Formats extends QueryModule {
       Temporal.tableChecksum(back, docRowKeySpark, Seq("source"))
         // eager: pin the checksums before the temp files are deleted
         .localCheckpoint()
-    } finally graft.Fs.deleteRecursively(tmp)
+    }
   }
 
   private val q112Sql = {
@@ -58,9 +75,13 @@ object Formats extends QueryModule {
   // engines, runs, and cluster sizes, unlike rand()), shard =
   // position mod N, within-shard order = position. The entry emits the
   // per-shard audit row — doc count, byte mass, position range, and an
-  // ORDER-SENSITIVE checksum Σ rank·(doc_id mod P) that flips if any
-  // two engines disagree on any shard's total order, not just its
-  // membership.
+  // ORDER-SENSITIVE checksum XOR(hash60(rank ':' doc_id)) that flips if
+  // any two engines disagree on any shard's total order, not just its
+  // membership (the rank folds the order into each term). XOR over a
+  // 60-bit hash is overflow-free at ANY shard size — the earlier
+  // Σ rank·(doc_id mod P) form grew O(rows²·1e6) per shard and would
+  // wrap int64 (silently in Spark, an error via DuckDB's HUGEINT cast)
+  // exactly at the scale the entry claims to audit.
   //
   // Scale shape: ONE shuffle keyed by shard (at 100 TB this is
   // `repartition(N, shard)` + `sortWithinPartitions(pos)` straight into
@@ -84,7 +105,9 @@ object Formats extends QueryModule {
         sum(col("n_chars")).as("sum_chars"),
         min(col("p")).as("first_pos"),
         max(col("p")).as("last_pos"),
-        sum(col("rn") * (col("doc_id") % 1000003L)).as("order_checksum"))
+        expr("bit_xor(" + Dialect.sparkHash60(
+          "concat(CAST(rn AS STRING), ':', CAST(doc_id AS STRING))") +
+          ")").as("order_checksum"))
   }
 
   private val q118Sql = {
@@ -100,7 +123,9 @@ object Formats extends QueryModule {
        |SELECT shard, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  MIN(p) AS first_pos, MAX(p) AS last_pos,
-       |  CAST(SUM(rn * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+       |  bit_xor(${Dialect.duckHash60(
+             "CAST(rn AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")})
+       |    AS order_checksum
        |FROM sh GROUP BY shard""".stripMargin
   }
 

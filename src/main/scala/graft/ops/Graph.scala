@@ -115,6 +115,17 @@ object Graph extends QueryModule {
     *   contrib(s→t, w) = (r(s) · w) div out_w(s)        — floor per edge
     *   r'(t)           = ((R div |V|)·(100−dampingPct)) div 100
     *                     + (Σ contrib(·→t) · dampingPct) div 100
+    * The contribution is COMPUTED as the algebraically identical
+    *   (r div ow)·w + ((r mod ow)·w) div ow
+    * (exact for non-negative operands: write r = q·ow + m, m < ow; then
+    * floor(r·w/ow) = q·w + floor(m·w/ow)). The naive `r·w` product
+    * overflows int64 once R·w ≥ 2^63 (w ≥ ~9.2e6 at the default R=1e12)
+    * — Spark (non-ANSI) would wrap silently while DuckDB widens to
+    * HUGEINT, breaking cross-engine reproducibility exactly where it is
+    * claimed. The split form bounds every intermediate by
+    * max(r, ow·max(w)): since r ≤ ~R and (r div ow)·w ≤ r when w ≤ ow,
+    * the requirement weakens to out_w(s)·max(w) < 2^63 — edge weights to
+    * ~3e9 are safe instead of ~9e6.
     * Dangling nodes (no out-edges) leak their mass — the common
     * simplification; the floors lose ≤1 unit per edge per round, i.e.
     * ~1e-12 of total mass at the default scale. Both are part of the
@@ -152,7 +163,7 @@ object Graph extends QueryModule {
         .join(bc(outw), "src")
         .join(bc(ranks.select(col("id").as("src"), col("r"))), "src")
         .select(col("dst").as("id"),
-          expr("(r * w) div ow").as("c"))
+          expr("(r div ow) * w + ((r % ow) * w) div ow").as("c"))
         .groupBy("id").agg(sum(col("c")).as("m"))
       // broadcast the RIGHT side: the left-preserved side of an outer
       // join can't be the broadcast build side
@@ -183,7 +194,7 @@ object Graph extends QueryModule {
   private val PrIters = 3
   private val PrScale = 1000000000000L
 
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val nat = Tables.load(s, dir, "nation")
     Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
@@ -223,7 +234,8 @@ object Graph extends QueryModule {
          |    CAST($base + (COALESCE(m.s, 0) * 85) // 100 AS BIGINT) AS r
          |  FROM nodes CROSS JOIN n
          |  LEFT JOIN (
-         |    SELECT dst AS id, CAST(SUM((r * w) // ow) AS BIGINT) AS s
+         |    SELECT dst AS id,
+         |      CAST(SUM((r // ow) * w + ((r % ow) * w) // ow) AS BIGINT) AS s
          |    FROM e JOIN outw USING (src) JOIN $prev ON e.src = $prev.id
          |    GROUP BY dst) m ON nodes.id = m.id
          |)""".stripMargin

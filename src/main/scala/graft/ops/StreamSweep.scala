@@ -174,9 +174,9 @@ object StreamSweep extends QueryModule {
       durationUs: Long): DataFrame = {
     import s.implicits._
     val path = s"$dir/events.parquet"
-    // events.ts is TIMESTAMP(NANOS): surfaced as a nanos long
-    // (legacy.parquet.nanosAsLong, same stance as Tables.load), re-typed
-    // to a µs TimestampType column for the watermark.
+    // the file source reads the PHYSICAL schema; Tables.normalizeEvents
+    // then re-establishes the internal contract (ts = nanos long) on the
+    // streamed frame, same as Tables.load does for the batch side
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(path).schema
     // events.ts is a nanos long; the µs TimestampType column the watermark
@@ -198,8 +198,8 @@ object StreamSweep extends QueryModule {
     // non-glob path and then requires it to be a directory
     val streamed = graft.streaming.StreamConf.withStateParts(s) {
       val q = windowed(
-        withEventTs(s.readStream.schema(schema)
-            .parquet(s"$dir/events*.parquet"))
+        withEventTs(Tables.normalizeEvents(s.readStream.schema(schema)
+            .parquet(s"$dir/events*.parquet")))
           .withWatermark("event_ts", "0 seconds"))
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
@@ -268,7 +268,8 @@ object StreamSweep extends QueryModule {
           col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
       .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
 
-    def stream() = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    def stream() = Tables.normalizeEvents(
+      s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
     val qname = s"q77_${System.nanoTime()}"
     // 8 state parts, not the harness default 4: join state is per-EVENT
     // (every view/click inside the watermark horizon), not per-window —
@@ -331,8 +332,8 @@ object StreamSweep extends QueryModule {
     val qname = s"q78_${System.nanoTime()}"
     val streamed = graft.streaming.StreamConf.withStateParts(s) {
       val q = sessions(
-        withEventTs(s.readStream.schema(schema)
-            .parquet(s"$dir/events*.parquet"))
+        withEventTs(Tables.normalizeEvents(s.readStream.schema(schema)
+            .parquet(s"$dir/events*.parquet")))
           .withWatermark("event_ts", "0 seconds"))
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()

@@ -1507,10 +1507,16 @@ object TextAnalysis extends QueryModule {
   // quantization precedent — the double arithmetic inside a term is
   // shape-identical to the oracle's). Bucketed histogram output keeps
   // the result corpus-sized, not doc-sized.
+  //
+  // The char tokenizer is '[^\n]', NOT '.': Java's '.' excludes all five
+  // line terminators (\n \r U+0085 U+2028 U+2029) while DuckDB's RE2 '.'
+  // excludes only \n, so a document containing \r or U+2028 would count
+  // a different char multiset per engine. The explicit class pins the
+  // excluded set to exactly {\n} in both dialects.
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val terms = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+        explode(expr("regexp_extract_all(text, '[^\\n]', 0)")).as("ch"))
       .groupBy("doc_id", "source", "ch").agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
@@ -1535,7 +1541,7 @@ object TextAnalysis extends QueryModule {
     """WITH cc AS (
       |  SELECT doc_id, source, ch, COUNT(*) AS c
       |  FROM (SELECT doc_id, source,
-      |          unnest(regexp_extract_all(text, '.')) AS ch
+      |          unnest(regexp_extract_all(text, '[^\n]')) AS ch
       |        FROM documents)
       |  GROUP BY doc_id, source, ch
       |), t AS (

@@ -288,10 +288,15 @@ class Round10OpsSpec extends SparkTestBase {
       .selectExpr("doc_id", "n_chars",
         s"${Dialect.sparkHash60("concat(CAST(doc_id AS STRING), ':shuffle')")} AS p")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent JVM replay of the 60-bit md5 fold (no Spark expression
+    // reuse — the point is a third implementation of the contract)
+    def h60(x: String): Long = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
     val expect = docs.groupBy(_._3 % 8).map { case (shard, ds) =>
       val ordered = ds.sortBy(d => (d._3, d._1))
       val checksum = ordered.zipWithIndex
-        .map { case (d, i) => (i + 1) * (d._1 % 1000003L) }.sum
+        .map { case (d, i) => h60(s"${i + 1}:${d._1}") }.reduce(_ ^ _)
       shard -> (ds.length.toLong, ds.map(_._2).sum,
         ds.map(_._3).min, ds.map(_._3).max, checksum)
     }
