@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Dev-only probe mains (DevQ73Probe, DevScaleSweep, …) live OUTSIDE
+// src/main so the product source tree stays the published surface; they
+// still compile on the main classpath (runnable via `sbt runMain`) from
+// this unmanaged dir.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "dev" / "scala"
 // Pass forked-run stdout through unprefixed: sbt's default logger tags
 // every line with "[info] ", which breaks line-oriented JSON consumers of
 // the Bench/Verify mains (the harness failed to parse "[info] {...}").
