@@ -205,16 +205,21 @@ class StreamingOpsSpec extends SparkTestBase {
         .option("checkpointLocation", chk)
         .outputMode("append").start()
 
-      // run 1: stop after at least one committed micro-batch, mid-stream
-      val q1 = start()
-      try {
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while ((q1.lastProgress == null || q1.lastProgress.batchId < 1) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
-      } finally q1.stop()
-      // run 2: same checkpoint, drain the rest
-      val q2 = start()
-      try q2.processAllAvailable() finally q2.stop()
+      // both runs under the battery's default backend (RocksDB): the
+      // restart resumes keyed state from the rocksdb checkpoint — the
+      // recovery path a long-lived deployment actually exercises
+      StreamConf.withStateParts(spark) {
+        // run 1: stop after at least one committed micro-batch, mid-stream
+        val q1 = start()
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while ((q1.lastProgress == null || q1.lastProgress.batchId < 1) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        } finally q1.stop()
+        // run 2: same checkpoint, drain the rest
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
 
       val streamed = spark.read.parquet(out) // _spark_metadata-committed only
         .filter(col("k") =!= "sentinel")
@@ -232,5 +237,48 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(streamed.toMap == batch,
         s"stream/batch divergence after restart: got ${streamed.length}, want ${batch.size}")
     } finally graft.Fs.deleteRecursively(root)
+  }
+
+  test("state store backend is configurable; rocksdb (default) matches hdfs") {
+    // The scale knob behind every gated streaming entry: RocksDB keeps
+    // keyed state off-heap (the JVM-heap store is the 100 TB
+    // scale-killer), and the keyed-state contract says results are
+    // backend-independent. Prove BOTH directions here: the same
+    // watermarked dedup produces identical output under each provider,
+    // and the rocksdb run really engaged RocksDB (its custom metrics
+    // appear in the query progress — a conf typo would silently fall
+    // back to the default store and void the claim).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def run(backend: String): (Seq[Long], Boolean) = {
+      spark.conf.set(StreamConf.StateStoreKey, backend)
+      try StreamConf.withStateParts(spark) {
+        val input = MemoryStream[(Long, Long)]
+        val qn = s"ss_${backend}_${System.nanoTime()}"
+        val q = input.toDS()
+          .select(col("_1").as("doc_id"),
+            col("_2").cast("timestamp").as("ts"))
+          .withWatermark("ts", "10 seconds")
+          .dropDuplicates("doc_id")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          input.addData(Seq((1L, 100L), (2L, 101L), (1L, 102L)))
+          q.processAllAvailable()
+          input.addData(Seq((2L, 103L), (3L, 104L)))
+          q.processAllAvailable()
+          val usedRocksDb = q.lastProgress.stateOperators.exists(
+            _.customMetrics.keySet.toArray.exists(
+              _.toString.toLowerCase.contains("rocksdb")))
+          (spark.table(qn).select("doc_id").collect()
+            .map(_.getLong(0)).sorted.toSeq, usedRocksDb)
+        } finally { q.stop(); spark.catalog.dropTempView(qn) }
+      } finally spark.conf.unset(StreamConf.StateStoreKey)
+    }
+    val (rocksIds, rocksEngaged) = run("rocksdb")
+    val (heapIds, heapEngaged) = run("hdfs")
+    assert(rocksEngaged, "rocksdb run shows no RocksDB state metrics")
+    assert(!heapEngaged, "hdfs run unexpectedly used RocksDB")
+    assert(rocksIds == Seq(1L, 2L, 3L) && heapIds == rocksIds)
   }
 }
