@@ -778,7 +778,190 @@ object Dedup extends QueryModule {
        |SELECT src_a, src_b, n_shared_grams, n_docs_a, n_docs_b
        |FROM ng JOIN nd USING (src_a, src_b)""".stripMargin
 
+  // --- q120: substring-level exact dedup (duplicated-span removal) ---------
+  // The standard step AFTER doc-level dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", ACL 2022): find text
+  // spans repeated VERBATIM anywhere in the corpus — boilerplate
+  // headers, license blocks, templated paragraphs that survive doc-level
+  // MinHash — and strip them from the surviving documents. Lee et al.
+  // use a corpus-wide suffix array; the distributed re-expression is
+  // k-gram covering: a position is "duplicated" iff some word k-gram
+  // through it occurs ≥2 times in the corpus, and the maximal covered
+  // runs are the spans (detects every verbatim repeat ≥ k tokens;
+  // boundaries quantized to the token grid — the standard approximation).
+  //
+  // Scale shape: positional k-grams are one scan + explode (no distinct
+  // — positions matter); the duplicated-gram set is ONE key-partitioned
+  // aggregate bounded by the gram VOCABULARY, not the corpus; the
+  // hit-join back is a key-partitioned semi join on the gram; span merge
+  // is a per-doc gaps-and-islands window (bounded by doc length); the
+  // strip is a (doc_id, pos) anti join — every step shuffles on keys
+  // whose cardinality grows with the corpus, nothing is all-pairs.
+
+  /** Positional word `k`-grams of `textCol`: (doc_id, gstart, g) with
+    * gstart the 0-based token index; docs shorter than `k` tokens emit
+    * none (only FULL k-grams — a short doc cannot contain a ≥k-token
+    * repeat). Tokenizer: lowercased `[a-z0-9]+` runs.
+    */
+  private[ops] def positionalGrams(docs: DataFrame, textCol: String,
+      k: Int, idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), expr(
+        s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("t"))
+      .select(col("doc_id"), explode(expr(
+        // sequence() DESCENDS for stop < start — guard short docs to an
+        // empty gram list instead
+        s"""CASE WHEN size(t) >= $k THEN
+           |  transform(sequence(0, size(t) - $k),
+           |    i -> struct(i AS gstart,
+           |                concat_ws(' ', slice(t, i + 1, $k)) AS g))
+           |ELSE array() END""".stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.gstart").as("gstart"), col("pg.g"))
+
+  /** Corpus-duplicated spans of `textCol` per document: (doc_id,
+    * span_start, span_end) in 0-based token indices, end exclusive —
+    * maximal runs of positions covered by some k-gram occurring ≥2
+    * times corpus-wide (including twice within one document).
+    * Overlapping and touching covered windows merge into one span.
+    * `idCol` is surfaced as `doc_id` in the output.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text",
+      k: Int = 5, idCol: String = "doc_id"): DataFrame = {
+    val grams = positionalGrams(docs, textCol, k, idCol)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("g")
+    val hits = grams.join(dup, "g")
+      .select(col("doc_id"), col("gstart"), (col("gstart") + k).as("gend"))
+    // gaps-and-islands: a window opens a new span iff it starts past the
+    // running max end of everything before it (per doc, ordered by start
+    // — starts are unique per doc, one gram per position)
+    val w = Window.partitionBy("doc_id").orderBy("gstart")
+    hits
+      .withColumn("prev_max_end", max(col("gend"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_end").isNull ||
+          col("gstart") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("gstart")).as("span_start"),
+        max(col("gend")).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Documents with duplicated spans stripped: (doc_id, stripped) —
+    * the tokens OUTSIDE every duplicated span, space-joined in order
+    * (token-grid removal: normalization is part of the contract, as in
+    * any tokenized dedup pipeline). Every input doc gets a row; a doc
+    * that is entirely duplicated (or has no tokens) yields ''.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, textCol: String = "text",
+      k: Int = 5, idCol: String = "doc_id"): DataFrame = {
+    val covered = duplicatedSpans(docs, textCol, k, idCol)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
+    val toksPos = docs.select(col(idCol).as("doc_id"), posexplode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        .as(Seq("pos", "tok")))
+    val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("concat_ws(' ', transform(" +
+        "array_sort(collect_list(struct(pos, tok))), x -> x.tok))")
+        .as("stripped"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("stripped"), lit("")).as("stripped"))
+  }
+
+  private val q120K = 5
+
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val perDoc = duplicatedSpans(docs, "text", q120K)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("n_dup_tokens"))
+    val stripped = stripDuplicatedSpans(docs, "text", q120K)
+    docs.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(stripped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_with_dups"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"),
+        coalesce(sum(col("n_dup_tokens")), lit(0L)).as("n_dup_tokens"),
+        // strip semantics pinned end-to-end: XOR of a per-doc hash of the
+        // STRIPPED text — one bit flips if any engine keeps/drops any
+        // token differently in any document
+        expr("bit_xor(" + Dialect.sparkHash60(
+          "concat(CAST(doc_id AS STRING), ':', stripped)") + ")")
+          .as("strip_checksum"))
+  }
+
+  private val q120Sql = {
+    val h = Dialect.duckHash60(
+      "CAST(doc_id AS VARCHAR) || ':' || COALESCE(stripped, '')")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |), pg AS (
+       |  SELECT doc_id, i - 1 AS gstart,
+       |    array_to_string(t[i:i+${q120K - 1}], ' ') AS g
+       |  FROM toks, UNNEST(generate_series(1, len(t) - ${q120K - 1})) AS u(i)
+       |  WHERE len(t) >= $q120K
+       |), dup AS (
+       |  SELECT g FROM pg GROUP BY g HAVING COUNT(*) >= 2
+       |), hits AS (
+       |  SELECT doc_id, gstart, gstart + $q120K AS gend
+       |  FROM pg JOIN dup USING (g)
+       |), isl AS (
+       |  SELECT doc_id, gstart, gend,
+       |    CASE WHEN gstart > COALESCE(MAX(gend) OVER (
+       |      PARTITION BY doc_id ORDER BY gstart
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS new_span
+       |  FROM hits
+       |), spans AS (
+       |  SELECT doc_id, MIN(gstart) AS span_start, MAX(gend) AS span_end
+       |  FROM (SELECT *, SUM(new_span) OVER (
+       |          PARTITION BY doc_id ORDER BY gstart
+       |          ROWS UNBOUNDED PRECEDING) AS span_id FROM isl)
+       |  GROUP BY doc_id, span_id
+       |), per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |    SUM(span_end - span_start) AS n_dup_tokens
+       |  FROM spans GROUP BY doc_id
+       |), covered AS (
+       |  SELECT DISTINCT doc_id, UNNEST(generate_series(span_start,
+       |    span_end - 1)) AS pos
+       |  FROM spans
+       |), toksp AS (
+       |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+       |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+       |), strip AS (
+       |  SELECT tp.doc_id, string_agg(tok, ' ' ORDER BY tp.pos) AS stripped
+       |  FROM toksp tp LEFT JOIN covered c
+       |    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+       |  WHERE c.pos IS NULL
+       |  GROUP BY tp.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN per_doc.n_spans IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_with_dups,
+       |  CAST(COALESCE(SUM(per_doc.n_spans), 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(SUM(per_doc.n_dup_tokens), 0) AS BIGINT)
+       |    AS n_dup_tokens,
+       |  bit_xor($h) AS strip_checksum
+       |FROM documents d
+       |LEFT JOIN per_doc USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, stripped FROM strip) s USING (doc_id)
+       |GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dup_spans" -> q120 _,
     "q110_overlap_matrix" -> q110 _,
     "q105_stream_neardup" -> q105 _,
     "q91_fuzzy_match" -> q91 _,
@@ -791,6 +974,7 @@ object Dedup extends QueryModule {
     "q74_stream_dedup" -> q74 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q120_dup_spans" -> q120Sql,
     "q110_overlap_matrix" -> q110Sql,
     "q91_fuzzy_match" -> q91Sql,
     "q72_window_dedup" -> q72Sql,

@@ -734,4 +734,40 @@ class PublicApiSpec extends SparkTestBase {
     val total = packed.map(_.getLong(3)).sum
     assert(total == 6 + 6 + 7 + 6 + 6, s"rows: ${packed.mkString(";")}")
   }
+
+  test("duplicatedSpans: doc-start/end spans, overlap+touch merge, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),            // "a b c" repeats in doc 2 → span AT DOC START
+      (2L, "x x a b c y z a b c"),    // two hits, second span ends AT DOC END
+      (3L, "p q r s p q r s"),        // self-repeat: windows overlap AND touch
+      (4L, "hi yo"),                  // shorter than k → no grams at all
+      (5L, "m n o")).toDF("id", "body")
+    val spans = Dedup.duplicatedSpans(docs, textCol = "body", k = 3,
+        idCol = "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 3: covered windows [0,3),[1,4),[4,7),[5,8) — [1,4) overlaps,
+    // [4,7) TOUCHES the running end 4 — all merge into one span [0,8)
+    assert(spans == Set((1L, 0, 3), (2L, 2, 5), (2L, 7, 10), (3L, 0, 8)),
+      spans.toString)
+  }
+
+  test("stripDuplicatedSpans removes exactly the covered tokens, '' when all") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x x a b c y z a b c"),
+      (3L, "p q r s p q r s"),
+      (4L, "hi yo"),
+      (5L, "m n o")).toDF("id", "body")
+    val strip = Dedup.stripDuplicatedSpans(docs, textCol = "body", k = 3,
+        idCol = "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strip == Map(
+      1L -> "d e f",       // span stripped from the front
+      2L -> "x x y z",     // both spans stripped, middle + tail
+      3L -> "",            // entirely duplicated → empty survivor
+      4L -> "hi yo",       // sub-k doc passes through verbatim
+      5L -> "m n o"), strip.toString)
+  }
 }
