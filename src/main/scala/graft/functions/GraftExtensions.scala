@@ -50,6 +50,18 @@ object GraftFunctions {
     }
   }
 
+  /** String-literal variant of [[lit]] (merge tables, separators, …). */
+  private def litStr(fn: String, arg: String, e: Expression): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a literal, got ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a non-null string literal, got " +
+          s"${Option(other).getOrElse("NULL")}")
+    }
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0",
       "", "built-in")
@@ -143,6 +155,12 @@ object GraftFunctions {
         "graft_window_min(xs, w) - sliding-window minima (winnowing)"),
       (cs: Seq[Expression]) => WindowMin(cs.head,
         lit("graft_window_min", "w", cs(1)).intValue())),
+    ("graft_bpe",
+      info("graft_bpe",
+        "graft_bpe(words, merges) - BPE-encode each word under a " +
+          "rank-ordered 'a b,th e,...' merge table; symbols space-joined"),
+      (cs: Seq[Expression]) => BpeEncode(cs.head,
+        BpeEncode.parseMerges(litStr("graft_bpe", "merges", cs(1))))),
     ("graft_bloom_contains",
       info("graft_bloom_contains",
         "graft_bloom_contains(filter_bytes, v) - bloom-filter membership " +

@@ -1622,7 +1622,102 @@ object TextAnalysis extends QueryModule {
       |WHERE c12 >= 3
       |ORDER BY pmi_milli DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
+  // --- q121: BPE tokenizer apply -------------------------------------------
+  // Model-token counting (the unit every packing/budget decision in a
+  // training pipeline is actually denominated in — q80/q95's
+  // whitespace-token budgets are a proxy for this): encode each word
+  // under a rank-ordered BPE merge table via the native
+  // [[graft.functions.BpeEncode]] expression (merge table parsed once,
+  // shipped with the plan — the broadcast-dimension pattern), then audit
+  // per source: word/char/BPE-token mass and an XOR checksum over every
+  // document's full encoding, so ONE symbol merged differently anywhere
+  // flips the entry. The oracle replays the identical rank-ordered
+  // left-to-right merge semantics as a folded `replace` chain over the
+  // same merge list (the '|'-delimited-symbols encoding makes one
+  // `replace('|a|b|','|ab|')` exactly one LTR merge pass).
+  //
+  // Scale shape: pure map-side column work — one scan, no shuffle except
+  // the final per-source aggregate; a 10⁵-merge production table rides
+  // the serialized plan instead of a join.
+  private val q121Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "an" -> "d", "o" -> "n", "r" -> "e", "e" -> "n", "a" -> "t",
+    "o" -> "r", "e" -> "s", "in" -> "g", "t" -> "o", "o" -> "u",
+    "i" -> "s", "a" -> "r", "a" -> "l", "s" -> "t", "e" -> "d")
+
+  /** BPE-encode `textCol`'s words under a rank-ordered merge list: adds
+    * `outCol` = array of per-word encodings (symbols space-joined).
+    * Merge tables are dimension-sized — pass the collected rank-ordered
+    * pairs; they travel with the plan, not through a join.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", outCol: String = "bpe"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val spec = merges.map { case (a, b) => s"$a $b" }.mkString(",")
+    docs.withColumn(outCol, expr(
+      s"graft_bpe(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
+        s"'$spec')"))
+  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val spec = q121Merges.map { case (a, b) => s"$a $b" }.mkString(",")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .select(col("doc_id"), col("source"), col("ws"),
+        expr(s"graft_bpe(ws, '$spec')").as("enc"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(ws) AS BIGINT)").as("n_words"),
+        expr("CAST(length(concat_ws('', ws)) AS BIGINT)").as("n_chars"),
+        expr("CAST(aggregate(enc, 0, (acc, e) -> acc + size(split(e, ' ')))" +
+          " AS BIGINT)").as("n_bpe"),
+        expr("concat_ws('  ', enc)").as("enc_text"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        expr("bit_xor(" + Dialect.sparkHash60(
+          "concat(CAST(doc_id AS STRING), ':', enc_text)") + ")")
+          .as("enc_checksum"))
+  }
+
+  private val q121Sql = {
+    val delim = "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'"
+    val folded = q121Merges.foldLeft(delim) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a|$b|', '|$a$b|')"
+    }
+    val encWord = s"replace(trim($folded, '|'), '|', ' ')"
+    val h = Dialect.duckHash60("CAST(doc_id AS VARCHAR) || ':' || enc_text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, source, ws,
+       |    list_transform(ws, w -> $encWord) AS e
+       |  FROM toks
+       |), per_doc AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars,
+       |    CAST(COALESCE(list_sum(list_transform(e,
+       |      x -> len(string_split(x, ' ')))), 0) AS BIGINT) AS n_bpe,
+       |    array_to_string(e, '  ') AS enc_text
+       |  FROM enc
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  bit_xor($h) AS enc_checksum
+       |FROM per_doc GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_bpe_encode" -> q121 _,
     "q119_pmi_collocations" -> q119 _,
     "q111_char_entropy" -> q111 _,
     "q108_pps_sample" -> q108 _,
@@ -1649,6 +1744,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q121_bpe_encode" -> q121Sql,
     "q119_pmi_collocations" -> q119Sql,
     "q111_char_entropy" -> q111Sql,
     "q108_pps_sample" -> q108Sql,

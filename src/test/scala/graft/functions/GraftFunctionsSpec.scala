@@ -346,4 +346,48 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(factSide.nonEmpty,
       s"bloom probe not below the join:\n$root")
   }
+
+  test("graft_bpe: rank-ordered LTR merges, chained merges, overlap skip") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val merges = "t h,th e,i n,a n,an d" // ranks 1..5
+    val got = Seq(
+      ("the",   1), // t+h → th; th+e → the      (chained through ranks)
+      ("thin",  2), // th + in — rank 3 applies AFTER the rank-1 merge
+      ("and",   3), // a+n → an (rank 4); an+d → and (rank 5)
+      ("xq",    4), // no merge applies → char symbols survive
+      ("ttthhh", 5), // only ONE t,h adjacency (LTR, middle): t t th h h
+      ("a",     6)) // single char: nothing to merge
+      .toDF("w", "i")
+      .selectExpr(s"i", s"graft_bpe(array(w), '$merges')[0] AS e")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) == "the", got.toString)
+    assert(got(2) == "th in", got.toString)
+    assert(got(3) == "and", got.toString)
+    assert(got(4) == "x q", got.toString)
+    assert(got(5) == "t t th h h", got.toString)
+    assert(got(6) == "a", got.toString)
+    // self-pair LTR semantics: scan resumes AFTER a merge — "aaa" under
+    // a+a is [aa, a], never [a, aa]
+    val aaa = Seq(Tuple1("aaa")).toDF("w")
+      .selectExpr("graft_bpe(array(w), 'a a')[0] AS e")
+      .head().getString(0)
+    assert(aaa == "aa a", aaa)
+  }
+
+  test("bpeEncode public API on custom columns; literal-merges guard") {
+    import spark.implicits._
+    val df = Seq((1L, "The Thin"), (2L, "")).toDF("id", "body")
+    val enc = graft.ops.TextAnalysis.bpeEncode(df,
+        Seq("t" -> "h", "th" -> "e", "i" -> "n"), textCol = "body")
+      .select("id", "bpe").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) == Seq("the", "th in"), enc.toString) // lowercased words
+    assert(enc(2L) == Seq(), enc.toString)               // empty doc → []
+    // non-literal merge argument must fail at analysis, not mid-job
+    val err = intercept[Exception] {
+      df.selectExpr("graft_bpe(array(body), body)").collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
 }
