@@ -720,6 +720,14 @@ object Dedup extends QueryModule {
   // small side (pairwise intersections ≪ vocabulary) and broadcasts.
   private val q110K = 5
 
+  /** Broadcast ceiling for the shared-gram set (rows): ~30 B/gram row →
+    * ≲ 600 MB broadcast, inside Spark's 8 GB hard cap with headroom. A
+    * corpus whose pairwise-shared vocabulary exceeds this falls back to
+    * the key-partitioned shuffle join rather than failing (the fallback
+    * is correct, just not shuffle-free).
+    */
+  private val q110MaxBroadcastSharedRows = 20L * 1000 * 1000
+
   private def q110(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val dg = Tables.load(s, dir, "documents")
@@ -733,9 +741,25 @@ object Dedup extends QueryModule {
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
         col("a.g").as("g"))
       .persist()
+    // the doc-side join's small side is ASSERTED small, not argued: count
+    // the persisted frame (materializes the persist the downstream
+    // aggregates reuse — not an extra pass) and pin the broadcast with an
+    // explicit hint so AQE can never decide to shuffle the corpus-sized
+    // dg instead; over the ceiling, degrade to the shuffle join loudly
+    val nShared = shared.count()
+    val sharedRenamed = shared.withColumnRenamed("g", "sg")
+    val sharedSmall =
+      if (nShared <= q110MaxBroadcastSharedRows) broadcast(sharedRenamed)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"q110: shared-gram set ($nShared rows) exceeds the " +
+          s"broadcast ceiling $q110MaxBroadcastSharedRows — falling back " +
+          "to a shuffle join")
+        sharedRenamed
+      }
     val nGrams = shared.groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared_grams"))
-    val nDocs = dg.join(shared.withColumnRenamed("g", "sg"),
+    val nDocs = dg.join(sharedSmall,
         col("g") === col("sg") &&
           (col("source") === col("src_a") || col("source") === col("src_b")))
       .groupBy("src_a", "src_b")

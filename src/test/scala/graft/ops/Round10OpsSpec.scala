@@ -317,6 +317,18 @@ class Round10OpsSpec extends SparkTestBase {
     assert(nExchanges == 1, s"expected 1 shuffle, plan:\n${plan.take(800)}")
   }
 
+  // --- q110 doc-side join stays broadcast ----------------------------------
+
+  test("q110's corpus-side join broadcasts the shared-gram set") {
+    // the scale contract: the doc-gram stream (corpus-sized) must never
+    // shuffle for the shared-gram join — the hint pins a BroadcastHashJoin
+    // regardless of AQE's size estimate
+    val plan = graft.SparkEntry.queries("q110_overlap_matrix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in q110 plan:\n${plan.take(1200)}")
+  }
+
   // --- PMI vs direct formula -----------------------------------------------
 
   test("q119 PMI matches the direct formula and keeps only top bigrams") {
