@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: synthesize an sf1 dataset as 10 key-shifted copies of the
+  * driver's sf0.1 parquet (the driver ships sf0.001/0.01/0.1 only; the
+  * scale sweep needs one more decade to separate fixed overhead from the
+  * data term). NOT an oracle input — correctness stays pinned to the
+  * driver's tables; this exists solely for time-vs-rows measurements.
+  *
+  * Construction preserves what the sweep measures:
+  *   - referential integrity: every key domain shifts by copy·stride, so
+  *     joins fan out exactly as at sf0.1 (no dangling keys, no
+  *     cross-copy matches);
+  *   - dimensions (region, nation) stay single-copy — as at any real
+  *     scale factor;
+  *   - events keep their timestamps → 10× density in the same window,
+  *     which is what a bigger deployment's event stream looks like;
+  *   - documents get PER-COPY TOKEN SUFFIXES (copy 0 verbatim): a naive
+  *     10× text copy would make every doc a 10-way near-dup and inflate
+  *     every dedup measurement quadratically IN THE DATA — suffixing
+  *     decouples the copies so per-copy duplicate structure (and
+  *     per-copy vocabulary) is preserved while the corpus row count
+  *     scales 10×.
+  */
+object DevMakeSf1 {
+  private val Factor = 10
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val orderS = 10L * 1000 * 1000
+    val custS = 1L * 1000 * 1000
+    val partS = 1L * 1000 * 1000
+    val suppS = 100L * 1000
+    val eventS = 10L * 1000 * 1000
+    val userS = 10L * 1000 * 1000
+    val docS = 1L * 1000 * 1000
+    val vecS = 1L * 1000 * 1000
+
+    def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+    def scaled(t: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val base = load(t)
+      val all = (0 until Factor).map(i => copy(base, i)).reduce(_ union _)
+      all.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"MAKESF1 $t rows=${spark.read.parquet(s"$out/$t.parquet").count()}")
+    }
+
+    def shift(df: DataFrame, c: String, stride: Long, i: Int): DataFrame =
+      df.withColumn(c, col(c) + lit(stride * i))
+
+    Seq("region", "nation").foreach { t =>
+      load(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"MAKESF1 $t (dimension, single copy)")
+    }
+    scaled("customer")((d, i) => shift(d, "c_custkey", custS, i))
+    scaled("supplier")((d, i) => shift(d, "s_suppkey", suppS, i))
+    scaled("part")((d, i) => shift(d, "p_partkey", partS, i))
+    scaled("orders")((d, i) =>
+      shift(shift(d, "o_orderkey", orderS, i), "o_custkey", custS, i))
+    scaled("lineitem")((d, i) =>
+      shift(shift(shift(d, "l_orderkey", orderS, i),
+        "l_partkey", partS, i), "l_suppkey", suppS, i))
+    scaled("events")((d, i) =>
+      shift(shift(d, "event_id", eventS, i), "user_id", userS, i))
+    scaled("documents") { (d, i) =>
+      val shifted = shift(d, "doc_id", docS, i)
+      // LETTER-ONLY copy tag: several tokenizers are '[a-z]+' — a digit
+      // tag ('x1') would be STRIPPED and collapse copies 1..9 onto one
+      // identical suffixed corpus, manufacturing 9-way near-dups that
+      // inflate every pair-based dedup measurement ~100× (observed:
+      // 256 → 200k edges before this fix)
+      val tag = s"x${('a' + i).toChar}"
+      if (i == 0) shifted
+      else shifted.withColumn("text", expr(
+        // token-level decoupling: every whitespace token gets a copy tag,
+        // so tokenizers ([a-z]+ / [a-z0-9]+) see disjoint vocabularies
+        s"concat_ws(' ', transform(split(text, '\\\\s+'), t -> concat(t, '$tag')))"))
+    }
+    scaled("embeddings")((d, i) => shift(d, "vec_id", vecS, i))
+    spark.stop()
+  }
+}

@@ -2,19 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: scale-sweep probe — times the heavy operators at sf0.001,
-  * sf0.01, sf0.1 (100× row-count span) so superlinear behavior (shuffle
+/** Dev-only: scale-sweep probe — times the most expensive non-streaming
+  * battery entries across a 100× scale span (sf0.01 → sf0.1 → sf1, the
+  * last synthesized by [[DevMakeSf1]]) so superlinear behavior (shuffle
   * blowup, state growth, skew) is visible in-repo as time-vs-rows. A
-  * scale-safe plan should track the row count roughly linearly once above
-  * fixed per-job overhead; a superlinear column is the early warning that
-  * a plan would NOT survive the jump to cluster scale. Output is recorded
-  * in PERF.md per round.
+  * scale-safe plan should track the row count roughly linearly once
+  * above fixed per-job overhead; a superlinear column is the early
+  * warning that a plan would NOT survive the jump to cluster scale.
+  * Output is recorded in PERF.md per round.
+  *
+  * Usage: `runMain graft.DevScaleSweep [entry...]` — default is the
+  * round-11 audit set (the 10 most expensive non-streaming entries).
+  * sf1 location: env GRAFT_SF1_DIR, default /tmp/graft-sf1.
   */
 object DevScaleSweep {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q20_sweepline", "q26_minhash_lsh", "q50_dedup_clusters")
-    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      else Seq("q101_pipeline_e2e", "q110_overlap_matrix", "q107_pagerank",
+        "q103_domain_cap_etld", "q50_dedup_clusters",
+        "q76_approx_percentile", "q46_percentiles", "q115_mad_outliers",
+        "q116_cohort_retention", "q117_funnel")
+    val sf1Dir = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    val sfs = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1" -> sf1Dir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,14 +51,16 @@ object DevScaleSweep {
       "q95_packing_scan" -> "documents", "q97_rest_ingest" -> "events",
       "q98_pii_redact" -> "documents", "q99_lm_score" -> "documents",
       "q100_gapfill_multi" -> "events", "q101_pipeline_e2e" -> "events",
-      "q102_domain_cap" -> "documents")
+      "q102_domain_cap" -> "documents", "q103_domain_cap_etld" -> "documents",
+      "q110_overlap_matrix" -> "documents", "q116_cohort_retention" -> "events",
+      "q117_funnel" -> "events", "q120_dup_spans" -> "documents",
+      "q121_bpe_encode" -> "documents")
       .withDefaultValue("lineitem")
 
     names.foreach { n =>
       exec(n, "/root/testdata/sf0.001") // warm JIT/codegen once
       spark.catalog.clearCache()
-      val cells = sfs.map { sf =>
-        val dir = s"/root/testdata/$sf"
+      val cells = sfs.map { case (label, dir) =>
         val rows = spark.read.parquet(s"$dir/${table(n)}.parquet").count()
         // min-of-3: the estimator robust to external contention
         val t = (1 to 3).map { _ =>
@@ -55,7 +69,7 @@ object DevScaleSweep {
           spark.catalog.clearCache()
           (System.nanoTime() - t0) / 1e9
         }.min
-        f"$sf=$t%.2fs/$rows%,d rows"
+        f"$label=$t%.2fs/$rows%,d rows"
       }
       println(s"SCALE $n  ${cells.mkString("  ")}")
     }

@@ -466,7 +466,99 @@ object Similarity extends QueryModule {
       |    AS BIGINT) AS max_se_e12
       |FROM d GROUP BY dim""".stripMargin
 
+  // --- q122: STREAMING IVF index monitor -----------------------------------
+  // The incremental embedding-index build a landing zone runs as vectors
+  // arrive (q105's file-source pattern composed with q41's coarse
+  // quantizer): readStream over the embeddings parquet → STATELESS
+  // nearest-anchor assignment (the 16 fixed anchors fold into the
+  // streaming plan as a literal — a fold-argmax over the anchor array
+  // with the EXACT cosine arithmetic of the batch quantizer, strict `>`
+  // so equal sims keep the lowest cell like the batch window's
+  // `csim DESC, cell ASC`) → stateful per-cell membership sets (ids
+  // ONLY — vectors never enter state; the probe re-joins them from the
+  // table, q105's trick). After the drain, the fixed query set probes
+  // nProbe cells against the STREAM-built index and the top-k must
+  // equal the oracle-hash-checked q41 batch result row-for-row — the
+  // transitive parity scheme, fail-loud via the gate bit.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val path = s"$dir/embeddings.parquet"
+    val schema = s.read.parquet(path).schema
+    val e = Tables.load(s, dir, "embeddings")
+    val anchorsDf = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + NCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("av"))
+    // NCells rows, collected in cell order so the fold's first-wins tie
+    // rule matches the batch window's `cell ASC`
+    val anchorLit = typedLit(anchorsDf.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq)
+    def cosA(v: String) =
+      s"graft_dot(embedding, $v) / (sqrt(graft_dot(embedding, embedding))" +
+        s" * sqrt(graft_dot($v, $v)))"
+    val assignExpr =
+      s"""aggregate(__anchors,
+         |  named_struct('s', CAST(-2.0 AS DOUBLE), 'c', CAST(-1 AS BIGINT)),
+         |  (acc, a) -> CASE WHEN ${cosA("a._2")} > acc.s
+         |    THEN named_struct('s', CAST(${cosA("a._2")} AS DOUBLE),
+         |                      'c', a._1)
+         |    ELSE acc END).c""".stripMargin
+
+    val qname = s"q122_${System.nanoTime()}"
+    val index = graft.streaming.StreamConf.withStateParts(s) {
+      val q = s.readStream.schema(schema)
+        .parquet(s"$dir/embeddings*.parquet")
+        .filter(col("vec_id") >= NQueries) // q41's candidate set
+        .withColumn("__anchors", anchorLit)
+        .select(col("vec_id"), expr(assignExpr).as("cell"))
+        .groupBy("cell")
+        .agg(collect_set(col("vec_id")).as("ids"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
+
+    // probe against the STREAM-built index: q41's probe assignment, the
+    // index's memberships, vectors re-joined from the table
+    import s.implicits._
+    val indexDf = index.toSeq
+      .flatMap(r => r.getSeq[Long](1).map(id => (r.getLong(0), id)))
+      .toDF("cell", "cid")
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(anchorsDf))
+      .withColumn("csim", expr(cosineSpark("embedding", "av")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val streamTopK = indexDf
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        "cid")
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+        col("rn"))
+      .collect()
+
+    val batch = q41(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    graft.ParityGate(
+      streamTopK.toSeq.map { r =>
+        val t = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+        (t._1, t._2, t._3, t._4,
+          batch.contains(t) && batch.size == streamTopK.length)
+      }.toDF("qid", "cid", "sim", "rn", "matches_batch"),
+      "q122_stream_ivf", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_stream_ivf" -> q122 _,
     "q89_quantization" -> q89 _,
     "q29_knn_brute" -> q29 _,
     "q30_ann_lsh" -> q30 _,
