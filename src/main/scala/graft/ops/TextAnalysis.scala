@@ -1716,7 +1716,116 @@ object TextAnalysis extends QueryModule {
        |FROM per_doc GROUP BY source""".stripMargin
   }
 
+  // --- q123: interpolated bigram-LM scoring --------------------------------
+  // One rung up the perplexity-filter ladder from q99's unigram model
+  // (KenLM-style filtering, simplified to the distributed-shape
+  // essentials): per-doc bigram log-likelihood under the corpus's own
+  // interpolated bigram model,
+  //   P(w2|w1) = λ·c(w1,w2)/ctx(w1) + (1−λ)·c(w2)/T,   λ = 0.7,
+  // with ctx(w1) = Σ_w2 c(w1,w2) (occurrences of w1 as a predecessor)
+  // and T the corpus token mass. Scoring the training corpus itself
+  // (the curation use) means every observed bigram has c ≥ 1 and every
+  // context ctx ≥ 1, so no smoothing zeros arise; the FIRST token of a
+  // doc is deliberately out of scope (bigram positions i ≥ 2 only) —
+  // documented contract, same as any windowed LM score.
+  //
+  // Cross-engine exactness (q99's recipe): each term is computed as
+  //   floor(ln( DOUBLE(λn·c12·T + (10−λn)·ctx·c2) / DOUBLE(10·ctx·T) )·1000)
+  // — integer numerator/denominator built exactly, ONE double division,
+  // libm ln, floored to integer millinats BEFORE the per-doc sum, so
+  // partition order cannot move the result. Int64 bound: λn·c12·T <
+  // 2^63 needs c12·T < 1.3e18 — fine to ~10¹² tokens with hot bigrams
+  // ≤ 10⁶; beyond that, scale c12/T to per-mille ranks first.
+  //
+  // Scale shape: doc bigrams are one scan + explode (linear); the model
+  // is two vocabulary-bounded aggregates; scoring joins are
+  // key-partitioned on (w1,w2) and w2 — the q99 open-vocab shape; T is
+  // a broadcast 1-row cross join.
+  private val q123LambdaTenths = 7
+
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+    val bigs = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(1, size(t) - 1),
+          |    i -> struct(t[i - 1] AS w1, t[i] AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c2")).as("T"))
+    val bmodel = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bmodel.groupBy("w1").agg(sum(col("c12")).as("ctx"))
+    val lam = q123LambdaTenths
+    val scored = bigs
+      .join(bmodel, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr(s"CAST(floor(ln(CAST($lam * c12 * T + ${10 - lam} * ctx * c2" +
+          s" AS DOUBLE) / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("term_milli"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term_milli")).as("ll_milli"))
+    docs.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).as("n_bigrams"),
+        coalesce(sum(col("ll_milli")), lit(0L)).as("sum_ll_milli"),
+        coalesce(min(col("ll_milli")), lit(0L)).as("min_doc_ll"),
+        coalesce(max(col("ll_milli")), lit(0L)).as("max_doc_ll"))
+  }
+
+  private val q123Sql = {
+    val lam = q123LambdaTenths
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS t
+       |  FROM documents
+       |), bigs AS (
+       |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+       |  FROM toks, UNNEST(generate_series(2, len(t))) AS u(i)
+       |  WHERE len(t) >= 2
+       |), uni AS (
+       |  SELECT w, COUNT(*) AS c2
+       |  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+       |), tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS T FROM uni),
+       |bmodel AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bigs GROUP BY w1, w2
+       |), ctx AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx FROM bmodel GROUP BY w1
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(ln(CAST($lam * c12 * T + ${10 - lam} * ctx * c2
+       |      AS DOUBLE) / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)
+       |      AS term_milli
+       |  FROM bigs
+       |  JOIN bmodel USING (w1, w2)
+       |  JOIN ctx USING (w1)
+       |  JOIN uni ON bigs.w2 = uni.w
+       |  CROSS JOIN tot
+       |), per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(term_milli) AS BIGINT) AS ll_milli
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COALESCE(SUM(n_bigrams), 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(SUM(ll_milli), 0) AS BIGINT) AS sum_ll_milli,
+       |  CAST(COALESCE(MIN(ll_milli), 0) AS BIGINT) AS min_doc_ll,
+       |  CAST(COALESCE(MAX(ll_milli), 0) AS BIGINT) AS max_doc_ll
+       |FROM documents LEFT JOIN per_doc USING (doc_id)
+       |GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_bigram_lm" -> q123 _,
     "q121_bpe_encode" -> q121 _,
     "q119_pmi_collocations" -> q119 _,
     "q111_char_entropy" -> q111 _,
@@ -1744,6 +1853,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q123_bigram_lm" -> q123Sql,
     "q121_bpe_encode" -> q121Sql,
     "q119_pmi_collocations" -> q119Sql,
     "q111_char_entropy" -> q111Sql,
