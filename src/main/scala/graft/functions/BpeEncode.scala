@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * carried by the plan (broadcast to every task with the serialized
   * expression), and each word is encoded by a tight in-memory loop over
   * only the pairs actually present. The oracle replays the identical
-  * LTR-pass semantics as nested `replace` over a small merge list.
+  * LTR-pass semantics as nested `replace` over a small merge list —
+  * with DOUBLE delimiters between symbols so consecutive matches in a
+  * run of identical symbols touch without overlapping (a single shared
+  * boundary char would make replace() under-merge 3+ runs).
   *
   * Cost note: each rank is a cheap pre-scan over the (short) symbol
   * array, rebuilding it only when the pair occurs — O(|word| · |table|)

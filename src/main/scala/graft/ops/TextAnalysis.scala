@@ -1685,11 +1685,20 @@ object TextAnalysis extends QueryModule {
   }
 
   private val q121Sql = {
-    val delim = "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'"
+    // DOUBLE delimiter between symbols ('|a||b||c|'): with a single
+    // delimiter, consecutive matches of a self-adjacent pair would SHARE
+    // the boundary '|' — replace() consumes it and the next occurrence
+    // in a run of 3+ identical symbols cannot match, under-merging runs
+    // ('b b b b' → [bb, b, b] instead of [bb, bb]). With '||' between
+    // symbols, adjacent matches touch without overlapping, so one
+    // replace() IS one LTR merge pass (property-tested against the loop
+    // encoder on random pathological merge lists in PropertiesSpec).
+    val delim =
+      "'|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|'"
     val folded = q121Merges.foldLeft(delim) { case (acc, (a, b)) =>
-      s"replace($acc, '|$a|$b|', '|$a$b|')"
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
     }
-    val encWord = s"replace(trim($folded, '|'), '|', ' ')"
+    val encWord = s"replace(trim($folded, '|'), '||', ' ')"
     val h = Dialect.duckHash60("CAST(doc_id AS VARCHAR) || ':' || enc_text")
     s"""WITH toks AS (
        |  SELECT doc_id, source,

@@ -263,4 +263,72 @@ class PropertiesSpec extends SparkTestBase {
       assert(m.getAs[Long]("max_concurrent_pods") == brute)
     }
   }
+
+  test("graft_bpe equals the delimiter-replace formulation on random input") {
+    // independent second formulation — the ORACLE's: each merge is one
+    // LTR pass of java.lang.String.replace (non-regex, non-overlapping)
+    // over '|'-delimited symbols; must agree with the loop encoder on
+    // arbitrary words and arbitrary (even pathological) merge lists
+    def viaReplace(w: String, merges: Seq[(String, String)]): String = {
+      // double delimiters between symbols: consecutive matches of a
+      // self-adjacent pair must TOUCH without overlapping, else runs of
+      // 3+ identical symbols under-merge (the bug this test caught in
+      // the single-delimiter formulation)
+      val delim = "|" + w.map(_.toString).mkString("||") + "|"
+      val folded = merges.foldLeft(delim) { case (acc, (a, b)) =>
+        acc.replace(s"|$a||$b|", s"|$a$b|")
+      }
+      folded.stripPrefix("|").stripSuffix("|")
+        .split("\\|\\|").mkString(" ")
+    }
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa")
+    val genMerges = Gen.listOfN(8, Gen.zip(sym, sym))
+    val genWord = Gen.listOfN(12, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val gen = Gen.zip(genMerges, Gen.listOfN(20, genWord))
+    samples(gen, 8).foreach { case (merges, words) =>
+      val table = graft.functions.BpeEncode.Table(merges)
+      words.foreach { w =>
+        val loop = graft.functions.BpeEncode.encodeWord(w, table)
+        val repl = viaReplace(w, merges)
+        assert(loop == repl, s"word=$w merges=$merges: $loop != $repl")
+      }
+    }
+  }
+
+  test("duplicatedSpans equals the brute-force k-gram cover on random corpora") {
+    import spark.implicits._
+    val genDoc = Gen.listOfN(10, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))
+    val gen = Gen.listOfN(6, genDoc)
+    samples(gen, 4).foreach { texts =>
+      val k = 3
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "body")
+      val got = ops.Dedup.duplicatedSpans(docs, "body", k, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      // brute force: count k-grams corpus-wide, mark covered positions,
+      // read maximal runs
+      val toks = texts.map(_.split(" ").toVector)
+      val grams = toks.zipWithIndex.flatMap { case (t, id) =>
+        (0 to t.length - k).map(i => (t.slice(i, i + k).mkString(" "), id, i))
+      }
+      val dup = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val expect = toks.zipWithIndex.flatMap { case (t, id) =>
+        val covered = (0 to t.length - k)
+          .filter(i => dup.contains(t.slice(i, i + k).mkString(" ")))
+          .flatMap(i => i until i + k).toSet
+        // maximal runs of covered positions
+        val runs = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        var i = 0
+        while (i < t.length) {
+          if (covered(i)) {
+            var j = i
+            while (j < t.length && covered(j)) j += 1
+            runs += ((i, j)); i = j
+          } else i += 1
+        }
+        runs.map { case (s, e) => (id.toLong, s, e) }
+      }.toSet
+      assert(got == expect, s"texts=$texts\ngot=$got\nexpect=$expect")
+    }
+  }
 }
