@@ -1195,8 +1195,21 @@ object TextAnalysis extends QueryModule {
     * UDF — at a full 9k-rule list the same shape still holds (one
     * hash-set probe per depth).
     */
-  def registrableDomain(host: Column): Column = {
-    val parts = split(host, "\\.")
+  def registrableDomain(host: Column): Column =
+    registrableDomainBound(host, split(host, "\\."))
+
+  /** The cascade over PRE-BOUND `host`/`parts` columns. Why the split:
+    * inlined, the host derivation (a 4-regexp chain for [[urlHost]])
+    * replicates into every CASE branch (~15 copies) and the fused
+    * whole-stage function costs ~1.6 s of Janino compilation PER QUERY
+    * (measured flat across 100× rows, DevQ103Probe: 2.4 s → 0.8 s with
+    * codegen off). Callers on a hot path bind `host` and `parts` as
+    * their own projection columns — split/regexp are non-cheap and
+    * multiply-referenced, so CollapseProject keeps that projection
+    * separate and each stage codegens small.
+    */
+  private[ops] def registrableDomainBound(host: Column, parts: Column)
+      : Column = {
     val n = size(parts)
     // last k labels / last k+1 labels, joined back with dots. The
     // greatest(…, 1) clamp keeps slice() total — its value is only USED
@@ -1264,8 +1277,16 @@ object TextAnalysis extends QueryModule {
     require(!docs.columns.contains("domain"),
       "domainCap emits a `domain` column; rename the existing one")
     val host = urlHost(col(urlCol))
-    val withDomain = docs.withColumn("domain",
-      if (registrable) registrableDomain(host) else host)
+    val withDomain =
+      if (registrable)
+        // bind host + parts as their own projection (see
+        // registrableDomainBound's compile-cost note)
+        docs.withColumn("__rd_host", host)
+          .withColumn("__rd_parts", split(col("__rd_host"), "\\."))
+          .withColumn("domain", registrableDomainBound(
+            col("__rd_host"), col("__rd_parts")))
+          .drop("__rd_host", "__rd_parts")
+      else docs.withColumn("domain", host)
     stratifiedSample(withDomain.filter(col("domain").isNotNull),
         k, keySql, Seq("domain"))
       .unionByName(withDomain.filter(col("domain").isNull))
