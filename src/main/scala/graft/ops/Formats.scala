@@ -68,6 +68,24 @@ object Formats extends QueryModule {
        |FROM documents GROUP BY source""".stripMargin
   }
 
+  // --- q124: ORC sink → source round trip under the table checksum --------
+  // Same drift surface as q112 for Spark's OTHER built-in columnar
+  // format: documents → ORC write → read-back → grouped XOR content
+  // checksum, oracle-compared against the checksum computed straight
+  // from the parquet table. DuckDB cannot read ORC — it doesn't need
+  // to: parity(parquet-direct, ORC-round-tripped) proves the sink and
+  // source preserve every byte of every column. Scale shape: identical
+  // to q112 (partition-parallel write/read + one grouped aggregate).
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    withScratch(s, "q124") { path =>
+      docs.write.mode("overwrite").orc(path)
+      val back = s.read.schema(docs.schema).orc(path)
+      Temporal.tableChecksum(back, docRowKeySpark, Seq("source"))
+        .localCheckpoint() // pin before the scratch files are deleted
+    }
+  }
+
   // --- q118: deterministic corpus shuffle + shard assignment ---------------
   // The global-shuffle job a training pipeline runs before writing
   // shards: every document gets a pseudo-random but DETERMINISTIC
@@ -131,9 +149,13 @@ object Formats extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_jsonl_roundtrip" -> q112 _,
-    "q118_corpus_shuffle" -> q118 _)
+    "q118_corpus_shuffle" -> q118 _,
+    "q124_orc_roundtrip" -> q124 _)
 
   val oracleSql: Map[String, String] = Map(
     "q112_jsonl_roundtrip" -> q112Sql,
-    "q118_corpus_shuffle" -> q118Sql)
+    "q118_corpus_shuffle" -> q118Sql,
+    // the oracle reads the SAME documents parquet directly — parity
+    // proves the ORC round trip changed nothing
+    "q124_orc_roundtrip" -> q112Sql)
 }
