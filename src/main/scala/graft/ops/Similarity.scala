@@ -466,6 +466,47 @@ object Similarity extends QueryModule {
       |    AS BIGINT) AS max_se_e12
       |FROM d GROUP BY dim""".stripMargin
 
+  // --- q125: semantic dedup clusters (embedding pairs → components) --------
+  // The embedding-space mirror of q50: SRP-bucketed cosine near-dup
+  // PAIRS (q31's oracle-checked generator) resolved into duplicate
+  // GROUPS by distributed connected components — "keep one doc per
+  // semantic cluster", the last step of embedding-based dedup. Same
+  // composition contract as q50: both building blocks are independently
+  // oracle-checked, and the composed result hash-matches a DuckDB
+  // recursive-CTE transitive closure over the identical pair set.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingNearDupPairs(Tables.load(s, dir, "embeddings"))
+      .select(col("v1").as("a"), col("v2").as("b"))
+    Graph.connectedComponents(pairs)
+      .groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), min(col("comp")).as("min_rep"))
+  }
+
+  private val q125Sql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, ${sigDuck("embedding")} AS sig
+       |  FROM embeddings
+       |), p0 AS (
+       |  SELECT l.vec_id AS v1, r.vec_id AS v2
+       |  FROM e l JOIN e r ON l.sig = r.sig AND l.vec_id < r.vec_id
+       |  WHERE ${cosineDuck("l.embedding", "r.embedding")} > $DupThreshold
+       |), edges AS (
+       |  SELECT v1 AS a, v2 AS b FROM p0
+       |  UNION SELECT v2, v1 FROM p0
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+       |), comp AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+       |), cs AS (
+       |  SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp
+       |)
+       |SELECT CAST(csize AS BIGINT) AS cluster_size,
+       |  COUNT(*) AS n_clusters, CAST(MIN(comp) AS BIGINT) AS min_rep
+       |FROM cs GROUP BY csize""".stripMargin
+
   // --- q122: STREAMING IVF index monitor -----------------------------------
   // The incremental embedding-index build a landing zone runs as vectors
   // arrive (q105's file-source pattern composed with q41's coarse
@@ -558,6 +599,7 @@ object Similarity extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_embed_clusters" -> q125 _,
     "q122_stream_ivf" -> q122 _,
     "q89_quantization" -> q89 _,
     "q29_knn_brute" -> q29 _,
@@ -567,6 +609,7 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q125_embed_clusters" -> q125Sql,
     "q89_quantization" -> q89Sql,
     "q29_knn_brute" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
