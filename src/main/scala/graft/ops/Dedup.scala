@@ -984,7 +984,58 @@ object Dedup extends QueryModule {
        |GROUP BY source""".stripMargin
   }
 
+  // --- q126: STREAMING duplicated-gram monitor ------------------------------
+  // The incremental side of q120: as documents land, maintain the
+  // corpus-wide positional-5-gram counts in keyed state (vocabulary-
+  // sized — exactly the state class the RocksDB backend exists for) so
+  // the duplicated-gram set, and therefore the q120 span rule, is
+  // continuously current without re-scanning history. Complete-mode
+  // aggregate over the SAME stateless positionalGrams projection the
+  // batch operator uses (one drift surface, the q105 construction).
+  //
+  // Gate (transitive, q105's scheme): the final stream state must equal
+  // the batch gram-count table EXACTLY — checked as a zero full-outer
+  // symmetric difference on (gram, count) — and the emitted multiplicity
+  // histogram rows each carry the fail-loud bit. q120's oracle hash
+  // pins the batch semantics; equality pins the stream to it.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val qname = s"q126_${System.nanoTime()}"
+    val (streamHist, nDiff) =
+      graft.streaming.StreamConf.withStateParts(s, n = 8) {
+        val q = positionalGrams(
+            s.readStream.schema(schema).parquet(s"$dir/documents*.parquet"),
+            "text", q120K)
+          .groupBy("g").agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          val st = s.table(qname)
+          val batch = positionalGrams(Tables.load(s, dir, "documents"),
+              "text", q120K)
+            .groupBy("g").agg(count(lit(1)).as("bn"))
+          val diff = st.join(batch, Seq("g"), "full_outer")
+            .filter(col("n").isNull || col("bn").isNull ||
+              col("n") =!= col("bn"))
+            .count()
+          val hist = st.groupBy("n")
+            .agg(count(lit(1)).as("n_grams"))
+            .collect()
+          (hist, diff)
+        } finally { q.stop(); s.catalog.dropTempView(qname) }
+      }
+    import s.implicits._
+    graft.ParityGate(
+      streamHist.toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), nDiff == 0L))
+        .toDF("n_occurrences", "n_grams", "matches_batch"),
+      "q126_stream_dupgrams", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_stream_dupgrams" -> q126 _,
     "q120_dup_spans" -> q120 _,
     "q110_overlap_matrix" -> q110 _,
     "q105_stream_neardup" -> q105 _,
