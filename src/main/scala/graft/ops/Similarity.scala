@@ -507,6 +507,53 @@ object Similarity extends QueryModule {
        |  COUNT(*) AS n_clusters, CAST(MIN(comp) AS BIGINT) AS min_rep
        |FROM cs GROUP BY csize""".stripMargin
 
+  // --- q127: semantic-dedup survivors ---------------------------------------
+  // The actionable half of q125: drop every cluster member except the
+  // representative (min vec_id — the component label itself, so NO extra
+  // ranking pass is needed) and report the surviving corpus per label.
+  // Vectors in no cluster survive via the anti join. This is "keep one
+  // per semantic cluster" — the embedding-path mirror of q72's
+  // keep-first survivors.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val comp = Graph.connectedComponents(
+      embeddingNearDupPairs(e).select(col("v1").as("a"), col("v2").as("b")))
+    val dropped = comp.filter(col("id") =!= col("comp"))
+      .select(col("id").as("vec_id"))
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_survivors"),
+        min(col("vec_id")).as("first_id"),
+        sum(col("vec_id")).as("id_sum"))
+  }
+
+  private val q127Sql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, ${sigDuck("embedding")} AS sig
+       |  FROM embeddings
+       |), p0 AS (
+       |  SELECT l.vec_id AS v1, r.vec_id AS v2
+       |  FROM e l JOIN e r ON l.sig = r.sig AND l.vec_id < r.vec_id
+       |  WHERE ${cosineDuck("l.embedding", "r.embedding")} > $DupThreshold
+       |), edges AS (
+       |  SELECT v1 AS a, v2 AS b FROM p0
+       |  UNION SELECT v2, v1 FROM p0
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+       |), comp AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+       |), dropped AS (
+       |  SELECT id AS vec_id FROM comp WHERE id <> comp
+       |)
+       |SELECT label, COUNT(*) AS n_survivors,
+       |  CAST(MIN(vec_id) AS BIGINT) AS first_id,
+       |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+       |FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |GROUP BY label""".stripMargin
+
   // --- q122: STREAMING IVF index monitor -----------------------------------
   // The incremental embedding-index build a landing zone runs as vectors
   // arrive (q105's file-source pattern composed with q41's coarse
@@ -600,6 +647,7 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_embed_clusters" -> q125 _,
+    "q127_semantic_survivors" -> q127 _,
     "q122_stream_ivf" -> q122 _,
     "q89_quantization" -> q89 _,
     "q29_knn_brute" -> q29 _,
@@ -610,6 +658,7 @@ object Similarity extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q125_embed_clusters" -> q125Sql,
+    "q127_semantic_survivors" -> q127Sql,
     "q89_quantization" -> q89Sql,
     "q29_knn_brute" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,

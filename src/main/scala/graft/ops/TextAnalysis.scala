@@ -1138,7 +1138,7 @@ object TextAnalysis extends QueryModule {
     * snapshot (none present); unknown TLDs fall back to the PSL's
     * default `*` rule (last label is the public suffix).
     */
-  private[ops] val PublicSuffixSnapshot: Seq[String] = Seq(
+  private[graft] val PublicSuffixSnapshot: Seq[String] = Seq(
     "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
     "io", "co", "ai", "dev", "app", "xyz", "me",
     "uk", "jp", "au", "de", "fr", "it", "nl", "es", "se", "ch", "br",

@@ -295,6 +295,37 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("registrableDomain equals an independent PSL replay on random hosts") {
+    import spark.implicits._
+    // independent longest-suffix-match reference over the same snapshot
+    val snapshot = ops.TextAnalysis.PublicSuffixSnapshot
+    val byDepth = snapshot.groupBy(_.count(_ == '.') + 1)
+    val maxDepth = byDepth.keys.max
+    def ref(host: String): Option[String] = {
+      if (snapshot.contains(host)) return None
+      val ls = host.split('.')
+      (maxDepth to 1 by -1).foreach { k =>
+        if (ls.length > k && byDepth.get(k).exists(_.contains(
+            ls.takeRight(k).mkString("."))))
+          return Some(ls.takeRight(k + 1).mkString("."))
+      }
+      if (ls.length >= 2) Some(ls.takeRight(2).mkString(".")) else None
+    }
+    val label = Gen.oneOf("com", "co", "uk", "jp", "example", "a", "bb",
+      "github", "io", "net", "au", "org", "x")
+    val genHost = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n, label).map(_.mkString(".")))
+    samples(Gen.listOfN(40, genHost), 6).foreach { hosts =>
+      val got = hosts.toDF("h")
+        .select(col("h"),
+          ops.TextAnalysis.registrableDomain(col("h")).as("d"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+      got.foreach { case (h, d) =>
+        assert(d == ref(h), s"host=$h got=$d want=${ref(h)}")
+      }
+    }
+  }
+
   test("duplicatedSpans equals the brute-force k-gram cover on random corpora") {
     import spark.implicits._
     val genDoc = Gen.listOfN(10, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))
