@@ -262,9 +262,98 @@ object Graph extends QueryModule {
        |ORDER BY rank_scaled DESC, nation ASC""".stripMargin
   }
 
+  // --- frontier BFS: minimum hop distance from a seed set ------------------
+
+  /** Minimum hop count from any seed, frontier-expanded: each round joins
+    * only the PREVIOUS round's newly-reached nodes against the edge list
+    * (never the full visited set), anti-joins out already-visited ids,
+    * and stops early when the frontier empties — the textbook distributed
+    * BFS shape: per round one key-partitioned join + one anti join, both
+    * sized by the frontier, not the graph. `maxHops` caps the rounds
+    * (and is part of the result contract: nodes farther than `maxHops`
+    * are absent).
+    *
+    * @param edges directed edges `src`, `dst`
+    * @param seeds distance-0 nodes, column `id`
+    * @return (`id`, `hops`) for every node within `maxHops` of a seed
+    */
+  def hopDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    var dist = seeds.select(col("id"), lit(0L).as("hops"))
+      .distinct().localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    var frontierSize = 1L
+    while (h <= maxHops && frontierSize > 0) {
+      val next = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .select(edges("dst").as("id"), lit(h.toLong).as("hops"))
+        .distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(false) // lineage O(1) per round, CC's trade
+      frontierSize = next.count() // the round's one action
+      if (frontierSize > 0) {
+        dist = dist.unionByName(next).localCheckpoint(false)
+        frontier = next
+      }
+      h += 1
+    }
+    dist
+  }
+
+  // --- q128: trade-graph hop distances -------------------------------------
+  // BFS over the SPARSIFIED nation trade graph (only edges with at least
+  // half the maximum flow — the "major trade routes"), seeded from the
+  // ASIA nations: how many major-route hops does each nation sit from
+  // the ASIA bloc? Sparsification is relative (w·2 ≥ max(w)) so the
+  // entry is scale-factor stable; the oracle replays it and the capped
+  // recursion as a recursive CTE with the identical integer comparison.
+  private val BfsMaxHops = 6
+
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir).persist()
+    val maxW = edges.agg(max(col("w"))).head().getLong(0)
+    val sparse = edges.filter(col("w") * 2 >= maxW).select("src", "dst")
+    val seeds = Tables.load(s, dir, "nation")
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_name").as("id"))
+    hopDistances(sparse, seeds, BfsMaxHops)
+      .withColumnRenamed("id", "nation")
+  }
+
+  private val q128Sql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2
+       |), se AS (
+       |  SELECT src, dst FROM e WHERE w * 2 >= (SELECT MAX(w) FROM e)
+       |), seeds AS (
+       |  SELECT n_name AS id FROM nation
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA'
+       |), reach AS (
+       |  SELECT id, 0 AS d FROM seeds
+       |  UNION ALL
+       |  SELECT se.dst, d + 1 FROM reach JOIN se ON reach.id = se.src
+       |  WHERE d < $BfsMaxHops
+       |)
+       |SELECT id AS nation, CAST(MIN(d) AS BIGINT) AS hops
+       |FROM reach GROUP BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q107_pagerank" -> q107 _)
+    "q107_pagerank" -> q107 _,
+    "q128_bfs_hops" -> q128 _)
 
   val oracleSql: Map[String, String] = Map(
-    "q107_pagerank" -> q107Sql)
+    "q107_pagerank" -> q107Sql,
+    "q128_bfs_hops" -> q128Sql)
 }

@@ -87,4 +87,39 @@ class GraphSpec extends SparkTestBase {
       assert(components(edges) == brute(edges))
     }
   }
+
+  test("hopDistances: min hops, maxHops cap, unreachable absent, early stop") {
+    import spark.implicits._
+    // chain 1→2→3→4→5 plus shortcut 1→3; island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def run(maxHops: Int) = Graph.hopDistances(edges, seeds, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut wins: 3 is 1 hop, so 4 is 2 and 5 is 3; island unreachable
+    assert(run(6) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // cap binds: node 5 (3 hops) drops at maxHops = 2
+    assert(run(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // random directed graphs vs Floyd-style brute force (seeded)
+    val rnd = new scala.util.Random(7)
+    (1 to 2).foreach { _ =>
+      val es = Seq.fill(50)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val bruteDist = {
+        var d = Map(0L -> 0L)
+        var frontier = Set(0L)
+        var h = 1L
+        while (frontier.nonEmpty && h <= 6) {
+          val nxt = es.filter(e => frontier(e._1)).map(_._2)
+            .filterNot(d.contains).toSet
+          d ++= nxt.map(_ -> h); frontier = nxt; h += 1
+        }
+        d
+      }
+      val got = Graph.hopDistances(es.toDF("src", "dst"),
+          Seq(0L).toDF("id"), 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteDist, s"edges=$es")
+    }
+  }
 }
