@@ -923,10 +923,12 @@ object Dedup extends QueryModule {
           .as("strip_checksum"))
   }
 
-  private val q120Sql = {
-    val h = Dialect.duckHash60(
-      "CAST(doc_id AS VARCHAR) || ':' || COALESCE(stripped, '')")
-    s"""WITH toks AS (
+  /** The strip pipeline as a reusable oracle CTE chain (toks → pg → dup
+    * → hits → isl → spans → per_doc → covered → toksp → strip) — shared
+    * by q120 and the curation-v2 capstone's oracle.
+    */
+  private[ops] val dupSpanCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, source,
        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        |  FROM documents
@@ -970,7 +972,12 @@ object Dedup extends QueryModule {
        |    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
        |  WHERE c.pos IS NULL
        |  GROUP BY tp.doc_id
-       |)
+       |)""".stripMargin
+
+  private val q120Sql = {
+    val h = Dialect.duckHash60(
+      "CAST(doc_id AS VARCHAR) || ':' || COALESCE(stripped, '')")
+    s"""WITH $dupSpanCtes
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN per_doc.n_spans IS NOT NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_docs_with_dups,

@@ -1854,7 +1854,134 @@ object TextAnalysis extends QueryModule {
        |GROUP BY source""".stripMargin
   }
 
+  // --- q129: curation pipeline v2 (capstone over the round-11 operators) ---
+  // q90's successor, composed from the NEW primitives as ONE lazy plan:
+  //   1. substring-level dedup — every doc rebuilt without its
+  //      corpus-duplicated spans (Dedup.stripDuplicatedSpans, q120);
+  //   2. quality floor — survivors need ≥ 5 tokens after stripping;
+  //   3. bigram-LM gate — per-doc mean millinat score under the
+  //      SURVIVING corpus's own interpolated bigram model (q123's
+  //      machinery, self-contained on the post-strip corpus), keeping
+  //      docs at or above the corpus mean-of-means;
+  //   4. token packing — the q80 manifest over what survives, counted
+  //      on the STRIPPED text.
+  // Every stage is an independently oracle-checked operator; the
+  // composed manifest hash-matching proves they compose lazily (no
+  // intermediate materialization, one optimized plan) with no semantic
+  // drift. Integer-division note: doc means are NEGATIVE millinats —
+  // Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+  // the oracle emulates trunc as (x - (x % y)) // y (x % y carries the
+  // dividend's sign in both engines; the subtraction lands on an exact
+  // multiple, where floor == trunc).
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val stripped = Dedup.stripDuplicatedSpans(docs, "text", 5)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val qual = stripped
+      .withColumn("n_tok", expr(
+        "CAST(size(regexp_extract_all(stripped, '[a-z0-9]+', 0)) AS BIGINT)"))
+      .filter(col("n_tok") >= 5)
+    // bigram model over the surviving corpus (q123's shapes)
+    val toks = qual.select(col("doc_id"),
+      expr("regexp_extract_all(stripped, '[a-z0-9]+', 0)").as("t"))
+    val bigs = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(t[i - 1] AS w1, t[i] AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c2")).as("T"))
+    val bmodel = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bmodel.groupBy("w1").agg(sum(col("c12")).as("ctx"))
+    val lam = q123LambdaTenths
+    val perDoc = bigs
+      .join(bmodel, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr(s"CAST(floor(ln(CAST($lam * c12 * T + ${10 - lam} * ctx * c2" +
+          s" AS DOUBLE) / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("term_milli"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term_milli")).as("ll_milli"))
+      .withColumn("doc_mean", expr("ll_milli div n_bigrams"))
+    val gmean = perDoc
+      .agg(expr("sum(doc_mean) div count(1)").as("g"))
+    val kept = qual
+      .join(perDoc.select("doc_id", "doc_mean"), Seq("doc_id"))
+      .crossJoin(broadcast(gmean))
+      .filter(col("doc_mean") >= col("g"))
+      .select("doc_id", "source", "stripped")
+    tokenPacking(kept, textCol = "stripped")
+  }
+
+  private val q129Sql = {
+    val lam = q123LambdaTenths
+    s"""WITH ${Dedup.dupSpanCtes},
+       |q AS (
+       |  SELECT d.doc_id, d.source, COALESCE(st.stripped, '') AS stripped
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, stripped FROM strip) st USING (doc_id)
+       |), qual AS (
+       |  SELECT doc_id, source, stripped,
+       |    CAST(len(regexp_extract_all(stripped, '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tok
+       |  FROM q
+       |  WHERE len(regexp_extract_all(stripped, '[a-z0-9]+')) >= 5
+       |), t2 AS (
+       |  SELECT doc_id, regexp_extract_all(stripped, '[a-z0-9]+') AS t
+       |  FROM qual
+       |), bigs2 AS (
+       |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+       |  FROM t2, UNNEST(generate_series(2, len(t))) AS u(i)
+       |), uni2 AS (
+       |  SELECT w, COUNT(*) AS c2
+       |  FROM (SELECT UNNEST(t) AS w FROM t2) GROUP BY w
+       |), tot2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS T FROM uni2),
+       |bm2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigs2 GROUP BY w1, w2),
+       |ctx2 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx
+       |         FROM bm2 GROUP BY w1),
+       |pd2 AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CAST(FLOOR(ln(CAST($lam * c12 * T +
+       |      ${10 - lam} * ctx * c2 AS DOUBLE)
+       |      / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT)
+       |      AS ll_milli
+       |  FROM bigs2
+       |  JOIN bm2 USING (w1, w2)
+       |  JOIN ctx2 USING (w1)
+       |  JOIN uni2 ON bigs2.w2 = uni2.w
+       |  CROSS JOIN tot2
+       |  GROUP BY doc_id
+       |), pm AS (
+       |  SELECT doc_id,
+       |    (ll_milli - (ll_milli % n_bigrams)) // n_bigrams AS doc_mean
+       |  FROM pd2
+       |), gm AS (
+       |  SELECT (s - (s % c)) // c AS g
+       |  FROM (SELECT CAST(SUM(doc_mean) AS BIGINT) AS s,
+       |          COUNT(*) AS c FROM pm)
+       |), kept AS (
+       |  SELECT qual.source, qual.doc_id, qual.n_tok
+       |  FROM qual JOIN pm USING (doc_id), gm
+       |  WHERE doc_mean >= g
+       |), c3 AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS prev
+       |  FROM kept
+       |)
+       |SELECT source, prev // $packBudget AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c3 GROUP BY source, prev // $packBudget""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_curation_v2" -> q129 _,
     "q123_bigram_lm" -> q123 _,
     "q121_bpe_encode" -> q121 _,
     "q119_pmi_collocations" -> q119 _,
@@ -1883,6 +2010,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q129_curation_v2" -> q129Sql,
     "q123_bigram_lm" -> q123Sql,
     "q121_bpe_encode" -> q121Sql,
     "q119_pmi_collocations" -> q119Sql,
