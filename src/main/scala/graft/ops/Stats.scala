@@ -374,7 +374,174 @@ object Stats extends QueryModule {
       |    AS max_outlier_v100
       |FROM r5 GROUP BY event_type""".stripMargin
 
+  // --- q130: single-pass table profiling ----------------------------------
+  // The ANALYZE-style data-quality profile every curation run starts with:
+  // per column — null count, exact distinct count, min and max — computed
+  // in ONE aggregate job over the table, then unpivoted to a long-format
+  // (col_name, n_nulls, n_distinct, min_s, max_s) frame with stack().
+  //
+  // Scale shape: a single scan feeding one hash aggregate; the
+  // multi-column COUNT(DISTINCT) expands the input (Spark's Expand
+  // operator, one duplicate per distinct column) but stays a partial+final
+  // aggregate — no per-column jobs, no driver loop over columns. At
+  // 100 TB the exact distincts are the expensive term; the sketch-based
+  // profile (swap countDistinct → approx_count_distinct, q38's HLL) is the
+  // drop-in relaxation when ±2% suffices. min/max are rendered to strings
+  // with engine-pinned formats (decimal cast for the double, explicit
+  // date_format for the timestamp) so one long-format frame can carry all
+  // column types without engine-default cast differences.
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn1"),
+      countDistinct(col("o_orderkey")).as("nd1"),
+      expr("CAST(min(o_orderkey) AS STRING)").as("mn1"),
+      expr("CAST(max(o_orderkey) AS STRING)").as("mx1"),
+      count(col("o_custkey")).as("nn2"),
+      countDistinct(col("o_custkey")).as("nd2"),
+      expr("CAST(min(o_custkey) AS STRING)").as("mn2"),
+      expr("CAST(max(o_custkey) AS STRING)").as("mx2"),
+      count(col("o_orderstatus")).as("nn3"),
+      countDistinct(col("o_orderstatus")).as("nd3"),
+      expr("min(o_orderstatus)").as("mn3"),
+      expr("max(o_orderstatus)").as("mx3"),
+      count(col("o_totalprice")).as("nn4"),
+      countDistinct(col("o_totalprice")).as("nd4"),
+      // double → DECIMAL(18,2) → string: the stored doubles are within
+      // 1e-13 of a 2-digit value (q67's argument), so the decimal cast is
+      // exact and renders identically in both engines — no printf
+      // rounding-mode dependence
+      expr("CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS STRING)")
+        .as("mn4"),
+      expr("CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS STRING)")
+        .as("mx4"),
+      count(col("o_orderdate")).as("nn5"),
+      countDistinct(col("o_orderdate")).as("nd5"),
+      expr("date_format(min(o_orderdate), 'yyyy-MM-dd HH:mm:ss')").as("mn5"),
+      expr("date_format(max(o_orderdate), 'yyyy-MM-dd HH:mm:ss')").as("mx5"),
+      count(col("o_orderpriority")).as("nn6"),
+      countDistinct(col("o_orderpriority")).as("nd6"),
+      expr("min(o_orderpriority)").as("mn6"),
+      expr("max(o_orderpriority)").as("mx6"))
+    agg.selectExpr(
+      """stack(6,
+        |  'o_orderkey',      n - nn1, nd1, mn1, mx1,
+        |  'o_custkey',       n - nn2, nd2, mn2, mx2,
+        |  'o_orderstatus',   n - nn3, nd3, mn3, mx3,
+        |  'o_totalprice',    n - nn4, nd4, mn4, mx4,
+        |  'o_orderdate',     n - nn5, nd5, mn5, mx5,
+        |  'o_orderpriority', n - nn6, nd6, mn6, mx6
+        |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+  }
+
+  private val q130Sql =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+      |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+      |    COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+      |    COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+      |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+      |    COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+      |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+      |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
+      |    COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+      |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+      |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+      |    COUNT(o_orderpriority) AS nn6,
+      |    COUNT(DISTINCT o_orderpriority) AS nd6,
+      |    MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+      |  FROM orders
+      |)
+      |SELECT 'o_orderkey' AS col_name, n - nn1 AS n_nulls,
+      |  nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+      |UNION ALL SELECT 'o_custkey', n - nn2, nd2, mn2, mx2 FROM a
+      |UNION ALL SELECT 'o_orderstatus', n - nn3, nd3, mn3, mx3 FROM a
+      |UNION ALL SELECT 'o_totalprice', n - nn4, nd4, mn4, mx4 FROM a
+      |UNION ALL SELECT 'o_orderdate', n - nn5, nd5, mn5, mx5 FROM a
+      |UNION ALL SELECT 'o_orderpriority', n - nn6, nd6, mn6, mx6 FROM a"""
+      .stripMargin
+
+  // --- q131: group-wise OLS regression from exact sums ---------------------
+  // Per order priority: the least-squares trend of order value over time
+  // (slope in $/day, intercept at epoch, r²) — the per-key "fit a line"
+  // primitive behind drift monitors and forecasting backfills.
+  //
+  // Same decimal-exact decomposition as q67: the five sufficient sums
+  // {n, Σx, Σx², Σy, Σxy, Σy²} accumulate as LONGs (x = integer days since
+  // epoch, y = cents via the exact DECIMAL(12,2)×100 cast), so the hot
+  // aggregate is codegen'd 64-bit adds, partition-order independent, one
+  // tiny shuffle of per-group sums. Closed-form slope/intercept/r² are
+  // DOUBLE expressions of identical shape on both sides. Overflow bounds:
+  // x ≤ ~2.1e4 (dates through 2027), cents ≤ 6e7 ⇒ per-row x·y ≤ 1.3e12,
+  // Σxy < 2^63 up to ~7e6 rows/group (sf10); Σy² per-row ≤ 3.6e15 would
+  // overflow at ~2.5e3 rows, so it stays DECIMAL(38,0) like q67's syy.
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr(
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val days = expr(
+      "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"), days.as("x"), cents.as("y"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(
+        col("o_orderpriority"),
+        col("n"),
+        expr(s"round($OlsNumer / $OlsDenX / 100.0, 6)").as("slope_per_day"),
+        expr(("round((CAST(sy AS DOUBLE) / 100.0 " +
+          s"- $OlsNumer / $OlsDenX / 100.0 * CAST(sx AS DOUBLE)) " +
+          "/ CAST(n AS DOUBLE), 4)")).as("intercept"),
+        expr(s"round($OlsNumer * $OlsNumer / ($OlsDenX * $OlsDenY), 6)")
+          .as("r2"))
+  }
+
+  // shared double-expression text — used VERBATIM by both engines so the
+  // IEEE-754 operation order is identical (determinism contract of q67)
+  private val OlsNumer =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val OlsDenX =
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val OlsDenY =
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+
+  private val q131Sql =
+    s"""WITH b AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS x,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM orders
+      |), m AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      |  FROM b GROUP BY o_orderpriority
+      |)
+      |SELECT o_orderpriority, n,
+      |  round($OlsNumer / $OlsDenX / 100.0, 6) AS slope_per_day,
+      |  round((CAST(sy AS DOUBLE) / 100.0
+      |    - $OlsNumer / $OlsDenX / 100.0 * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 4) AS intercept,
+      |  round($OlsNumer * $OlsNumer / ($OlsDenX * $OlsDenY), 6) AS r2
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_table_profile" -> q130 _,
+    "q131_groupwise_ols" -> q131 _,
     "q109_winsorize" -> q109 _,
     "q115_mad_outliers" -> q115 _,
     "q114_histogram" -> q114 _,
@@ -386,6 +553,8 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q130_table_profile" -> q130Sql,
+    "q131_groupwise_ols" -> q131Sql,
     "q109_winsorize" -> q109Sql,
     "q115_mad_outliers" -> q115Sql,
     "q114_histogram" -> q114Sql,

@@ -48,4 +48,62 @@ class Round11OpsSpec extends SparkTestBase {
     // the metric is non-degenerate: some mass scored
     assert(expect.values.map(_._2).sum > 0)
   }
+
+  test("q130 table profile matches a direct in-memory replay") {
+    val rows = graft.Tables.load(spark, sf, "orders").collect()
+    val got = graft.SparkEntry.queries("q130_table_profile")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(got.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val keys = rows.map(_.getLong(0))
+    assert(got("o_orderkey") ==
+      (0L, keys.distinct.length.toLong, keys.min.toString, keys.max.toString))
+    val stats = rows.map(_.getString(2))
+    assert(got("o_orderstatus") ==
+      (0L, stats.distinct.length.toLong, stats.min, stats.max))
+    val prices = rows.map(_.getDouble(3))
+    assert(got("o_totalprice")._2 == prices.distinct.length.toLong)
+    assert(got("o_totalprice")._3 ==
+      BigDecimal(prices.min).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toString)
+    // profile is null-free on this generator: every column reports 0 nulls
+    assert(got.values.forall(_._1 == 0L))
+  }
+
+  test("q131 group-wise OLS matches a direct in-memory replay") {
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderpriority",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (p, xs) =>
+      val n = xs.length.toDouble
+      val sx = xs.map(_._2).sum.toDouble
+      val sxx = xs.map(t => t._2 * t._2).sum.toDouble
+      val sy = xs.map(_._3).sum.toDouble
+      val sxy = xs.map(t => t._2 * t._3).sum.toDouble
+      val syy = xs.map(t => BigInt(t._3) * BigInt(t._3)).sum.toDouble
+      val numer = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx
+      val slope = numer / denx / 100.0
+      p -> (xs.length.toLong, slope, (sy / 100.0 - slope * sx) / n,
+        numer * numer / (denx * (n * syy - sy * sy)))
+    }
+    val got = graft.SparkEntry.queries("q131_groupwise_ols")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (p, (n, slope, icpt, r2)) =>
+      val g = got(p)
+      assert(g._1 == n, s"n for $p")
+      assert(math.abs(g._2 - slope) < 1e-5, s"slope for $p")
+      assert(math.abs(g._3 - icpt) < 1e-3, s"intercept for $p")
+      assert(math.abs(g._4 - r2) < 1e-5, s"r2 for $p")
+      assert(g._4 >= 0.0 && g._4 <= 1.0, s"r2 range for $p")
+    }
+  }
 }
