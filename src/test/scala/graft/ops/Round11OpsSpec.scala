@@ -73,6 +73,38 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.values.forall(_._1 == 0L))
   }
 
+  test("q134 triangle counts match a direct in-memory replay") {
+    val raw = Graph.tradeEdges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val maxW = raw.map(_._3).max
+    val und = raw.filter(t => t._1 != t._2 && t._3 * 3 >= maxW)
+      .map(t => if (t._1 < t._2) (t._1, t._2) else (t._2, t._1)).toSet
+    val nodes = und.flatMap(e => Set(e._1, e._2))
+    val nbrs = nodes.map(n =>
+      n -> und.collect { case (a, b) if a == n => b
+                         case (a, b) if b == n => a }).toMap
+    val expect = nodes.map { n =>
+      val nb = nbrs(n).toSeq
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if und.contains(if (nb(i) < nb(j)) (nb(i), nb(j)) else (nb(j), nb(i)))
+      } yield 1).size
+      n -> (nb.length.toLong, t.toLong)
+    }.toMap
+    val got = graft.SparkEntry.queries("q134_triangles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (n, (d, t)) =>
+      assert(got(n)._1 == d, s"degree of $n")
+      assert(got(n)._2 == t, s"triangles of $n")
+      val cc = if (d < 2) 0.0 else 2.0 * t / (d * (d - 1.0))
+      assert(math.abs(got(n)._3 - cc) < 1e-6, s"clustering of $n")
+    }
+    // topology is non-trivial: some node is not fully clustered
+    assert(got.values.exists(v => v._3 > 0.0 && v._3 < 1.0))
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
