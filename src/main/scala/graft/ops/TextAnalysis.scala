@@ -1980,7 +1980,159 @@ object TextAnalysis extends QueryModule {
        |FROM c3 GROUP BY source, prev // $packBudget""".stripMargin
   }
 
+  // --- q132: broadcast linear-model quality scoring ------------------------
+  // Apply a trained quality classifier (logistic regression) to every
+  // document — the "run the model over the corpus" step of a curation
+  // pipeline. The model lives in a 1-row weights table (as it would after
+  // a training job writes it), broadcast cross-joined into the scan; the
+  // score is the dot product of integer-scaled features with integer
+  // weights, entirely LONG arithmetic.
+  //
+  // Two deliberate design points for engine-exact parity at scale:
+  //  • features are milli-scaled integers (floor(1000·ratio)) — the one
+  //    double division per feature is IEEE-deterministic, floor pins the
+  //    result, and everything downstream is exact 64-bit math;
+  //  • the sigmoid is NOT evaluated: it is monotone, so the accept
+  //    threshold σ(z) ≥ p is applied in logit space as z ≥ logit(p) —
+  //    the standard serving trick that keeps distributed scoring free of
+  //    libm exp() ulp differences across engines/platforms.
+  // Scale shape: stateless per-row projection over the document scan plus
+  // one broadcast of a 1-row model — no shuffle until the final per-
+  // (lang, accepted) aggregate of per-group sums.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (bias, w_ntoks, w_stop, w_distinct, w_meanlen) in milli-units; a
+    // held-out training job's output, pinned as the serving contract.
+    // The length feature is the RAW token count, not log2(n): Spark's
+    // log2 is ln(x)/ln(2) while DuckDB's is C log2 — they disagree at
+    // powers of two (Spark log2(16) = 3.9999999999999996), which flips a
+    // floor-scaled feature. Integer features keep z exact end-to-end.
+    val weights = broadcast(Seq((-345000L, 6000L, -500L, 600L, -50L))
+      .toDF("w0", "w1", "w2", "w3", "w4"))
+    val zMin = 0L // accept iff z_milli ≥ 0 ⇔ σ(z) ≥ 0.5
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z]+', 0)"))
+      .filter(expr("size(toks) > 0"))
+      .select(
+        col("doc_id"), col("lang"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+        expr("""CAST(floor(1000.0 * CAST(size(filter(toks,
+               |  t -> t = 'a' OR t = 'the')) AS DOUBLE)
+               |  / CAST(size(toks) AS DOUBLE)) AS BIGINT)"""
+          .stripMargin).as("f_stop"),
+        expr("""CAST(floor(1000.0 * CAST(size(array_distinct(toks)) AS DOUBLE)
+               |  / CAST(size(toks) AS DOUBLE)) AS BIGINT)"""
+          .stripMargin).as("f_distinct"),
+        expr("""CAST(floor(1000.0
+               |  * CAST(aggregate(toks, 0L, (a, t) -> a + length(t)) AS DOUBLE)
+               |  / CAST(size(toks) AS DOUBLE)) AS BIGINT)"""
+          .stripMargin).as("f_meanlen"))
+      .crossJoin(weights)
+      .withColumn("z_milli", expr(
+        "w0 + w1 * n_toks + w2 * f_stop + w3 * f_distinct + w4 * f_meanlen"))
+      .groupBy(col("lang"),
+        (col("z_milli") >= zMin).as("accepted"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("z_milli")).as("min_z"),
+        max(col("z_milli")).as("max_z"),
+        expr("CAST(floor(CAST(sum(z_milli) AS DOUBLE) / count(*)) AS BIGINT)")
+          .as("avg_z"))
+  }
+
+  private val q132Sql =
+    """WITH w AS (
+      |  SELECT -345000 AS w0, 6000 AS w1, -500 AS w2, 600 AS w3, -50 AS w4
+      |), f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(floor(1000.0 * CAST(len(list_filter(toks,
+      |      t -> t = 'a' OR t = 'the')) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS f_stop,
+      |    CAST(floor(1000.0 * CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS f_distinct,
+      |    CAST(floor(1000.0
+      |      * CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS f_meanlen
+      |  FROM (SELECT doc_id, lang,
+      |          regexp_extract_all(text, '[a-z]+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0
+      |), z AS (
+      |  SELECT lang,
+      |    w0 + w1 * n_toks + w2 * f_stop + w3 * f_distinct
+      |      + w4 * f_meanlen AS z_milli
+      |  FROM f CROSS JOIN w
+      |)
+      |SELECT lang, z_milli >= 0 AS accepted, COUNT(*) AS n_docs,
+      |  CAST(MIN(z_milli) AS BIGINT) AS min_z,
+      |  CAST(MAX(z_milli) AS BIGINT) AS max_z,
+      |  CAST(floor(CAST(SUM(z_milli) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS avg_z
+      |FROM z GROUP BY lang, accepted""".stripMargin
+
+  // --- q133: inverted-index construction -----------------------------------
+  // term → (document frequency, total term frequency, first-10 posting
+  // list) for every term appearing in ≥5% of documents — the index-build
+  // step of a BM25/TF-IDF retrieval stack (q106/q57 SCORE against such
+  // an index; this entry BUILDS it).
+  //
+  // Scale shape: tokenize → explode → (term, doc) partial-count — the
+  // same one-shuffle profile as q88's vocabulary. The posting sample is
+  // NOT collect_set-then-truncate (a stopword term at 100 TB would
+  // accumulate a billion-element array before the slice): a window
+  // row_number over the term-partitioned, doc-ordered frame keeps only
+  // rank ≤ 10 BEFORE the collect, so per-term aggregate state is bounded
+  // by the sample size. The window sort reuses the (term, doc) grouping's
+  // hash partitioning — one Exchange serves both.
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    val td = docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = td.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("tf_total"))
+    val posts = td
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("rn") <= 10)
+      .groupBy("term")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("top_docs"))
+    stats.join(posts, "term")
+      .crossJoin(nDocs)
+      .filter(col("df") * 20 >= col("n_total"))
+      .select("term", "df", "tf_total", "top_docs")
+  }
+
+  private val q133Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      |  FROM documents
+      |), td AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+      |  FROM td GROUP BY 1
+      |), ranked AS (
+      |  SELECT term, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM td
+      |), posts AS (
+      |  SELECT term,
+      |    array_to_string(list_sort(list(doc_id)), ',') AS top_docs
+      |  FROM ranked WHERE rn <= 10 GROUP BY term
+      |)
+      |SELECT term, df, tf_total, top_docs
+      |FROM stats JOIN posts USING (term)
+      |WHERE df * 20 >= (SELECT COUNT(*) FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_quality_logreg" -> q132 _,
+    "q133_inverted_index" -> q133 _,
     "q129_curation_v2" -> q129 _,
     "q123_bigram_lm" -> q123 _,
     "q121_bpe_encode" -> q121 _,
@@ -2010,6 +2162,8 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q132_quality_logreg" -> q132Sql,
+    "q133_inverted_index" -> q133Sql,
     "q129_curation_v2" -> q129Sql,
     "q123_bigram_lm" -> q123Sql,
     "q121_bpe_encode" -> q121Sql,

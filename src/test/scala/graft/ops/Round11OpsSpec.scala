@@ -73,6 +73,58 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.values.forall(_._1 == 0L))
   }
 
+  test("q132 logit-space accept counts match a direct in-memory replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = "[a-z]+".r.findAllIn(t).toVector
+    val expect = docs.flatMap { case (_, lang, text) =>
+      val ts = toks(text)
+      if (ts.isEmpty) None else {
+        val n = ts.size.toDouble
+        val fStop = math.floor(
+          1000.0 * ts.count(t => t == "a" || t == "the") / n).toLong
+        val fDist = math.floor(1000.0 * ts.distinct.size / n).toLong
+        val fLen = math.floor(1000.0 * ts.map(_.length).sum / n).toLong
+        val z = -345000L + 6000L * ts.size - 500L * fStop + 600L * fDist -
+          50L * fLen
+        Some((lang, z >= 0L, z))
+      }
+    }.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._3).min, xs.map(_._3).max)
+    }
+    val got = graft.SparkEntry.queries("q132_quality_logreg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) => assert(got(k) == e, s"group $k") }
+    // the model discriminates: both outcomes occur
+    assert(expect.keys.exists(_._2) && expect.keys.exists(!_._2))
+  }
+
+  test("q133 inverted index matches a direct in-memory replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val td = docs.flatMap { case (id, text) =>
+      "[a-z]+".r.findAllIn(text).toSeq.groupBy(identity)
+        .map { case (t, xs) => (t, id, xs.size.toLong) }
+    }
+    val byTerm = td.groupBy(_._1)
+    val nDocs = docs.length
+    val expect = byTerm.collect {
+      case (term, xs) if xs.size * 20 >= nDocs =>
+        term -> (xs.size.toLong, xs.map(_._3).sum,
+          xs.map(_._2).sorted.take(10).mkString(","))
+    }
+    val got = graft.SparkEntry.queries("q133_inverted_index")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (t, e) => assert(got(t) == e, s"term $t") }
+    assert(expect.nonEmpty)
+  }
+
   test("q134 triangle counts match a direct in-memory replay") {
     val raw = Graph.tradeEdges(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
