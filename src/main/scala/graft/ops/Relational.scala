@@ -1141,7 +1141,102 @@ object Relational extends graft.QueryModule {
       |    AS total_price
       |FROM merged GROUP BY status""".stripMargin
 
+  // --- q135: incremental aggregate maintenance -----------------------------
+  // The "don't rescan the base" pattern: a materialized per-priority
+  // aggregate exists for the historical snapshot (orders strictly older
+  // than the last 30 days of data); a new batch arrives (the last 30
+  // days); the maintained aggregate is base-partials ⊎ delta-partials —
+  // merged by SUMming the algebraic state (n, Σcents), never re-reading
+  // base rows. The oracle recomputes the FULL aggregate directly, so the
+  // hash-match proves merge(base, delta) ≡ recompute — the invariant that
+  // makes incremental maintenance sound.
+  //
+  // Scale shape: at 100 TB the base side is a tiny stored aggregate (one
+  // row per group) and only the delta is scanned; here both sides scan
+  // (there is no materialized store in the harness) but the merge itself
+  // is the per-group union + sum of partial states, which is the part
+  // under test. Cents-scaled LONGs keep the merge exact and
+  // partition-order independent (same contract as q67/q131).
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val cutoff = o.agg(max(expr("CAST(o_orderdate AS DATE)"))).head()
+      .getDate(0).toLocalDate.minusDays(30).toString
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("cents"))
+    val base = partial(o.filter(
+      expr(s"CAST(o_orderdate AS DATE) < DATE '$cutoff'")))
+    val delta = partial(o.filter(
+      expr(s"CAST(o_orderdate AS DATE) >= DATE '$cutoff'")))
+    base.union(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("n_orders"), sum(col("cents")).as("sc"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        expr("CAST(sc AS DOUBLE) / 100.0").as("total_price"))
+  }
+
+  private val q135Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS DOUBLE) / 100.0 AS total_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // --- q137: skyline (Pareto frontier) -------------------------------------
+  // The maximal orders under (maximize price, minimize date): an order is
+  // on the skyline iff no other order has price ≥ AND date ≤ with at
+  // least one strict — the multi-criteria "best tradeoffs" operator
+  // (BNL/SFS family; this is the sort-filter-skyline formulation).
+  //
+  // Distributed shape: (1) collapse to DISTINCT (price, date) pairs with
+  // counts — dominance only depends on the pair; (2) BUCKET-LOCAL skyline:
+  // a window partitioned by a hash bucket, sorted (price DESC, date ASC),
+  // keeps rows whose date beats the bucket's running strict-prefix min —
+  // each bucket's survivors are a superset of its skyline contribution and
+  // typically tiny (skylines are O(log^(k-1) n) in expectation under
+  // independence); (3) GLOBAL pass: the same running-min filter over the
+  // pooled candidates — safe on one partition precisely because step 2
+  // already shrank the set (the standard partition-then-merge skyline).
+  // No data-sized single-partition window ever runs.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "orders")
+      .groupBy(col("o_totalprice").as("price"),
+        expr("CAST(o_orderdate AS DATE)").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    def survivors(df: DataFrame, bucketed: Boolean): DataFrame = {
+      val base = if (bucketed) Window.partitionBy("bkt")
+                 else Window.partitionBy()
+      val w = base.orderBy(col("price").desc, col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("m", min(col("d")).over(w))
+        .filter(col("m").isNull || col("d") < col("m"))
+        .drop("m")
+    }
+    val local = survivors(
+      pairs.withColumn("bkt", pmod(hash(col("price"), col("d")), lit(16))),
+      bucketed = true).drop("bkt")
+    survivors(local, bucketed = false)
+      .select(col("price"), col("d").as("order_date"), col("n_orders"))
+  }
+
+  private val q137Sql =
+    """WITH pairs AS (
+      |  SELECT o_totalprice AS price, CAST(o_orderdate AS DATE) AS d,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2
+      |), s AS (
+      |  SELECT *, MIN(d) OVER (ORDER BY price DESC, d ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      |  FROM pairs
+      |)
+      |SELECT price, d AS order_date, n_orders
+      |FROM s WHERE m IS NULL OR d < m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_agg_maintenance" -> q135 _,
+    "q137_skyline" -> q137 _,
     "q81_cdc_upsert" -> q81 _,
     "q79_bloom_semi_join" -> q79 _,
     "q69_outer_join" -> q69 _,
@@ -1186,6 +1281,8 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q135_agg_maintenance" -> q135Sql,
+    "q137_skyline" -> q137Sql,
     "q81_cdc_upsert" -> q81Sql,
     "q79_bloom_semi_join" -> q79Sql,
     "q69_outer_join" -> q69Sql,

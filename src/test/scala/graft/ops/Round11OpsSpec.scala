@@ -157,6 +157,51 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.values.exists(v => v._3 > 0.0 && v._3 < 1.0))
   }
 
+  test("q135 merged partial aggregates equal a full in-memory recompute") {
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)",
+        "CAST(o_orderdate AS DATE)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDate(2)))
+    val expect = rows.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.length.toLong, xs.map(_._2).sum / 100.0)
+    }
+    val got = graft.SparkEntry.queries("q135_agg_maintenance")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (p, (n, t)) =>
+      assert(got(p)._1 == n, s"count for $p")
+      assert(math.abs(got(p)._2 - t) < 1e-6, s"total for $p")
+    }
+    // the merge is real: both the base and the delta side are non-empty
+    val cutoff = rows.map(_._3.toLocalDate).max.minusDays(30)
+    assert(rows.exists(_._3.toLocalDate.isBefore(cutoff)))
+    assert(rows.exists(r => !r._3.toLocalDate.isBefore(cutoff)))
+  }
+
+  test("q137 skyline matches a brute-force dominance replay") {
+    val pairs = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_totalprice", "CAST(o_orderdate AS DATE)")
+      .collect().map(r => (r.getDouble(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.size.toLong) }
+      .toSeq
+    def dominates(y: (Double, java.time.LocalDate),
+        x: (Double, java.time.LocalDate)): Boolean =
+      y._1 >= x._1 && !y._2.isAfter(x._2) &&
+        (y._1 > x._1 || y._2.isBefore(x._2))
+    val expect = pairs.filter { p =>
+      !pairs.exists(q => (q._1, q._2) != (p._1, p._2) &&
+        dominates((q._1, q._2), (p._1, p._2)))
+    }.map(p => (p._1, p._2.toString) -> p._3).toMap
+    val got = graft.SparkEntry.queries("q137_skyline")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < pairs.size) // a real frontier
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
