@@ -147,12 +147,82 @@ object Formats extends QueryModule {
        |FROM sh GROUP BY shard""".stripMargin
   }
 
+  // --- q136: Z-order layout keys + per-block skipping stats ----------------
+  // The data-layout primitive behind multi-dimensional file skipping
+  // (Delta/Iceberg OPTIMIZE ZORDER): interleave the bits of two clustering
+  // dimensions — customer bucket and order-date bucket, each range-mapped
+  // to 4 bits — into one Morton key, block rows by the key's upper 4
+  // bits, and report each block's per-dimension min/max envelope plus the
+  // covered-cell count. Sorting/partitioning 100 TB by z_key is what
+  // makes BOTH `WHERE cust=…` and `WHERE date=…` prune most files from
+  // footer min/max stats alone; the envelope table IS the skipping index.
+  // All arithmetic is exact integer (range-map via integer mul/div, bit
+  // interleave via shift|or), so the oracle replays it bit-for-bit.
+  // Scale shape: two broadcast 1-row bounds, a stateless per-row
+  // projection, one 16-key aggregate — no shuffle of data rows beyond it.
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val bounds = broadcast(o.agg(
+      min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+      min(expr("CAST(o_orderdate AS DATE)")).as("dmin"),
+      max(expr("CAST(o_orderdate AS DATE)")).as("dmax")))
+    o.crossJoin(bounds)
+      .select(
+        expr("""CAST((o_custkey - cmin) * 16
+               |  DIV (cmax - cmin + 1) AS BIGINT)""".stripMargin).as("bx"),
+        expr("""CAST(datediff(CAST(o_orderdate AS DATE), dmin) * 16
+               |  DIV (datediff(dmax, dmin) + 1) AS BIGINT)"""
+          .stripMargin).as("by"))
+      .withColumn("z", expr(
+        """(bx & 1) | shiftleft(by & 1, 1)
+          || shiftleft(bx & 2, 1) | shiftleft(by & 2, 2)
+          || shiftleft(bx & 4, 2) | shiftleft(by & 4, 3)
+          || shiftleft(bx & 8, 3) | shiftleft(by & 8, 4)""".stripMargin))
+      .groupBy(expr("z DIV 16").as("zblock"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("bx")).as("bx_min"), max(col("bx")).as("bx_max"),
+        min(col("by")).as("by_min"), max(col("by")).as("by_max"),
+        expr("""CAST((max(bx) - min(bx) + 1) * (max(by) - min(by) + 1)
+               |  AS BIGINT)""".stripMargin).as("covered_cells"))
+  }
+
+  private val q136Sql =
+    """WITH bounds AS (
+      |  SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+      |    MIN(CAST(o_orderdate AS DATE)) AS dmin,
+      |    MAX(CAST(o_orderdate AS DATE)) AS dmax
+      |  FROM orders
+      |), b AS (
+      |  SELECT
+      |    CAST((o_custkey - cmin) * 16 // (cmax - cmin + 1) AS BIGINT)
+      |      AS bx,
+      |    CAST(date_diff('day', dmin, CAST(o_orderdate AS DATE)) * 16
+      |      // (date_diff('day', dmin, dmax) + 1) AS BIGINT) AS by
+      |  FROM orders CROSS JOIN bounds
+      |), zb AS (
+      |  SELECT bx, by,
+      |    (bx & 1) | ((by & 1) << 1)
+      |    | ((bx & 2) << 1) | ((by & 2) << 2)
+      |    | ((bx & 4) << 2) | ((by & 4) << 3)
+      |    | ((bx & 8) << 3) | ((by & 8) << 4) AS z
+      |  FROM b
+      |)
+      |SELECT z // 16 AS zblock, COUNT(*) AS n_rows,
+      |  MIN(bx) AS bx_min, MAX(bx) AS bx_max,
+      |  MIN(by) AS by_min, MAX(by) AS by_max,
+      |  CAST((MAX(bx) - MIN(bx) + 1) * (MAX(by) - MIN(by) + 1) AS BIGINT)
+      |    AS covered_cells
+      |FROM zb GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_zorder_layout" -> q136 _,
     "q112_jsonl_roundtrip" -> q112 _,
     "q118_corpus_shuffle" -> q118 _,
     "q124_orc_roundtrip" -> q124 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q136_zorder_layout" -> q136Sql,
     "q112_jsonl_roundtrip" -> q112Sql,
     "q118_corpus_shuffle" -> q118Sql,
     // the oracle reads the SAME documents parquet directly — parity

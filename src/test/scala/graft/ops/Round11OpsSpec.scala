@@ -202,6 +202,39 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < pairs.size) // a real frontier
   }
 
+  test("q136 z-order blocks are tight quads matching an in-memory replay") {
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (cmin, cmax) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (dmin, dmax) = (rows.map(_._2).min, rows.map(_._2).max)
+    def interleave(bx: Long, by: Long): Long =
+      (bx & 1) | ((by & 1) << 1) | ((bx & 2) << 1) | ((by & 2) << 2) |
+        ((bx & 4) << 2) | ((by & 4) << 3) | ((bx & 8) << 3) | ((by & 8) << 4)
+    val expect = rows.map { case (c, d) =>
+      val bx = (c - cmin) * 16 / (cmax - cmin + 1)
+      val by = (d - dmin) * 16 / (dmax - dmin + 1)
+      (interleave(bx, by) / 16, bx, by)
+    }.groupBy(_._1).map { case (zb, xs) =>
+      zb -> (xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._3).min, xs.map(_._3).max)
+    }
+    val got = graft.SparkEntry.queries("q136_zorder_layout")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (zb, (n, bxn, bxx, byn, byx)) =>
+      val g = got(zb)
+      assert((g._1, g._2, g._3, g._4, g._5) == (n, bxn, bxx, byn, byx),
+        s"zblock $zb")
+      // the Morton property: an upper-4-bit block is a 4×4 quad, so its
+      // envelope never exceeds 16 of the 256 grid cells
+      assert(g._6 <= 16L, s"zblock $zb envelope")
+    }
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
