@@ -156,11 +156,62 @@ object Behavior extends QueryModule {
        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
        |GROUP BY 1""".stripMargin
 
+  // --- q138: Markov transition matrix over event sequences -----------------
+  // For each (prev event type → next event type) pair across all per-user
+  // event sequences: the transition count and its per-mille probability
+  // among all transitions leaving prev — the first-order Markov model
+  // behind next-action prediction and anomaly scoring on clickstreams.
+  //
+  // Scale shape: one window (lag) partitioned by user_id — each user's
+  // sequence sorts locally within its hash partition, no global sort —
+  // then a (prev, next)-keyed count whose cardinality is |types|², tiny.
+  // The per-prev denominator joins back from a |types|-row broadcast.
+  // The order is pinned by (ts_us, event_id) — the battery-wide total-
+  // order tiebreak — and the probability is integer per-mille (floor
+  // div), so results are bit-identical across engines and partitionings.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("prev_type").isNotNull)
+    val trans = seq.groupBy(col("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val outTotals = trans.groupBy("prev_type")
+      .agg(sum(col("n_trans")).as("n_out"))
+    trans.join(broadcast(outTotals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        col("n_out"),
+        expr("(n_trans * 1000) div n_out").as("per_mille"))
+  }
+
+  private val q138Sql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |), trans AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_out
+      |  FROM trans GROUP BY 1
+      |)
+      |SELECT t.prev_type, t.next_type, t.n_trans, o.n_out,
+      |  (t.n_trans * 1000) // o.n_out AS per_mille
+      |FROM trans t JOIN tot o USING (prev_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_cohort_retention" -> q116 _,
-    "q117_funnel" -> q117 _)
+    "q117_funnel" -> q117 _,
+    "q138_markov_transitions" -> q138 _)
 
   val oracleSql: Map[String, String] = Map(
     "q116_cohort_retention" -> q116Sql,
-    "q117_funnel" -> q117Sql)
+    "q117_funnel" -> q117Sql,
+    "q138_markov_transitions" -> q138Sql)
 }

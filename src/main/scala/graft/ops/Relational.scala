@@ -1234,9 +1234,79 @@ object Relational extends graft.QueryModule {
       |SELECT price, d AS order_date, n_orders
       |FROM s WHERE m IS NULL OR d < m""".stripMargin
 
+  // --- q139: market-basket pair mining (co-occurrence + lift) --------------
+  // Frequent brand PAIRS across order baskets: for every pair of part
+  // brands bought together in at least `MinSupport` orders — the pairwise
+  // core of association-rule mining — the joint support, the marginal
+  // supports, and the integer-per-mille lift
+  // (n_both · n_baskets · 1000) div (n_a · n_b); lift > 1000 ⇔ the brands
+  // co-occur more than independence predicts.
+  //
+  // Scale shape: the pair generation is a WITHIN-BASKET self-join — the
+  // join key is the basket id, so fan-out per basket is C(k,2) with k =
+  // distinct brands in that basket (≤ items per order, single digits),
+  // never |brands|² nor |orders|². Marginals reuse the same distinct
+  // (basket, brand) projection; both side tables are brand-cardinality
+  // and broadcast. Overflow: n_both·n·1000 ≤ n²·10³ < 2^63 for n up to
+  // ~3e9 baskets. The support floor is RELATIVE (≥2% of baskets) so the
+  // operator is scale-factor stable.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+      .distinct()
+      .persist()
+    val nBaskets = broadcast(
+      ob.select("basket").distinct().agg(count(lit(1)).as("n_baskets")))
+    val marg = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
+    val pairs = ob.select(col("basket"), col("brand").as("brand_a"))
+      .join(ob.select(col("basket").as("b2"), col("brand").as("brand_b")),
+        col("basket") === col("b2") && col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("n_brand", "n_a")), "brand_a")
+      .join(broadcast(marg.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("n_brand", "n_b")), "brand_b")
+      .crossJoin(nBaskets)
+      .filter(col("n_both") * 50 >= col("n_baskets"))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr("(n_both * n_baskets * 1000) div (n_a * n_b)")
+          .as("lift_milli"))
+  }
+
+  private val q139Sql =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS basket, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), n AS (
+      |  SELECT COUNT(DISTINCT basket) AS n_baskets FROM ob
+      |), marg AS (
+      |  SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY brand
+      |), pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_both
+      |  FROM ob a JOIN ob b
+      |    ON a.basket = b.basket AND a.brand < b.brand
+      |  GROUP BY 1, 2
+      |)
+      |SELECT brand_a, brand_b, n_both,
+      |  ma.n_brand AS n_a, mb.n_brand AS n_b,
+      |  (n_both * n_baskets * 1000) // (ma.n_brand * mb.n_brand)
+      |    AS lift_milli
+      |FROM pairs
+      |JOIN marg ma ON ma.brand = brand_a
+      |JOIN marg mb ON mb.brand = brand_b
+      |CROSS JOIN n
+      |WHERE n_both * 50 >= n_baskets""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_agg_maintenance" -> q135 _,
     "q137_skyline" -> q137 _,
+    "q139_basket_pairs" -> q139 _,
     "q81_cdc_upsert" -> q81 _,
     "q79_bloom_semi_join" -> q79 _,
     "q69_outer_join" -> q69 _,
@@ -1283,6 +1353,7 @@ object Relational extends graft.QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q135_agg_maintenance" -> q135Sql,
     "q137_skyline" -> q137Sql,
+    "q139_basket_pairs" -> q139Sql,
     "q81_cdc_upsert" -> q81Sql,
     "q79_bloom_semi_join" -> q79Sql,
     "q69_outer_join" -> q69Sql,

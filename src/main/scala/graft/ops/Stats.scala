@@ -539,9 +539,83 @@ object Stats extends QueryModule {
       |  round($OlsNumer * $OlsNumer / ($OlsDenX * $OlsDenY), 6) AS r2
       |FROM m""".stripMargin
 
+  // --- q140: chi-square test of independence (lang × source) ---------------
+  // The full contingency table of documents over (lang, source) with each
+  // cell's observed count, milli-scaled expected count under independence
+  // E = rt·ct/n, and micro-scaled chi² contribution (O−E)²/E — the
+  // corpus-balance diagnostic ("is language mix independent of source?").
+  // The table INCLUDES zero cells (generated from the marginal cross
+  // product, left-joined against observed counts): chi² without empty
+  // cells understates dependence.
+  //
+  // Everything is exact integer arithmetic. The contribution
+  // (O−E)²/E = d²/(n·rt·ct) with d = O·n − rt·ct is micro-scaled WITHOUT
+  // overflow via staged division (the same identity as Graph.pageRank's
+  // contribution): d² ≤ (rt·n)² ≤ ~6.25e18 stays in int64 through sf1
+  // (documented bound: n ≤ 5e4 docs; beyond that d² needs DECIMAL), and
+  // ⌊d²·10⁶/m⌋ is assembled as q1·10⁶ + q2·10³ + q3 from three ⌊·/m⌋
+  // steps whose intermediates are each bounded by max(d², m·10³).
+  // Scale shape: one grouped count over the scan; marginals and the
+  // cross product are category-cardinality and broadcast. Because the
+  // contributions are integers, a total chi² is an EXACT sum — no
+  // float summation-order surface anywhere.
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = d.groupBy("lang").agg(count(lit(1)).as("rt"))
+    val cols = d.groupBy("source").agg(count(lit(1)).as("ct"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    broadcast(rows).crossJoin(broadcast(cols)).crossJoin(broadcast(tot))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("dd", expr("o * n - rt * ct"))
+      .withColumn("x", expr("dd * dd"))
+      .withColumn("m", expr("n * rt * ct"))
+      .withColumn("q1", expr("x div m"))
+      .withColumn("r1", expr("x - (x div m) * m"))
+      .withColumn("q2", expr("(r1 * 1000) div m"))
+      .withColumn("r2", expr("r1 * 1000 - ((r1 * 1000) div m) * m"))
+      .select(
+        col("lang"), col("source"), col("o").as("observed"),
+        expr("(rt * ct * 1000) div n").as("expected_milli"),
+        expr("q1 * 1000000 + q2 * 1000 + (r2 * 1000) div m")
+          .as("contrib_micro"))
+  }
+
+  private val q140Sql =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+      |), r AS (
+      |  SELECT lang, COUNT(*) AS rt FROM documents GROUP BY 1
+      |), c AS (
+      |  SELECT source, COUNT(*) AS ct FROM documents GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), grid AS (
+      |  SELECT r.lang, c.source, r.rt, c.ct, n.n,
+      |    COALESCE(cells.o, 0) AS o
+      |  FROM r CROSS JOIN c CROSS JOIN n
+      |  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+      |), s1 AS (
+      |  SELECT *, (o * n - rt * ct) * (o * n - rt * ct) AS x,
+      |    n * rt * ct AS m
+      |  FROM grid
+      |), s2 AS (
+      |  SELECT *, x // m AS q1, x - (x // m) * m AS r1 FROM s1
+      |), s3 AS (
+      |  SELECT *, (r1 * 1000) // m AS q2,
+      |    r1 * 1000 - ((r1 * 1000) // m) * m AS r2
+      |  FROM s2
+      |)
+      |SELECT lang, source, o AS observed,
+      |  (rt * ct * 1000) // n AS expected_milli,
+      |  q1 * 1000000 + q2 * 1000 + (r2 * 1000) // m AS contrib_micro
+      |FROM s3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_table_profile" -> q130 _,
     "q131_groupwise_ols" -> q131 _,
+    "q140_chi2_independence" -> q140 _,
     "q109_winsorize" -> q109 _,
     "q115_mad_outliers" -> q115 _,
     "q114_histogram" -> q114 _,
@@ -555,6 +629,7 @@ object Stats extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q130_table_profile" -> q130Sql,
     "q131_groupwise_ols" -> q131Sql,
+    "q140_chi2_independence" -> q140Sql,
     "q109_winsorize" -> q109Sql,
     "q115_mad_outliers" -> q115Sql,
     "q114_histogram" -> q114Sql,

@@ -235,6 +235,81 @@ class Round11OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q138 Markov transitions match a direct in-memory replay") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "event_id", "ts div 1000")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ordered = xs.sortBy(e => (e._4, e._3)).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }
+    val counts = trans.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val outTot = counts.groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.sum }
+    val got = graft.SparkEntry.queries("q138_markov_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (k, n) =>
+      assert(got(k) == (n, outTot(k._1), n * 1000 / outTot(k._1)), s"$k")
+    }
+    // per-prev probabilities sum to ~1000 (floor-div slack < |types|)
+    got.toSeq.groupBy(_._1._1).foreach { case (p, xs) =>
+      val s = xs.map(_._2._3).sum
+      assert(s > 1000 - xs.size && s <= 1000, s"prob mass for $p: $s")
+    }
+  }
+
+  test("q139 basket pair lift matches a direct in-memory replay") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brand = graft.Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ob = li.map { case (o, p) => (o, brand(p)) }.distinct
+    val nB = ob.map(_._1).distinct.length.toLong
+    val marg = ob.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val expect = ob.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val bs = xs.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length)
+        yield (bs(i), bs(j))
+    }.groupBy(identity).collect {
+      case (k, v) if v.size * 50 >= nB =>
+        k -> (v.size.toLong, marg(k._1), marg(k._2),
+          v.size * nB * 1000 / (marg(k._1) * marg(k._2)))
+    }.toMap
+    val got = graft.SparkEntry.queries("q139_basket_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q140 chi-square contributions match an in-memory replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val rt = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ct = docs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val o = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expect = (for (l <- rt.keys; s <- ct.keys) yield {
+      val obs = o.getOrElse((l, s), 0L)
+      val d = BigInt(obs * n - rt(l) * ct(s))
+      val m = BigInt(n * rt(l) * ct(s))
+      ((l, s), (obs, rt(l) * ct(s) * 1000 / n, (d * d * 1000000 / m).toLong))
+    }).toMap
+    val got = graft.SparkEntry.queries("q140_chi2_independence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+    // grid covers zero cells too: |langs| × |sources| rows
+    assert(got.size == rt.size * ct.size)
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
