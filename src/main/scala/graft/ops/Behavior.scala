@@ -177,9 +177,13 @@ object Behavior extends QueryModule {
       .withColumn("prev_type", lag(col("event_type"), 1).over(
         Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
       .filter(col("prev_type").isNotNull)
+    // persisted: |types|² rows; without it BOTH the matrix and the
+    // denominator branch would re-run the events scan + window (the
+    // battery harness clearCache()s per entry)
     val trans = seq.groupBy(col("prev_type"),
         col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n_trans"))
+      .persist()
     val outTotals = trans.groupBy("prev_type")
       .agg(sum(col("n_trans")).as("n_out"))
     trans.join(broadcast(outTotals), "prev_type")

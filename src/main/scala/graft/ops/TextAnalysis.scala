@@ -2077,32 +2077,33 @@ object TextAnalysis extends QueryModule {
   // step of a BM25/TF-IDF retrieval stack (q106/q57 SCORE against such
   // an index; this entry BUILDS it).
   //
-  // Scale shape: tokenize → explode → (term, doc) partial-count — the
-  // same one-shuffle profile as q88's vocabulary. The posting sample is
-  // NOT collect_set-then-truncate (a stopword term at 100 TB would
-  // accumulate a billion-element array before the slice): a window
-  // row_number over the term-partitioned, doc-ordered frame keeps only
-  // rank ≤ 10 BEFORE the collect, so per-term aggregate state is bounded
-  // by the sample size. The window sort reuses the (term, doc) grouping's
-  // hash partitioning — one Exchange serves both.
+  // Scale shape: ONE pipeline — tokenize → explode → (term, doc)
+  // partial-count → term-partitioned window rank → one per-term
+  // aggregate carrying df, Σtf, and the posting sample together (a
+  // single scan; the plan has exactly two data Exchanges, (term, doc)
+  // then term, and the window sort reuses the first's hash
+  // partitioning). The posting sample is NOT collect-then-truncate (a
+  // stopword term at 100 TB would accumulate a billion-element array
+  // before the slice): row_number ≤ 10 filters INSIDE the aggregate
+  // (collect_list over the rank-gated doc id, nulls dropped), and Spark
+  // plans the rank gate as WindowGroupLimit — a running top-k that
+  // never materializes the full per-term frame. Per-term aggregate
+  // state is bounded by the sample size.
   private def q133(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_total")))
-    val td = docs
+    docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val stats = td.groupBy("term").agg(
-      count(lit(1)).as("df"),
-      sum(col("tf")).as("tf_total"))
-    val posts = td
       .withColumn("rn", row_number().over(
         Window.partitionBy("term").orderBy("doc_id")))
-      .filter(col("rn") <= 10)
       .groupBy("term")
-      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
-        .as("top_docs"))
-    stats.join(posts, "term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        array_join(sort_array(collect_list(
+          when(col("rn") <= 10, col("doc_id")))), ",").as("top_docs"))
       .crossJoin(nDocs)
       .filter(col("df") * 20 >= col("n_total"))
       .select("term", "df", "tf_total", "top_docs")
@@ -2114,21 +2115,17 @@ object TextAnalysis extends QueryModule {
       |  FROM documents
       |), td AS (
       |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
-      |), stats AS (
-      |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
-      |  FROM td GROUP BY 1
       |), ranked AS (
-      |  SELECT term, doc_id,
+      |  SELECT term, doc_id, tf,
       |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
       |  FROM td
-      |), posts AS (
-      |  SELECT term,
-      |    array_to_string(list_sort(list(doc_id)), ',') AS top_docs
-      |  FROM ranked WHERE rn <= 10 GROUP BY term
       |)
-      |SELECT term, df, tf_total, top_docs
-      |FROM stats JOIN posts USING (term)
-      |WHERE df * 20 >= (SELECT COUNT(*) FROM documents)""".stripMargin
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+      |  array_to_string(list_sort(list(doc_id) FILTER (rn <= 10)), ',')
+      |    AS top_docs
+      |FROM ranked GROUP BY term
+      |HAVING COUNT(*) * 20 >= (SELECT COUNT(*) FROM documents)"""
+      .stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_quality_logreg" -> q132 _,
