@@ -209,13 +209,106 @@ object Behavior extends QueryModule {
       |  (t.n_trans * 1000) // o.n_out AS per_mille
       |FROM trans t JOIN tot o USING (prev_type)""".stripMargin
 
+  // --- q141: time-weighted value averages ----------------------------------
+  // Per event type: the time-weighted average of `value` over each
+  // user's timeline — every consecutive event pair contributes the
+  // STARTING event's value weighted by the interval it was "in effect"
+  // (step-function integral / Σdt, the monitoring-metrics semantics
+  // where a gauge holds its reading until the next sample).
+  //
+  // Exact integers end-to-end: value is floored to cents once (q115's
+  // v100 contract), intervals are integer MILLIseconds (µs div 10³ —
+  // v100·dt_ms ≤ 10⁴·10⁸ = 10¹² per pair keeps Σ far inside int64 up to
+  // ~10⁶ pairs/type at the battery's day-scale spans; beyond that the
+  // sum column moves to DECIMAL), and the final average is one floor
+  // div. Scale shape: one user-partitioned lead window (local sort per
+  // hash partition), then a |types|-row aggregate.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt_ms", expr("(next_us - ts_us) div 1000"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_ms")).as("total_ms"),
+        sum(expr("v100 * dt_ms")).as("vdt"),
+        expr("sum(v100 * dt_ms) div sum(dt_ms)").as("twa_cents"))
+  }
+
+  private val q141Sql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS v100,
+      |    epoch_us(ts) AS ts_us,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_us
+      |  FROM events
+      |), iv AS (
+      |  SELECT event_type, v100, (next_us - ts_us) // 1000 AS dt_ms
+      |  FROM seq WHERE next_us IS NOT NULL
+      |)
+      |SELECT event_type, COUNT(*) AS n_intervals,
+      |  CAST(SUM(dt_ms) AS BIGINT) AS total_ms,
+      |  CAST(SUM(v100 * dt_ms) AS BIGINT) AS vdt,
+      |  CAST(SUM(v100 * dt_ms) // SUM(dt_ms) AS BIGINT) AS twa_cents
+      |FROM iv GROUP BY event_type""".stripMargin
+
+  // --- q142: top event paths (order-2 sequence mining) ---------------------
+  // The 10 most common 3-step event-type paths across user timelines —
+  // the "what do users actually do" path-analysis complement to q138's
+  // first-order transitions (a 3-gram is the order-2 context q138
+  // cannot see). Two stacked lags in ONE window pass (same partition
+  // and sort ⇒ one Exchange + one local sort), a |types|³-bounded
+  // count, then a global top-10 with the (count DESC, path ASC)
+  // total-order tiebreak — the sort input is category-cardinality,
+  // never data-sized.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
+  private val q142Sql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LAG(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS t1,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS t2
+      |  FROM events
+      |)
+      |SELECT t1 || '>' || t2 || '>' || event_type AS path,
+      |  COUNT(*) AS n
+      |FROM seq WHERE t1 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_cohort_retention" -> q116 _,
     "q117_funnel" -> q117 _,
-    "q138_markov_transitions" -> q138 _)
+    "q138_markov_transitions" -> q138 _,
+    "q141_time_weighted" -> q141 _,
+    "q142_event_paths" -> q142 _)
 
   val oracleSql: Map[String, String] = Map(
     "q116_cohort_retention" -> q116Sql,
     "q117_funnel" -> q117Sql,
-    "q138_markov_transitions" -> q138Sql)
+    "q138_markov_transitions" -> q138Sql,
+    "q141_time_weighted" -> q141Sql,
+    "q142_event_paths" -> q142Sql)
 }

@@ -310,6 +310,46 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.size == rt.size * ct.size)
   }
 
+  test("q141 time-weighted averages match a direct in-memory replay") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "event_id", "ts div 1000",
+        "CAST(floor(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val ivs = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val o = xs.sortBy(e => (e._4, e._3))
+      o.zip(o.drop(1)).map { case (a, b) =>
+        (a._2, a._5, (b._4 - a._4) / 1000) }
+    }
+    val expect = ivs.groupBy(_._1).map { case (t, xs) =>
+      val dt = xs.map(_._3).sum
+      val vdt = xs.map(x => x._2 * x._3).sum
+      t -> (xs.length.toLong, dt, vdt, vdt / dt)
+    }
+    val got = graft.SparkEntry.queries("q141_time_weighted")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+    assert(got.values.forall(v => v._2 > 0))
+  }
+
+  test("q142 top event paths match a direct in-memory replay") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "event_id", "ts div 1000")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val o = xs.sortBy(e => (e._4, e._3)).map(_._2)
+      o.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }
+    val expect = paths.groupBy(identity)
+      .map { case (p, v) => (p, v.size.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = graft.SparkEntry.queries("q142_event_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
