@@ -1200,26 +1200,49 @@ object Relational extends graft.QueryModule {
   // pooled candidates — safe on one partition precisely because step 2
   // already shrank the set (the standard partition-then-merge skyline).
   // No data-sized single-partition window ever runs.
-  private def q137(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.load(s, dir, "orders")
-      .groupBy(col("o_totalprice").as("price"),
-        expr("CAST(o_orderdate AS DATE)").as("d"))
-      .agg(count(lit(1)).as("n_orders"))
-    def survivors(df: DataFrame, bucketed: Boolean): DataFrame = {
+  /** 2-D skyline (Pareto frontier): the rows of `df` whose
+    * (`maxCol`, `minCol`) pair is not dominated — no other pair has
+    * `maxCol` ≥ AND `minCol` ≤ with at least one strict. Returns one row
+    * per surviving DISTINCT pair with its multiplicity `n_rows`
+    * (dominance depends only on the pair, so ties survive together).
+    *
+    * Distributed sort-filter-skyline: bucket-local running-strict-min
+    * windows (hash-partitioned over `buckets`) shrink each bucket to a
+    * superset of its frontier contribution, then one pass over the
+    * pooled candidates — which is safe on a single partition precisely
+    * because skylines are tiny (O(log n) expected for independent dims).
+    * No data-sized single-partition window ever runs.
+    */
+  def skyline(df: DataFrame, maxCol: String, minCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val pairs = df
+      .groupBy(col(maxCol), col(minCol))
+      .agg(count(lit(1)).as("n_rows"))
+    def survivors(in: DataFrame, bucketed: Boolean): DataFrame = {
       val base = if (bucketed) Window.partitionBy("bkt")
                  else Window.partitionBy()
-      val w = base.orderBy(col("price").desc, col("d").asc)
+      val w = base.orderBy(col(maxCol).desc, col(minCol).asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      df.withColumn("m", min(col("d")).over(w))
-        .filter(col("m").isNull || col("d") < col("m"))
+      in.withColumn("m", min(col(minCol)).over(w))
+        .filter(col("m").isNull || col(minCol) < col("m"))
         .drop("m")
     }
     val local = survivors(
-      pairs.withColumn("bkt", pmod(hash(col("price"), col("d")), lit(16))),
+      pairs.withColumn("bkt",
+        pmod(hash(col(maxCol), col(minCol)), lit(buckets))),
       bucketed = true).drop("bkt")
     survivors(local, bucketed = false)
-      .select(col("price"), col("d").as("order_date"), col("n_orders"))
   }
+
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    skyline(
+      Tables.load(s, dir, "orders")
+        .select(col("o_totalprice").as("price"),
+          expr("CAST(o_orderdate AS DATE)").as("d")),
+      maxCol = "price", minCol = "d")
+      .select(col("price"), col("d").as("order_date"),
+        col("n_rows").as("n_orders"))
 
   private val q137Sql =
     """WITH pairs AS (
@@ -1248,36 +1271,53 @@ object Relational extends graft.QueryModule {
   // never |brands|² nor |orders|². Marginals reuse the same distinct
   // (basket, brand) projection; both side tables are brand-cardinality
   // and broadcast. Overflow: n_both·n·1000 ≤ n²·10³ < 2^63 for n up to
-  // ~3e9 baskets. The support floor is RELATIVE (≥2% of baskets) so the
-  // operator is scale-factor stable.
-  private def q139(s: SparkSession, dir: String): DataFrame = {
-    val ob = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .join(broadcast(Tables.load(s, dir, "part")
-        .select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+  // ~3e9 baskets. The support floor is RELATIVE (per-mille of baskets)
+  // so the operator is scale-factor stable.
+
+  /** Market-basket pair mining: for every unordered item pair
+    * co-occurring in at least `minSupportPerMille`/1000 of the baskets,
+    * the joint support, both marginal supports, and the integer
+    * per-mille lift (n_both · n_baskets · 1000) div (n_a · n_b).
+    * `df` must carry (`basketCol`, `itemCol`); duplicates within a
+    * basket are collapsed first.
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupportPerMille: Int = 20): DataFrame = {
+    require(minSupportPerMille >= 0, "support floor must be non-negative")
+    val ob = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
       .persist()
     val nBaskets = broadcast(
       ob.select("basket").distinct().agg(count(lit(1)).as("n_baskets")))
-    val marg = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
-    val pairs = ob.select(col("basket"), col("brand").as("brand_a"))
-      .join(ob.select(col("basket").as("b2"), col("brand").as("brand_b")),
-        col("basket") === col("b2") && col("brand_a") < col("brand_b"))
-      .groupBy("brand_a", "brand_b")
+    val marg = ob.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = ob.select(col("basket"), col("item").as("item_a"))
+      .join(ob.select(col("basket").as("b2"), col("item").as("item_b")),
+        col("basket") === col("b2") && col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_both"))
     pairs
-      .join(broadcast(marg.withColumnRenamed("brand", "brand_a")
-        .withColumnRenamed("n_brand", "n_a")), "brand_a")
-      .join(broadcast(marg.withColumnRenamed("brand", "brand_b")
-        .withColumnRenamed("n_brand", "n_b")), "brand_b")
+      .join(broadcast(marg.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a")), "item_a")
+      .join(broadcast(marg.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b")), "item_b")
       .crossJoin(nBaskets)
-      .filter(col("n_both") * 50 >= col("n_baskets"))
-      .select(col("brand_a"), col("brand_b"), col("n_both"),
+      .filter(col("n_both") * 1000 >= col("n_baskets") * minSupportPerMille)
+      .select(col("item_a"), col("item_b"), col("n_both"),
         col("n_a"), col("n_b"),
         expr("(n_both * n_baskets * 1000) div (n_a * n_b)")
           .as("lift_milli"))
   }
+
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    basketPairs(
+      Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey")),
+      basketCol = "l_orderkey", itemCol = "p_brand")
+      .select(col("item_a").as("brand_a"), col("item_b").as("brand_b"),
+        col("n_both"), col("n_a"), col("n_b"), col("lift_milli"))
 
   private val q139Sql =
     """WITH ob AS (

@@ -390,50 +390,54 @@ object Stats extends QueryModule {
   // with engine-pinned formats (decimal cast for the double, explicit
   // date_format for the timestamp) so one long-format frame can carry all
   // column types without engine-default cast differences.
-  private def q130(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
-    val agg = o.agg(
-      count(lit(1)).as("n"),
-      count(col("o_orderkey")).as("nn1"),
-      countDistinct(col("o_orderkey")).as("nd1"),
-      expr("CAST(min(o_orderkey) AS STRING)").as("mn1"),
-      expr("CAST(max(o_orderkey) AS STRING)").as("mx1"),
-      count(col("o_custkey")).as("nn2"),
-      countDistinct(col("o_custkey")).as("nd2"),
-      expr("CAST(min(o_custkey) AS STRING)").as("mn2"),
-      expr("CAST(max(o_custkey) AS STRING)").as("mx2"),
-      count(col("o_orderstatus")).as("nn3"),
-      countDistinct(col("o_orderstatus")).as("nd3"),
-      expr("min(o_orderstatus)").as("mn3"),
-      expr("max(o_orderstatus)").as("mx3"),
-      count(col("o_totalprice")).as("nn4"),
-      countDistinct(col("o_totalprice")).as("nd4"),
-      // double → DECIMAL(18,2) → string: the stored doubles are within
-      // 1e-13 of a 2-digit value (q67's argument), so the decimal cast is
-      // exact and renders identically in both engines — no printf
-      // rounding-mode dependence
-      expr("CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS STRING)")
-        .as("mn4"),
-      expr("CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS STRING)")
-        .as("mx4"),
-      count(col("o_orderdate")).as("nn5"),
-      countDistinct(col("o_orderdate")).as("nd5"),
-      expr("date_format(min(o_orderdate), 'yyyy-MM-dd HH:mm:ss')").as("mn5"),
-      expr("date_format(max(o_orderdate), 'yyyy-MM-dd HH:mm:ss')").as("mx5"),
-      count(col("o_orderpriority")).as("nn6"),
-      countDistinct(col("o_orderpriority")).as("nd6"),
-      expr("min(o_orderpriority)").as("mn6"),
-      expr("max(o_orderpriority)").as("mx6"))
-    agg.selectExpr(
-      """stack(6,
-        |  'o_orderkey',      n - nn1, nd1, mn1, mx1,
-        |  'o_custkey',       n - nn2, nd2, mn2, mx2,
-        |  'o_orderstatus',   n - nn3, nd3, mn3, mx3,
-        |  'o_totalprice',    n - nn4, nd4, mn4, mx4,
-        |  'o_orderdate',     n - nn5, nd5, mn5, mx5,
-        |  'o_orderpriority', n - nn6, nd6, mn6, mx6
-        |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+  /** Single-pass profile of every ATOMIC column of `df`: one row per
+    * column with null count, exact distinct count, and min/max rendered
+    * to strings with engine-pinned formats — doubles through a
+    * DECIMAL(18, `doubleScale`) cast (no printf rounding-mode
+    * dependence), timestamps through an explicit `date_format`, so the
+    * output is portable across engines and schemas. One aggregate job:
+    * the multi-column COUNT(DISTINCT) expands rows (one duplicate per
+    * profiled column) but stays partial+final — no per-column jobs. For
+    * the ±2% 100 TB path swap `exact = false` to profile with q38's HLL
+    * sketch instead of exact distincts.
+    */
+  def tableProfile(df: DataFrame, doubleScale: Int = 2,
+      exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    })
+    require(fields.nonEmpty, "no atomic columns to profile")
+    def render(agg: String, f: StructField): String = {
+      val c = s"$agg(`${f.name}`)"
+      f.dataType match {
+        case DoubleType | FloatType =>
+          s"CAST(CAST($c AS DECIMAL(18,$doubleScale)) AS STRING)"
+        case TimestampType | TimestampNTZType =>
+          s"date_format($c, 'yyyy-MM-dd HH:mm:ss')"
+        case StringType => c
+        case _ => s"CAST($c AS STRING)"
+      }
+    }
+    val aggs = count(lit(1)).as("n") +: fields.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        count(col(f.name)).as(s"nn$i"),
+        (if (exact) countDistinct(col(f.name))
+         else expr(s"approx_count_distinct(`${f.name}`)")).as(s"nd$i"),
+        expr(render("min", f)).as(s"mn$i"),
+        expr(render("max", f)).as(s"mx$i"))
+    }
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      s"'${f.name}', n - nn$i, nd$i, mn$i, mx$i"
+    }.mkString(",\n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${fields.length},\n$stackArgs\n) " +
+        "AS (col_name, n_nulls, n_distinct, min_s, max_s)")
   }
+
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    tableProfile(Tables.load(s, dir, "orders"))
 
   private val q130Sql =
     """WITH a AS (

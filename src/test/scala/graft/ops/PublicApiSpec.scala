@@ -770,4 +770,72 @@ class PublicApiSpec extends SparkTestBase {
       4L -> "hi yo",       // sub-k doc passes through verbatim
       5L -> "m n o"), strip.toString)
   }
+
+  test("skyline: custom columns, tie multiplicity, non-default buckets") {
+    import spark.implicits._
+    // maximize score, minimize cost. (5,3) dominates (4,4) and (5,4);
+    // (3,1) and (5,3) are incomparable; (4,1) dominates (3,1).
+    val rows = Seq(
+      ("a", 5L, 3L), ("b", 4L, 4L), ("c", 5L, 4L),
+      ("d", 3L, 1L), ("e", 4L, 1L), ("f", 4L, 1L), // tie pair: both survive
+      ("g", 2L, 2L)).toDF("id", "score", "cost")
+    val got = Relational.skyline(rows, maxCol = "score", minCol = "cost",
+        buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((5L, 3L) -> 1L, (4L, 1L) -> 2L), got.toString)
+  }
+
+  test("skyline: single point and fully-dominated chain degenerate cases") {
+    import spark.implicits._
+    val chain = Seq((1L, 5L), (2L, 4L), (3L, 3L)).toDF("v", "c")
+    // (3,3) dominates the rest
+    val got = Relational.skyline(chain, "v", "c", buckets = 2).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 3L)))
+    val one = Seq((7L, 7L)).toDF("v", "c")
+    assert(Relational.skyline(one, "v", "c").count() == 1L)
+  }
+
+  test("basketPairs: custom columns, support floor binds, lift exact") {
+    import spark.implicits._
+    val b = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"), // dup within basket collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("bid", "sku")
+    val all = Relational.basketPairs(b, basketCol = "bid", itemCol = "sku",
+        minSupportPerMille = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // x in 3 baskets, y in 3, z in 1, 4 baskets total
+    assert(all(("x", "y")) == (2L, 3L, 3L, 2L * 4L * 1000L / 9L))
+    assert(all(("x", "z")) == (1L, 3L, 1L, 1L * 4L * 1000L / 3L))
+    assert(!all.contains(("y", "z")))
+    // a 600-per-mille floor keeps only pairs in >= 60% of baskets: none
+    // (x,y is in 2/4 = 50%)
+    val floored = Relational.basketPairs(b, "bid", "sku",
+      minSupportPerMille = 600)
+    assert(floored.count() == 0L)
+  }
+
+  test("tableProfile: nulls counted, dtype-aware rendering, sketch mode") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Some(1.255), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(2.5), None),
+      (3L, Some(2.5), Some("a"))).toDF("k", "v", "s")
+    val got = Stats.tableProfile(t, doubleScale = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(got("k") == (0L, 3L, "1", "3"))
+    // doubleScale=1 renders through DECIMAL(18,1)
+    assert(got("v") == (1L, 2L, "1.3", "2.5"))
+    assert(got("s") == (1L, 2L, "a", "b"))
+    // sketch mode still profiles (exact distincts replaced by HLL)
+    val approx = Stats.tableProfile(t, exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == Set("k", "v", "s"))
+    assert(approx.values.forall(_ >= 2L))
+  }
 }
