@@ -362,4 +362,46 @@ class PropertiesSpec extends SparkTestBase {
       assert(got == expect, s"texts=$texts\ngot=$got\nexpect=$expect")
     }
   }
+
+  test("skyline equals brute-force dominance on random point sets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
+    samples(gen, 6).foreach { pts =>
+      val df = pts.toDF("mx", "mn").repartition(3)
+      val got = ops.Relational.skyline(df, "mx", "mn", buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val distinct = pts.distinct
+      def dom(y: (Long, Long), x: (Long, Long)) =
+        y._1 >= x._1 && y._2 <= x._2 && (y._1 > x._1 || y._2 < x._2)
+      val expect = distinct.filter(p => !distinct.exists(q => dom(q, p)))
+        .map(p => p -> pts.count(_ == p).toLong).toMap
+      assert(got == expect, s"pts=$pts")
+    }
+  }
+
+  test("basketPairs equals brute-force pair counting on random baskets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1L, 10L), Gen.oneOf("a", "b", "c", "d")))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.toDF("bk", "it").repartition(3)
+      val got = ops.Relational.basketPairs(df, "bk", "it",
+          minSupportPerMille = 0)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(5))).toMap
+      val ob = rows.distinct
+      val nB = ob.map(_._1).distinct.length.toLong
+      val marg = ob.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+      val expect = ob.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        val is = xs.map(_._2).sorted
+        for (i <- is.indices; j <- (i + 1) until is.length)
+          yield (is(i), is(j))
+      }.groupBy(identity).map { case (k, v) =>
+        k -> (v.size.toLong, v.size * nB * 1000 / (marg(k._1) * marg(k._2)))
+      }
+      assert(got == expect, s"rows=$rows")
+    }
+  }
 }
