@@ -298,12 +298,73 @@ object Behavior extends QueryModule {
       |FROM seq WHERE t1 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin
 
+  // --- q143: STREAMING transition-matrix monitor ---------------------------
+  // The incremental side of q138: a complete-mode streaming aggregate
+  // accumulates each user's TIMELINE (the sorted (ts, id, type) event
+  // log) in keyed state as files arrive — the streaming-sessionization
+  // store pattern — and at drain the transition matrix is derived from
+  // the stream-built state with the SAME (ts, event_id) total order and
+  // compared count-for-count against oracle-checked q138 (transitive
+  // parity, fail-loud via ParityGate).
+  //
+  // Order robustness is the point of timeline-in-state: transitions
+  // cannot be folded incrementally under out-of-order file arrival
+  // (a late event splices INTO a user's sequence, retroactively
+  // rewriting two transitions), so the state carries the per-user log
+  // and the matrix is a view over it. State is bounded by per-user
+  // timeline length; the deployment-scale eviction knob is a session
+  // watermark (close a user's sequence when its gap exceeds the
+  // session horizon), which the battery's bounded corpus does not need.
+  // Runs on the RocksDB store like the rest of the streaming battery.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val qname = s"q143_${System.nanoTime()}"
+    val fromStream = graft.streaming.StreamConf.withStateParts(s) {
+      val timelines = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          col("ts_us"), col("event_id"), col("event_type"))))
+          .as("timeline"))
+      val q = timelines.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        s.table(qname)
+          .select(explode(expr(
+            """arrays_zip(slice(timeline, 1, size(timeline) - 1),
+              |           slice(timeline, 2, size(timeline) - 1))"""
+              .stripMargin)).as("pair"))
+          .groupBy(
+            col("pair.0.event_type").as("prev_type"),
+            col("pair.1.event_type").as("next_type"))
+          .agg(count(lit(1)).as("n_trans"))
+          .collect()
+      } finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
+    val batch = q138(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    import s.implicits._
+    graft.ParityGate(
+      fromStream.toSeq.map { r =>
+        val k = (r.getString(0), r.getString(1))
+        (k._1, k._2, r.getLong(2),
+          batch.get(k).contains(r.getLong(2)) &&
+            batch.size == fromStream.length)
+      }.toDF("prev_type", "next_type", "n_trans", "matches_batch"),
+      "q143_stream_transitions", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_cohort_retention" -> q116 _,
     "q117_funnel" -> q117 _,
     "q138_markov_transitions" -> q138 _,
     "q141_time_weighted" -> q141 _,
-    "q142_event_paths" -> q142 _)
+    "q142_event_paths" -> q142 _,
+    "q143_stream_transitions" -> q143 _)
 
   val oracleSql: Map[String, String] = Map(
     "q116_cohort_retention" -> q116Sql,

@@ -350,6 +350,19 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("q143 stream-built transition matrix matches the batch entry") {
+    val got = graft.SparkEntry.queries("q143_stream_transitions")(spark, sf)
+      .collect()
+    val batch = graft.SparkEntry.queries("q138_markov_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty && got.length == batch.size)
+    got.foreach { r =>
+      assert(r.getBoolean(3), s"gate bit for ${(r.getString(0), r.getString(1))}")
+      assert(batch((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
