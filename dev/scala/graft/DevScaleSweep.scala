@@ -18,10 +18,10 @@ import org.apache.spark.sql.SparkSession
 object DevScaleSweep {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q101_pipeline_e2e", "q110_overlap_matrix", "q107_pagerank",
-        "q103_domain_cap_etld", "q50_dedup_clusters",
-        "q76_approx_percentile", "q46_percentiles", "q115_mad_outliers",
-        "q116_cohort_retention", "q117_funnel")
+      else Seq("q101_pipeline_e2e", "q129_curation_v2", "q127_semantic_survivors",
+        "q107_pagerank", "q103_domain_cap_etld", "q130_table_profile",
+        "q139_basket_pairs", "q120_dup_spans", "q125_embed_clusters",
+        "q110_overlap_matrix")
     val sf1Dir = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft-sf1")
     val sfs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",

@@ -358,18 +358,64 @@ object Behavior extends QueryModule {
       "q143_stream_transitions", "matches_batch")
   }
 
+  // --- q144: exact sliding-window distinct counts (rolling actives) --------
+  // Distinct active users per rolling 7-day window, daily cadence — the
+  // WAU curve. DISTINCT does not compose over overlapping windows (a
+  // user active on two days of one window must count once), so the
+  // standard exact decomposition: collapse to distinct (user, day)
+  // FIRST (one map-side-combinable aggregate — the big shuffle shrinks
+  // to active-pairs), then explode each pair into the ≤7 windows it
+  // contributes to (bounded fan-out = window span), dedup (user,
+  // window), count. Windows clipped to those fully inside the data span
+  // so every reported count covers a complete 7 days. At 100 TB the
+  // ±2% relaxation is per-window HLL merge (q38); this is the exact
+  // path.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day"))
+      .distinct()
+      .persist()
+    val span = broadcast(ud.agg(
+      min(col("day")).as("d0"), max(col("day")).as("d1")))
+    ud.crossJoin(span)
+      .select(col("user_id"), col("day"), col("d0"), col("d1"),
+        explode(expr("sequence(day, day + 6)")).as("win_end"))
+      // complete windows only: [win_end-6, win_end] within [d0, d1]
+      .filter(col("win_end") - 6 >= col("d0") && col("win_end") <= col("d1"))
+      .select(col("user_id"), col("win_end")).distinct()
+      .groupBy("win_end")
+      .agg(count(lit(1)).as("n_active_7d"))
+  }
+
+  private val q144Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |), span AS (
+      |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud
+      |), uw AS (
+      |  SELECT DISTINCT user_id, day + o AS win_end
+      |  FROM ud CROSS JOIN span
+      |  CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+      |  WHERE day + o - 6 >= d0 AND day + o <= d1
+      |)
+      |SELECT win_end, COUNT(*) AS n_active_7d
+      |FROM uw GROUP BY win_end""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_cohort_retention" -> q116 _,
     "q117_funnel" -> q117 _,
     "q138_markov_transitions" -> q138 _,
     "q141_time_weighted" -> q141 _,
     "q142_event_paths" -> q142 _,
-    "q143_stream_transitions" -> q143 _)
+    "q143_stream_transitions" -> q143 _,
+    "q144_sliding_distinct" -> q144 _)
 
   val oracleSql: Map[String, String] = Map(
     "q116_cohort_retention" -> q116Sql,
     "q117_funnel" -> q117Sql,
     "q138_markov_transitions" -> q138Sql,
     "q141_time_weighted" -> q141Sql,
-    "q142_event_paths" -> q142Sql)
+    "q142_event_paths" -> q142Sql,
+    "q144_sliding_distinct" -> q144Sql)
 }

