@@ -71,9 +71,79 @@ object Typed extends graft.QueryModule {
       |WHERE l_quantity >= 10.0 AND l_extendedprice > 1000.0
       |GROUP BY l_returnflag""".stripMargin
 
+  // --- q145: typed ordered fold — integer EWMA + anomaly count -------------
+  // Per user over the (ts, event_id)-ordered event sequence: the
+  // exponentially-weighted moving average of `value` as an INTEGER
+  // recurrence s' = (7·s + 3·v) div 10 (α = 0.3 in tenths — floor
+  // division, so the fold is exact int64 and bit-identical on any
+  // engine), plus the count of readings deviating > 50.00 from the
+  // running EWMA (the classic streaming anomaly gate). A linear
+  // recurrence with integer floor-div is NOT expressible as a window
+  // aggregate (non-associative), so this is the honest use case for the
+  // typed sorted-fold: `groupByKey(user).flatMapGroups` sorts each
+  // user's slice and folds once — per-group state is O(1), the shuffle
+  // is the user key, and the group sort is the same cost a window
+  // partition would pay. The oracle replays the identical recurrence as
+  // a recursive CTE (depth = max per-user sequence length).
+  final case class Reading(user_id: Long, ts_us: Long, event_id: Long,
+      v100: Long)
+  final case class EwmaRow(user_id: Long, n_events: Long, ewma_last: Long,
+      n_anomalies: Long)
+
+  private val AnomCents = 5000L
+
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
+      .as[Reading]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val xs = it.toArray.sortBy(r => (r.ts_us, r.event_id))
+        if (xs.isEmpty) Iterator.empty
+        else {
+          var s0 = xs.head.v100
+          var anom = 0L
+          xs.iterator.drop(1).foreach { r =>
+            if (math.abs(r.v100 - s0) > AnomCents) anom += 1
+            s0 = Math.floorDiv(7L * s0 + 3L * r.v100, 10L)
+          }
+          Iterator.single(EwmaRow(uid, xs.length.toLong, s0, anom))
+        }
+      }
+      .toDF()
+  }
+
+  val q145Sql: String =
+    s"""WITH RECURSIVE ev AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, rn, v AS s, CAST(0 AS BIGINT) AS anom
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, (7 * f.s + 3 * e.v) // 10,
+      |    f.anom + CASE WHEN abs(e.v - f.s) > $AnomCents
+      |                  THEN 1 ELSE 0 END
+      |  FROM f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+      |), lastrn AS (
+      |  SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id
+      |)
+      |SELECT f.user_id, lastrn.n AS n_events, f.s AS ewma_last,
+      |  f.anom AS n_anomalies
+      |FROM f JOIN lastrn
+      |  ON f.user_id = lastrn.user_id AND f.rn = lastrn.n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q62_typed_dataset" -> q62 _)
+    Map("q62_typed_dataset" -> q62 _,
+      "q145_typed_ewma" -> q145 _)
 
   val oracleSql: Map[String, String] =
-    Map("q62_typed_dataset" -> q62Sql)
+    Map("q62_typed_dataset" -> q62Sql,
+      "q145_typed_ewma" -> q145Sql)
 }

@@ -380,6 +380,29 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.size >= 2)
   }
 
+  test("q145 typed EWMA fold matches a direct in-memory replay") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "ts div 1000", "event_id",
+        "CAST(floor(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expect = ev.groupBy(_._1).map { case (u, xs) =>
+      val o = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      var s = o.head; var anom = 0L
+      o.drop(1).foreach { v =>
+        if (math.abs(v - s) > 5000L) anom += 1
+        s = (7 * s + 3 * v) / 10
+      }
+      u -> (o.length.toLong, s, anom)
+    }
+    val got = graft.SparkEntry.queries("q145_typed_ewma")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // the anomaly gate fires somewhere (non-degenerate corpus)
+    assert(expect.values.map(_._3).sum > 0)
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
