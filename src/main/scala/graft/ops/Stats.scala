@@ -564,11 +564,15 @@ object Stats extends QueryModule {
   // contributions are integers, a total chi² is an EXACT sum — no
   // float summation-order surface anywhere.
   private def q140(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
-    val rows = d.groupBy("lang").agg(count(lit(1)).as("rt"))
-    val cols = d.groupBy("source").agg(count(lit(1)).as("ct"))
-    val tot = d.agg(count(lit(1)).as("n"))
+    // ONE scan: the observed-cell table is category² rows, so every
+    // marginal (row totals, column totals, grand total) is a re-aggregate
+    // of cells, not another pass over the corpus
+    val cells = Tables.load(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .persist()
+    val rows = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
     broadcast(rows).crossJoin(broadcast(cols)).crossJoin(broadcast(tot))
       .join(cells, Seq("lang", "source"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
