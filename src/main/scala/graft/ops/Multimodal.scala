@@ -128,15 +128,78 @@ object Multimodal extends QueryModule {
        |FROM documents""".stripMargin
   }
 
+  // --- q146: perceptual-hash duplicate-image detection ---------------------
+  // The image-side mirror of exact text dedup: an aHash-style 64-bit
+  // fingerprint over the decoded sample grid — 64 samples at a
+  // length-proportional stride (the "resize to 8×8" step of a real
+  // aHash), each bit = sample above the grid mean — then hash-equality
+  // grouping finds duplicate payloads regardless of doc ids. On the
+  // battery's stub-decoded payloads (UTF-8 bytes of text, corpus is
+  // ASCII) the oracle replays every byte; a real deployment swaps
+  // [[MediaPipeline.JvmImageDecoder]]'s luma grid behind the same
+  // expression and the pipeline shape is unchanged.
+  //
+  // Integer-exact: bit = 64·sample > Σsamples (no division), the hash is
+  // a 64-char bitstring — one scan, per-row expressions, one hash-keyed
+  // aggregate of the duplicate groups. At 100 TB the grouping shuffles
+  // only (hash, doc_id) pairs, never payloads; near-dup (Hamming ≤ k)
+  // extends by banding the bitstring into 4 substrings and bucket-joining
+  // (q27's SimHash machinery, already in the battery).
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .filter(length(col("text")) >= 64)
+      .withColumn("stride", expr("(length(text) - 1) div 63"))
+      .withColumn("samples", expr(
+        "transform(sequence(0, 63), j -> " +
+          "CAST(ascii(substring(text, j * stride + 1, 1)) AS BIGINT))"))
+      .withColumn("total", expr(
+        "aggregate(samples, 0L, (a, x) -> a + x)"))
+      .withColumn("phash", expr(
+        """concat_ws('', transform(samples,
+          |  x -> CASE WHEN x * 64 > total THEN '1' ELSE '0' END))"""
+          .stripMargin))
+      .groupBy("phash")
+      .agg(
+        count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_images") >= 2)
+  }
+
+  private val q146Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(range(0, 64),
+      |      j -> CAST(ascii(substr(text, CAST(j AS INT)
+      |        * CAST(((length(text) - 1) // 63) AS INT) + 1, 1))
+      |        AS BIGINT)), 'sum') AS total,
+      |    list_transform(range(0, 64),
+      |      j -> CAST(ascii(substr(text, CAST(j AS INT)
+      |        * CAST(((length(text) - 1) // 63) AS INT) + 1, 1))
+      |        AS BIGINT)) AS samples
+      |  FROM documents WHERE length(text) >= 64
+      |), b AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(samples,
+      |      x -> CASE WHEN x * 64 > total THEN '1' ELSE '0' END), '')
+      |      AS phash
+      |  FROM h
+      |)
+      |SELECT phash, COUNT(*) AS n_images,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM b GROUP BY phash HAVING COUNT(*) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_meta" -> q32 _,
     "q33_frame_sample" -> q33 _,
-    "q42_media_features" -> q42 _)
+    "q42_media_features" -> q42 _,
+    "q146_image_phash" -> q146 _)
 
   val oracleSql: Map[String, String] = Map(
     "q32_media_meta" -> q32Sql,
     "q33_frame_sample" -> q33Sql,
-    "q42_media_features" -> q42Sql)
+    "q42_media_features" -> q42Sql,
+    "q146_image_phash" -> q146Sql)
 }
 
 /** Typed multimodal pipeline: the Spark-side plumbing (schemas, encoders,

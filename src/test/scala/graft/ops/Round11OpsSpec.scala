@@ -403,6 +403,30 @@ class Round11OpsSpec extends SparkTestBase {
     assert(expect.values.map(_._3).sum > 0)
   }
 
+  test("q146 perceptual-hash duplicate groups match an in-memory replay") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 64)
+    def phash(t: String): String = {
+      val stride = (t.length - 1) / 63
+      val samples = (0 to 63).map(j => t.charAt(j * stride).toLong)
+      val total = samples.sum
+      samples.map(x => if (x * 64 > total) '1' else '0').mkString
+    }
+    val expect = docs.map { case (id, t) => (phash(t), id) }
+      .groupBy(_._1).collect { case (h, xs) if xs.length >= 2 =>
+        h -> (xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max)
+      }.toMap
+    val got = graft.SparkEntry.queries("q146_image_phash")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // exact-duplicate payloads exist in the corpus, so groups exist
+    assert(got.nonEmpty)
+    assert(got.keys.forall(h => h.length == 64 && h.forall("01".contains(_))))
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
