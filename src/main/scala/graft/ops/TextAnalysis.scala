@@ -2127,9 +2127,84 @@ object TextAnalysis extends QueryModule {
       |HAVING COUNT(*) * 20 >= (SELECT COUNT(*) FROM documents)"""
       .stripMargin
 
+  // --- q147: padding-efficiency audit (batch construction strategies) ------
+  // Inference/training batches pad every sequence to its batch max, so
+  // batch COMPOSITION decides how many FLOPs are wasted on pad tokens.
+  // This entry builds size-8 batches per source under two strategies —
+  // arrival order (doc_id) vs length-sorted (n_toks, doc_id) — and
+  // reports per (source, strategy): batch count, real tokens, padded
+  // slots, pad tokens, and per-mille waste. Length-sorting is the
+  // standard fix (similar lengths share a batch ⇒ max ≈ each), and the
+  // entry QUANTIFIES its win on this corpus.
+  //
+  // Scale shape: two source-partitioned row_number windows over one
+  // scan (no global total order — batches are built within source
+  // shards, as real pipelines do), then a (source, batch) aggregate and
+  // a (source, strategy) rollup. All integers; waste is floor-div
+  // per-mille.
+  private val BatchSize = 8
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)")
+          .as("n_toks"))
+      .persist()
+    def strat(name: String, order: String): DataFrame = {
+      docs
+        .withColumn("bid", expr(
+          s"(row_number() OVER (PARTITION BY source ORDER BY $order) - 1)" +
+            s" div $BatchSize"))
+        .groupBy("source", "bid")
+        .agg(count(lit(1)).as("bn"), sum(col("n_toks")).as("btoks"),
+          max(col("n_toks")).as("bmax"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("btoks")).as("real_tokens"),
+          sum(expr("bmax * bn")).as("padded_slots"))
+        .select(col("source"), lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_slots"),
+          expr("padded_slots - real_tokens").as("pad_tokens"),
+          expr("((padded_slots - real_tokens) * 1000) div padded_slots")
+            .as("waste_per_mille"))
+    }
+    strat("fifo", "doc_id")
+      .union(strat("sorted", "n_toks, doc_id"))
+  }
+
+  private val q147Sql = {
+    def leg(name: String, order: String) =
+      s"""SELECT source, '$name' AS strategy, COUNT(*) AS n_batches,
+        |  CAST(SUM(btoks) AS BIGINT) AS real_tokens,
+        |  CAST(SUM(bmax * bn) AS BIGINT) AS padded_slots,
+        |  CAST(SUM(bmax * bn) - SUM(btoks) AS BIGINT) AS pad_tokens,
+        |  ((CAST(SUM(bmax * bn) AS BIGINT) - CAST(SUM(btoks) AS BIGINT))
+        |    * 1000) // CAST(SUM(bmax * bn) AS BIGINT) AS waste_per_mille
+        |FROM (
+        |  SELECT source, bid, COUNT(*) AS bn, SUM(n_toks) AS btoks,
+        |    MAX(n_toks) AS bmax
+        |  FROM (
+        |    SELECT source, n_toks,
+        |      (ROW_NUMBER() OVER (PARTITION BY source ORDER BY $order)
+        |        - 1) // $BatchSize AS bid
+        |    FROM t
+        |  ) GROUP BY source, bid
+        |) GROUP BY source"""
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents
+      |)
+      |${leg("fifo", "doc_id").stripMargin}
+      |UNION ALL
+      |${leg("sorted", "n_toks, doc_id").stripMargin}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_quality_logreg" -> q132 _,
     "q133_inverted_index" -> q133 _,
+    "q147_padding_audit" -> q147 _,
     "q129_curation_v2" -> q129 _,
     "q123_bigram_lm" -> q123 _,
     "q121_bpe_encode" -> q121 _,
@@ -2161,6 +2236,7 @@ object TextAnalysis extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q132_quality_logreg" -> q132Sql,
     "q133_inverted_index" -> q133Sql,
+    "q147_padding_audit" -> q147Sql,
     "q129_curation_v2" -> q129Sql,
     "q123_bigram_lm" -> q123Sql,
     "q121_bpe_encode" -> q121Sql,

@@ -427,6 +427,39 @@ class Round11OpsSpec extends SparkTestBase {
     assert(got.keys.forall(h => h.length == 64 && h.forall("01".contains(_))))
   }
 
+  test("q147 padding audit matches an in-memory replay; sorting wins") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "source",
+        "CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def stats(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(8).toSeq
+      val real = ordered.sum
+      val slots = batches.map(b => b.max * b.length).sum
+      (batches.length.toLong, real, slots)
+    }
+    val expect = docs.groupBy(_._2).flatMap { case (src, xs) =>
+      val fifo = stats(xs.sortBy(_._1).map(_._3))
+      val srt = stats(xs.sortBy(d => (d._3, d._1)).map(_._3))
+      Seq((src, "fifo") -> fifo, (src, "sorted") -> srt)
+    }
+    val got = graft.SparkEntry.queries("q147_padding_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, (nb, real, slots)) =>
+      assert(got(k) == (nb, real, slots, slots - real,
+        (slots - real) * 1000 / slots), s"group $k")
+    }
+    // length-sorting never pads more than arrival order, and wins overall
+    val bySrc = got.keys.map(_._1).toSet
+    bySrc.foreach { s =>
+      assert(got((s, "sorted"))._4 <= got((s, "fifo"))._4, s"source $s")
+    }
+    assert(bySrc.map(s => got((s, "fifo"))._4 - got((s, "sorted"))._4).sum > 0)
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
