@@ -645,7 +645,62 @@ object Similarity extends QueryModule {
       "q122_stream_ivf", "matches_batch")
   }
 
+  // --- q148: contrastive negative mining -----------------------------------
+  // Training-pair construction for contrastive/metric learning: for each
+  // of 100 deterministically-sampled anchors (smallest hash60 of id —
+  // q94's rank primitive, reproducible across engines/runs/cluster
+  // sizes), the 5 pseudo-random negatives = the candidates with a
+  // DIFFERENT label ranked by hash60(anchor_id ':' cand_id) — a
+  // per-anchor-independent shuffle with no RNG state, so the pair set
+  // is a pure function of the table.
+  //
+  // Scale shape: the anchor set is tiny and broadcast; the candidate
+  // product is |anchors|·|pool| with the per-anchor rank compiling to
+  // WindowGroupLimit (map-side top-k — the full product never sorts).
+  // At 100 TB the pool side is itself a hash-sampled subset (same
+  // primitive); the anchors×pool product is the knob, not a hidden
+  // blowup.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.load(s, dir, "embeddings").select("vec_id", "label")
+    val anchors = e
+      .withColumn("ar", expr("graft_hash60(CAST(vec_id AS STRING))"))
+      .orderBy(col("ar").asc, col("vec_id").asc).limit(100)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    anchors.join(e, e("label") =!= anchors("anchor_label"))
+      .withColumn("pr", expr(
+        "graft_hash60(concat(CAST(anchor_id AS STRING), ':', " +
+          "CAST(vec_id AS STRING)))"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor_id").orderBy(col("pr"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("rn").cast("long").as("neg_rank"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"))
+  }
+
+  private val q148Sql = {
+    val ah = graft.ops.Dialect.duckHash60("CAST(vec_id AS VARCHAR)")
+    val ph = graft.ops.Dialect.duckHash60(
+      "CAST(anchor_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)")
+    s"""WITH a AS (
+      |  SELECT vec_id AS anchor_id, label AS anchor_label
+      |  FROM embeddings ORDER BY $ah ASC, vec_id ASC LIMIT 100
+      |), p AS (
+      |  SELECT anchor_id, anchor_label, e.vec_id AS neg_id,
+      |    e.label AS neg_label,
+      |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+      |      ORDER BY $ph ASC, e.vec_id ASC) AS rn
+      |  FROM a JOIN embeddings e ON e.label <> a.anchor_label
+      |)
+      |SELECT anchor_id, anchor_label, CAST(rn AS BIGINT) AS neg_rank,
+      |  neg_id, neg_label
+      |FROM p WHERE rn <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_negative_mining" -> q148 _,
     "q125_embed_clusters" -> q125 _,
     "q127_semantic_survivors" -> q127 _,
     "q122_stream_ivf" -> q122 _,
@@ -657,6 +712,7 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q148_negative_mining" -> q148Sql,
     "q125_embed_clusters" -> q125Sql,
     "q127_semantic_survivors" -> q127Sql,
     "q89_quantization" -> q89Sql,

@@ -460,6 +460,24 @@ class Round11OpsSpec extends SparkTestBase {
     assert(bySrc.map(s => got((s, "fifo"))._4 - got((s, "sorted"))._4).sum > 0)
   }
 
+  test("q148 negative mining is label-disjoint, deterministic, and ranked") {
+    val got = graft.SparkEntry.queries("q148_negative_mining")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    // every negative has a different label from its anchor
+    assert(got.forall { case (_, al, _, _, nl) => al != nl })
+    // exactly 5 ranked negatives per anchor, ranks 1..5
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.forall(_._2.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    // negatives are distinct within an anchor
+    assert(byAnchor.forall { case (_, xs) =>
+      xs.map(_._4).distinct.length == xs.length })
+    // deterministic: a second run returns the identical pair set
+    val again = graft.SparkEntry.queries("q148_negative_mining")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == got.map(t => (t._1, t._3, t._4)).toSet)
+  }
+
   test("q131 group-wise OLS matches a direct in-memory replay") {
     val rows = graft.Tables.load(spark, sf, "orders")
       .selectExpr("o_orderpriority",
