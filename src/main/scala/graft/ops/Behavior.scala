@@ -169,28 +169,44 @@ object Behavior extends QueryModule {
   // The order is pinned by (ts_us, event_id) — the battery-wide total-
   // order tiebreak — and the probability is integer per-mille (floor
   // div), so results are bit-identical across engines and partitionings.
-  private def q138(s: SparkSession, dir: String): DataFrame = {
+  /** First-order Markov transition matrix over per-key ordered
+    * sequences: one row per observed (prev_state → next_state) pair
+    * with its count, the total transitions leaving prev_state, and the
+    * integer per-mille probability. `orderCols` must be a TOTAL order
+    * within each key (ties would make the sequence — and therefore the
+    * matrix — partition-dependent). One key-partitioned lag window
+    * (local sort per hash partition), then a |states|²-keyed count; the
+    * tiny matrix is persisted so the denominator branch re-aggregates
+    * it rather than re-running the scan+window.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+      orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seq = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(
-        Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
-      .filter(col("prev_type").isNotNull)
-    // persisted: |types|² rows; without it BOTH the matrix and the
-    // denominator branch would re-run the events scan + window (the
-    // battery harness clearCache()s per entry)
-    val trans = seq.groupBy(col("prev_type"),
-        col("event_type").as("next_type"))
+    val seq = df
+      .withColumn("prev_state", lag(col(stateCol), 1).over(
+        Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)))
+      .filter(col("prev_state").isNotNull)
+    val trans = seq.groupBy(col("prev_state"),
+        col(stateCol).as("next_state"))
       .agg(count(lit(1)).as("n_trans"))
       .persist()
-    val outTotals = trans.groupBy("prev_type")
+    val outTotals = trans.groupBy("prev_state")
       .agg(sum(col("n_trans")).as("n_out"))
-    trans.join(broadcast(outTotals), "prev_type")
-      .select(col("prev_type"), col("next_type"), col("n_trans"),
+    trans.join(broadcast(outTotals), "prev_state")
+      .select(col("prev_state"), col("next_state"), col("n_trans"),
         col("n_out"),
         expr("(n_trans * 1000) div n_out").as("per_mille"))
   }
+
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    transitionMatrix(
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us")),
+      keyCol = "user_id", stateCol = "event_type",
+      orderCols = Seq("ts_us", "event_id"))
+      .withColumnRenamed("prev_state", "prev_type")
+      .withColumnRenamed("next_state", "next_type")
 
   private val q138Sql =
     """WITH seq AS (
@@ -370,22 +386,41 @@ object Behavior extends QueryModule {
   // so every reported count covers a complete 7 days. At 100 TB the
   // ±2% relaxation is per-window HLL merge (q38); this is the exact
   // path.
-  private def q144(s: SparkSession, dir: String): DataFrame = {
-    val ud = events(s, dir)
-      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day"))
+  /** Exact distinct `entityCol` count per sliding window of `span`
+    * consecutive `bucketCol` values (daily cadence when buckets are
+    * days). Distinct does not compose over overlapping windows, so:
+    * distinct (entity, bucket) collapse first, bounded explode into the
+    * ≤span covering windows, (entity, window) dedup, count. Only
+    * complete windows (fully inside the data's bucket span) are
+    * reported.
+    */
+  def slidingDistinct(df: DataFrame, entityCol: String, bucketCol: String,
+      span: Int = 7): DataFrame = {
+    require(span >= 1, "window span must be >= 1")
+    val ud = df
+      .select(col(entityCol).as("entity"), col(bucketCol).as("bucket"))
       .distinct()
       .persist()
-    val span = broadcast(ud.agg(
-      min(col("day")).as("d0"), max(col("day")).as("d1")))
-    ud.crossJoin(span)
-      .select(col("user_id"), col("day"), col("d0"), col("d1"),
-        explode(expr("sequence(day, day + 6)")).as("win_end"))
-      // complete windows only: [win_end-6, win_end] within [d0, d1]
-      .filter(col("win_end") - 6 >= col("d0") && col("win_end") <= col("d1"))
-      .select(col("user_id"), col("win_end")).distinct()
+    val bounds = broadcast(ud.agg(
+      min(col("bucket")).as("d0"), max(col("bucket")).as("d1")))
+    ud.crossJoin(bounds)
+      .select(col("entity"), col("d0"), col("d1"),
+        explode(expr(s"sequence(bucket, bucket + ${span - 1})"))
+          .as("win_end"))
+      // complete windows only: [win_end-(span-1), win_end] within [d0, d1]
+      .filter(col("win_end") - (span - 1) >= col("d0") &&
+        col("win_end") <= col("d1"))
+      .select(col("entity"), col("win_end")).distinct()
       .groupBy("win_end")
-      .agg(count(lit(1)).as("n_active_7d"))
+      .agg(count(lit(1)).as("n_distinct"))
   }
+
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    slidingDistinct(
+      events(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day")),
+      entityCol = "user_id", bucketCol = "day")
+      .withColumnRenamed("n_distinct", "n_active_7d")
 
   private val q144Sql =
     """WITH ud AS (

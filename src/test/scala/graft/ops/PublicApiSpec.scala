@@ -818,6 +818,36 @@ class PublicApiSpec extends SparkTestBase {
     assert(floored.count() == 0L)
   }
 
+  test("transitionMatrix: custom columns, per-mille mass, order pinning") {
+    import spark.implicits._
+    val moves = Seq(
+      ("m1", 1L, "A"), ("m1", 2L, "B"), ("m1", 3L, "A"),
+      ("m2", 1L, "A"), ("m2", 2L, "A"),
+      ("m3", 5L, "B")).toDF("machine", "seq", "st")
+    val got = Behavior.transitionMatrix(moves, keyCol = "machine",
+        stateCol = "st", orderCols = Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // transitions: m1: A->B, B->A; m2: A->A; m3 has none
+    assert(got == Map(
+      ("A", "B") -> (1L, 2L, 500L),
+      ("A", "A") -> (1L, 2L, 500L),
+      ("B", "A") -> (1L, 1L, 1000L)), got.toString)
+  }
+
+  test("slidingDistinct: custom span, complete windows only, dedup") {
+    import spark.implicits._
+    val visits = Seq(
+      ("u1", 10L), ("u1", 10L), ("u1", 12L),
+      ("u2", 11L), ("u3", 13L)).toDF("visitor", "day")
+    val got = Behavior.slidingDistinct(visits, entityCol = "visitor",
+        bucketCol = "day", span = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // complete 3-day windows end at 12 and 13
+    // [10..12]: u1, u2 → 2; [11..13]: u1, u2, u3 → 3
+    assert(got == Map(12L -> 2L, 13L -> 3L), got.toString)
+  }
+
   test("tableProfile: nulls counted, dtype-aware rendering, sketch mode") {
     import spark.implicits._
     val t = Seq(
