@@ -177,12 +177,24 @@ object Behavior extends QueryModule {
     * matrix — partition-dependent). One key-partitioned lag window
     * (local sort per hash partition), then a |states|²-keyed count; the
     * tiny matrix is persisted so the denominator branch re-aggregates
-    * it rather than re-running the scan+window.
+    * it rather than re-running the scan+window (|states|² rows — the
+    * one documented exception to the lazy-localCheckpoint convention).
+    * NULL states are dropped up front and the sequence SPLICES across
+    * them (A, null, B yields A→B): no null-keyed matrix row ever
+    * appears, and rows-per-key minus one equals the key's transition
+    * count after the drop. Callers who want null to BREAK sequences
+    * should pre-map it to a sentinel state instead.
     */
   def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
       orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seq = df
+    // project first: the window shuffles only the columns it needs, and
+    // the internal prev_state/next_state names cannot collide with
+    // caller columns
+    val base = df
+      .select((keyCol +: stateCol +: orderCols).distinct.map(col): _*)
+      .filter(col(stateCol).isNotNull)
+    val seq = base
       .withColumn("prev_state", lag(col(stateCol), 1).over(
         Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)))
       .filter(col("prev_state").isNotNull)
@@ -392,7 +404,12 @@ object Behavior extends QueryModule {
     * distinct (entity, bucket) collapse first, bounded explode into the
     * ≤span covering windows, (entity, window) dedup, count. Only
     * complete windows (fully inside the data's bucket span) are
-    * reported.
+    * reported, and an EMPTY complete window produces no row (join
+    * against your expected window ends and coalesce to 0 if a dense
+    * curve is needed). The distinct collapse materializes once as a
+    * lazy localCheckpoint (freed when the result is unreferenced —
+    * repeated library calls do not accumulate cache entries; see
+    * Dedup.minHashLshPairs for the lineage-truncation trade).
     */
   def slidingDistinct(df: DataFrame, entityCol: String, bucketCol: String,
       span: Int = 7): DataFrame = {
@@ -400,7 +417,7 @@ object Behavior extends QueryModule {
     val ud = df
       .select(col(entityCol).as("entity"), col(bucketCol).as("bucket"))
       .distinct()
-      .persist()
+      .localCheckpoint(false)
     val bounds = broadcast(ud.agg(
       min(col("bucket")).as("d0"), max(col("bucket")).as("d1")))
     ud.crossJoin(bounds)

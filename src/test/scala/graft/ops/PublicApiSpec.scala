@@ -833,6 +833,18 @@ class PublicApiSpec extends SparkTestBase {
       ("A", "B") -> (1L, 2L, 500L),
       ("A", "A") -> (1L, 2L, 500L),
       ("B", "A") -> (1L, 1L, 1000L)), got.toString)
+    // null states drop up front and the sequence splices: A, NULL, B
+    // yields exactly A->B (null never appears in the matrix), and a
+    // caller column named prev_state does not collide with the
+    // internal lag column
+    val withNull = Seq(
+      ("k", 1L, Some("A"), "shadow"), ("k", 2L, None, "shadow"),
+      ("k", 3L, Some("B"), "shadow"))
+      .toDF("machine", "seq", "st", "prev_state")
+    val g2 = Behavior.transitionMatrix(withNull, "machine", "st", Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(g2 == Map(("A", "B") -> 1L), g2.toString)
   }
 
   test("slidingDistinct: custom span, complete windows only, dedup") {
