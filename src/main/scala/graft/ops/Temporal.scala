@@ -641,6 +641,122 @@ object Temporal extends QueryModule {
         max(col("i_end") - col("i_start")).as("max_island_us"))
   }
 
+  // ======================= SCD Type-2 / CDC merge ==========================
+
+  /** Apply an at-least-once CDC change log as a Type-2 slowly-changing
+    * dimension: latest-wins dedup of replayed deliveries per
+    * (key, valid_from), then closed validity intervals via `lead`.
+    *
+    * The log carries (key, valid_from, ingest_seq, payload...); replays
+    * of the same (key, valid_from) are resolved to the HIGHEST ingest_seq
+    * (the downstream copy of an upstream correction). Output = one row
+    * per surviving version with `[valid_from, valid_to)` and
+    * `is_current`; the open interval's end is pinned to `Long.MaxValue`
+    * rather than NULL so sinks/oracles need no null-ordering contract.
+    *
+    * Scale shape: ONE shuffle, on `key`. Both windows (the replay-dedup
+    * lag and the valid_to lead) partition by `key` alone, and the dedup
+    * window's (valid_from ASC, ingest_seq DESC) sort order has the lead
+    * window's (valid_from ASC) as a prefix, so Catalyst plans a single
+    * Exchange + a single Sort feeding both Window operators — the replay
+    * dedup costs no extra pass. Dedup is the lag-flag formulation (keep
+    * the first row of each valid_from run) rather than a row_number over
+    * (key, valid_from), which would hash-partition on the pair and force
+    * a SECOND shuffle for the lead.
+    */
+  def scd2Merge(log: DataFrame, keyCol: String = "key",
+      validFromCol: String = "valid_from_us",
+      seqCol: String = "ingest_seq"): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(col(validFromCol).asc, col(seqCol).desc)
+    val byFrom = Window.partitionBy(keyCol).orderBy(col(validFromCol).asc)
+    log
+      .withColumn("__prev_from", lag(col(validFromCol), 1).over(byKey))
+      .filter(col("__prev_from").isNull ||
+        col("__prev_from") =!= col(validFromCol))
+      .withColumn("version_seq", row_number().over(byFrom).cast("long"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col(validFromCol), 1).over(byFrom),
+          lit(Long.MaxValue)))
+      .withColumn("is_current", col("valid_to_us") === Long.MaxValue)
+      .drop("__prev_from", seqCol)
+  }
+
+  // --- q149: SCD2 dimension build from a CDC change log --------------------
+  // The training-data/warehouse step between "raw change capture" and
+  // "point-in-time joinable dimension". The change log is synthesized
+  // deterministically from orders so the DuckDB oracle can replay it
+  // exactly: each order emits 1–3 versions (o_orderkey mod 3, one per
+  // simulated day), and every 5th key REPLAYS its first version with a
+  // corrected price and a higher ingest_seq — the at-least-once delivery
+  // the merge must collapse. All arithmetic is integer µs / integer
+  // cents; the status cycle is an array index. One shuffle end-to-end
+  // (see scd2Merge); the version fan-out is a per-row generator, no join.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val versions = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))").as("od_us"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("base_cents"))
+      .withColumn("v",
+        explode(expr("sequence(0, CAST(o_orderkey % 3 AS INT))")))
+      .withColumn("ingest_seq", (col("v") * 2).cast("long"))
+    // the replayed delivery: version 0 again, ingest_seq between v0 and
+    // v1, price corrected by +1000 cents — latest-wins must keep THIS row
+    val replays = versions
+      .filter(col("v") === 0 && col("o_orderkey") % 5 === 0)
+      .withColumn("ingest_seq", lit(1L))
+      .withColumn("base_cents", col("base_cents") + 1000L)
+    val log = versions.unionAll(replays).select(
+      col("o_orderkey").as("key"),
+      (col("od_us") + col("v") * 86400000000L).as("valid_from_us"),
+      expr("element_at(array('O','P','F'), " +
+        "CAST((o_orderkey + v) % 3 AS INT) + 1)").as("status"),
+      (col("base_cents") + col("v") * 7L).as("price_cents"),
+      col("ingest_seq"))
+    scd2Merge(log)
+      .select(col("key"), col("version_seq"), col("status"),
+        col("price_cents"), col("valid_from_us"), col("valid_to_us"),
+        col("is_current"))
+  }
+
+  private val q149Sql =
+    """WITH versions AS (
+      |  SELECT o_orderkey,
+      |    epoch_us(o_orderdate) AS od_us,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS base_cents,
+      |    CAST(v AS INTEGER) AS v,
+      |    CAST(v * 2 AS BIGINT) AS ingest_seq
+      |  FROM orders, unnest(generate_series(0, o_orderkey % 3)) AS t(v)
+      |), replays AS (
+      |  SELECT o_orderkey, od_us, base_cents + 1000 AS base_cents, v,
+      |    CAST(1 AS BIGINT) AS ingest_seq
+      |  FROM versions WHERE v = 0 AND o_orderkey % 5 = 0
+      |), log AS (
+      |  SELECT o_orderkey AS key,
+      |    od_us + v * 86400000000 AS valid_from_us,
+      |    (['O','P','F'])[CAST((o_orderkey + v) % 3 AS INTEGER) + 1]
+      |      AS status,
+      |    base_cents + v * 7 AS price_cents,
+      |    ingest_seq
+      |  FROM (SELECT * FROM versions UNION ALL SELECT * FROM replays)
+      |), deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, LAG(valid_from_us, 1) OVER (PARTITION BY key
+      |        ORDER BY valid_from_us ASC, ingest_seq DESC) AS prev_from
+      |    FROM log)
+      |  WHERE prev_from IS NULL OR prev_from <> valid_from_us
+      |)
+      |SELECT key,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_seq,
+      |  status, price_cents, valid_from_us,
+      |  COALESCE(LEAD(valid_from_us, 1) OVER w, 9223372036854775807)
+      |    AS valid_to_us,
+      |  COALESCE(LEAD(valid_from_us, 1) OVER w, 9223372036854775807)
+      |    = 9223372036854775807 AS is_current
+      |FROM deduped
+      |WINDOW w AS (PARTITION BY key ORDER BY valid_from_us ASC)"""
+      .stripMargin
+
   private val q113Sql =
     """WITH iv AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
@@ -675,6 +791,7 @@ object Temporal extends QueryModule {
       |FROM isl GROUP BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_scd2_merge" -> q149 _,
     "q113_interval_merge" -> q113 _,
     "q100_gapfill_multi" -> q100 _,
     "q96_stream_checksum" -> q96 _,
@@ -687,6 +804,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q149_scd2_merge" -> q149Sql,
     "q113_interval_merge" -> q113Sql,
     "q100_gapfill_multi" -> q100Sql,
     "q93_table_checksum" -> q93Sql,

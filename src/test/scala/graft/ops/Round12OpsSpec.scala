@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Round-12 operator pins: SCD2/CDC merge semantics and plan shape. */
+class Round12OpsSpec extends SparkTestBase {
+
+  test("scd2Merge: latest-wins replay dedup + interval chaining") {
+    import spark.implicits._
+    // key 1: three versions, v=10 replayed (seq 0 then corrected seq 1)
+    // key 2: single version (open interval from the start)
+    val log = Seq(
+      (1L, 10L, 0L, "stale"),
+      (1L, 10L, 1L, "v1-fixed"),
+      (1L, 20L, 2L, "v2"),
+      (1L, 30L, 3L, "v3"),
+      (2L, 15L, 0L, "only")
+    ).toDF("key", "valid_from_us", "ingest_seq", "payload")
+    val out = Temporal.scd2Merge(log)
+      .select("key", "version_seq", "payload", "valid_from_us",
+        "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .sortBy(r => (r._1, r._2))
+    assert(out === Seq(
+      (1L, 1L, "v1-fixed", 10L, 20L, false),
+      (1L, 2L, "v2", 20L, 30L, false),
+      (1L, 3L, "v3", 30L, Long.MaxValue, true),
+      (2L, 1L, "only", 15L, Long.MaxValue, true)))
+  }
+
+  test("scd2Merge plans a single shuffle (both windows share one key)") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"))
+      .toDF("key", "valid_from_us", "ingest_seq", "payload")
+    // executedPlan is an AdaptiveSparkPlan whose inner plan is not
+    // reachable via collect() before execution — count on the rendering
+    val plan = Temporal.scd2Merge(log).queryExecution.executedPlan.toString
+    val exchanges = "\\bExchange\\b".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+    val sorts = "\\bSort\\b".r.findAllIn(plan).size
+    assert(sorts == 1, s"expected 1 Sort, got $sorts:\n$plan")
+  }
+}
