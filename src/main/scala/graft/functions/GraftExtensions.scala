@@ -161,6 +161,10 @@ object GraftFunctions {
           "rank-ordered 'a b,th e,...' merge table; symbols space-joined"),
       (cs: Seq[Expression]) => BpeEncode(cs.head,
         BpeEncode.parseMerges(litStr("graft_bpe", "merges", cs(1))))),
+    ("graft_nfc",
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonical normalization"),
+      (cs: Seq[Expression]) => NfcNormalize(cs.head)),
     ("graft_bloom_contains",
       info("graft_bloom_contains",
         "graft_bloom_contains(filter_bytes, v) - bloom-filter membership " +

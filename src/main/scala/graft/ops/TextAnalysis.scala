@@ -2201,7 +2201,78 @@ object TextAnalysis extends QueryModule {
       |${leg("sorted", "n_toks, doc_id").stripMargin}""".stripMargin
   }
 
+  // ======================= text canonicalization ===========================
+
+  /** Canonicalize raw scraped text in one projection: strip markup tags,
+    * decode the non-breaking-space entity, collapse space runs, trim,
+    * and NFC-normalize (native [[graft.functions.NfcNormalize]] — the
+    * Unicode step Spark has no builtin for). Order matters and is part
+    * of the contract: entity decode BEFORE whitespace collapse (a
+    * decoded `&nbsp;` can create an adjacent space run), NFC last (tag
+    * stripping can abut a base char and a combining mark that must then
+    * compose).
+    *
+    * Scale shape: shuffle-free — a single narrow projection inside one
+    * whole-stage-codegen span; every step including the NFC expression
+    * is codegen'd, and already-NFC text (all ASCII) returns the input
+    * buffer without allocation.
+    */
+  def normalizeText(df: DataFrame, textCol: String = "text",
+      outCol: String = "norm_text"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(outCol, call_function("graft_nfc",
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), "<[^>]*>", ""),
+          "&nbsp;", " "),
+        " +", " "))))
+  }
+
+  // --- q150: markup strip + entity decode + NFC normalization --------------
+  // The canonicalization every scrape-derived corpus runs before dedup /
+  // hashing. The parquet fixtures are pure ASCII, so the query first
+  // plants deterministic markup and DECOMPOSED accent sequences (both
+  // engines plant byte-identically: 'table'→'<b>table</b>&nbsp;',
+  // 'fast'→'fa'+U+0301+'st'), then normalizes; NFC composes a+U+0301
+  // into U+00E1, observable as a codepoint-length drop, and the 60-bit
+  // hash pins the exact output bytes. DuckDB's nfc_normalize is the
+  // oracle twin of the native expression. Per-doc rows; zero shuffles.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "table", "<b>table</b>&nbsp;"),
+          "fast", "fa\u0301st").as("text"))
+    normalizeText(dirty)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_dirty"),
+        length(col("norm_text")).cast("long").as("len_norm"),
+        expr(Dialect.sparkHash60("norm_text")).as("norm_hash"))
+  }
+
+  private val q150Sql =
+    s"""WITH dirty AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(text, 'table', '<b>table</b>&nbsp;', 'g'),
+      |      'fast', 'fa' || chr(769) || 'st', 'g') AS text
+      |  FROM documents
+      |), norm AS (
+      |  SELECT doc_id, text,
+      |    nfc_normalize(trim(regexp_replace(
+      |      replace(regexp_replace(text, '<[^>]*>', '', 'g'),
+      |        '&nbsp;', ' '),
+      |      ' +', ' ', 'g'))) AS norm_text
+      |  FROM dirty
+      |)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS len_dirty,
+      |  CAST(length(norm_text) AS BIGINT) AS len_norm,
+      |  ${Dialect.duckHash60("norm_text")} AS norm_hash
+      |FROM norm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_normalize_nfc" -> q150 _,
     "q132_quality_logreg" -> q132 _,
     "q133_inverted_index" -> q133 _,
     "q147_padding_audit" -> q147 _,
@@ -2234,6 +2305,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q150_normalize_nfc" -> q150Sql,
     "q132_quality_logreg" -> q132Sql,
     "q133_inverted_index" -> q133Sql,
     "q147_padding_audit" -> q147Sql,

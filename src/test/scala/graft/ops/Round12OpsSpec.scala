@@ -30,6 +30,38 @@ class Round12OpsSpec extends SparkTestBase {
       (2L, 1L, "only", 15L, Long.MaxValue, true)))
   }
 
+  test("graft_nfc composes decomposed sequences; ASCII is a no-copy no-op") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = Seq("fa\u0301st", "plain ascii", "e\u0301e\u0301", "")
+      .toDF("t")
+      .selectExpr("graft_nfc(t) AS n", "length(t) AS lt", "length(n) AS ln")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows(0) === (("fást", 5, 4)))
+    assert(rows(1) === (("plain ascii", 11, 11)))
+    assert(rows(2) === (("éé", 4, 2)))
+    assert(rows(3) === (("", 0, 0)))
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("t")
+      .selectExpr("graft_nfc(t)").collect().head
+    assert(n.isNullAt(0))
+    // already-normalized input returns the same value (idempotence)
+    val twice = Seq("fa\u0301st").toDF("t")
+      .selectExpr("graft_nfc(graft_nfc(t)) AS n2", "graft_nfc(t) AS n1")
+      .collect().head
+    assert(twice.getString(0) == twice.getString(1))
+  }
+
+  test("normalizeText strips tags, decodes nbsp, collapses, normalizes") {
+    import spark.implicits._
+    val df = Seq((1L, "  <b>a</b>&nbsp;&nbsp;b   ce\u0301 <i>x</i>  "))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.normalizeText(df)
+      .select("norm_text").as[String].collect().head
+    assert(out == "a b cé x")
+  }
+
   test("scd2Merge plans a single shuffle (both windows share one key)") {
     import spark.implicits._
     val log = Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"))
