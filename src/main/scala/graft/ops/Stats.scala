@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -620,7 +620,92 @@ object Stats extends QueryModule {
       |  q1 * 1000000 + q2 * 1000 + (r2 * 1000) // m AS contrib_micro
       |FROM s3""".stripMargin
 
+  // ======================= count-min sketch prefilter ======================
+
+  /** Build a count-min sketch over `key` frequencies: `depth` hash rows ×
+    * `width` buckets, cell (j, b) = count of rows whose
+    * `xxhash64(j, key) mod width` = b. Returned as a flat driver-side
+    * array indexed `j * width + b` — the whole point of a CMS is that
+    * this is KILOBYTES regardless of input size (the build is one
+    * grouped count with ≤ depth·width groups, so map-side partial
+    * aggregation reduces each partition to ≤ depth·width cells before
+    * the only shuffle).
+    */
+  def countMinBuild(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 512): Array[Long] = {
+    require(depth >= 1 && width >= 1 && depth * width <= (1 << 20),
+      s"count-min dims out of range: $depth x $width")
+    val cells = df
+      .select(explode(array((0 until depth).map(lit): _*)).as("__j"),
+        key.as("__k"))
+      .select(col("__j"),
+        pmod(xxhash64(col("__j"), col("__k")), lit(width)).as("__b"))
+      .groupBy("__j", "__b").agg(count(lit(1)).as("__c"))
+      .collect()
+    val sketch = new Array[Long](depth * width)
+    cells.foreach(r =>
+      sketch(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    sketch
+  }
+
+  /** Point-estimate Column for `key` under a [[countMinBuild]] sketch:
+    * min over the depth rows of the hashed cell — the classic CMS upper
+    * bound (estimate ≥ true count, always). The sketch rides into the
+    * plan as ONE array literal, so the probe is a shuffle-free,
+    * broadcast-free per-row expression — usable directly as a filter on
+    * an arbitrarily large probe table.
+    */
+  def countMinEstimate(sketch: Array[Long], key: Column, depth: Int = 4,
+      width: Int = 512): Column = {
+    require(sketch.length == depth * width,
+      s"sketch length ${sketch.length} != $depth x $width")
+    val arr = typedLit(sketch.toSeq)
+    least((0 until depth).map(j =>
+      element_at(arr, (pmod(xxhash64(lit(j), key), lit(width))
+        + lit(j * width) + lit(1)).cast("int"))): _*)
+  }
+
+  // --- q151: sketch-prefiltered frequent-key join --------------------------
+  // The 100 TB shape for "which dimension keys are hot in the fact
+  // table": pass 1 folds the fact table into a 2 KB sketch (one grouped
+  // count, ≤ depth·width cells after map-side combine); pass 2 filters
+  // the dimension with the shuffle-free estimate expression (CMS
+  // guarantees estimate ≥ exact, so no true frequent key is lost); only
+  // the SURVIVORS — a small, broadcastable set — pay the exact
+  // verification join against the fact table. Output = exactly the
+  // truly-frequent keys with exact counts, so the DuckDB oracle is a
+  // plain GROUP BY/HAVING replay; the CMS upper-bound invariant
+  // (estimate ≥ exact) is asserted in-plan on every survivor, fail-loud,
+  // and the estimate column is dropped from the output (its value is
+  // engine-specific state, not a result).
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 45L
+    val li = Tables.load(s, dir, "lineitem")
+    val sketch = countMinBuild(li, col("l_partkey"))
+    val candidates = Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        countMinEstimate(sketch, col("p_partkey")).as("__est"))
+      .filter(col("__est") >= threshold)
+    // exact verification: only candidate keys reach the join (broadcast
+    // — the sketch already shrank the dimension side), and the grouped
+    // count happens on the candidate-filtered fact rows
+    val exact = li.join(broadcast(candidates),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "__est")
+      .agg(count(lit(1)).as("n_items"))
+    graft.ParityGate(
+        exact.withColumn("cms_upper_ok", col("__est") >= col("n_items")),
+        "q151_cms_prefilter", guardNonEmpty = false, "cms_upper_ok")
+      .filter(col("n_items") >= threshold)
+      .select("p_partkey", "n_items")
+  }
+
+  private val q151Sql =
+    """SELECT l_partkey AS p_partkey, COUNT(*) AS n_items
+      |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 45""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_cms_prefilter" -> q151 _,
     "q130_table_profile" -> q130 _,
     "q131_groupwise_ols" -> q131 _,
     "q140_chi2_independence" -> q140 _,
@@ -635,6 +720,7 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q151_cms_prefilter" -> q151Sql,
     "q130_table_profile" -> q130Sql,
     "q131_groupwise_ols" -> q131Sql,
     "q140_chi2_independence" -> q140Sql,

@@ -62,6 +62,30 @@ class Round12OpsSpec extends SparkTestBase {
     assert(out == "a b cé x")
   }
 
+  test("count-min sketch: estimate >= exact for every key; tight without " +
+      "collisions") {
+    import spark.implicits._
+    // 200 keys, key k appears (k % 7) + 1 times
+    val rows = (0L until 200L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sketch = Stats.countMinBuild(df, org.apache.spark.sql.functions.col("k"),
+      depth = 4, width = 512)
+    // total mass conserved per hash row
+    (0 until 4).foreach { j =>
+      assert(sketch.slice(j * 512, (j + 1) * 512).sum == rows.size.toLong)
+    }
+    val est = df.distinct()
+      .withColumn("est", Stats.countMinEstimate(sketch,
+        org.apache.spark.sql.functions.col("k"), depth = 4, width = 512))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS under-estimated key $k: ${est(k)} < $n")
+    }
+    // with 200 keys in 4x512 cells, most keys collide in no row -> exact
+    assert(exact.count { case (k, n) => est(k) == n } > 150)
+  }
+
   test("scd2Merge plans a single shuffle (both windows share one key)") {
     import spark.implicits._
     val log = Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"))
