@@ -641,6 +641,59 @@ object Temporal extends QueryModule {
         max(col("i_end") - col("i_start")).as("max_island_us"))
   }
 
+  // --- q152: rolling exact median ------------------------------------------
+  // Per-user rolling LOWER median of the last 5 event values — the
+  // robust smoother a metrics/monitoring pipeline runs where a rolling
+  // mean would chase outliers. Spark has no median window function;
+  // the exact formulation is collect_list over a ROWS frame (bounded:
+  // ≤ 5 elements live per row, so state is O(frame), never O(partition))
+  // + array_sort + the rank-(n+1)/2 element. Rank-based lower median,
+  // not interpolated — an ACTUAL data value, identical integers on both
+  // engines (q109's convention). All three windows (list, row_number)
+  // share one (user_id) partitioning and one (ts_us, event_id) sort →
+  // single Exchange + single Sort. The per-user digest rides on the
+  // same key: checksum terms are mod-reduced below 2^20 so 1e12-row
+  // sums stay far from int64 overflow.
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val frame = order.rowsBetween(-4, 0)
+    events(s, dir)
+      .withColumn("v100", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .withColumn("rn", row_number().over(order).cast("long"))
+      .withColumn("win", collect_list(col("v100")).over(frame))
+      .withColumn("med", expr(
+        "element_at(array_sort(win), CAST((size(win) + 1) div 2 AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med")).as("med_min"),
+        max(col("med")).as("med_max"),
+        sum(expr("((med % 1000003) * (rn % 1000003)) % 1000003"))
+          .as("med_checksum"))
+  }
+
+  private val q152Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v100
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |    list_sort(list(v100) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS sl
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+      |), med AS (
+      |  SELECT user_id, rn, sl[(len(sl) + 1) // 2] AS med FROM m
+      |)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  MIN(med) AS med_min, MAX(med) AS med_max,
+      |  CAST(SUM(((med % 1000003) * (rn % 1000003)) % 1000003) AS BIGINT)
+      |    AS med_checksum
+      |FROM med GROUP BY user_id""".stripMargin
+
   // ======================= SCD Type-2 / CDC merge ==========================
 
   /** Apply an at-least-once CDC change log as a Type-2 slowly-changing
@@ -792,6 +845,7 @@ object Temporal extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_scd2_merge" -> q149 _,
+    "q152_rolling_median" -> q152 _,
     "q113_interval_merge" -> q113 _,
     "q100_gapfill_multi" -> q100 _,
     "q96_stream_checksum" -> q96 _,
@@ -805,6 +859,7 @@ object Temporal extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q149_scd2_merge" -> q149Sql,
+    "q152_rolling_median" -> q152Sql,
     "q113_interval_merge" -> q113Sql,
     "q100_gapfill_multi" -> q100Sql,
     "q93_table_checksum" -> q93Sql,
