@@ -699,7 +699,108 @@ object Similarity extends QueryModule {
       |FROM p WHERE rn <= 5""".stripMargin
   }
 
+  // ======================= covariance / PCA ================================
+
+  /** Exact second-moment sufficient statistics of a quantized embedding
+    * column, via the homogeneous-coordinate trick: each vector is
+    * augmented with the constant `constScale`, so ONE Gram-triangle
+    * aggregate ([[graft.functions.CovTriangle]] — per-partition long[]
+    * accumulation, no row fan-out, shuffle = one buffer per partition)
+    * simultaneously yields Σqᵢqⱼ (cells i,j < d), constScale·Σqᵢ (cells
+    * (i, d)) and constScale²·n (cell (d, d)) — everything a covariance
+    * matrix or a PCA needs, in one pass, in exact integers.
+    *
+    * Returns the flat (d+1)(d+2)/2 + 1 statistic (triangle ++ count);
+    * unpack with [[graft.functions.CovTriangle.cell]].
+    */
+  def gramStats(vectors: DataFrame, vecCol: String = "embedding",
+      quantScale: Int = 100, constScale: Int = 100): Array[Long] = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    vectors
+      .select(expr(s"concat(transform($vecCol, " +
+        s"x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)), " +
+        s"array(CAST($constScale AS BIGINT)))").as("q"))
+      .as[Array[Long]]
+      .select(new graft.functions.CovTriangle(
+        vectors.selectExpr(s"size($vecCol)").head.getInt(0) + 1)
+        .toColumn)
+      .head()
+  }
+
+  /** Dominant eigenvector of the COVARIANCE matrix implied by a
+    * [[gramStats]] flat statistic (integer-exact input, deterministic
+    * fixed-iteration power method — no RNG, no data-dependent stopping,
+    * so the same stats give the same component on every run/engine).
+    * `d` is the raw vector dim (stats are over d+1 augmented dims).
+    * Returns (unit eigenvector with its largest-|·| component pinned
+    * positive, eigenvalue in quantized units²). Driver-side: the input
+    * is O(d²) regardless of corpus size.
+    */
+  def principalComponent(flat: Array[Long], d: Int,
+      quantScale: Int = 100, constScale: Int = 100, iters: Int = 100)
+      : (Array[Double], Double) = {
+    import graft.functions.CovTriangle.cell
+    val n = cell(flat, d + 1, d, d).toDouble / (constScale.toDouble * constScale)
+    require(n > 0, "principalComponent: empty statistic")
+    val mean = (0 until d).map(i =>
+      cell(flat, d + 1, i, d).toDouble / constScale / n).toArray
+    val cov = Array.tabulate(d, d)((i, j) =>
+      cell(flat, d + 1, i, j).toDouble / n - mean(i) * mean(j))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "principalComponent: zero covariance")
+      v = w.map(_ / norm)
+      lambda = norm
+      it += 1
+    }
+    val pin = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(pin) < 0) v = v.map(-_)
+    (v, lambda)
+  }
+
+  // --- q153: embedding Gram / covariance statistics ------------------------
+  // The one-pass sufficient statistic every whitening / PCA / covariance
+  // step of an embedding pipeline needs. Cells are EXACT integer sums of
+  // quantized products (floor(x·100), |q| ≤ 100 on unit-norm inputs ⇒
+  // 9e14 rows before int64 risk — bound documented in CovTriangle), so
+  // the DuckDB oracle replays the triangle bit-for-bit from a
+  // generate_series pair grid; the Spark side never fans out rows — the
+  // typed aggregate folds each partition into one long[2145] buffer.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 64
+    val flat = gramStats(Tables.load(s, dir, "embeddings"))
+    val rows = for {
+      i <- 0 to d; j <- i to d
+    } yield (i.toLong, j.toLong,
+      graft.functions.CovTriangle.cell(flat, d + 1, i, j))
+    rows.toDF("i", "j", "s")
+  }
+
+  private val q153Sql =
+    """WITH q AS (
+      |  SELECT list_concat(
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)),
+      |    [CAST(100 AS BIGINT)]) AS qv
+      |  FROM embeddings
+      |), idx AS (
+      |  SELECT i FROM generate_series(1, 65) t(i)
+      |), pairs AS (
+      |  SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i
+      |)
+      |SELECT p.i - 1 AS i, p.j - 1 AS j,
+      |  CAST(SUM(qv[p.i] * qv[p.j]) AS BIGINT) AS s
+      |FROM q, pairs p GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_embed_gram" -> q153 _,
     "q148_negative_mining" -> q148 _,
     "q125_embed_clusters" -> q125 _,
     "q127_semantic_survivors" -> q127 _,
@@ -712,6 +813,7 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q153_embed_gram" -> q153Sql,
     "q148_negative_mining" -> q148Sql,
     "q125_embed_clusters" -> q125Sql,
     "q127_semantic_survivors" -> q127Sql,
