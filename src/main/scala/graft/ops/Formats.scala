@@ -215,13 +215,63 @@ object Formats extends QueryModule {
       |    AS covered_cells
       |FROM zb GROUP BY 1""".stripMargin
 
+  // --- q154: schema-evolution read (mergeSchema + partition discovery) -----
+  // The long-lived-dataset reality: batch 1 was written before the
+  // `o_orderpriority` column existed; batch 2 carries it. One
+  // `mergeSchema` read must union the footers into a single schema,
+  // null-fill the missing column for old files, AND surface the
+  // `batch=N` directory names as a partition column. The audit
+  // aggregates per batch — row count, non-null count of the evolved
+  // column (0 for the pre-evolution batch, by construction), exact cent
+  // sums — and the oracle replays the split straight from the orders
+  // table, so parity proves no row was dropped, no value shifted, and
+  // the null fill hit exactly the old files. Scale shape: writes and
+  // the merged read are partition-parallel; mergeSchema's footer union
+  // is per-file metadata, not data; the audit is a 2-group aggregate.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("cents",
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+    withScratch(s, "q154") { path =>
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "cents")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "cents", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      val back = s.read.option("mergeSchema", "true").parquet(path)
+      back.groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_prio"),
+          countDistinct(col("o_orderpriority")).as("n_prio_kinds"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .localCheckpoint() // pin before the scratch files are deleted
+    }
+  }
+
+  private val q154Sql =
+    """SELECT 2 - (o_orderkey % 2 = 0)::BIGINT AS batch,
+      |  COUNT(*) AS n_rows,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 2 = 1
+      |    THEN o_orderpriority END) AS BIGINT) AS n_prio,
+      |  CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+      |    THEN o_orderpriority END) AS BIGINT) AS n_prio_kinds,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_schema_evolution" -> q154 _,
     "q136_zorder_layout" -> q136 _,
     "q112_jsonl_roundtrip" -> q112 _,
     "q118_corpus_shuffle" -> q118 _,
     "q124_orc_roundtrip" -> q124 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q154_schema_evolution" -> q154Sql,
     "q136_zorder_layout" -> q136Sql,
     "q112_jsonl_roundtrip" -> q112Sql,
     "q118_corpus_shuffle" -> q118Sql,
