@@ -1343,7 +1343,80 @@ object Relational extends graft.QueryModule {
       |CROSS JOIN n
       |WHERE n_both * 50 >= n_baskets""".stripMargin
 
+  // --- q155: multi-source entity reconciliation ----------------------------
+  // The master-data merge: three source systems know overlapping,
+  // partially-conflicting slices of the customer entity (synthesized
+  // deterministically from `customer` so the oracle replays them:
+  // CRM = all keys except k%7=0, with STALE balances for k%3=0;
+  // billing = k%2=0 with authoritative cents; support = k%5=0).
+  // Reconciliation = two FULL OUTER joins on the entity key + a
+  // survivorship rule (billing beats CRM on balance), a presence
+  // bitmap, and a conflict flag per disputed field. Exercises the
+  // null-extended branches on BOTH sides (CRM-missing keys arrive from
+  // billing/support; support-only keys have no golden balance → NULL).
+  // Scale shape: both joins hash-shuffle on the SAME key, so the second
+  // join reuses the first's partitioning (one Exchange per input, no
+  // re-shuffle between joins); the sources are projections of one scan.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val crm = c.filter(col("k") % 7 =!= 0)
+      .select(col("k"), col("c_name").as("crm_name"),
+        when(col("k") % 3 === 0, col("cents") - 1000L)
+          .otherwise(col("cents")).as("crm_cents"))
+    val billing = c.filter(col("k") % 2 === 0)
+      .select(col("k"), col("cents").as("bill_cents"))
+    val support = c.filter(col("k") % 5 === 0)
+      .select(col("k"), col("c_nationkey").cast("long").as("sup_nation"))
+    crm.join(billing, Seq("k"), "full_outer")
+      .join(support, Seq("k"), "full_outer")
+      .select(col("k"),
+        (when(col("crm_cents").isNotNull, 1L).otherwise(0L)
+          + when(col("bill_cents").isNotNull, 2L).otherwise(0L)
+          + when(col("sup_nation").isNotNull, 4L).otherwise(0L))
+          .as("present_mask"),
+        coalesce(col("bill_cents"), col("crm_cents")).as("golden_cents"),
+        when(col("bill_cents").isNotNull && col("crm_cents").isNotNull
+          && col("bill_cents") =!= col("crm_cents"), 1L).otherwise(0L)
+          .as("cents_conflict"))
+  }
+
+  private val q155Sql =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_name, c_nationkey,
+      |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |), crm AS (
+      |  SELECT k, c_name AS crm_name,
+      |    CASE WHEN k % 3 = 0 THEN cents - 1000 ELSE cents END AS crm_cents
+      |  FROM c WHERE k % 7 <> 0
+      |), billing AS (
+      |  SELECT k, cents AS bill_cents FROM c WHERE k % 2 = 0
+      |), support AS (
+      |  SELECT k, CAST(c_nationkey AS BIGINT) AS sup_nation
+      |  FROM c WHERE k % 5 = 0
+      |), j1 AS (
+      |  SELECT COALESCE(crm.k, billing.k) AS k, crm_cents, bill_cents
+      |  FROM crm FULL OUTER JOIN billing ON crm.k = billing.k
+      |), j2 AS (
+      |  SELECT COALESCE(j1.k, support.k) AS k, crm_cents, bill_cents,
+      |    sup_nation
+      |  FROM j1 FULL OUTER JOIN support ON j1.k = support.k
+      |)
+      |SELECT k,
+      |  (CASE WHEN crm_cents IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN bill_cents IS NOT NULL THEN 2 ELSE 0 END
+      |    + CASE WHEN sup_nation IS NOT NULL THEN 4 ELSE 0 END)::BIGINT
+      |    AS present_mask,
+      |  COALESCE(bill_cents, crm_cents) AS golden_cents,
+      |  (CASE WHEN bill_cents IS NOT NULL AND crm_cents IS NOT NULL
+      |     AND bill_cents <> crm_cents THEN 1 ELSE 0 END)::BIGINT
+      |    AS cents_conflict
+      |FROM j2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_reconciliation" -> q155 _,
     "q135_agg_maintenance" -> q135 _,
     "q137_skyline" -> q137 _,
     "q139_basket_pairs" -> q139 _,
@@ -1391,6 +1464,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q155_reconciliation" -> q155Sql,
     "q135_agg_maintenance" -> q135Sql,
     "q137_skyline" -> q137Sql,
     "q139_basket_pairs" -> q139Sql,
