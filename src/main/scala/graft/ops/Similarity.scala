@@ -699,6 +699,36 @@ object Similarity extends QueryModule {
       |FROM p WHERE rn <= 5""".stripMargin
   }
 
+  // --- q156: random-projection dimensionality reduction --------------------
+  // Johnson–Lindenstrauss-style 64→8 reduction with the SAME
+  // deterministic integer hyperplane family as the SRP signature (q30):
+  // coordinate p = ⌊1000 · ⟨v, plane_p⟩⌋. Where SRP keeps only the SIGN
+  // bit (a locality bucket), this keeps the scaled projection VALUE —
+  // the compact embedding a downstream ANN/cluster stage consumes.
+  // Planes are engine config embedded as literals in both dialects;
+  // each dot is the pinned left-to-right double fold (native codegen'd
+  // graft_dot / duckDot), so the floor'd millis are bit-identical.
+  // Scale shape: stateless per-row projection, zero shuffles, stays in
+  // one whole-stage-codegen span; output is 8 longs per vector — the
+  // 100 TB reading is "8× smaller embedding table in one pass".
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id") +:
+        (0 until NPlanes).map(p =>
+          expr(s"CAST(floor(1000 * graft_dot(embedding, " +
+            s"CAST(array(${planeCoefs(p)}) AS ARRAY<FLOAT>))) AS BIGINT)")
+            .as(s"p$p")): _*)
+  }
+
+  private val q156Sql =
+    s"""SELECT vec_id,
+       |${(0 until NPlanes).map(p =>
+           s"  CAST(FLOOR(1000 * ${Dialect.duckDot("embedding",
+             s"[${planeCoefs(p)}]")}) AS BIGINT) AS p$p")
+           .mkString(",\n")}
+       |FROM embeddings""".stripMargin
+
   // ======================= covariance / PCA ================================
 
   /** Exact second-moment sufficient statistics of a quantized embedding
@@ -801,6 +831,7 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_embed_gram" -> q153 _,
+    "q156_random_projection" -> q156 _,
     "q148_negative_mining" -> q148 _,
     "q125_embed_clusters" -> q125 _,
     "q127_semantic_survivors" -> q127 _,
@@ -814,6 +845,7 @@ object Similarity extends QueryModule {
 
   val oracleSql: Map[String, String] = Map(
     "q153_embed_gram" -> q153Sql,
+    "q156_random_projection" -> q156Sql,
     "q148_negative_mining" -> q148Sql,
     "q125_embed_clusters" -> q125Sql,
     "q127_semantic_survivors" -> q127Sql,
