@@ -548,6 +548,91 @@ object Temporal extends QueryModule {
       |FROM grid g LEFT JOIN daily d
       |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
 
+  // --- q157: linear-interpolation resample ---------------------------------
+  // The other half of gap fill: where q92 carries the LAST value across
+  // silent days (LOCF — right for states), this draws the straight line
+  // between the surrounding observations (right for continuously-varying
+  // gauges). Per user, daily grid over the observed span; each silent
+  // day gets ⌊(pv·(nd−d) + nv·(d−pd)) / (nd−pd)⌋ from the previous/next
+  // observed (day, value) — all integer centi-units, positive operands,
+  // so truncating and flooring division agree and the oracle replays the
+  // exact value. An observed day has pd = nd = d (the bracketing windows
+  // INCLUDE the current row), caught by the nd = pd guard → the observed
+  // value itself. Scale shape: per-(user, day) last-reading reduce, then
+  // the grid explode bounded by each user's own span; all four
+  // bracketing windows share one (user_id) partitioning and one day
+  // sort — single Exchange + Sort for the interpolation stage.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val daily = events(s, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("v100", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select("user_id", "day", "v100")
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val before = w.rowsBetween(Window.unboundedPreceding, 0)
+    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v100"), ignoreNulls = true).over(before))
+      .withColumn("pd", last(when(col("v100").isNotNull, col("day")),
+        ignoreNulls = true).over(before))
+      .withColumn("nv", first(col("v100"), ignoreNulls = true).over(after))
+      .withColumn("nd", first(when(col("v100").isNotNull, col("day")),
+        ignoreNulls = true).over(after))
+      .select(col("user_id"), col("day"),
+        when(col("nd") === col("pd"), col("pv"))
+          .otherwise(expr(
+            "(pv * (nd - day) + nv * (day - pd)) div (nd - pd)"))
+          .as("v_interp"),
+        when(col("v100").isNotNull, 1L).otherwise(0L).as("observed"))
+  }
+
+  private val q157Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v100
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, v100
+      |  FROM (SELECT user_id, ts_us // 86400000000 AS day, v100,
+      |          ROW_NUMBER() OVER (
+      |            PARTITION BY user_id, ts_us // 86400000000
+      |            ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM ev)
+      |  WHERE rn = 1
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+      |        FROM daily GROUP BY user_id)
+      |), br AS (
+      |  SELECT g.user_id, g.day, d.v100,
+      |    LAST_VALUE(d.v100 IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |      ORDER BY g.day ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    LAST_VALUE(CASE WHEN d.v100 IS NOT NULL THEN g.day END
+      |      IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    FIRST_VALUE(d.v100 IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |      ORDER BY g.day ASC
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    FIRST_VALUE(CASE WHEN d.v100 IS NOT NULL THEN g.day END
+      |      IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day ASC
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.user_id = d.user_id AND g.day = d.day
+      |)
+      |SELECT user_id, day,
+      |  CASE WHEN nd = pd THEN pv
+      |       ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+      |  END AS v_interp,
+      |  CASE WHEN v100 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS observed
+      |FROM br""".stripMargin
+
   // --- q100: multi-column gap fill under the oracle ------------------------
   // gapFillMulti with a numeric AND a categorical column rolling forward
   // together: `v` (value with deterministic NULL injections — every 13th
@@ -846,6 +931,7 @@ object Temporal extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_scd2_merge" -> q149 _,
     "q152_rolling_median" -> q152 _,
+    "q157_interpolate" -> q157 _,
     "q113_interval_merge" -> q113 _,
     "q100_gapfill_multi" -> q100 _,
     "q96_stream_checksum" -> q96 _,
@@ -860,6 +946,7 @@ object Temporal extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q149_scd2_merge" -> q149Sql,
     "q152_rolling_median" -> q152Sql,
+    "q157_interpolate" -> q157Sql,
     "q113_interval_merge" -> q113Sql,
     "q100_gapfill_multi" -> q100Sql,
     "q93_table_checksum" -> q93Sql,
