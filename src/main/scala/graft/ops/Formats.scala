@@ -263,7 +263,55 @@ object Formats extends QueryModule {
       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY 1""".stripMargin
 
+  // --- q159: dynamic partition overwrite (incremental backfill) -----------
+  // The daily-backfill contract on a partitioned lake table: day 1 lands
+  // the full snapshot partitioned by priority; day 2 recomputes ONLY two
+  // partitions (every cent value bumped by 1) and overwrites with
+  // `partitionOverwriteMode=dynamic` — Spark must replace exactly the
+  // partitions present in the increment and leave the other three
+  // byte-identical. The audit aggregates the read-back per priority and
+  // the oracle replays the expectation straight from orders (+1 cent on
+  // the overwritten pair, untouched elsewhere), so parity fails if
+  // dynamic mode ever degrades to static truncate-all (the three
+  // untouched partitions would vanish) or the increment double-appends
+  // (counts would double). The mode rides the WRITER (.option), not
+  // session conf — no global state leaked to other entries. Scale
+  // shape: both writes and the read are partition-parallel; the
+  // overwrite moves only the increment's bytes (the whole point at
+  // 100 TB — a 2-partition backfill must not rewrite the table); audit
+  // is a 5-group aggregate.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("cents", expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      .select("o_orderkey", "cents", "o_orderpriority")
+    withScratch(s, "q159") { path =>
+      o.write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .withColumn("cents", col("cents") + 1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_orderpriority").cast("string").as("priority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .localCheckpoint() // pin before the scratch files are deleted
+    }
+  }
+
+  private val q159Sql =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      |    + (o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT)
+      |    AS BIGINT) AS sum_cents,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_partition_overwrite" -> q159 _,
     "q154_schema_evolution" -> q154 _,
     "q136_zorder_layout" -> q136 _,
     "q112_jsonl_roundtrip" -> q112 _,
@@ -271,6 +319,7 @@ object Formats extends QueryModule {
     "q124_orc_roundtrip" -> q124 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q159_partition_overwrite" -> q159Sql,
     "q154_schema_evolution" -> q154Sql,
     "q136_zorder_layout" -> q136Sql,
     "q112_jsonl_roundtrip" -> q112Sql,

@@ -794,6 +794,80 @@ object Similarity extends QueryModule {
     (v, lambda)
   }
 
+  /** Late-interaction (MaxSim) scoring — the multi-vector retrieval
+    * model: each side's embedding is treated as `tokens` per-token
+    * subvectors laid out contiguously, and a pair's score is
+    * Σ over query tokens of the MAX over candidate tokens of the
+    * subvector dot product. Captures partial/term-level matches a single
+    * pooled cosine washes out. `candidates` = (cid, cv), `queries` =
+    * (qid, qv); both vectors must have tokens·dim elements.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast,
+    * candidates scanned once, per-partition salted top-k prefilter before
+    * the global per-query top-k window, so the shuffle carries
+    * k·salt·|queries| rows, never the full score matrix. The token×token
+    * max-dot grid unrolls into ONE codegen'd expression (tokens² native
+    * `graft_dot` calls over array slices — no explode, no per-token
+    * rows): fan-out lives in the expression, not the row count. Float
+    * parity: every dot is a pinned left-to-right double fold; the token
+    * maxes are summed in query-token order; the oracle mirrors both.
+    */
+  def maxSimTopK(candidates: DataFrame, queries: DataFrame,
+      tokens: Int = 8, dim: Int = 8, k: Int = TopK,
+      saltBuckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
+    def tok(v: String, t: Int) = s"slice($v, ${t * dim + 1}, $dim)"
+    val score = (0 until tokens).map { qt =>
+      "greatest(" + (0 until tokens).map(ct =>
+        s"graft_dot(${tok("qv", qt)}, ${tok("cv", ct)})").mkString(", ") + ")"
+    }.mkString("(", ") + (", ")")
+    val wLocal = Window.partitionBy("qid", "salt")
+      .orderBy(col("sim").desc, col("cid").asc)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    candidates.join(broadcast(queries))
+      .withColumn("sim", expr(score))
+      .select("qid", "cid", "sim")
+      .withColumn("salt", pmod(hash(col("cid")), lit(saltBuckets)))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  // --- q160: late-interaction MaxSim top-k ---------------------------------
+  // The 64-dim embedding read as 8 contiguous 8-dim token vectors;
+  // ColBERT-style Σ-max scoring of the 5 query vectors against the
+  // candidate corpus. The oracle replays the same token grid with
+  // 1-based list slices and the same pinned fold orders.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    maxSimTopK(
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+  }
+
+  private val q160Sql = {
+    def tok(v: String, t: Int) = s"$v[${t * 8 + 1}:${t * 8 + 8}]"
+    val score = (0 until 8).map { qt =>
+      "greatest(" + (0 until 8).map(ct =>
+        Dialect.duckDot(tok("qv", qt), tok("cv", ct))).mkString(", ") + ")"
+    }.mkString("(", ") + (", ")")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |      WHERE vec_id >= $NQueries),
+       |scored AS (
+       |  SELECT qid, cid, $score AS sim FROM c CROSS JOIN q)
+       |SELECT qid, cid, round(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
   // --- q153: embedding Gram / covariance statistics ------------------------
   // The one-pass sufficient statistic every whitening / PCA / covariance
   // step of an embedding pipeline needs. Cells are EXACT integer sums of
@@ -830,6 +904,7 @@ object Similarity extends QueryModule {
       |FROM q, pairs p GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_maxsim" -> q160 _,
     "q153_embed_gram" -> q153 _,
     "q156_random_projection" -> q156 _,
     "q148_negative_mining" -> q148 _,
@@ -844,6 +919,7 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q160_maxsim" -> q160Sql,
     "q153_embed_gram" -> q153Sql,
     "q156_random_projection" -> q156Sql,
     "q148_negative_mining" -> q148Sql,

@@ -928,7 +928,55 @@ object Temporal extends QueryModule {
       |  MAX(i_end - i_start) AS max_island_us
       |FROM isl GROUP BY user_id""".stripMargin
 
+  // --- q158: OHLC time bars ------------------------------------------------
+  // Downsampling a tick stream to open/high/low/close bars — the standard
+  // time-series compaction for gauge/price data, and the missing sibling
+  // of q141's time-weighted averages. One groupBy per (series, bar):
+  // open/close ride a single min/max over a (ts, id, value) struct —
+  // lexicographic struct ordering makes "value at the earliest/latest
+  // instant" an ordinary partial-aggregable min/max (unique (ts_us,
+  // event_id) pins determinism; the value field can never tiebreak), so
+  // the whole bar reduces map-side and the only shuffle moves one row per
+  // (event_type, day). No window, no sort, no per-series collect — the
+  // shape a 100 TB tick table needs. Values in integer centi-units; the
+  // oracle replays with DuckDB's ordered-aggregate FIRST/LAST.
+  def ohlcBars(ticks: DataFrame, seriesCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame =
+    ticks
+      .withColumn("__bar", expr(s"$tsCol div 86400000000"))
+      .groupBy(col(seriesCol), col("__bar").as("day"))
+      .agg(
+        min(struct(col(tsCol), col(idCol), col(valCol)))
+          .getField(valCol).as("open_v"),
+        max(col(valCol)).as("high_v"),
+        min(col(valCol)).as("low_v"),
+        max(struct(col(tsCol), col(idCol), col(valCol)))
+          .getField(valCol).as("close_v"),
+        count(lit(1)).as("n_ticks"),
+        sum(col(valCol)).as("vol_sum"))
+
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    ohlcBars(
+      events(s, dir).withColumn("v100",
+        expr("CAST(floor(value * 100) AS BIGINT)")),
+      "event_type", "ts_us", "event_id", "v100")
+
+  private val q158Sql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v100
+      |  FROM events
+      |)
+      |SELECT event_type, ts_us // 86400000000 AS day,
+      |  FIRST(v100 ORDER BY ts_us, event_id) AS open_v,
+      |  MAX(v100) AS high_v, MIN(v100) AS low_v,
+      |  LAST(v100 ORDER BY ts_us, event_id) AS close_v,
+      |  COUNT(*) AS n_ticks,
+      |  CAST(SUM(v100) AS BIGINT) AS vol_sum
+      |FROM ev GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_ohlc_bars" -> q158 _,
     "q149_scd2_merge" -> q149 _,
     "q152_rolling_median" -> q152 _,
     "q157_interpolate" -> q157 _,
@@ -944,6 +992,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q158_ohlc_bars" -> q158Sql,
     "q149_scd2_merge" -> q149Sql,
     "q152_rolling_median" -> q152Sql,
     "q157_interpolate" -> q157Sql,
