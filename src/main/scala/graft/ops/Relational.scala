@@ -1415,7 +1415,57 @@ object Relational extends graft.QueryModule {
       |    AS cents_conflict
       |FROM j2""".stripMargin
 
+  // --- q162: unpivot / melt (wide → long) ----------------------------------
+  // The inverse of q51's pivot: lineitem's four money/measure columns
+  // melted into (measure, v) long form via the native `Dataset.unpivot`
+  // operator (Catalyst Expand — each input row emits 4 long rows in one
+  // codegen'd pass, no join, no union of 4 scans), then re-aggregated per
+  // (returnflag, measure). All measures cast to exact centi-unit BIGINTs
+  // BEFORE melting (unpivot requires a common value type; doubles would
+  // put floats in the sum). The oracle replays the melt as a 4-way UNION
+  // ALL over one scan — same rows, engine-neutral phrasing. Scale shape:
+  // Expand is map-side (4× row fan-out, narrow), and the only shuffle is
+  // the final tiny (flag, measure) aggregate.
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("price"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("disc"),
+        expr("CAST(floor(l_tax * 100) AS BIGINT)").as("tax"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("qty"), col("price"), col("disc"), col("tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+
+  private val q162Sql =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qty,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price,
+      |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc,
+      |    CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax
+      |  FROM lineitem
+      |), long AS (
+      |  SELECT l_returnflag, 'qty' AS measure, qty AS v FROM base
+      |  UNION ALL
+      |  SELECT l_returnflag, 'price', price FROM base
+      |  UNION ALL
+      |  SELECT l_returnflag, 'disc', disc FROM base
+      |  UNION ALL
+      |  SELECT l_returnflag, 'tax', tax FROM base
+      |)
+      |SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM long GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_unpivot" -> q162 _,
     "q155_reconciliation" -> q155 _,
     "q135_agg_maintenance" -> q135 _,
     "q137_skyline" -> q137 _,
@@ -1464,6 +1514,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q162_unpivot" -> q162Sql,
     "q155_reconciliation" -> q155Sql,
     "q135_agg_maintenance" -> q135Sql,
     "q137_skyline" -> q137Sql,

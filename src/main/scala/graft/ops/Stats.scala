@@ -704,7 +704,90 @@ object Stats extends QueryModule {
     """SELECT l_partkey AS p_partkey, COUNT(*) AS n_items
       |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 45""".stripMargin
 
+  // --- q161: Welch two-sample t-test (A/B experiment readout) --------------
+  // Per event_type: users split A/B by parity, the experiment's decision
+  // row — per-arm counts/means, the Welch t statistic (unequal variances,
+  // the safe default), Welch–Satterthwaite degrees of freedom, and the
+  // |t| > 1.96 significance bit. Same algebraic-aggregate decomposition
+  // as q67/q131: the hot path is ONE conditional-sum aggregate per
+  // event_type ({n, Σy, Σy²} per arm, y in exact centi-units, Σy² in
+  // DECIMAL(38,0) like q131's syy — per-row y² ≤ ~7e8 would overflow
+  // int64 at ~1.3e10 rows/group), partition-order independent,
+  // map-side-combining, one tiny shuffle. The t/df formulas are shared
+  // DOUBLE expression text evaluated over those exact sums — identical
+  // IEEE shape in both engines, stable under any partitioning.
+  private val WelchVA =
+    "((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) " +
+      "- CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) " +
+      "/ (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) " +
+      "* (CAST(na AS DOUBLE) - 1.0)))"
+  private val WelchVB =
+    "((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) " +
+      "- CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) " +
+      "/ (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) " +
+      "* (CAST(nb AS DOUBLE) - 1.0)))"
+  private val WelchT =
+    s"((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) " +
+      s"- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) " +
+      s"/ sqrt($WelchVA + $WelchVB))"
+  private val WelchDf =
+    s"((($WelchVA + $WelchVB) * ($WelchVA + $WelchVB)) " +
+      s"/ ($WelchVA * $WelchVA / (CAST(na AS DOUBLE) - 1.0) " +
+      s"+ $WelchVB * $WelchVB / (CAST(nb AS DOUBLE) - 1.0)))"
+
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("user_id % 2").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0,
+          expr("CAST(y AS DECIMAL(38,0)) * y")).otherwise(lit(0))).as("qa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1,
+          expr("CAST(y AS DECIMAL(38,0)) * y")).otherwise(lit(0))).as("qb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        expr("round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)")
+          .as("mean_a"),
+        expr("round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6)")
+          .as("mean_b"),
+        expr(s"round($WelchT, 6)").as("t_stat"),
+        expr(s"round($WelchDf, 4)").as("df"),
+        expr(s"CAST(CASE WHEN abs($WelchT) > 1.96 THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("significant"))
+
+  private val q161Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, user_id % 2 AS arm,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS y
+       |  FROM events
+       |), m AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sa,
+       |    SUM(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(38,0)) * y
+       |        ELSE 0 END) AS qa,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sb,
+       |    SUM(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(38,0)) * y
+       |        ELSE 0 END) AS qb
+       |  FROM b GROUP BY event_type
+       |)
+       |SELECT event_type, na, nb,
+       |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) AS mean_a,
+       |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) AS mean_b,
+       |  round($WelchT, 6) AS t_stat,
+       |  round($WelchDf, 4) AS df,
+       |  CAST(CASE WHEN abs($WelchT) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS significant
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_ab_welch" -> q161 _,
     "q151_cms_prefilter" -> q151 _,
     "q130_table_profile" -> q130 _,
     "q131_groupwise_ols" -> q131 _,
@@ -720,6 +803,7 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q161_ab_welch" -> q161Sql,
     "q151_cms_prefilter" -> q151Sql,
     "q130_table_profile" -> q130Sql,
     "q131_groupwise_ols" -> q131Sql,

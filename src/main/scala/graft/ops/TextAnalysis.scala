@@ -2271,7 +2271,62 @@ object TextAnalysis extends QueryModule {
       |  ${Dialect.duckHash60("norm_text")} AS norm_hash
       |FROM norm""".stripMargin
 
+  // --- q163: readability scoring (sentence stats + Flesch estimate) --------
+  // The classic document-difficulty signal a curation pipeline wants next
+  // to q22's quality score: per doc, sentence count (terminator runs
+  // [.!?]+, clamped ≥ 1 so a fragment without punctuation still scores),
+  // word count (explicit [ \t\n\r]+ split — Java's \s includes \x0B where
+  // RE2's does not, so the whitespace class is pinned, per q111's regex
+  // lesson), a vowel-group syllable proxy (maximal [aeiouyAEIOUY]+ runs —
+  // the standard dictionary-free estimator), and the Flesch reading-ease
+  // value computed from those three integers as ONE shared double
+  // expression (identical IEEE shape both engines), bucketed into
+  // easy/medium/hard tiers. Zero-word docs yield NULL score + 'hard'
+  // (q21/q22's guard convention). Scale shape: stateless per-row
+  // projection — no shuffle at all; the three regex passes are one scan.
+  private val FleschExpr =
+    "round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE) " +
+      "- 84.6 * CAST(n_vg AS DOUBLE) / CAST(n_words AS DOUBLE), 4)"
+
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) " +
+          "AS BIGINT)").as("n_sent"),
+        expr("CAST(size(filter(split(text, '[ \\t\\n\\r]+'), x -> x != '')) " +
+          "AS BIGINT)").as("n_words"),
+        expr("CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)) " +
+          "AS BIGINT)").as("n_vg"))
+      .select(col("doc_id"), col("n_sent"), col("n_words"), col("n_vg"),
+        expr(s"CASE WHEN n_words = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE $FleschExpr END").as("fre"))
+      .withColumn("tier",
+        expr("CASE WHEN fre >= 60.0 THEN 'easy' " +
+          "WHEN fre >= 30.0 THEN 'medium' ELSE 'hard' END"))
+
+  private val q163Sql =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+       |      AS BIGINT) AS n_sent,
+       |    CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+       |      x -> x != '')) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+       |      AS BIGINT) AS n_vg
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, n_sent, n_words, n_vg,
+       |    CASE WHEN n_words = 0 THEN CAST(NULL AS DOUBLE)
+       |         ELSE $FleschExpr END AS fre
+       |  FROM c
+       |)
+       |SELECT doc_id, n_sent, n_words, n_vg, fre,
+       |  CASE WHEN fre >= 60.0 THEN 'easy'
+       |       WHEN fre >= 30.0 THEN 'medium' ELSE 'hard' END AS tier
+       |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_readability" -> q163 _,
     "q150_normalize_nfc" -> q150 _,
     "q132_quality_logreg" -> q132 _,
     "q133_inverted_index" -> q133 _,
@@ -2305,6 +2360,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q163_readability" -> q163Sql,
     "q150_normalize_nfc" -> q150Sql,
     "q132_quality_logreg" -> q132Sql,
     "q133_inverted_index" -> q133Sql,
