@@ -439,13 +439,95 @@ object Graph extends QueryModule {
       |    AS clustering
       |FROM deg LEFT JOIN pernode ON deg.id = pernode.id""".stripMargin
 
+  // --- q164: link prediction (common neighbors / Jaccard / RA) -------------
+  // "Which trade routes don't exist yet but should": for every NON-edge
+  // pair of the sparsified undirected graph (q134's w·3 ≥ max(w)
+  // subgraph), the three classic neighborhood predictors — common
+  // neighbor count, Jaccard coefficient cn/(dx+dy−cn), and the
+  // Resource-Allocation index Σ_z 1/deg(z). RA instead of Adamic-Adar
+  // on purpose: AA's 1/ln(deg) would put libm's ln in the parity
+  // surface, while RA in integer micro-units (1000000 div d, truncating
+  // division both engines) is exact. Scale shape: candidate pairs come
+  // from the WEDGE join (two neighbors of a shared center — Σ deg(z)²
+  // pairs, the standard link-prediction generator), never the |V|²
+  // cross product; at a 100 TB graph the hub centers get degree-capped
+  // before wedging (same lever as q139's basket cap). One shuffle for
+  // the per-pair aggregate, one anti-join to drop existing edges,
+  // degree attach on the tiny per-vertex frame.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir).persist()
+    val maxW = edges.agg(max(col("w"))).head().getLong(0)
+    val und = edges
+      .filter(col("src") =!= col("dst") && col("w") * 3 >= maxW)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist()
+    val adj = und.select(col("u").as("z"), col("v").as("n"))
+      .union(und.select(col("v").as("z"), col("u").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    val wedges = adj.as("a")
+      .join(adj.as("b"), col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+      .join(deg.select(col("z").as("cz"), col("d")), col("a.z") === col("cz"))
+      .select(col("a.n").as("x"), col("b.n").as("y"), col("d"))
+    val pairs = wedges.groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div d")).as("ra_micro"))
+      .join(und, col("x") === col("u") && col("y") === col("v"), "left_anti")
+    pairs
+      .join(deg.select(col("z").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("z").as("y"), col("d").as("dy")), Seq("y"))
+      .select(col("x"), col("y"), col("n_common"),
+        expr("round(CAST(n_common AS DOUBLE) " +
+          "/ CAST(dx + dy - n_common AS DOUBLE), 6)").as("jaccard"),
+        col("ra_micro"))
+  }
+
+  private val q164Sql =
+    """WITH e AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2
+      |), und AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM e WHERE src <> dst AND w * 3 >= (SELECT MAX(w) FROM e)
+      |), adj AS (
+      |  SELECT u AS z, v AS n FROM und UNION ALL SELECT v, u FROM und
+      |), deg AS (
+      |  SELECT z, COUNT(*) AS d FROM adj GROUP BY z
+      |), wed AS (
+      |  SELECT a.n AS x, b.n AS y, dz.d AS d
+      |  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+      |  JOIN deg dz ON dz.z = a.z
+      |), prs AS (
+      |  SELECT x, y, COUNT(*) AS n_common,
+      |    CAST(SUM(1000000 // d) AS BIGINT) AS ra_micro
+      |  FROM wed GROUP BY x, y
+      |), ne AS (
+      |  SELECT p.* FROM prs p
+      |  WHERE NOT EXISTS (SELECT 1 FROM und
+      |                    WHERE und.u = p.x AND und.v = p.y)
+      |)
+      |SELECT ne.x, ne.y, ne.n_common,
+      |  round(CAST(n_common AS DOUBLE)
+      |    / CAST(dx.d + dy.d - n_common AS DOUBLE), 6) AS jaccard,
+      |  ne.ra_micro
+      |FROM ne JOIN deg dx ON dx.z = ne.x JOIN deg dy ON dy.z = ne.y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_pagerank" -> q107 _,
     "q128_bfs_hops" -> q128 _,
-    "q134_triangles" -> q134 _)
+    "q134_triangles" -> q134 _,
+    "q164_link_prediction" -> q164 _)
 
   val oracleSql: Map[String, String] = Map(
     "q107_pagerank" -> q107Sql,
     "q128_bfs_hops" -> q128Sql,
-    "q134_triangles" -> q134Sql)
+    "q134_triangles" -> q134Sql,
+    "q164_link_prediction" -> q164Sql)
 }

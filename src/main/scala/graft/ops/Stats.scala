@@ -786,7 +786,58 @@ object Stats extends QueryModule {
        |    AS significant
        |FROM m""".stripMargin
 
+  // --- q166: exact grouped weighted median ---------------------------------
+  // The quantity-weighted median unit price per return flag — the robust
+  // "typical traded price" a plain median (every row equal) or mean
+  // (outlier-dragged) both misstate. Exact and integer-only: prices in
+  // cents, weights = whole units; lower weighted median pinned as the
+  // smallest value v with 2·cumweight(≤v) ≥ totalweight (no float
+  // interpolation, no half-weight edge case — the ≥ on doubled integers
+  // is exact). Scale shape: pre-aggregate to (group, value) weight sums
+  // FIRST (the value domain is what the window walks, not the row
+  // count), then one cumulative-sum window and the total join share the
+  // same (group) partitioning — one value-domain-sized shuffle, never a
+  // row-sized sort of the fact table beyond the initial combine.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("w"))
+      .groupBy("l_returnflag", "v")
+      .agg(sum(col("w")).as("wv"))
+    val cum = Window.partitionBy("l_returnflag").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    byVal
+      .withColumn("cw", sum(col("wv")).over(cum))
+      .withColumn("tw", sum(col("wv")).over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("v")).as("wmedian_cents"),
+        min(col("tw")).as("total_weight"))
+  }
+
+  private val q166Sql =
+    """WITH byval AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS wv
+      |  FROM lineitem GROUP BY 1, 2
+      |), c AS (
+      |  SELECT l_returnflag, v,
+      |    CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cw,
+      |    CAST(SUM(wv) OVER (PARTITION BY l_returnflag)
+      |      AS BIGINT) AS tw
+      |  FROM byval
+      |)
+      |SELECT l_returnflag, MIN(v) AS wmedian_cents,
+      |  MIN(tw) AS total_weight
+      |FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_weighted_median" -> q166 _,
     "q161_ab_welch" -> q161 _,
     "q151_cms_prefilter" -> q151 _,
     "q130_table_profile" -> q130 _,
@@ -803,6 +854,7 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q166_weighted_median" -> q166Sql,
     "q161_ab_welch" -> q161Sql,
     "q151_cms_prefilter" -> q151Sql,
     "q130_table_profile" -> q130Sql,

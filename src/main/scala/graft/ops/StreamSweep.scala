@@ -299,6 +299,92 @@ object StreamSweep extends QueryModule {
       "q77_stream_join", "matches_batch")
   }
 
+  // --- q165: stream-stream LEFT OUTER join under the gate ------------------
+  // q77's interval join with the semantics unbounded streams make hard:
+  // emit every view, matched or not. An outer stream join can only emit
+  // its null rows once the watermark proves no matching click can still
+  // arrive — so the streamed output is the complete inner-match set
+  // (same argument as q77) PLUS a null row for each unmatched view whose
+  // join horizon (v_ts + 10 min) the FINAL global watermark has passed;
+  // unmatched views inside the horizon are legitimately still open when
+  // the finite input ends and must NOT appear. The expected set is
+  // computed from the batch left join under exactly that predicate:
+  // global watermark = min(max v_ts, max c_ts) ms-truncated (each side's
+  // 0-delay watermark, q75/q78's truncation rule), null row expected iff
+  // v_ts + 10 min <= wm. The no-data micro-batch after the last file is
+  // what flushes the evictable state — processAllAvailable covers it.
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    def side(df: DataFrame, kind: String, alias: String): DataFrame = df
+      .filter(col("event_type") === kind)
+      .select(
+        col("event_id").as(s"${alias}_id"),
+        col("user_id").as(s"${alias}_user"),
+        expr("timestamp_micros(ts div 1000)").as(s"${alias}_ts"))
+    def joined(views: DataFrame, clicks: DataFrame): DataFrame = views
+      .join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
+
+    def stream() = Tables.normalizeEvents(
+      s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+    val qname = s"q165_${System.nanoTime()}"
+    val streamed = graft.streaming.StreamConf.withStateParts(s, n = 8) {
+      val q = joined(
+        side(stream(), "view", "v").withWatermark("v_ts", "0 seconds"),
+        side(stream(), "click", "c").withWatermark("c_ts", "0 seconds"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try { q.processAllAvailable(); s.table(qname).collect() }
+      finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
+
+    val events = Tables.load(s, dir, "events")
+    val v = side(events, "view", "v")
+    val c = side(events, "click", "c")
+    // final global watermark in µs: min of each side's max event time,
+    // truncated to ms (the engine tracks watermarks at ms precision)
+    val wmUs = {
+      val vMax = v.agg(max(expr("unix_micros(v_ts)"))).head().getLong(0)
+      val cMax = c.agg(max(expr("unix_micros(c_ts)"))).head().getLong(0)
+      math.min(vMax, cMax) / 1000 * 1000
+    }
+    val batchRows = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("v_id"), col("c_id"), col("v_user").as("user_id"),
+        expr("unix_micros(v_ts)").as("v_us"))
+      .collect()
+    val matched = batchRows.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expectedNull = batchRows.filter(_.isNullAt(1))
+      .filter(r => r.getLong(3) + 600000000L <= wmUs)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expectedSize = matched.size + expectedNull.size
+    ParityGate(
+      streamed.toSeq
+        .map { r =>
+          val vId = r.getLong(0)
+          val cId = if (r.isNullAt(1)) None else Some(r.getLong(1))
+          val user = r.getLong(2)
+          val ok = cId match {
+            case Some(cid) => matched.contains((vId, cid, user))
+            case None => expectedNull.contains((vId, user))
+          }
+          (vId, cId, user, ok && expectedSize == streamed.length)
+        }
+        .toDF("v_id", "c_id", "user_id", "matches_batch"),
+      "q165_stream_outer_join", "matches_batch")
+  }
+
   // --- q78: session_window (gap sessions) under the gate ------------------
   // Streams the events parquet through the file source and groups by
   // `session_window(event_ts, 15 minutes)` per user — the engine's native
@@ -403,6 +489,7 @@ object StreamSweep extends QueryModule {
     "q73_stream_sweep" -> q73 _,
     "q75_stream_window" -> q75 _,
     "q77_stream_join" -> q77 _,
+    "q165_stream_outer_join" -> q165 _,
     "q78_session_window" -> q78 _,
     "q84_stream_sliding" -> q84 _)
 
