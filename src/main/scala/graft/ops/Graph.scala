@@ -519,15 +519,88 @@ object Graph extends QueryModule {
       |  ne.ra_micro
       |FROM ne JOIN deg dx ON dx.z = ne.x JOIN deg dy ON dy.z = ne.y""".stripMargin
 
+  // --- q168: hierarchical subtree rollup (recursive-CTE semantics) ---------
+  // The org-chart / bill-of-materials aggregation relational engines
+  // express as WITH RECURSIVE: every customer node (parent = custkey
+  // div 7 — a deterministic ~7-ary forest) rolls its own order value
+  // plus ALL transitive descendants' into subtree_cents / n_desc.
+  // Spark has no recursive CTE; the scale-first equivalent is the
+  // synchronous bottom-up tree DP: iterate sub ← value + Σ_children sub
+  // for depth rounds — after k rounds each node holds its k-level
+  // subtree, and depth = ⌈log₇ maxKey⌉ (driver-computed from one max,
+  // data-independent per key domain) covers the whole forest. Each
+  // round is ONE child→parent aggregate join keyed by parent — the
+  // q107/q128 fixed-round pattern, localCheckpoint per round for
+  // lineage control. The oracle runs the textbook WITH RECURSIVE
+  // descendant closure — same semantics, both engines exact integers.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    // Root guard: custkey 0 exists and 0 div 7 = 0 — left as its own
+    // parent it is a self-loop (the recursion never terminates and the
+    // rollup self-double-counts every round). NULL parent = forest root.
+    val nodes = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        expr("CASE WHEN c_custkey = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE c_custkey div 7 END").as("parent"))
+    val vals = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("id"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("oc"))
+    val base = nodes.join(vals, Seq("id"), "left")
+      .select(col("id"), col("parent"),
+        coalesce(col("oc"), lit(0L)).as("v_cents"))
+      .persist()
+    val maxKey = base.agg(max(col("id"))).head().getLong(0)
+    val depth = math.max(1,
+      math.ceil(math.log(maxKey.toDouble + 1) / math.log(7.0)).toInt)
+    var sub = base.select(col("id"), col("v_cents").as("sub"),
+      lit(1L).as("nd"))
+    for (_ <- 1 to depth) {
+      val fromChildren = base.select(col("id"), col("parent"))
+        .join(sub, Seq("id"))
+        .groupBy(col("parent").as("id"))
+        .agg(sum(col("sub")).as("cs"), sum(col("nd")).as("cn"))
+      sub = base.select(col("id"), col("v_cents"))
+        .join(fromChildren, Seq("id"), "left")
+        .select(col("id"),
+          (col("v_cents") + coalesce(col("cs"), lit(0L))).as("sub"),
+          (lit(1L) + coalesce(col("cn"), lit(0L))).as("nd"))
+        .localCheckpoint(eager = false)
+    }
+    base.join(sub, Seq("id"))
+      .select(col("id"), col("parent"), col("v_cents"),
+        col("sub").as("subtree_cents"), col("nd").as("n_desc"))
+  }
+
+  private val q168Sql =
+    """WITH RECURSIVE v AS (
+      |  SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey = 0 THEN CAST(NULL AS BIGINT)
+      |         ELSE c_custkey // 7 END AS parent,
+      |    CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)), 0)
+      |      AS BIGINT) AS v_cents
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), d(anc, node) AS (
+      |  SELECT id, id FROM v
+      |  UNION ALL
+      |  SELECT d.anc, v.id FROM d JOIN v ON v.parent = d.node
+      |)
+      |SELECT a.id, a.parent, a.v_cents,
+      |  CAST(SUM(n.v_cents) AS BIGINT) AS subtree_cents,
+      |  COUNT(*) AS n_desc
+      |FROM d JOIN v a ON a.id = d.anc JOIN v n ON n.id = d.node
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_pagerank" -> q107 _,
     "q128_bfs_hops" -> q128 _,
     "q134_triangles" -> q134 _,
-    "q164_link_prediction" -> q164 _)
+    "q164_link_prediction" -> q164 _,
+    "q168_subtree_rollup" -> q168 _)
 
   val oracleSql: Map[String, String] = Map(
     "q107_pagerank" -> q107Sql,
     "q128_bfs_hops" -> q128Sql,
     "q134_triangles" -> q134Sql,
-    "q164_link_prediction" -> q164Sql)
+    "q164_link_prediction" -> q164Sql,
+    "q168_subtree_rollup" -> q168Sql)
 }

@@ -189,17 +189,76 @@ object Multimodal extends QueryModule {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM b GROUP BY phash HAVING COUNT(*) >= 2""".stripMargin
 
+  // --- q167: dominant-color histogram ---------------------------------------
+  // The palette-summarization step of an image-curation pass: 16 "RGB
+  // triplets" sampled from each payload's first 48 bytes, every channel
+  // quantized to 2 bits (value div 64), triplet code = r·16 + g·4 + b
+  // (one of 64 palette cells); a payload's dominant color = the modal
+  // code, ties to the smallest code. The per-image mode runs
+  // RELATIONALLY — explode the 16 codes, count per (doc, code), take
+  // rank 1 under (count desc, code asc) — so it is the same plan at 16
+  // samples or 16k, no driver-side array walk; the final histogram per
+  // (kind, dominant color) is a tiny aggregate. On the stub-decoded
+  // payloads the oracle replays every byte; a real deployment swaps the
+  // decoder's pixel grid behind the same per-row sampling expression.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("code").asc)
+    Tables.load(s, dir, "documents")
+      .filter(length(col("text")) >= 48)
+      .select(col("doc_id"),
+        expr(s"element_at($Kinds, CAST(doc_id % 3 AS INT) + 1)").as("kind"),
+        explode(expr(
+          """transform(sequence(0, 15), t ->
+            |  (ascii(substring(text, t * 3 + 1, 1)) div 64) * 16
+            |  + (ascii(substring(text, t * 3 + 2, 1)) div 64) * 4
+            |  + (ascii(substring(text, t * 3 + 3, 1)) div 64))"""
+            .stripMargin)).as("code"))
+      .groupBy("doc_id", "kind", "code")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("kind"), col("code").cast("long").as("dom_color"))
+      .agg(count(lit(1)).as("n_images"))
+  }
+
+  private val q167Sql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    unnest(list_transform(range(0, 16), t ->
+      |      (ascii(substr(text, CAST(t AS INT) * 3 + 1, 1)) // 64) * 16
+      |      + (ascii(substr(text, CAST(t AS INT) * 3 + 2, 1)) // 64) * 4
+      |      + (ascii(substr(text, CAST(t AS INT) * 3 + 3, 1)) // 64)))
+      |      AS code
+      |  FROM documents WHERE length(text) >= 48
+      |), c AS (
+      |  SELECT doc_id, kind, code, COUNT(*) AS cnt
+      |  FROM s GROUP BY 1, 2, 3
+      |), dom AS (
+      |  SELECT doc_id, kind, code,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY cnt DESC, code ASC) AS rn
+      |  FROM c
+      |)
+      |SELECT kind, CAST(code AS BIGINT) AS dom_color,
+      |  COUNT(*) AS n_images
+      |FROM dom WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_media_meta" -> q32 _,
     "q33_frame_sample" -> q33 _,
     "q42_media_features" -> q42 _,
-    "q146_image_phash" -> q146 _)
+    "q146_image_phash" -> q146 _,
+    "q167_color_histogram" -> q167 _)
 
   val oracleSql: Map[String, String] = Map(
     "q32_media_meta" -> q32Sql,
     "q33_frame_sample" -> q33Sql,
     "q42_media_features" -> q42Sql,
-    "q146_image_phash" -> q146Sql)
+    "q146_image_phash" -> q146Sql,
+    "q167_color_histogram" -> q167Sql)
 }
 
 /** Typed multimodal pipeline: the Spark-side plumbing (schemas, encoders,

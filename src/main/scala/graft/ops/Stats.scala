@@ -836,7 +836,79 @@ object Stats extends QueryModule {
       |  MIN(tw) AS total_weight
       |FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag""".stripMargin
 
+  // --- q169: key-skew profile (distributed Gini + concentration) -----------
+  // The diagnosis a 100 TB join needs BEFORE it runs: how skewed is the
+  // key distribution. One row per table-key-column profile: key count,
+  // row count, hottest key's share, the Gini coefficient of rows-per-key
+  // (0 = uniform, →1 = one key owns everything), and the share held by
+  // the top decile of keys. Gini uses the rank formula
+  // G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over counts sorted ascending — the
+  // rank i comes from [[graft.plans.PrefixSum.scan]], NOT a global
+  // window: per-key counts can themselves be billions of rows, and the
+  // two-pass bucketed scan ranks them with no single-partition sort
+  // (ties on cnt can't straddle order because (cnt, key) is the scan
+  // order and contributions i·xᵢ are tie-order invariant). Σ i·xᵢ
+  // accumulates in DECIMAL(38,0) (i ≤ n keys, xᵢ row counts — the
+  // product overflows int64 exactly at the scale this entry profiles);
+  // the final Gini/shares are shared double expressions over exact sums.
+  private val GiniExpr =
+    "round(2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) " +
+      "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)"
+
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.plans.PrefixSum.scan(
+      perKey, "cnt",
+      Seq(col("cnt").asc, col("l_partkey").asc),
+      Seq("one" -> "i"))
+    // top-decile mass: the 1-row key count broadcast against the ranked
+    // frame, aggregate the keys whose rank clears n - n div 10
+    val sTop = broadcast(ranked.groupBy().agg(count(lit(1)).as("nn")))
+      .join(ranked, lit(true))
+      .filter(col("i") > expr("nn - nn div 10"))
+      .groupBy().agg(sum(col("cnt")).as("s_top"))
+    ranked
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("s"),
+        max(col("cnt")).as("max_cnt"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * cnt")).as("s1"))
+      .join(broadcast(sTop), lit(true))
+      .select(col("n"), col("s").as("total_rows"), col("max_cnt"),
+        expr("round(CAST(max_cnt AS DOUBLE) / CAST(s AS DOUBLE), 6)")
+          .as("top1_share"),
+        expr(GiniExpr).as("gini"),
+        expr("round(CAST(s_top AS DOUBLE) / CAST(s AS DOUBLE), 6)")
+          .as("top_decile_share"))
+  }
+
+  private val q169Sql =
+    s"""WITH pk AS (
+       |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+       |), r AS (
+       |  SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt ASC,
+       |    l_partkey ASC) AS BIGINT) AS i
+       |  FROM pk
+       |), m AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+       |    MAX(cnt) AS max_cnt,
+       |    SUM(CAST(i AS DECIMAL(38,0)) * cnt) AS s1
+       |  FROM r
+       |), t AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS s_top
+       |  FROM r WHERE i > (SELECT n - n // 10 FROM m)
+       |)
+       |SELECT n, s AS total_rows, max_cnt,
+       |  round(CAST(max_cnt AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top1_share,
+       |  $GiniExpr AS gini,
+       |  round(CAST(s_top AS DOUBLE) / CAST(s AS DOUBLE), 6)
+       |    AS top_decile_share
+       |FROM m, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_skew_profile" -> q169 _,
     "q166_weighted_median" -> q166 _,
     "q161_ab_welch" -> q161 _,
     "q151_cms_prefilter" -> q151 _,
@@ -854,6 +926,7 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q169_skew_profile" -> q169Sql,
     "q166_weighted_median" -> q166Sql,
     "q161_ab_welch" -> q161Sql,
     "q151_cms_prefilter" -> q151Sql,
