@@ -454,15 +454,16 @@ object Graph extends QueryModule {
   // before wedging (same lever as q139's basket cap). One shuffle for
   // the per-pair aggregate, one anti-join to drop existing edges,
   // degree attach on the tiny per-vertex frame.
-  private def q164(s: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(s, dir).persist()
-    val maxW = edges.agg(max(col("w"))).head().getLong(0)
-    val und = edges
-      .filter(col("src") =!= col("dst") && col("w") * 3 >= maxW)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .persist()
+  /** Link-prediction scores for every NON-edge pair of a canonical
+    * undirected simple graph `und` (columns u < v, no self-loops, no
+    * duplicates): common-neighbor count, Jaccard cn/(dx+dy−cn), and the
+    * Resource-Allocation index Σ_z 1/deg(z) in exact integer micro-units
+    * (1000000 div d — no libm in the parity surface, unlike Adamic-Adar's
+    * 1/ln). Candidates come from the wedge join (Σ deg(z)² pairs), never
+    * the |V|² cross product; degree-cap hub centers upstream on graphs
+    * with heavy tails.
+    */
+  def linkPredictionScores(und: DataFrame): DataFrame = {
     val adj = und.select(col("u").as("z"), col("v").as("n"))
       .union(und.select(col("v").as("z"), col("u").as("n")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
@@ -481,6 +482,18 @@ object Graph extends QueryModule {
         expr("round(CAST(n_common AS DOUBLE) " +
           "/ CAST(dx + dy - n_common AS DOUBLE), 6)").as("jaccard"),
         col("ra_micro"))
+  }
+
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir).persist()
+    val maxW = edges.agg(max(col("w"))).head().getLong(0)
+    val und = edges
+      .filter(col("src") =!= col("dst") && col("w") * 3 >= maxW)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist()
+    linkPredictionScores(und)
   }
 
   private val q164Sql =
@@ -533,6 +546,41 @@ object Graph extends QueryModule {
   // q107/q128 fixed-round pattern, localCheckpoint per round for
   // lineage control. The oracle runs the textbook WITH RECURSIVE
   // descendant closure — same semantics, both engines exact integers.
+  /** Bottom-up tree DP over a parent-child forest: after `depth` rounds
+    * every node holds the SUM of `valueCol` and the node count over its
+    * whole subtree (self included). `nodes` needs (id, parent, valueCol);
+    * roots carry NULL parent — a node that is its own parent would both
+    * self-double-count and never converge, so it is rejected fail-loud
+    * via the join's null semantics only if depth suffices; callers
+    * canonicalize roots to NULL. Each round is ONE child→parent
+    * aggregate join (the q107/q128 fixed-round pattern),
+    * localCheckpoint'd for lineage control. `depth` must be ≥ the
+    * forest height; extra rounds are idempotent (once every child holds
+    * its full subtree, v + Σ children reproduces the same totals — the
+    * recurrence is at its fixpoint).
+    */
+  def subtreeRollup(nodes: DataFrame, valueCol: String,
+      depth: Int): DataFrame = {
+    val base = nodes.select(col("id"), col("parent"),
+      col(valueCol).as("__v"))
+    var sub = base.select(col("id"), col("__v").as("sub"), lit(1L).as("nd"))
+    for (_ <- 1 to depth) {
+      val fromChildren = base.select(col("id"), col("parent"))
+        .join(sub, Seq("id"))
+        .groupBy(col("parent").as("id"))
+        .agg(sum(col("sub")).as("cs"), sum(col("nd")).as("cn"))
+      sub = base.select(col("id"), col("__v"))
+        .join(fromChildren, Seq("id"), "left")
+        .select(col("id"),
+          (col("__v") + coalesce(col("cs"), lit(0L))).as("sub"),
+          (lit(1L) + coalesce(col("cn"), lit(0L))).as("nd"))
+        .localCheckpoint(eager = false)
+    }
+    base.join(sub, Seq("id"))
+      .select(col("id"), col("parent"), col("__v").as(valueCol),
+        col("sub").as("subtree"), col("nd").as("n_desc"))
+  }
+
   private def q168(s: SparkSession, dir: String): DataFrame = {
     // Root guard: custkey 0 exists and 0 div 7 = 0 — left as its own
     // parent it is a self-loop (the recursion never terminates and the
@@ -551,23 +599,8 @@ object Graph extends QueryModule {
     val maxKey = base.agg(max(col("id"))).head().getLong(0)
     val depth = math.max(1,
       math.ceil(math.log(maxKey.toDouble + 1) / math.log(7.0)).toInt)
-    var sub = base.select(col("id"), col("v_cents").as("sub"),
-      lit(1L).as("nd"))
-    for (_ <- 1 to depth) {
-      val fromChildren = base.select(col("id"), col("parent"))
-        .join(sub, Seq("id"))
-        .groupBy(col("parent").as("id"))
-        .agg(sum(col("sub")).as("cs"), sum(col("nd")).as("cn"))
-      sub = base.select(col("id"), col("v_cents"))
-        .join(fromChildren, Seq("id"), "left")
-        .select(col("id"),
-          (col("v_cents") + coalesce(col("cs"), lit(0L))).as("sub"),
-          (lit(1L) + coalesce(col("cn"), lit(0L))).as("nd"))
-        .localCheckpoint(eager = false)
-    }
-    base.join(sub, Seq("id"))
-      .select(col("id"), col("parent"), col("v_cents"),
-        col("sub").as("subtree_cents"), col("nd").as("n_desc"))
+    subtreeRollup(base, "v_cents", depth)
+      .withColumnRenamed("subtree", "subtree_cents")
   }
 
   private val q168Sql =

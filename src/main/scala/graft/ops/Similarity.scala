@@ -817,9 +817,12 @@ object Similarity extends QueryModule {
       saltBuckets: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
     def tok(v: String, t: Int) = s"slice($v, ${t * dim + 1}, $dim)"
+    // greatest() requires ≥ 2 args — a 1-token side is just the dot
+    def best(dots: Seq[String]): String =
+      if (dots.size == 1) dots.head else dots.mkString("greatest(", ", ", ")")
     val score = (0 until tokens).map { qt =>
-      "greatest(" + (0 until tokens).map(ct =>
-        s"graft_dot(${tok("qv", qt)}, ${tok("cv", ct)})").mkString(", ") + ")"
+      best((0 until tokens).map(ct =>
+        s"graft_dot(${tok("qv", qt)}, ${tok("cv", ct)})"))
     }.mkString("(", ") + (", ")")
     val wLocal = Window.partitionBy("qid", "salt")
       .orderBy(col("sim").desc, col("cid").asc)

@@ -798,24 +798,40 @@ object Stats extends QueryModule {
   // count), then one cumulative-sum window and the total join share the
   // same (group) partitioning — one value-domain-sized shuffle, never a
   // row-sized sort of the fact table beyond the initial combine.
-  private def q166(s: SparkSession, dir: String): DataFrame = {
-    val byVal = Tables.load(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"),
-        expr("CAST(floor(l_quantity) AS BIGINT)").as("w"))
-      .groupBy("l_returnflag", "v")
-      .agg(sum(col("w")).as("wv"))
-    val cum = Window.partitionBy("l_returnflag").orderBy(col("v").asc)
+  /** Exact lower weighted median per group: the smallest value v with
+    * 2·cumweight(≤v) ≥ totalweight (integer comparison — no float
+    * interpolation, no half-weight edge case). Input columns: `groupCol`,
+    * `valCol` (integer-ordered values), `weightCol` (integer weights).
+    * Output: groupCol, `wmedian` (the median value), `total_weight`.
+    * Plan shape: pre-aggregate to (group, value) weight sums first, then
+    * the cumulative window and the group total share one (group)
+    * partitioning — the window walks the value DOMAIN, not the rows.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    val byVal = df
+      .groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(sum(col(weightCol)).as("__wv"))
+    val cum = Window.partitionBy(groupCol).orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("l_returnflag")
+    val tot = Window.partitionBy(groupCol)
     byVal
-      .withColumn("cw", sum(col("wv")).over(cum))
-      .withColumn("tw", sum(col("wv")).over(tot))
-      .filter(col("cw") * 2 >= col("tw"))
-      .groupBy("l_returnflag")
-      .agg(min(col("v")).as("wmedian_cents"),
-        min(col("tw")).as("total_weight"))
+      .withColumn("__cw", sum(col("__wv")).over(cum))
+      .withColumn("__tw", sum(col("__wv")).over(tot))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("wmedian"),
+        min(col("__tw")).as("total_weight"))
   }
+
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    weightedMedian(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("w")),
+      "l_returnflag", "v", "w")
+      .withColumnRenamed("wmedian", "wmedian_cents")
 
   private val q166Sql =
     """WITH byval AS (

@@ -975,7 +975,112 @@ object Temporal extends QueryModule {
       |  CAST(SUM(v100) AS BIGINT) AS vol_sum
       |FROM ev GROUP BY 1, 2""".stripMargin
 
+  // --- q170: Merkle-bucket table diff (anti-entropy reconciliation) --------
+  // Where q83 diffs row-by-row and q93 checksums whole groups, this is
+  // the two-level hash-tree reconciliation replicas actually run: leaf
+  // buckets (orderkey div 256) carry an XOR row-hash + count, parents
+  // (leaf div 16) XOR their leaves, and the diff DESCENDS — compare the
+  // parent frames first, then open only the leaves under dirty parents
+  // (left_semi on the dirty-parent set, broadcast: it is O(corruption),
+  // not O(table)). At 100 TB across two clusters, that order is the
+  // point: the parent exchange is table_size/4096 hashes, and leaf
+  // hashes ship only for subtrees that actually disagree. XOR makes
+  // every level's hash order-independent and partition-parallel (one
+  // map-side-combining aggregate per level per side). The "remote"
+  // replica is a deterministic mutation of orders (every 997th key +1
+  // cent, every 1009th dropped); the oracle replays leaf level
+  // directly — pruning changes the plan, never the answer. Count rides
+  // next to the hash so a dropped-then-readded row colliding to the
+  // same XOR still flags.
+  /** Two-level Merkle-bucket diff between two versions of a keyed table:
+    * returns the dirty LEAF buckets (leaf id, per-side row counts and XOR
+    * row-hashes; 0 / −1 sentinels for a side missing the leaf entirely).
+    * `keyCol` is an integer bucketing key, `rowKeySql` a SQL expression
+    * rendering the full row content to hash (every column that counts).
+    * The comparison descends: parents (leafSize·fanout keys per node)
+    * compare first and only leaves under dirty parents are opened — the
+    * leaf exchange is O(corruption), not O(table), which is the point of
+    * a hash tree across replicas at 100 TB. XOR keeps every level's hash
+    * order-independent and each level is one map-side-combining
+    * aggregate; counts ride beside the hashes so an XOR collision from a
+    * drop+readd pair still flags.
+    */
+  def merkleBucketDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+      rowKeySql: String, leafSize: Int = 256, fanout: Int = 16)
+      : DataFrame = {
+    def leaves(df: DataFrame): DataFrame =
+      df.withColumn("leaf", expr(s"$keyCol div $leafSize"))
+        .groupBy("leaf")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(" + Dialect.sparkHash60(rowKeySql) + ")").as("h"))
+    val l1 = leaves(v1).select(col("leaf"), col("n").as("n1"),
+      col("h").as("h1"))
+    val l2 = leaves(v2).select(col("leaf"), col("n").as("n2"),
+      col("h").as("h2"))
+    def parents(l: DataFrame, n: String, h: String): DataFrame =
+      l.groupBy(expr(s"leaf div $fanout").as("p"))
+        .agg(sum(col(n)).as("pn"), expr(s"bit_xor($h)").as("ph"))
+    val dirtyParents = parents(l1, "n1", "h1")
+      .join(parents(l2, "n2", "h2")
+          .select(col("p"), col("pn").as("pn2"), col("ph").as("ph2")),
+        Seq("p"), "full_outer")
+      .filter(expr("coalesce(pn, -1) != coalesce(pn2, -1) " +
+        "OR coalesce(ph, -2) != coalesce(ph2, -2)"))
+      .select("p")
+    l1.join(l2, Seq("leaf"), "full_outer")
+      .join(broadcast(dirtyParents),
+        expr(s"leaf div $fanout") === col("p"), "left_semi")
+      .filter(expr("coalesce(n1, -1) != coalesce(n2, -1) " +
+        "OR coalesce(h1, -2) != coalesce(h2, -2)"))
+      .select(col("leaf"),
+        expr("coalesce(n1, 0L)").as("n1"),
+        expr("coalesce(n2, 0L)").as("n2"),
+        expr("coalesce(h1, -1L)").as("h1"),
+        expr("coalesce(h2, -1L)").as("h2"))
+  }
+
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val v2 = v1.filter(expr("o_orderkey % 1009 != 0"))
+      .withColumn("cents",
+        expr("cents + IF(o_orderkey % 997 = 0, 1L, 0L)"))
+    merkleBucketDiff(v1, v2, "o_orderkey",
+      "concat_ws('|', CAST(o_orderkey AS STRING), CAST(cents AS STRING))")
+  }
+
+  private val q170Sql = {
+    val key = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+      "CAST(cents AS VARCHAR))"
+    s"""WITH v1 AS (
+       |  SELECT o_orderkey,
+       |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |), v2 AS (
+       |  SELECT o_orderkey,
+       |    cents + CASE WHEN o_orderkey % 997 = 0 THEN 1 ELSE 0 END AS cents
+       |  FROM v1 WHERE o_orderkey % 1009 != 0
+       |), l1 AS (
+       |  SELECT o_orderkey // 256 AS leaf, COUNT(*) AS n1,
+       |    bit_xor(${Dialect.duckHash60(key)}) AS h1
+       |  FROM v1 GROUP BY 1
+       |), l2 AS (
+       |  SELECT o_orderkey // 256 AS leaf, COUNT(*) AS n2,
+       |    bit_xor(${Dialect.duckHash60(key)}) AS h2
+       |  FROM v2 GROUP BY 1
+       |)
+       |SELECT COALESCE(l1.leaf, l2.leaf) AS leaf,
+       |  CAST(COALESCE(n1, 0) AS BIGINT) AS n1,
+       |  CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+       |  COALESCE(h1, -1) AS h1, COALESCE(h2, -1) AS h2
+       |FROM l1 FULL OUTER JOIN l2 ON l1.leaf = l2.leaf
+       |WHERE COALESCE(n1, -1) != COALESCE(n2, -1)
+       |   OR COALESCE(h1, -2) != COALESCE(h2, -2)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_merkle_diff" -> q170 _,
     "q158_ohlc_bars" -> q158 _,
     "q149_scd2_merge" -> q149 _,
     "q152_rolling_median" -> q152 _,
@@ -992,6 +1097,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q170_merkle_diff" -> q170Sql,
     "q158_ohlc_bars" -> q158Sql,
     "q149_scd2_merge" -> q149Sql,
     "q152_rolling_median" -> q152Sql,
