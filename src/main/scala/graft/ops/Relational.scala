@@ -1464,7 +1464,98 @@ object Relational extends graft.QueryModule {
       |  MIN(v) AS min_v, MAX(v) AS max_v
       |FROM long GROUP BY 1, 2""".stripMargin
 
+  // --- q171: share-of-total report (RATIO_TO_REPORT analytics) -------------
+  // The BI staple Spark spells as windows-over-aggregates: revenue per
+  // (returnflag, linestatus) with its share within the flag, its share
+  // of the grand total, and the cumulative share walking flags' cells by
+  // descending revenue (Pareto ordering; ties broken by status for
+  // determinism). All three shares are integer-cent ratios rendered by
+  // ONE shared double shape. Scale: the windows run over the AGGREGATED
+  // cell grid (|flags|×|statuses| rows), so the unpartitioned
+  // grand-total window touches a frame the size of the report, never
+  // the fact table — aggregate first, window second is the whole trick.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+        .as("rev"))
+    val byFlag = Window.partitionBy("l_returnflag")
+    val all = Window.partitionBy()
+    val pareto = Window.partitionBy()
+      .orderBy(col("rev").desc, col("l_returnflag").asc,
+        col("l_linestatus").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("flag_rev", sum(col("rev")).over(byFlag))
+      .withColumn("total_rev", sum(col("rev")).over(all))
+      .withColumn("cum_rev", sum(col("rev")).over(pareto))
+      .select(col("l_returnflag"), col("l_linestatus"), col("rev"),
+        expr("round(CAST(rev AS DOUBLE) / CAST(flag_rev AS DOUBLE), 6)")
+          .as("share_in_flag"),
+        expr("round(CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)")
+          .as("share_total"),
+        expr("round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)")
+          .as("cum_share"))
+  }
+
+  private val q171Sql =
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1, 2
+      |), w AS (
+      |  SELECT l_returnflag, l_linestatus, rev,
+      |    CAST(SUM(rev) OVER (PARTITION BY l_returnflag) AS BIGINT)
+      |      AS flag_rev,
+      |    CAST(SUM(rev) OVER () AS BIGINT) AS total_rev,
+      |    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_returnflag ASC,
+      |      l_linestatus ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_rev
+      |  FROM cells
+      |)
+      |SELECT l_returnflag, l_linestatus, rev,
+      |  round(CAST(rev AS DOUBLE) / CAST(flag_rev AS DOUBLE), 6)
+      |    AS share_in_flag,
+      |  round(CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+      |    AS share_total,
+      |  round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+      |    AS cum_share
+      |FROM w""".stripMargin
+
+  // --- q173: SQL front door (one text, two engines) ------------------------
+  // The reference's users speak SQL; this entry proves the library's SQL
+  // surface end-to-end by registering the tables ([[Tables.registerAll]])
+  // and running ONE dialect-neutral SQL text through `spark.sql` — and
+  // handing the DuckDB oracle the IDENTICAL string. No per-engine
+  // phrasing at all: the join/filter/HAVING/CAST subset used is common to
+  // both dialects (the explicit CAST around SUM pins DuckDB's HUGEINT
+  // widening back to BIGINT; it is a no-op on Spark). Catalyst plans it
+  // like any DataFrame query — broadcast dims, pushed filters — since
+  // views are just named lazy plans.
+  private val q173Text =
+    """SELECT n_name, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MIN(o_orderkey) AS first_key
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY n_name, o_orderpriority
+      |HAVING COUNT(*) >= 5""".stripMargin
+
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q173Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_sql_surface" -> q173 _,
+    "q171_ratio_report" -> q171 _,
     "q162_unpivot" -> q162 _,
     "q155_reconciliation" -> q155 _,
     "q135_agg_maintenance" -> q135 _,
@@ -1514,6 +1605,8 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q173_sql_surface" -> q173Text,
+    "q171_ratio_report" -> q171Sql,
     "q162_unpivot" -> q162Sql,
     "q155_reconciliation" -> q155Sql,
     "q135_agg_maintenance" -> q135Sql,

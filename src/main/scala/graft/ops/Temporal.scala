@@ -1079,7 +1079,69 @@ object Temporal extends QueryModule {
        |   OR COALESCE(h1, -2) != COALESCE(h2, -2)""".stripMargin
   }
 
+  // --- q172: CUSUM changepoint detection -----------------------------------
+  // Drift monitoring on the daily per-type totals: the one-sided CUSUM
+  // s_i = max(0, s_{i-1} + (x_i − μ)) flags sustained upward shifts. The
+  // clamped recurrence looks inherently sequential, but the identity
+  // s_i = c_i − min(0, min_{j≤i} c_j) (c = running sum of deviations)
+  // turns it into TWO associative running windows — cumulative sum and
+  // running min — sharing one (type, day) sort: fully distributed, no
+  // sequential fold, the same trick as q113's island detection. Exact
+  // integers throughout: deviations are scaled by n (n·x_i − S avoids
+  // the rational mean), so cusum_scaled = n·s_i; the alarm fires when
+  // the accumulated deviation exceeds one average day's mass
+  // (n·s_i > S ⟺ s_i > μ). n·x fits int64 to ~9e18/max-daily-total
+  // days per series — per-series day counts are calendar-bounded.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("v100", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v100")).as("x"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum(col("x")).over(wAll))
+      .withColumn("c", sum(expr("n * x - st")).over(wOrd))
+      .withColumn("m", min(col("c")).over(wOrd))
+      .select(col("event_type"), col("day"), col("x"),
+        expr("c - least(0L, m)").as("cusum_scaled"),
+        expr("CAST(CASE WHEN c - least(0L, m) > st THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("alarm"))
+  }
+
+  private val q172Sql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, day, x,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS st
+      |  FROM daily
+      |), c AS (
+      |  SELECT event_type, day, x, st,
+      |    CAST(SUM(n * x - st) OVER (PARTITION BY event_type
+      |      ORDER BY day ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cc
+      |  FROM m
+      |), r AS (
+      |  SELECT event_type, day, x, st, cc,
+      |    MIN(cc) OVER (PARTITION BY event_type ORDER BY day ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+      |  FROM c
+      |)
+      |SELECT event_type, day, x,
+      |  cc - least(0, mm) AS cusum_scaled,
+      |  CAST(CASE WHEN cc - least(0, mm) > st THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alarm
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_cusum" -> q172 _,
     "q170_merkle_diff" -> q170 _,
     "q158_ohlc_bars" -> q158 _,
     "q149_scd2_merge" -> q149 _,
@@ -1097,6 +1159,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q172_cusum" -> q172Sql,
     "q170_merkle_diff" -> q170Sql,
     "q158_ohlc_bars" -> q158Sql,
     "q149_scd2_merge" -> q149Sql,
