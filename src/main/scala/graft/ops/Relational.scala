@@ -1553,7 +1553,49 @@ object Relational extends graft.QueryModule {
     s.sql(q173Text)
   }
 
+  // --- q174: incremental JOIN-view maintenance (delta rules) ---------------
+  // q135's invariant lifted from aggregates to joins: a materialized view
+  // V = L ⋈ O maintained under simultaneous inserts to BOTH sides by the
+  // textbook delta rule ΔV = ΔL⋈O_old ∪ L_old⋈ΔO ∪ ΔL⋈ΔO, then
+  // V_new = V_old ∪ ΔV. The oracle recomputes the full join directly, so
+  // the hash-match proves maintain ≡ recompute — including the ΔL⋈ΔO
+  // cross-delta term that naive implementations drop (rows where a new
+  // lineitem meets a new order would silently vanish; the splits below
+  // guarantee such pairs exist: both deltas are keyed on orderkey
+  // multiples). Scale shape: at 100 TB only the three delta-sided joins
+  // run per refresh and each is bounded by a delta, broadcastable when
+  // small; the stored V_old is unioned, never re-joined. The result is
+  // compared as a per-group aggregate of the view (counts + exact
+  // cents), which is partition- and union-order-independent.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val lOld = l.filter(expr("l_orderkey % 4 != 0"))
+    val lNew = l.filter(expr("l_orderkey % 4 = 0"))
+    val oOld = o.filter(expr("o_orderkey % 2 != 0"))
+    val oNew = o.filter(expr("o_orderkey % 2 = 0"))
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"), col("o_orderpriority"), col("cents"))
+    val vOld = j(lOld, oOld)
+    val deltaV = j(lNew, oOld).unionAll(j(lOld, oNew)).unionAll(j(lNew, oNew))
+    vOld.unionAll(deltaV)
+      .groupBy("l_returnflag", "o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+  }
+
+  private val q174Sql =
+    """SELECT l_returnflag, o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_join_maintenance" -> q174 _,
     "q173_sql_surface" -> q173 _,
     "q171_ratio_report" -> q171 _,
     "q162_unpivot" -> q162 _,
@@ -1605,6 +1647,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q174_join_maintenance" -> q174Sql,
     "q173_sql_surface" -> q173Text,
     "q171_ratio_report" -> q171Sql,
     "q162_unpivot" -> q162Sql,

@@ -1140,7 +1140,47 @@ object Temporal extends QueryModule {
       |    AS BIGINT) AS alarm
       |FROM r""".stripMargin
 
+  // --- q175: point-in-time dimension snapshot (bitemporal query) -----------
+  // The payoff of q149's SCD2 build: "what did every order's dimension
+  // row say at instant T" — the reproducibility query a training
+  // pipeline runs to rebuild features exactly as they were. T is the
+  // midpoint of the order-date span, computed IN-PLAN (a 1-row broadcast
+  // of min/max — no driver collect, no literal that would go stale at
+  // refresh) and applied as the half-open interval predicate
+  // valid_from ≤ T < valid_to over the merged dimension. Keys whose
+  // first version opens after T correctly vanish (no row existed yet).
+  // Scale: the SCD2 merge is q149's single-shuffle plan; the snapshot
+  // adds one broadcast filter — at 100 TB the interval predicate prunes
+  // to ≤ 1 row per key with no extra shuffle.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val dim = q149(s, dir)
+    val t = Tables.load(s, dir, "orders")
+      .agg(min(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))"))
+          .as("mn"),
+        max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))"))
+          .as("mx"))
+      .selectExpr("(mn + mx) div 2 AS t_us")
+    dim.join(broadcast(t), lit(true))
+      .filter(col("valid_from_us") <= col("t_us") &&
+        col("t_us") < col("valid_to_us"))
+      .select(col("key"), col("version_seq"), col("status"),
+        col("price_cents"), col("t_us"))
+  }
+
+  private def q175Sql(q149: String): String =
+    s"""WITH dim AS (
+       |${q149.linesIterator.map("  " + _).mkString("\n")}
+       |), pit AS (
+       |  SELECT CAST((MIN(epoch_us(o_orderdate))
+       |    + MAX(epoch_us(o_orderdate))) // 2 AS BIGINT) AS t_us
+       |  FROM orders
+       |)
+       |SELECT key, version_seq, status, price_cents, t_us
+       |FROM dim, pit
+       |WHERE valid_from_us <= t_us AND t_us < valid_to_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_bitemporal" -> q175 _,
     "q172_cusum" -> q172 _,
     "q170_merkle_diff" -> q170 _,
     "q158_ohlc_bars" -> q158 _,
@@ -1159,6 +1199,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q175_bitemporal" -> q175Sql(q149Sql),
     "q172_cusum" -> q172Sql,
     "q170_merkle_diff" -> q170Sql,
     "q158_ohlc_bars" -> q158Sql,
