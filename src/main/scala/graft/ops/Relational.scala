@@ -1594,7 +1594,79 @@ object Relational extends graft.QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q179: data-contract validation suite --------------------------------
+  // The dbt-style table contract as ONE battery row set: five checks over
+  // orders — NOT NULL, enum domain, value range, key uniqueness,
+  // referential integrity to customer — each emitting (check, violations,
+  // pass). The three ROW-LEVEL checks fuse into a single scan+aggregate
+  // (conditional sums), melted to rows by `stack`; uniqueness counts
+  // rows beyond the first per duplicate key (Σ max(cnt−1, 0) — 0 when
+  // clean, proportional when not); the FK check is a left-anti count
+  // (broadcastable dimension). Scale: two fact scans + one dim anti-join
+  // total — checks ride together, not one pass per check. All-green
+  // fixtures still hash (pass bits + zeros are data); the range check's
+  // fixed 450k-dollar ceiling exercises a non-zero violation path
+  // whenever the fixture carries jumbo orders.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("cents", expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+    val rowChecks = o.agg(
+        sum(expr("IF(o_orderstatus IS NULL, 1L, 0L)")).as("c1"),
+        sum(expr("IF(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM'," +
+          "'4-NOT SPECIFIED','5-LOW'), 0L, 1L)")).as("c2"),
+        sum(expr("IF(cents > 0 AND cents <= 45000000, 0L, 1L)")).as("c3"))
+      .selectExpr("stack(3, 'not_null_status', c1, 'enum_priority', c2, " +
+        "'range_price', c3) AS (check_name, n_violations)")
+    val uniq = o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(expr("IF(cnt > 1, cnt - 1, 0L)")), lit(0L))
+        .as("n_violations"))
+      .select(lit("unique_orderkey").as("check_name"), col("n_violations"))
+    val fk = o.join(
+        Tables.load(s, dir, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("fk_custkey").as("check_name"), col("n_violations"))
+    rowChecks.unionAll(uniq).unionAll(fk)
+      .select(col("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  private val q179Sql =
+    """WITH o AS (
+      |  SELECT *, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), rowchecks AS (
+      |  SELECT 'not_null_status' AS check_name,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_violations
+      |  FROM o
+      |  UNION ALL
+      |  SELECT 'enum_priority',
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH',
+      |      '3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 0 ELSE 1 END)
+      |      AS BIGINT)
+      |  FROM o
+      |  UNION ALL
+      |  SELECT 'range_price',
+      |    CAST(SUM(CASE WHEN cents > 0 AND cents <= 45000000
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM o
+      |  UNION ALL
+      |  SELECT 'unique_orderkey',
+      |    CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END), 0)
+      |      AS BIGINT)
+      |  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM o GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'fk_custkey',
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM o WHERE NOT EXISTS (SELECT 1 FROM customer
+      |                           WHERE c_custkey = o_custkey)
+      |)
+      |SELECT check_name, n_violations, n_violations = 0 AS pass
+      |FROM rowchecks""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_data_contract" -> q179 _,
     "q174_join_maintenance" -> q174 _,
     "q173_sql_surface" -> q173 _,
     "q171_ratio_report" -> q171 _,
@@ -1647,6 +1719,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q179_data_contract" -> q179Sql,
     "q174_join_maintenance" -> q174Sql,
     "q173_sql_surface" -> q173Text,
     "q171_ratio_report" -> q171Sql,

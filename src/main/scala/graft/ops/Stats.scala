@@ -923,7 +923,135 @@ object Stats extends QueryModule {
        |    AS top_decile_share
        |FROM m, t""".stripMargin
 
+  // --- q176: rank normalization (percentile feature scaling) ---------------
+  // The outlier-proof feature transform: each event's value mapped to its
+  // within-type percentile in integer milli-units,
+  // pctl = 1000·(rank−1) div (n−1) (min → 0, max → 1000, n = 1 → 500).
+  // Rank = row_number under a pinned (v100, event_id) total order —
+  // average-rank tie handling would need a second window; the pinned
+  // tiebreak keeps ONE window pass and stays deterministic. Per-type
+  // windows (bounded series per partition); for a single giant group the
+  // PrefixSum scan is the drop-in (q169's path). Output sampled to every
+  // 7th event to keep the battery row count honest.
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("v100").asc, col("event_id").asc)
+    val n = Window.partitionBy("event_type")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("event_type"), col("v100"),
+        expr("CASE WHEN n = 1 THEN 500L " +
+          "ELSE (1000 * (rk - 1)) div (n - 1) END").as("pctl_milli"))
+  }
+
+  private val q176Sql =
+    """WITH r AS (
+      |  SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v100,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(FLOOR(value * 100) AS BIGINT) ASC, event_id ASC)
+      |      AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_id, event_type, v100,
+      |  CASE WHEN n = 1 THEN 500
+      |       ELSE (1000 * (rk - 1)) // (n - 1) END AS pctl_milli
+      |FROM r WHERE event_id % 7 = 0""".stripMargin
+
+  // --- q177: feature hashing (the hashing trick) ---------------------------
+  // Categorical → fixed-width feature space without a vocabulary pass:
+  // bucket = hash60(feature ':' value) mod 64 over two categorical
+  // columns (event_type, user_id mod 100 as a high-cardinality proxy).
+  // The audit is the collision profile a feature-hashed model needs to
+  // trust the width: per bucket, row mass and how many DISTINCT source
+  // categories collided there. Stateless bucket assignment (shuffle-free
+  // until the audit aggregate); the same hash60 literal runs on both
+  // engines so bucket ids are bit-identical. | elements: feature name
+  // rides IN the hash input, the standard namespacing trick.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val typeBucket = Dialect.sparkHash60("concat('et:', event_type)")
+    val userBucket = Dialect.sparkHash60(
+      "concat('ub:', CAST(user_id % 100 AS STRING))")
+    ev.select(
+        expr(s"pmod($typeBucket, 64)").as("bucket"),
+        expr("concat('et:', event_type)").as("cat"))
+      .unionAll(ev.select(
+        expr(s"pmod($userBucket, 64)").as("bucket"),
+        expr("concat('ub:', CAST(user_id % 100 AS STRING))").as("cat")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cat")).as("n_cats"))
+  }
+
+  private val q177Sql = {
+    val tb = Dialect.duckHash60("concat('et:', event_type)")
+    val ub = Dialect.duckHash60(
+      "concat('ub:', CAST(user_id % 100 AS VARCHAR))")
+    s"""WITH f AS (
+       |  SELECT $tb % 64 AS bucket, concat('et:', event_type) AS cat
+       |  FROM events
+       |  UNION ALL
+       |  SELECT $ub % 64, concat('ub:', CAST(user_id % 100 AS VARCHAR))
+       |  FROM events
+       |)
+       |SELECT bucket, COUNT(*) AS n_rows,
+       |  CAST(COUNT(DISTINCT cat) AS BIGINT) AS n_cats
+       |FROM f GROUP BY bucket""".stripMargin
+  }
+
+  // --- q178: leave-one-out target encoding ---------------------------------
+  // The supervised categorical encoder that must NOT leak the row's own
+  // label: for each order, its priority's mean order value EXCLUDING
+  // itself — (S_c − y) div (n_c − 1) in exact integer cents; singleton
+  // categories fall back to the global LOO mean (same formula over the
+  // whole table). One grouped aggregate broadcast back over the fact
+  // rows (categories are tiny vs rows), plus a 1-row global frame: no
+  // window at all, so the encode is a pure map stage at 100 TB. Output
+  // sampled to every 11th order.
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+    val perCat = o.groupBy("o_orderpriority")
+      .agg(sum(col("y")).as("sc"), count(lit(1)).as("nc"))
+    val global = o.groupBy()
+      .agg(sum(col("y")).as("sg"), count(lit(1)).as("ng"))
+    o.join(broadcast(perCat), Seq("o_orderpriority"))
+      .join(broadcast(global), lit(true))
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("y"),
+        expr("CASE WHEN nc > 1 THEN (sc - y) div (nc - 1) " +
+          "ELSE (sg - y) div (ng - 1) END").as("loo_cents"))
+  }
+
+  private val q178Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders
+      |), pc AS (
+      |  SELECT o_orderpriority, CAST(SUM(y) AS BIGINT) AS sc,
+      |    COUNT(*) AS nc
+      |  FROM o GROUP BY 1
+      |), g AS (
+      |  SELECT CAST(SUM(y) AS BIGINT) AS sg, COUNT(*) AS ng FROM o
+      |)
+      |SELECT o_orderkey, o.o_orderpriority, y,
+      |  CASE WHEN nc > 1 THEN (sc - y) // (nc - 1)
+      |       ELSE (sg - y) // (ng - 1) END AS loo_cents
+      |FROM o JOIN pc ON o.o_orderpriority = pc.o_orderpriority, g
+      |WHERE o_orderkey % 11 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_rank_normalize" -> q176 _,
+    "q177_feature_hashing" -> q177 _,
+    "q178_target_encoding" -> q178 _,
     "q169_skew_profile" -> q169 _,
     "q166_weighted_median" -> q166 _,
     "q161_ab_welch" -> q161 _,
@@ -942,6 +1070,9 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q176_rank_normalize" -> q176Sql,
+    "q177_feature_hashing" -> q177Sql,
+    "q178_target_encoding" -> q178Sql,
     "q169_skew_profile" -> q169Sql,
     "q166_weighted_median" -> q166Sql,
     "q161_ab_welch" -> q161Sql,

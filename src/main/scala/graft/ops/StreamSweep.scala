@@ -385,6 +385,99 @@ object StreamSweep extends QueryModule {
       "q165_stream_outer_join", "matches_batch")
   }
 
+  // --- q180: late-data accounting under the watermark ----------------------
+  // The lateness semantics every production stream negotiates, made
+  // observable and asserted: the LATE half of events (by time) lands
+  // FIRST — one processAllAvailable drives the watermark to the stream's
+  // max event time — then the EARLY half arrives a batch later, entirely
+  // behind the watermark. Contract under a 0s-delay watermark + 1h
+  // tumbling count: (a) every early row is dropped, and the engine's own
+  // `numRowsDroppedByWatermark` ledger must account for all of them in
+  // its own units (see below); (b) the
+  // emitted (append-mode) windows are exactly the late-half windows
+  // whose end the final ms-truncated watermark passed — windows still
+  // open at end-of-input stay unemitted. Both facts are computed from
+  // the batch table and ParityGated per row. The two-phase landing is
+  // deterministic: file batches are separated by processAllAvailable,
+  // never by timing. Scratch is driver-local (q112's local-mode
+  // contract; a cluster routes it through spark.graft.scratch.dir).
+  //
+  // Ledger units (probed, not assumed): `numRowsDroppedByWatermark`
+  // counts rows reaching the STATE operator — i.e. post-shuffle MERGED
+  // window partials, one per distinct late window, not raw input rows
+  // (4,985 early rows → 360 distinct hour windows → ledger says 360).
+  // The merged-partial count is partitioning-independent (the exchange
+  // collapses every window to one row), so the expected value is the
+  // batch-side DISTINCT window count of the early half.
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("event_ts"))
+    val tMidUs = ev
+      .agg(min(expr("unix_micros(event_ts)")).as("mn"),
+        max(expr("unix_micros(event_ts)")).as("mx"))
+      .selectExpr("(mn + mx) div 2").head().getLong(0)
+    val early = ev.filter(expr(s"unix_micros(event_ts) < ${tMidUs}L"))
+    val late = ev.filter(expr(s"unix_micros(event_ts) >= ${tMidUs}L"))
+    // the ledger's unit: distinct early windows (merged partials), see doc
+    val nEarlyWindows = early
+      .select(expr("unix_micros(event_ts) div 3600000000").as("h"))
+      .distinct().count()
+
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-q180-").toString
+    val qname = s"q180_${System.nanoTime()}"
+    try {
+      late.write.mode("append").parquet(scratch)
+      val (rows, dropped) = graft.streaming.StreamConf
+        .withStateParts(s, n = 4) {
+          val q = s.readStream.schema(ev.schema).parquet(scratch)
+            .withWatermark("event_ts", "0 seconds")
+            .groupBy(window(col("event_ts"), "1 hour").as("w"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(expr("unix_micros(w.start)").as("w_start_us"),
+              col("n_events"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            early.write.mode("append").parquet(scratch)
+            q.processAllAvailable()
+            val drops = q.recentProgress.toSeq
+              .flatMap(_.stateOperators.toSeq)
+              .map(_.numRowsDroppedByWatermark).sum
+            (s.table(qname).collect(), drops)
+          } finally { q.stop(); s.catalog.dropTempView(qname) }
+        }
+
+      // expected: late-half windows whose END the final watermark passed
+      val wmUs = late.agg(max(expr("unix_micros(event_ts)")))
+        .head().getLong(0) / 1000 * 1000
+      val expected = late
+        .groupBy(window(col("event_ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(expr("unix_micros(w.start)").as("w_start_us"),
+          col("n_events"), expr("unix_micros(w.end)").as("w_end_us"))
+        .filter(col("w_end_us") <= wmUs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.ParityGate(
+        rows.toSeq
+          .map { r =>
+            val t = (r.getLong(0), r.getLong(1))
+            (t._1, t._2,
+              expected.contains(t) && expected.size == rows.length &&
+                dropped == nEarlyWindows)
+          }
+          .toDF("w_start_us", "n_events", "matches_batch"),
+        "q180_late_data_audit", "matches_batch")
+    } finally {
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(scratch))
+    }
+  }
+
   // --- q78: session_window (gap sessions) under the gate ------------------
   // Streams the events parquet through the file source and groups by
   // `session_window(event_ts, 15 minutes)` per user — the engine's native
@@ -490,6 +583,7 @@ object StreamSweep extends QueryModule {
     "q75_stream_window" -> q75 _,
     "q77_stream_join" -> q77 _,
     "q165_stream_outer_join" -> q165 _,
+    "q180_late_data_audit" -> q180 _,
     "q78_session_window" -> q78 _,
     "q84_stream_sliding" -> q84 _)
 
