@@ -1665,7 +1665,56 @@ object Relational extends graft.QueryModule {
       |SELECT check_name, n_violations, n_violations = 0 AS pass
       |FROM rowchecks""".stripMargin
 
+  // --- q181: period-over-period report (MoM deltas) ------------------------
+  // The month-over-month revenue readout: per (priority, month) exact
+  // cent totals with the previous month's total (lag), the signed delta,
+  // and the percent change as one shared double expression (NULL on the
+  // first month — no fake 0% — and NULL-safe when the base month is 0).
+  // Month = date_trunc rendered as its epoch-day integer so both engines
+  // group and order on the same BIGINT. Lag windows partition by
+  // priority and walk the aggregated month grid — report-sized frames,
+  // q171's aggregate-first discipline.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("month_day"))
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("datediff(date_trunc('MONTH', CAST(o_orderdate AS DATE)), " +
+          "DATE '1970-01-01')").cast("long").as("month_day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rev"))
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("o_orderpriority"), col("month_day"), col("rev"),
+        col("prev"),
+        (col("rev") - col("prev")).as("delta"),
+        expr("CASE WHEN prev IS NULL OR prev = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(100.0 * CAST(rev - prev AS DOUBLE) " +
+          "/ CAST(prev AS DOUBLE), 4) END").as("pct_change"))
+  }
+
+  private val q181Sql =
+    """WITH m AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT)
+      |      AS month_day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2
+      |), l AS (
+      |  SELECT *, LAG(rev, 1) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY month_day) AS prev
+      |  FROM m
+      |)
+      |SELECT o_orderpriority, month_day, rev, prev,
+      |  rev - prev AS delta,
+      |  CASE WHEN prev IS NULL OR prev = 0 THEN CAST(NULL AS DOUBLE)
+      |       ELSE round(100.0 * CAST(rev - prev AS DOUBLE)
+      |         / CAST(prev AS DOUBLE), 4) END AS pct_change
+      |FROM l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_period_report" -> q181 _,
     "q179_data_contract" -> q179 _,
     "q174_join_maintenance" -> q174 _,
     "q173_sql_surface" -> q173 _,
@@ -1719,6 +1768,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q181_period_report" -> q181Sql,
     "q179_data_contract" -> q179Sql,
     "q174_join_maintenance" -> q174Sql,
     "q173_sql_surface" -> q173Text,

@@ -2325,7 +2325,135 @@ object TextAnalysis extends QueryModule {
        |       WHEN fre >= 30.0 THEN 'medium' ELSE 'hard' END AS tier
        |FROM scored""".stripMargin
 
+  // --- q182: classifier evaluation (confusion → precision/recall/F1) -------
+  // The metrics side of every model-in-the-loop pipeline step (q23's
+  // lang-id, q132's quality model): per-class TP/FP/FN from the
+  // (actual × predicted) confusion matrix, then precision/recall/F1 as
+  // shared double expressions over those exact integers. The "model"
+  // here is a deterministic hash-of-text assignment — a pure function
+  // both engines replay bit-identically; the operator under test is the
+  // metrics computation, and the near-uniform predictions exercise real
+  // off-diagonal mass. Shape: one (actual, predicted) aggregate, then
+  // two 5-row re-aggregations joined per class — everything after the
+  // first groupBy is report-sized. F1 guards the P+R=0 class with NULL
+  // (not a fake 0 — an undefined score must stay undefined).
+  private val q182Langs = "array('de', 'en', 'es', 'fr', 'zh')"
+
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val conf = Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        expr(s"element_at($q182Langs, CAST(pmod(" +
+          Dialect.sparkHash60("text") + ", 5) AS INT) + 1)").as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // read 3× below
+    val tp = conf.filter(col("lang") === col("pred"))
+      .select(col("lang").as("label"), col("n").as("tp"))
+    val actual = conf.groupBy(col("lang").as("label"))
+      .agg(sum(col("n")).as("n_actual"))
+    val predicted = conf.groupBy(col("pred").as("label"))
+      .agg(sum(col("n")).as("n_predicted"))
+    actual.join(predicted, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_predicted"), lit(0L))
+          - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_actual"), lit(0L))
+          - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END")
+          .as("precision"),
+        expr("CASE WHEN tp + fn = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END")
+          .as("recall"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(2.0 * CAST(tp AS DOUBLE) " +
+          "/ CAST(2 * tp + fp + fn AS DOUBLE), 6) END").as("f1"))
+  }
+
+  private val q182Sql = {
+    val pred = s"['de', 'en', 'es', 'fr', 'zh']" +
+      s"[CAST(${Dialect.duckHash60("text")} % 5 AS INT) + 1]"
+    s"""WITH conf AS (
+       |  SELECT lang, $pred AS pred, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2
+       |), tp AS (
+       |  SELECT lang AS label, CAST(n AS BIGINT) AS tp FROM conf
+       |  WHERE lang = pred
+       |), act AS (
+       |  SELECT lang AS label, CAST(SUM(n) AS BIGINT) AS n_actual
+       |  FROM conf GROUP BY 1
+       |), prd AS (
+       |  SELECT pred AS label, CAST(SUM(n) AS BIGINT) AS n_predicted
+       |  FROM conf GROUP BY 1
+       |), j AS (
+       |  SELECT COALESCE(act.label, prd.label) AS label,
+       |    COALESCE(tp.tp, 0) AS tp,
+       |    COALESCE(n_predicted, 0) - COALESCE(tp.tp, 0) AS fp,
+       |    COALESCE(n_actual, 0) - COALESCE(tp.tp, 0) AS fn
+       |  FROM act FULL OUTER JOIN prd ON act.label = prd.label
+       |  LEFT JOIN tp ON COALESCE(act.label, prd.label) = tp.label
+       |)
+       |SELECT label, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE) ELSE
+       |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+       |    AS precision,
+       |  CASE WHEN tp + fn = 0 THEN CAST(NULL AS DOUBLE) ELSE
+       |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+       |    AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS DOUBLE) ELSE
+       |    round(2.0 * CAST(tp AS DOUBLE)
+       |      / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+       |FROM j""".stripMargin
+  }
+
+  // --- q183: score calibration audit (reliability bins + ECE) --------------
+  // Before a model score gates a 100 TB pipeline (q132's logreg, q99's
+  // LM), the calibration question: does "score 0.7" mean 70% positive?
+  // Deterministic milli-score (hash of text mod 1000) vs a parity label,
+  // binned into deciles; per bin: count, mean score (exact integer
+  // milli, floor), empirical positive rate (milli), and the bin's
+  // |gap|·n contribution to ECE — all integers, so the oracle replays
+  // bit-for-bit. One aggregate over 10 bins; the Expected Calibration
+  // Error is the caller's Σ contrib / N over the 10-row result.
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        expr(s"pmod(${Dialect.sparkHash60("text")}, 1000)").as("score"),
+        expr("CAST(n_chars % 2 = 0 AS BIGINT)").as("label"))
+      .groupBy(expr("score div 100").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(score) div count(1)").as("mean_score_milli"),
+        expr("(1000 * sum(label)) div count(1)").as("pos_rate_milli"))
+      .select(col("bin"), col("n"), col("mean_score_milli"),
+        col("pos_rate_milli"),
+        // mean score is in [0,1000) milli like the rate; the bin's ECE
+        // mass is |gap| weighted by its count
+        expr("abs(mean_score_milli - pos_rate_milli) * n")
+          .as("ece_contrib"))
+
+  private val q183Sql = {
+    val score = s"${Dialect.duckHash60("text")} % 1000"
+    s"""WITH b AS (
+       |  SELECT $score AS score,
+       |    CAST(n_chars % 2 = 0 AS BIGINT) AS label
+       |  FROM documents
+       |), g AS (
+       |  SELECT score // 100 AS bin, COUNT(*) AS n,
+       |    CAST(SUM(score) AS BIGINT) // COUNT(*) AS mean_score_milli,
+       |    (1000 * CAST(SUM(label) AS BIGINT)) // COUNT(*)
+       |      AS pos_rate_milli
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT bin, n, mean_score_milli, pos_rate_milli,
+       |  abs(mean_score_milli - pos_rate_milli) * n AS ece_contrib
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_classifier_metrics" -> q182 _,
+    "q183_calibration" -> q183 _,
     "q163_readability" -> q163 _,
     "q150_normalize_nfc" -> q150 _,
     "q132_quality_logreg" -> q132 _,
@@ -2360,6 +2488,8 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q182_classifier_metrics" -> q182Sql,
+    "q183_calibration" -> q183Sql,
     "q163_readability" -> q163Sql,
     "q150_normalize_nfc" -> q150Sql,
     "q132_quality_logreg" -> q132Sql,
