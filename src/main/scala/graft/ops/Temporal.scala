@@ -937,9 +937,13 @@ object Temporal extends QueryModule {
   // instant" an ordinary partial-aggregable min/max (unique (ts_us,
   // event_id) pins determinism; the value field can never tiebreak), so
   // the whole bar reduces map-side and the only shuffle moves one row per
-  // (event_type, day). No window, no sort, no per-series collect — the
-  // shape a 100 TB tick table needs. Values in integer centi-units; the
-  // oracle replays with DuckDB's ordered-aggregate FIRST/LAST.
+  // (event_type, day). No window, no per-series collect — the shape a
+  // 100 TB tick table needs. (Struct-typed agg buffers are not
+  // hash-aggregable, so Spark picks SortAggregate: still partial+final
+  // around ONE Exchange, with a per-partition grouping sort instead of a
+  // hash table — Round13PlanSpec pins the single-shuffle shape.) Values
+  // in integer centi-units; the oracle replays with DuckDB's
+  // ordered-aggregate FIRST/LAST.
   def ohlcBars(ticks: DataFrame, seriesCol: String, tsCol: String,
       idCol: String, valCol: String): DataFrame =
     ticks
