@@ -1048,7 +1048,142 @@ object Stats extends QueryModule {
       |FROM o JOIN pc ON o.o_orderpriority = pc.o_orderpriority, g
       |WHERE o_orderkey % 11 = 0""".stripMargin
 
+  // --- q185: Mann–Whitney U test (nonparametric A/B) ------------------------
+  // q161's nonparametric sibling — no normality assumption, the robust
+  // default when the metric is skewed. Exact integer machinery: ranks
+  // with tie-averaging stay integral when DOUBLED (a tie block spanning
+  // ranks [cb+1, cb+cnt] has 2·avgrank = 2·cb + cnt + 1), so
+  // 2·R₁ = Σ_values nA(v)·(2·cb + cnt + 1) and 2·U₁ = 2·R₁ − nA(nA+1)
+  // are exact BIGINTs replayed bit-for-bit by the oracle. The normal
+  // approximation z = (U₁ − nAnB/2)/√(nAnB(n+1)/12) (no tie correction —
+  // ties here are sparse centi-units; documented) is one shared double
+  // expression. Plan: per-(type, value) conditional counts, ONE
+  // cumulative window over the value domain (q166's discipline), then a
+  // per-type fold — the fact table never sorts globally.
+  private val MwMu = "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)"
+  private val MwSigma =
+    "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) " +
+      "* (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0)"
+  private val MwZ =
+    s"((CAST(u2 AS DOUBLE) / 2.0 - $MwMu) / $MwSigma)"
+
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("user_id % 2").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nav"))
+    val cum = Window.partitionBy("event_type").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("cb", coalesce(sum(col("cnt")).over(cum), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum(col("nav")).as("na"),
+        sum(col("cnt") - col("nav")).as("nb"),
+        sum(expr("nav * (2 * cb + cnt + 1)")).as("r2"))
+      .select(col("event_type"), col("na"), col("nb"),
+        expr("r2 - na * (na + 1)").as("u2"))
+      .select(col("event_type"), col("na"), col("nb"), col("u2"),
+        expr(s"round($MwZ, 6)").as("z"),
+        expr(s"CAST(abs($MwZ) > 1.96 AS BIGINT)").as("significant"))
+  }
+
+  private val q185Sql =
+    s"""WITH b AS (
+       |  SELECT event_type, user_id % 2 AS arm,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS v
+       |  FROM events
+       |), byval AS (
+       |  SELECT event_type, v, COUNT(*) AS cnt,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nav
+       |  FROM b GROUP BY 1, 2
+       |), r AS (
+       |  SELECT event_type, v, cnt, nav,
+       |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+       |      ORDER BY v ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cb
+       |  FROM byval
+       |), m AS (
+       |  SELECT event_type,
+       |    CAST(SUM(nav) AS BIGINT) AS na,
+       |    CAST(SUM(cnt - nav) AS BIGINT) AS nb,
+       |    CAST(SUM(nav * (2 * cb + cnt + 1)) AS BIGINT) AS r2
+       |  FROM r GROUP BY 1
+       |), u AS (
+       |  SELECT event_type, na, nb, r2 - na * (na + 1) AS u2 FROM m
+       |)
+       |SELECT event_type, na, nb, u2,
+       |  round($MwZ, 6) AS z,
+       |  CAST(abs($MwZ) > 1.96 AS BIGINT) AS significant
+       |FROM u""".stripMargin
+
+  // --- q186: seasonal baseline + residual outliers --------------------------
+  // Operational anomaly detection with seasonality removed: the baseline
+  // is the per-(type, hour-of-day) profile — exact {n, Σy, Σy²} sums →
+  // mean/stddev as shared doubles (q67's algebraic contract) — and an
+  // outlier is a reading beyond mean ± 3σ FOR ITS OWN (type, hour) cell,
+  // so a nightly-quiet metric isn't flagged every busy noon. Two passes:
+  // the profile aggregate (|types|×24 rows, broadcast), then one scan
+  // counting residual outliers per cell — no window over the fact table.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("y"))
+    val prof = ev.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("mean_c", expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("sd_c", expr(
+        "CASE WHEN n < 2 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          "sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+          "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END"))
+    ev.join(broadcast(prof), Seq("event_type", "hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"),
+        expr("round(min(mean_c), 4)").as("mean_cents"),
+        expr("round(min(sd_c), 4)").as("sd_cents"),
+        sum(expr("CAST(abs(CAST(y AS DOUBLE) - mean_c) > 3.0 * sd_c " +
+          "AS BIGINT)")).as("n_outliers"))
+  }
+
+  private val q186Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS y
+      |  FROM events
+      |), prof AS (
+      |  SELECT event_type, hour, COUNT(*) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      |  FROM ev GROUP BY 1, 2
+      |), p2 AS (
+      |  SELECT *,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+      |    CASE WHEN n < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+      |      sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END
+      |      AS sd_c
+      |  FROM prof
+      |)
+      |SELECT ev.event_type, ev.hour, COUNT(*) AS n,
+      |  round(MIN(mean_c), 4) AS mean_cents,
+      |  round(MIN(sd_c), 4) AS sd_cents,
+      |  CAST(SUM(CAST(abs(CAST(y AS DOUBLE) - mean_c) > 3.0 * sd_c
+      |    AS BIGINT)) AS BIGINT) AS n_outliers
+      |FROM ev JOIN p2 ON ev.event_type = p2.event_type
+      |  AND ev.hour = p2.hour
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_mann_whitney" -> q185 _,
+    "q186_seasonal_outliers" -> q186 _,
     "q176_rank_normalize" -> q176 _,
     "q177_feature_hashing" -> q177 _,
     "q178_target_encoding" -> q178 _,
@@ -1070,6 +1205,8 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q185_mann_whitney" -> q185Sql,
+    "q186_seasonal_outliers" -> q186Sql,
     "q176_rank_normalize" -> q176Sql,
     "q177_feature_hashing" -> q177Sql,
     "q178_target_encoding" -> q178Sql,

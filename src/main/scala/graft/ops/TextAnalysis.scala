@@ -2451,7 +2451,101 @@ object TextAnalysis extends QueryModule {
        |FROM g""".stripMargin
   }
 
+  // --- q184: keyword extraction (RAKE) -------------------------------------
+  // Dictionary-free keyphrase mining: candidate phrases are maximal runs
+  // of non-stopword tokens (stopwords split phrases), each phrase scored
+  // by Σ over its words of degree(w)/freq(w) — RAKE's co-occurrence
+  // degree favors words that live in long phrases. Fully relational
+  // phrase construction: posexplode the token array, flag stopwords, and
+  // a running sum of stop-flags is the phrase-island id (gaps-and-
+  // islands, q113's trick) — no regex split semantics in the parity
+  // surface at all, just token positions both engines agree on. Scores
+  // in integer milli (1000·degree div freq summed per phrase; degree =
+  // Σ phrase length over the word's phrases, freq = occurrence count —
+  // both corpus-wide integers). Top-3 phrases per doc by (score DESC,
+  // phrase ASC) via WindowGroupLimit. Shuffles: token-vocabulary stats,
+  // phrase reassembly by (doc, island), and the per-doc top-k — all
+  // keyed, no cross join.
+  private val RakeStops = "array('the', 'a', 'and', 'of', 'to', 'in')"
+
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+          .as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        expr(s"CAST(array_contains($RakeStops, tok) AS INT)"))
+    val w = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phraseToks = toks
+      .withColumn("island", sum(col("is_stop")).over(w))
+      .filter(col("is_stop") === 0)
+      .localCheckpoint(eager = false) // feeds word stats AND reassembly
+    val plens = phraseToks.groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("plen"))
+    val wordStats = phraseToks
+      .join(plens, Seq("doc_id", "island"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+    val phrases = phraseToks
+      .join(wordStats, Seq("tok"))
+      .groupBy("doc_id", "island")
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), " +
+            "t -> t.tok)")).as("phrase"),
+        sum(expr("(1000 * degree) div freq")).as("score_milli"))
+    val topW = Window.partitionBy("doc_id")
+      .orderBy(col("score_milli").desc, col("phrase").asc)
+    phrases
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"),
+        col("phrase"), col("score_milli"))
+  }
+
+  private val q184Sql =
+    """WITH arrs AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS arr
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+      |    arr[CAST(t.i AS INT)] AS tok,
+      |    CASE WHEN arr[CAST(t.i AS INT)] IN
+      |      ('the', 'a', 'and', 'of', 'to', 'in')
+      |         THEN 1 ELSE 0 END AS is_stop
+      |  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)
+      |), isl AS (
+      |  SELECT doc_id, pos, tok, island FROM (
+      |    SELECT *,
+      |      CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS BIGINT) AS island
+      |    FROM toks)
+      |  WHERE is_stop = 0
+      |), plens AS (
+      |  SELECT doc_id, island, COUNT(*) AS plen
+      |  FROM isl GROUP BY 1, 2
+      |), ws AS (
+      |  SELECT tok, COUNT(*) AS freq,
+      |    CAST(SUM(plen) AS BIGINT) AS degree
+      |  FROM isl JOIN plens USING (doc_id, island)
+      |  GROUP BY tok
+      |), phr AS (
+      |  SELECT doc_id, island,
+      |    string_agg(tok, ' ' ORDER BY pos ASC) AS phrase,
+      |    CAST(SUM((1000 * degree) // freq) AS BIGINT) AS score_milli
+      |  FROM isl JOIN ws USING (tok)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn, phrase, score_milli
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score_milli DESC, phrase ASC) AS rn
+      |      FROM phr)
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_keyword_rake" -> q184 _,
     "q182_classifier_metrics" -> q182 _,
     "q183_calibration" -> q183 _,
     "q163_readability" -> q163 _,
@@ -2488,6 +2582,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q184_keyword_rake" -> q184Sql,
     "q182_classifier_metrics" -> q182Sql,
     "q183_calibration" -> q183Sql,
     "q163_readability" -> q163Sql,
