@@ -1713,7 +1713,75 @@ object Relational extends graft.QueryModule {
       |         / CAST(prev AS DOUBLE), 4) END AS pct_change
       |FROM l""".stripMargin
 
+  // --- q187: deletion-request purge audit (cascade + residue proof) --------
+  // The right-to-be-forgotten job as an auditable operator: a deletion
+  // set (every 97th customer) cascades customer → orders → lineitem
+  // (two hops — lineitem references customers only THROUGH orders), each
+  // table purged by an anti-join against the broadcast key set, and the
+  // audit row per table carries before/purged/after counts plus
+  // n_residue — rows in the purged output still reachable from a deleted
+  // key, which the same semi-join that did the purge proves is zero. The
+  // residue column is the point: a purge that reports "done" without a
+  // residue proof is exactly how tombstoned data resurfaces. Scale:
+  // deletion sets are small vs the tables (broadcast anti/semi joins, no
+  // shuffle of the facts beyond the scan), and each table's audit is one
+  // aggregate.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val delKeys = Tables.load(s, dir, "customer")
+      .filter(expr("c_custkey % 97 = 0")).select(col("c_custkey"))
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val oPurged = o.join(broadcast(delKeys),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val delOrders = o.join(broadcast(delKeys),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey").as("del_ok"))
+    val l = Tables.load(s, dir, "lineitem").select("l_orderkey")
+    val lPurged = l.join(delOrders,
+      col("l_orderkey") === col("del_ok"), "left_anti")
+    def audit(table: String, before: DataFrame, after: DataFrame,
+        residue: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("n_before"))
+        .join(after.agg(count(lit(1)).as("n_after")), lit(true))
+        .join(residue.agg(count(lit(1)).as("n_residue")), lit(true))
+        .select(lit(table).as("table_name"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_purged"),
+          col("n_after"), col("n_residue"))
+    audit("orders", o, oPurged,
+        oPurged.join(broadcast(delKeys),
+          col("o_custkey") === col("c_custkey"), "left_semi"))
+      .unionAll(audit("lineitem", l, lPurged,
+        lPurged.join(delOrders,
+          col("l_orderkey") === col("del_ok"), "left_semi")))
+  }
+
+  private val q187Sql =
+    """WITH del AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+      |), delo AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM del)
+      |), oa AS (
+      |  SELECT 'orders' AS table_name,
+      |    (SELECT COUNT(*) FROM orders) AS n_before,
+      |    (SELECT COUNT(*) FROM delo) AS n_purged,
+      |    (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM delo)
+      |      AS n_after,
+      |    CAST(0 AS BIGINT) AS n_residue
+      |), la AS (
+      |  SELECT 'lineitem',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |      - (SELECT COUNT(*) FROM lineitem
+      |         WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+      |    CAST(0 AS BIGINT)
+      |)
+      |SELECT * FROM oa UNION ALL SELECT * FROM la""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_purge_audit" -> q187 _,
     "q181_period_report" -> q181 _,
     "q179_data_contract" -> q179 _,
     "q174_join_maintenance" -> q174 _,
@@ -1768,6 +1836,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q187_purge_audit" -> q187Sql,
     "q181_period_report" -> q181Sql,
     "q179_data_contract" -> q179Sql,
     "q174_join_maintenance" -> q174Sql,
