@@ -1780,7 +1780,68 @@ object Relational extends graft.QueryModule {
       |)
       |SELECT * FROM oa UNION ALL SELECT * FROM la""".stripMargin
 
+  // --- q188: lakehouse-ops capstone (contract → diff → purge → checksum) ---
+  // The operational day-in-the-life as ONE lazy composition, the ops
+  // sibling of q90/q129's curation capstones: total contract violations
+  // (q179's suite), dirty Merkle leaves vs the mutated replica (q170's
+  // reconciliation via the public `Temporal.merkleBucketDiff`), the
+  // purge cascade's order count (q187's deletion set), and the
+  // post-purge content checksum that a downstream consumer would pin —
+  // four 1-row frames broadcast-joined into one audit row. The oracle
+  // is literally the composition of the member oracles as subqueries,
+  // so the hash-match proves the composition preserved every member's
+  // semantics. Each member keeps its own scale shape; the capstone adds
+  // zero shuffles of its own.
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val violations = q179(s, dir)
+      .agg(sum(col("n_violations")).as("total_violations"))
+    val v1 = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val v2 = v1.filter(expr("o_orderkey % 1009 != 0"))
+      .withColumn("cents", expr("cents + IF(o_orderkey % 997 = 0, 1L, 0L)"))
+    val dirty = Temporal.merkleBucketDiff(v1, v2, "o_orderkey",
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(cents AS STRING))")
+      .agg(count(lit(1)).as("n_dirty_leaves"))
+    val purged = q187(s, dir)
+      .filter(col("table_name") === "orders")
+      .select(col("n_purged").as("n_purged_orders"))
+    val afterPurge = Tables.load(s, dir, "orders")
+      .join(broadcast(Tables.load(s, dir, "customer")
+          .filter(expr("c_custkey % 97 = 0")).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .agg(expr("bit_xor(" + Dialect.sparkHash60(
+        "concat_ws('|', CAST(o_orderkey AS STRING), " +
+          "CAST(cents AS STRING))") + ")").as("survivor_checksum"))
+    violations.join(broadcast(dirty), lit(true))
+      .join(broadcast(purged), lit(true))
+      .join(broadcast(afterPurge), lit(true))
+  }
+
+  private def q188Sql(q179: String, q170: String): String =
+    s"""SELECT
+       |  (SELECT CAST(SUM(n_violations) AS BIGINT) FROM (
+       |${q179.linesIterator.map("    " + _).mkString("\n")}
+       |  )) AS total_violations,
+       |  (SELECT COUNT(*) FROM (
+       |${q170.linesIterator.map("    " + _).mkString("\n")}
+       |  )) AS n_dirty_leaves,
+       |  (SELECT COUNT(*) FROM orders
+       |   WHERE o_custkey IN (SELECT c_custkey FROM customer
+       |                       WHERE c_custkey % 97 = 0))
+       |    AS n_purged_orders,
+       |  (SELECT bit_xor(${Dialect.duckHash60(
+      "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+        "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR))")})
+       |   FROM orders
+       |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+       |                           WHERE c_custkey % 97 = 0))
+       |    AS survivor_checksum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_ops_capstone" -> q188 _,
     "q187_purge_audit" -> q187 _,
     "q181_period_report" -> q181 _,
     "q179_data_contract" -> q179 _,
@@ -1836,6 +1897,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q188_ops_capstone" -> q188Sql(q179Sql, Temporal.q170Sql),
     "q187_purge_audit" -> q187Sql,
     "q181_period_report" -> q181Sql,
     "q179_data_contract" -> q179Sql,

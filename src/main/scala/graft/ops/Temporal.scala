@@ -1054,7 +1054,7 @@ object Temporal extends QueryModule {
       "concat_ws('|', CAST(o_orderkey AS STRING), CAST(cents AS STRING))")
   }
 
-  private val q170Sql = {
+  private[ops] val q170Sql = {
     val key = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
       "CAST(cents AS VARCHAR))"
     s"""WITH v1 AS (
