@@ -1181,7 +1181,166 @@ object Stats extends QueryModule {
       |  AND ev.hour = p2.hour
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q189: rolling correlation between two series -------------------------
+  // The co-movement monitor: 7-day rolling Pearson correlation between
+  // the daily click and view totals. Exact integer sufficient sums
+  // {Σx, Σy, Σxy, Σx², Σy²} accumulate inside ONE bounded ROWS window
+  // (6 preceding + current — state O(frame), q152's discipline) over the
+  // joined daily grid; the correlation is q67's closed-form shared
+  // double over those sums, NULL until the frame is full (n < 7) and
+  // NULL when either side is constant in the frame (zero variance —
+  // undefined, not 0). Day grid via INNER join of the two daily
+  // aggregates (a day silent on either series has no defined pair).
+  // Per-row xy/x² products stay in int64: daily totals ≤ ~9.6e8 cents
+  // before the square risks overflow — cents-scale daily sums are safe
+  // to ~1e9/day; beyond that swap the sums to DECIMAL like q131's syy.
+  private val RollN = 7
+  private val CorrNum =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val CorrDen =
+    "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+    def daily(kind: String, as: String) =
+      ev.filter(col("event_type") === kind)
+        .groupBy("day").agg(sum(col("v")).as(as))
+    val grid = daily("click", "x").join(daily("view", "y"), Seq("day"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(-(RollN - 1), Window.currentRow)
+    grid
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(expr("x * y")).over(w))
+      .withColumn("sxx", sum(expr("x * x")).over(w))
+      .withColumn("syy", sum(expr("y * y")).over(w))
+      .select(col("day"), col("x"), col("y"),
+        expr(s"CASE WHEN n < $RollN OR $CorrDen = 0.0 " +
+          s"THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE round($CorrNum / ($CorrDen), 6) END").as("corr7"))
+  }
+
+  private val q189Sql =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS v
+       |  FROM events
+       |), cx AS (
+       |  SELECT day, CAST(SUM(v) AS BIGINT) AS x FROM ev
+       |  WHERE event_type = 'click' GROUP BY 1
+       |), cy AS (
+       |  SELECT day, CAST(SUM(v) AS BIGINT) AS y FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), grid AS (
+       |  SELECT cx.day, x, y FROM cx JOIN cy ON cx.day = cy.day
+       |), r AS (
+       |  SELECT day, x, y,
+       |    COUNT(*) OVER w AS n,
+       |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+       |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+       |  FROM grid
+       |  WINDOW w AS (ORDER BY day ASC
+       |    ROWS BETWEEN ${RollN - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT day, x, y,
+       |  CASE WHEN n < $RollN OR $CorrDen = 0.0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE round($CorrNum / ($CorrDen), 6) END AS corr7
+       |FROM r""".stripMargin
+
+  // --- q190: distribution-drift monitor (chi-square distance) ---------------
+  // Data-quality drift between the fixture's first and second time
+  // halves: per event_type, each half's value distribution over ten
+  // fixed decile-ish bins (global integer bin edges from the full-range
+  // midpoint rule — deterministic, not data-quantile), then the
+  // chi-square distance Σ (pᵢ−qᵢ)²/(pᵢ+qᵢ) over per-mille proportions.
+  // Chi-square rather than PSI/KL on purpose: no logarithm (q132's libm
+  // lesson) — and the statistic is kept in EXACT integer micro-units
+  // (Σ 1e6·(p−q)² div (p+q)): a double Σ over bins would make the
+  // result depend on FP summation order across partitions, the very
+  // trap the q67 moment decomposition exists to avoid. Zero-mass bins
+  // contribute 0 (guarded); one-sided bins zero-fill through the full
+  // outer join. One aggregate per (type, half, bin) + a report-sized
+  // reshape.
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+    val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .selectExpr("(mn + mx) div 2 AS mid", "mn", "mx")
+    val binned = ev.join(broadcast(mid), lit(true))
+      .select(col("event_type"),
+        expr("CAST(ts_us >= mid AS INT)").as("half"),
+        // 10 fixed bins over the value's centi-unit range [0, 30000)
+        expr("least(greatest(v div 3000, 0L), 9L)").as("bin"))
+      .groupBy("event_type", "half", "bin")
+      .agg(count(lit(1)).as("n"))
+    val tot = binned.groupBy("event_type", "half")
+      .agg(sum(col("n")).as("tot"))
+    val pm = binned.join(tot, Seq("event_type", "half"))
+      .select(col("event_type"), col("half"), col("bin"),
+        expr("(1000 * n) div tot").as("pm"))
+    val p = pm.filter(col("half") === 0)
+      .select(col("event_type"), col("bin"), col("pm").as("p"))
+    val q = pm.filter(col("half") === 1)
+      .select(col("event_type"), col("bin"), col("pm").as("q"))
+    p.join(q, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("p"), lit(0L)).as("p"),
+        coalesce(col("q"), lit(0L)).as("q"))
+      .groupBy("event_type")
+      .agg(sum(expr(
+        "CASE WHEN p + q = 0 THEN 0L ELSE " +
+          "(1000000 * (p - q) * (p - q)) div (p + q) END"))
+        .as("chi2_micro"))
+  }
+
+  private val q190Sql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |), mid AS (
+      |  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev
+      |), binned AS (
+      |  SELECT event_type,
+      |    CAST(ts_us >= mid AS INT) AS half,
+      |    least(greatest(v // 3000, 0), 9) AS bin,
+      |    COUNT(*) AS n
+      |  FROM ev, mid GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT event_type, half, CAST(SUM(n) AS BIGINT) AS tot
+      |  FROM binned GROUP BY 1, 2
+      |), pm AS (
+      |  SELECT b.event_type, b.half, b.bin,
+      |    (1000 * n) // tot AS pm
+      |  FROM binned b JOIN tot USING (event_type, half)
+      |), j AS (
+      |  SELECT COALESCE(p.event_type, q.event_type) AS event_type,
+      |    COALESCE(p.pm, 0) AS p, COALESCE(q.pm, 0) AS q
+      |  FROM (SELECT * FROM pm WHERE half = 0) p
+      |  FULL OUTER JOIN (SELECT * FROM pm WHERE half = 1) q
+      |    ON p.event_type = q.event_type AND p.bin = q.bin
+      |)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN p + q = 0 THEN 0
+      |    ELSE (1000000 * (p - q) * (p - q)) // (p + q) END)
+      |    AS BIGINT) AS chi2_micro
+      |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_rolling_corr" -> q189 _,
+    "q190_dist_drift" -> q190 _,
     "q185_mann_whitney" -> q185 _,
     "q186_seasonal_outliers" -> q186 _,
     "q176_rank_normalize" -> q176 _,
@@ -1205,6 +1364,8 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q189_rolling_corr" -> q189Sql,
+    "q190_dist_drift" -> q190Sql,
     "q185_mann_whitney" -> q185Sql,
     "q186_seasonal_outliers" -> q186Sql,
     "q176_rank_normalize" -> q176Sql,
