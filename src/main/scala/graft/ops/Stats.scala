@@ -751,13 +751,20 @@ object Stats extends QueryModule {
         sum(when(col("arm") === 1,
           expr("CAST(y AS DECIMAL(38,0)) * y")).otherwise(lit(0))).as("qb"))
       .select(col("event_type"), col("na"), col("nb"),
-        expr("round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)")
+        expr("CASE WHEN na = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) END")
           .as("mean_a"),
-        expr("round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6)")
+        expr("CASE WHEN nb = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) END")
           .as("mean_b"),
-        expr(s"round($WelchT, 6)").as("t_stat"),
-        expr(s"round($WelchDf, 4)").as("df"),
-        expr(s"CAST(CASE WHEN abs($WelchT) > 1.96 THEN 1 ELSE 0 END " +
+        // single-arm / degenerate groups (n < 2 on a side) have no
+        // defined variance — NULL, not an engine-specific NaN
+        expr(s"CASE WHEN na < 2 OR nb < 2 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE round($WelchT, 6) END").as("t_stat"),
+        expr(s"CASE WHEN na < 2 OR nb < 2 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE round($WelchDf, 4) END").as("df"),
+        expr(s"CAST(CASE WHEN na >= 2 AND nb >= 2 " +
+          s"AND abs($WelchT) > 1.96 THEN 1 ELSE 0 END " +
           "AS BIGINT)").as("significant"))
 
   private val q161Sql =
@@ -778,12 +785,18 @@ object Stats extends QueryModule {
        |  FROM b GROUP BY event_type
        |)
        |SELECT event_type, na, nb,
-       |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) AS mean_a,
-       |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) AS mean_b,
-       |  round($WelchT, 6) AS t_stat,
-       |  round($WelchDf, 4) AS df,
-       |  CAST(CASE WHEN abs($WelchT) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
-       |    AS significant
+       |  CASE WHEN na = 0 THEN CAST(NULL AS DOUBLE) ELSE
+       |    round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) END
+       |    AS mean_a,
+       |  CASE WHEN nb = 0 THEN CAST(NULL AS DOUBLE) ELSE
+       |    round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) END
+       |    AS mean_b,
+       |  CASE WHEN na < 2 OR nb < 2 THEN CAST(NULL AS DOUBLE)
+       |       ELSE round($WelchT, 6) END AS t_stat,
+       |  CASE WHEN na < 2 OR nb < 2 THEN CAST(NULL AS DOUBLE)
+       |       ELSE round($WelchDf, 4) END AS df,
+       |  CAST(CASE WHEN na >= 2 AND nb >= 2 AND abs($WelchT) > 1.96
+       |    THEN 1 ELSE 0 END AS BIGINT) AS significant
        |FROM m""".stripMargin
 
   // --- q166: exact grouped weighted median ---------------------------------
@@ -1086,8 +1099,11 @@ object Stats extends QueryModule {
       .select(col("event_type"), col("na"), col("nb"),
         expr("r2 - na * (na + 1)").as("u2"))
       .select(col("event_type"), col("na"), col("nb"), col("u2"),
-        expr(s"round($MwZ, 6)").as("z"),
-        expr(s"CAST(abs($MwZ) > 1.96 AS BIGINT)").as("significant"))
+        // an empty arm has no defined U distribution — NULL, not NaN
+        expr(s"CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE round($MwZ, 6) END").as("z"),
+        expr(s"CAST(na > 0 AND nb > 0 AND abs($MwZ) > 1.96 AS BIGINT)")
+          .as("significant"))
   }
 
   private val q185Sql =
@@ -1116,8 +1132,10 @@ object Stats extends QueryModule {
        |  SELECT event_type, na, nb, r2 - na * (na + 1) AS u2 FROM m
        |)
        |SELECT event_type, na, nb, u2,
-       |  round($MwZ, 6) AS z,
-       |  CAST(abs($MwZ) > 1.96 AS BIGINT) AS significant
+       |  CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE round($MwZ, 6) END AS z,
+       |  CAST(na > 0 AND nb > 0 AND abs($MwZ) > 1.96 AS BIGINT)
+       |    AS significant
        |FROM u""".stripMargin
 
   // --- q186: seasonal baseline + residual outliers --------------------------
