@@ -549,15 +549,18 @@ object Graph extends QueryModule {
   /** Bottom-up tree DP over a parent-child forest: after `depth` rounds
     * every node holds the SUM of `valueCol` and the node count over its
     * whole subtree (self included). `nodes` needs (id, parent, valueCol);
-    * roots carry NULL parent — a node that is its own parent would both
-    * self-double-count and never converge, so it is rejected fail-loud
-    * via the join's null semantics only if depth suffices; callers
-    * canonicalize roots to NULL. Each round is ONE child→parent
+    * roots carry NULL parent. Each round is ONE child→parent
     * aggregate join (the q107/q128 fixed-round pattern),
     * localCheckpoint'd for lineage control. `depth` must be ≥ the
     * forest height; extra rounds are idempotent (once every child holds
     * its full subtree, v + Σ children reproduces the same totals — the
     * recurrence is at its fixpoint).
+    *
+    * Caller contract: roots carry NULL parent. A node listed as its own
+    * parent is NOT detected here (a distributed id = parent assert would
+    * cost a scan per call); it feeds its own total back to itself every
+    * round and silently inflates its ancestors — canonicalize self-loops
+    * to NULL before calling, as q168 does for custkey 0.
     */
   def subtreeRollup(nodes: DataFrame, valueCol: String,
       depth: Int): DataFrame = {

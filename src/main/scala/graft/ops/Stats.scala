@@ -885,13 +885,20 @@ object Stats extends QueryModule {
       "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)"
 
   private def q169(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint both stages: the scan evaluates its input ~3×
+    // (quantile bounds + totals + local branches) and `ranked` feeds
+    // three consumers below — without the pins the full-lineitem
+    // per-key aggregate would re-run ~6× (house rule from the packing
+    // scan; blocks freed by ContextCleaner when unreferenced)
     val perKey = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
       .withColumn("one", lit(1L))
+      .localCheckpoint(eager = false)
     val ranked = graft.plans.PrefixSum.scan(
       perKey, "cnt",
       Seq(col("cnt").asc, col("l_partkey").asc),
       Seq("one" -> "i"))
+      .localCheckpoint(eager = false)
     // top-decile mass: the 1-row key count broadcast against the ranked
     // frame, aggregate the keys whose rank clears n - n div 10
     val sTop = broadcast(ranked.groupBy().agg(count(lit(1)).as("nn")))
@@ -1067,7 +1074,11 @@ object Stats extends QueryModule {
   // with tie-averaging stay integral when DOUBLED (a tie block spanning
   // ranks [cb+1, cb+cnt] has 2·avgrank = 2·cb + cnt + 1), so
   // 2·R₁ = Σ_values nA(v)·(2·cb + cnt + 1) and 2·U₁ = 2·R₁ − nA(nA+1)
-  // are exact BIGINTs replayed bit-for-bit by the oracle. The normal
+  // are exact BIGINTs replayed bit-for-bit by the oracle (2·R₁ is
+  // bounded by na·2n, so int64 holds to ~3e9 rows per event_type —
+  // beyond that switch r2 to DECIMAL(38,0), q131's syy lever; past the
+  // bound Spark would wrap silently while DuckDB's HUGEINT cast
+  // errors, so the oracle fails loud rather than agreeing). The normal
   // approximation z = (U₁ − nAnB/2)/√(nAnB(n+1)/12) (no tie correction —
   // ties here are sparse centi-units; documented) is one shared double
   // expression. Plan: per-(type, value) conditional counts, ONE
@@ -1241,7 +1252,13 @@ object Stats extends QueryModule {
       .withColumn("sxx", sum(expr("x * x")).over(w))
       .withColumn("syy", sum(expr("y * y")).over(w))
       .select(col("day"), col("x"), col("y"),
-        expr(s"CASE WHEN n < $RollN OR $CorrDen = 0.0 " +
+        // zero-variance detection is EXACT (decimal n·sxx = sx², not
+        // the double CorrDen = 0.0 — which misses once the sums pass
+        // 2^53 and the casts round): a constant window must yield NULL
+        // on both engines, never rounding-noise or sqrt(negative)
+        expr(s"CASE WHEN n < $RollN " +
+          "OR CAST(n AS DECIMAL(38,0)) * sxx = CAST(sx AS DECIMAL(38,0)) * sx " +
+          "OR CAST(n AS DECIMAL(38,0)) * syy = CAST(sy AS DECIMAL(38,0)) * sy " +
           s"THEN CAST(NULL AS DOUBLE) " +
           s"ELSE round($CorrNum / ($CorrDen), 6) END").as("corr7"))
   }
@@ -1272,7 +1289,10 @@ object Stats extends QueryModule {
        |    ROWS BETWEEN ${RollN - 1} PRECEDING AND CURRENT ROW)
        |)
        |SELECT day, x, y,
-       |  CASE WHEN n < $RollN OR $CorrDen = 0.0 THEN CAST(NULL AS DOUBLE)
+       |  CASE WHEN n < $RollN
+       |    OR CAST(n AS DECIMAL(38,0)) * sxx = CAST(sx AS DECIMAL(38,0)) * sx
+       |    OR CAST(n AS DECIMAL(38,0)) * syy = CAST(sy AS DECIMAL(38,0)) * sy
+       |       THEN CAST(NULL AS DOUBLE)
        |       ELSE round($CorrNum / ($CorrDen), 6) END AS corr7
        |FROM r""".stripMargin
 

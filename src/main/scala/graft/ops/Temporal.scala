@@ -1007,7 +1007,10 @@ object Temporal extends QueryModule {
     * a hash tree across replicas at 100 TB. XOR keeps every level's hash
     * order-independent and each level is one map-side-combining
     * aggregate; counts ride beside the hashes so an XOR collision from a
-    * drop+readd pair still flags.
+    * drop+readd pair still flags, and the parent level hashes the
+    * (leaf, count, hash) NODE triples — so content moving between
+    * sibling leaves (which cancels in a raw row-XOR) still dirties the
+    * parent. Pruning changes the plan, never the answer.
     */
   def merkleBucketDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
       rowKeySql: String, leafSize: Int = 256, fanout: Int = 16)
@@ -1021,15 +1024,23 @@ object Temporal extends QueryModule {
       col("h").as("h1"))
     val l2 = leaves(v2).select(col("leaf"), col("n").as("n2"),
       col("h").as("h2"))
+    // Parent hash binds each LEAF NODE (id, count, hash) — not the raw
+    // row XOR. A bare XOR-of-rows parent is blind to content MOVING
+    // between sibling leaves (row hash cancels: ph ⊕ h ⊕ h) and to a
+    // matched delete+add across siblings (count sum unchanged) — the
+    // parent would look clean while both leaves differ, and the semi
+    // join would prune a real divergence. Hashing the (leaf, n, h)
+    // triple makes any leaf-level change flip its parent.
     def parents(l: DataFrame, n: String, h: String): DataFrame =
       l.groupBy(expr(s"leaf div $fanout").as("p"))
-        .agg(sum(col(n)).as("pn"), expr(s"bit_xor($h)").as("ph"))
+        .agg(expr("bit_xor(" + Dialect.sparkHash60(
+          s"concat_ws(':', CAST(leaf AS STRING), CAST($n AS STRING), " +
+            s"CAST($h AS STRING))") + ")").as("ph"))
     val dirtyParents = parents(l1, "n1", "h1")
       .join(parents(l2, "n2", "h2")
-          .select(col("p"), col("pn").as("pn2"), col("ph").as("ph2")),
+          .select(col("p"), col("ph").as("ph2")),
         Seq("p"), "full_outer")
-      .filter(expr("coalesce(pn, -1) != coalesce(pn2, -1) " +
-        "OR coalesce(ph, -2) != coalesce(ph2, -2)"))
+      .filter(expr("coalesce(ph, -2) != coalesce(ph2, -2)"))
       .select("p")
     l1.join(l2, Seq("leaf"), "full_outer")
       .join(broadcast(dirtyParents),

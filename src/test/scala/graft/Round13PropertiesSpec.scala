@@ -89,6 +89,26 @@ class Round13PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("merkleBucketDiff flags content MOVED between sibling leaves") {
+    import spark.implicits._
+    // payloads of keys 5 and 70 (leaves 0 and 1, same parent at
+    // fanout 4) swap content; a raw row-XOR parent would cancel and
+    // prune the real divergence — the node-triple parent must not
+    val v1 = spark.range(0, 256).selectExpr("id AS k", "id * 7 AS payload")
+    val v2 = v1.withColumn("payload",
+      when(col("k") === 5, lit(70L * 7))
+        .when(col("k") === 70, lit(5L * 7))
+        .otherwise(col("payload")))
+    val dirty = Temporal.merkleBucketDiff(v1, v2, "k",
+        "concat_ws('|', CAST(payload AS STRING))",
+        leafSize = 64, fanout = 4)
+      .select("leaf").collect().map(_.getLong(0)).toSet
+    // rowKey deliberately EXCLUDES the key, so the two rows' hashes
+    // swap between leaf 0 and leaf 1 — exact cancellation at a
+    // bare-XOR parent; counts are unchanged too
+    assert(dirty === Set(0L, 1L))
+  }
+
   test("subtreeRollup equals the recursive reference on random forests") {
     import spark.implicits._
     val gen = Gen.listOfN(40, Gen.chooseNum(0L, 99L))
