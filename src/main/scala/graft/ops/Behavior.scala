@@ -454,7 +454,68 @@ object Behavior extends QueryModule {
       |SELECT win_end, COUNT(*) AS n_active_7d
       |FROM uw GROUP BY win_end""".stripMargin
 
+  // --- q191: behavioral sequence alignment ----------------------------------
+  // "Which users behave alike" by EDIT DISTANCE over their event-type
+  // sequences — order-sensitive where q138's transition matrix and q144's
+  // distinct counts are not (v,c,p vs p,c,v have identical histograms
+  // but distance 2). Each user's timeline renders as a string of
+  // event-type initials ((ts, event_id)-ordered, capped at the first 128
+  // events — levenshtein is O(len²) per pair, so the cap bounds the
+  // per-pair cost at any scale), the anchor set is the 20 smallest-hash
+  // users (q94/q148's deterministic rank primitive), and only
+  // anchor×anchor pairs (a < b) align — 190 pairs via one broadcast
+  // self-join, never users². Distance also normalized to milli by the
+  // longer string (integer div). The oracle replays the identical
+  // string build (string_agg ORDER BY) and DuckDB's levenshtein —
+  // byte-identical inputs, same DP recurrence, exact integers out.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), expr("substring(event_type, 1, 1)").as("c"))
+      .groupBy("user_id")
+      .agg(expr(
+        "substring(concat_ws('', transform(array_sort(" +
+          "collect_list(struct(ts_us, event_id, c))), t -> t.c)), 1, 128)")
+        .as("seq"))
+    val anchors = seqs
+      .withColumn("h", expr(graft.ops.Dialect.sparkHash60(
+        "CAST(user_id AS STRING)")))
+      .orderBy(col("h").asc, col("user_id").asc)
+      .limit(20)
+      .select(col("user_id"), col("seq"))
+    val a = anchors.select(col("user_id").as("u1"), col("seq").as("s1"))
+    val b = anchors.select(col("user_id").as("u2"), col("seq").as("s2"))
+    a.join(broadcast(b), col("u1") < col("u2"))
+      .select(col("u1"), col("u2"),
+        expr("CAST(levenshtein(s1, s2) AS BIGINT)").as("dist"),
+        expr("CAST(length(s1) AS BIGINT)").as("len1"),
+        expr("CAST(length(s2) AS BIGINT)").as("len2"))
+      .withColumn("dist_milli",
+        expr("(1000 * dist) div greatest(len1, len2)"))
+  }
+
+  private val q191Sql = {
+    val h = graft.ops.Dialect.duckHash60("CAST(user_id AS VARCHAR)")
+    s"""WITH seqs AS (
+       |  SELECT user_id,
+       |    substr(string_agg(substr(event_type, 1, 1), ''
+       |      ORDER BY epoch_us(ts) ASC, event_id ASC), 1, 128) AS seq
+       |  FROM events GROUP BY user_id
+       |), anchors AS (
+       |  SELECT user_id, seq FROM seqs
+       |  ORDER BY $h ASC, user_id ASC LIMIT 20
+       |)
+       |SELECT a.user_id AS u1, b.user_id AS u2,
+       |  CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS dist,
+       |  CAST(length(a.seq) AS BIGINT) AS len1,
+       |  CAST(length(b.seq) AS BIGINT) AS len2,
+       |  (1000 * CAST(levenshtein(a.seq, b.seq) AS BIGINT))
+       |    // greatest(length(a.seq), length(b.seq)) AS dist_milli
+       |FROM anchors a JOIN anchors b ON a.user_id < b.user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_behavior_align" -> q191 _,
     "q116_cohort_retention" -> q116 _,
     "q117_funnel" -> q117 _,
     "q138_markov_transitions" -> q138 _,
@@ -464,6 +525,7 @@ object Behavior extends QueryModule {
     "q144_sliding_distinct" -> q144 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q191_behavior_align" -> q191Sql,
     "q116_cohort_retention" -> q116Sql,
     "q117_funnel" -> q117Sql,
     "q138_markov_transitions" -> q138Sql,
