@@ -468,10 +468,24 @@ object Behavior extends QueryModule {
   // longer string (integer div). The oracle replays the identical
   // string build (string_agg ORDER BY) and DuckDB's levenshtein —
   // byte-identical inputs, same DP recurrence, exact integers out.
+  //
+  // The 128-cap is enforced BEFORE the collect, not after: a rank
+  // filter (row_number ≤ 128 over (user ORDER BY ts, event_id, c) —
+  // the same total order array_sort uses on the struct) compiles to
+  // WindowGroupLimit, so map tasks pre-trim each user to ≤ 128 events
+  // and the collect_list aggregation buffer is bounded at 128 structs.
+  // Collect-then-truncate would materialize a power user's full 10M-
+  // event timeline in ONE aggregation buffer before the substring cap
+  // discarded it (Round14PlanSpec pins the WindowGroupLimit).
   private def q191(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val seqs = Tables.load(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"),
         col("event_id"), expr("substring(event_type, 1, 1)").as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"), col("c"))))
+      .filter(col("rn") <= 128)
+      .drop("rn")
       .groupBy("user_id")
       .agg(expr(
         "substring(concat_ws('', transform(array_sort(" +

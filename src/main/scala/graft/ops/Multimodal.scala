@@ -191,10 +191,14 @@ object Multimodal extends QueryModule {
 
   // --- q167: dominant-color histogram ---------------------------------------
   // The palette-summarization step of an image-curation pass: 16 "RGB
-  // triplets" sampled from each payload's first 48 bytes, every channel
-  // quantized to 2 bits (value div 64), triplet code = r·16 + g·4 + b
-  // (one of 64 palette cells); a payload's dominant color = the modal
-  // code, ties to the smallest code. The per-image mode runs
+  // triplets" sampled from each payload's first 48 CHARACTERS (ascii()
+  // is codepoint-based in both engines, so a multibyte character is one
+  // sample, not several bytes), every channel quantized to 2 bits
+  // (codepoint div 64, clamped to 3 — a codepoint > 255, e.g. CJK text,
+  // would otherwise push the channel past 2 bits and the code outside
+  // the palette), triplet code = r·16 + g·4 + b (one of 64 palette
+  // cells); a payload's dominant color = the modal code, ties to the
+  // smallest code. The per-image mode runs
   // RELATIONALLY — explode the 16 codes, count per (doc, code), take
   // rank 1 under (count desc, code asc) — so it is the same plan at 16
   // samples or 16k, no driver-side array walk; the final histogram per
@@ -211,9 +215,9 @@ object Multimodal extends QueryModule {
         expr(s"element_at($Kinds, CAST(doc_id % 3 AS INT) + 1)").as("kind"),
         explode(expr(
           """transform(sequence(0, 15), t ->
-            |  (ascii(substring(text, t * 3 + 1, 1)) div 64) * 16
-            |  + (ascii(substring(text, t * 3 + 2, 1)) div 64) * 4
-            |  + (ascii(substring(text, t * 3 + 3, 1)) div 64))"""
+            |  least(ascii(substring(text, t * 3 + 1, 1)) div 64, 3) * 16
+            |  + least(ascii(substring(text, t * 3 + 2, 1)) div 64, 3) * 4
+            |  + least(ascii(substring(text, t * 3 + 3, 1)) div 64, 3))"""
             .stripMargin)).as("code"))
       .groupBy("doc_id", "kind", "code")
       .agg(count(lit(1)).as("cnt"))
@@ -228,9 +232,9 @@ object Multimodal extends QueryModule {
       |  SELECT doc_id,
       |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
       |    unnest(list_transform(range(0, 16), t ->
-      |      (ascii(substr(text, CAST(t AS INT) * 3 + 1, 1)) // 64) * 16
-      |      + (ascii(substr(text, CAST(t AS INT) * 3 + 2, 1)) // 64) * 4
-      |      + (ascii(substr(text, CAST(t AS INT) * 3 + 3, 1)) // 64)))
+      |      least(ascii(substr(text, CAST(t AS INT) * 3 + 1, 1)) // 64, 3) * 16
+      |      + least(ascii(substr(text, CAST(t AS INT) * 3 + 2, 1)) // 64, 3) * 4
+      |      + least(ascii(substr(text, CAST(t AS INT) * 3 + 3, 1)) // 64, 3)))
       |      AS code
       |  FROM documents WHERE length(text) >= 48
       |), c AS (

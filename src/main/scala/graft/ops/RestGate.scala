@@ -206,8 +206,10 @@ object RestGate extends QueryModule {
     val twinS = graft.sources.RestAdapter.skipped(local)
     def diff(a: DataFrame, b: DataFrame, n: String) =
       a.exceptAll(b).agg(count(lit(1)).as(n))
-    val bit = diff(restQ, twinQ, "n1").crossJoin(diff(twinQ, restQ, "n2"))
-      .crossJoin(diff(restS, twinS, "n3")).crossJoin(diff(twinS, restS, "n4"))
+    val bit = diff(restQ, twinQ, "n1")
+      .crossJoin(broadcast(diff(twinQ, restQ, "n2")))
+      .crossJoin(broadcast(diff(restS, twinS, "n3")))
+      .crossJoin(broadcast(diff(twinS, restS, "n4")))
       .select((col("n1") === 0 && col("n2") === 0 &&
         col("n3") === 0 && col("n4") === 0).as("matches_batch"))
     val summary = restQ.groupBy("pool").agg(

@@ -1242,6 +1242,11 @@ object Stats extends QueryModule {
       ev.filter(col("event_type") === kind)
         .groupBy("day").agg(sum(col("v")).as(as))
     val grid = daily("click", "x").join(daily("view", "y"), Seq("day"))
+    // Unpartitioned window over the DAILY grid: report-sized by
+    // construction (one row per day — years fit in one task), the same
+    // single-partition frame q171/q181 document. Copying this shape to a
+    // finer grain (per-minute, per-entity) would serialize the sort —
+    // partition the window by a coarse bucket and stitch edges there.
     val w = Window.orderBy(col("day").asc)
       .rowsBetween(-(RollN - 1), Window.currentRow)
     grid

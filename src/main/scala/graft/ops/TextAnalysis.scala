@@ -2077,33 +2077,39 @@ object TextAnalysis extends QueryModule {
   // step of a BM25/TF-IDF retrieval stack (q106/q57 SCORE against such
   // an index; this entry BUILDS it).
   //
-  // Scale shape: ONE pipeline — tokenize → explode → (term, doc)
-  // partial-count → term-partitioned window rank → one per-term
-  // aggregate carrying df, Σtf, and the posting sample together (a
-  // single scan; the plan has exactly two data Exchanges, (term, doc)
-  // then term, and the window sort reuses the first's hash
-  // partitioning). The posting sample is NOT collect-then-truncate (a
-  // stopword term at 100 TB would accumulate a billion-element array
-  // before the slice): row_number ≤ 10 filters INSIDE the aggregate
-  // (collect_list over the rank-gated doc id, nulls dropped), and Spark
-  // plans the rank gate as WindowGroupLimit — a running top-k that
-  // never materializes the full per-term frame. Per-term aggregate
-  // state is bounded by the sample size.
+  // Scale shape: ONE pipeline, ONE scan — tokenize → explode → (term,
+  // doc) partial-count → one per-term aggregate carrying df, Σtf AND the
+  // posting sample, where the sample is [[graft.functions.TopKAggregator]]
+  // (k = 10 smallest doc ids via value = −doc): a bounded-heap typed
+  // Aggregator whose buffer never exceeds k elements, so per-term
+  // aggregate state is O(k) no matter how common the term. The plan has
+  // exactly two data Exchanges ((term, doc), then term) and ZERO Window /
+  // Sort nodes — the earlier window formulation's rank gate was consumed
+  // inside the aggregate, which does NOT fire InferWindowGroupLimit and
+  // sorted each stopword's full posting list in one task. Skew-safety
+  // comes from partial aggregation: the top-k/df/Σtf PARTIALS run on
+  // (term, doc)-partitioned data, so a stopword term's work spreads
+  // across every task and the term exchange carries ≤ one partial row
+  // per (term × partition). Round14PlanSpec pins the no-Window /
+  // two-Exchange shape.
   private def q133(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    val minDocs = udaf(new graft.functions.TopKAggregator(10),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("term").orderBy("doc_id")))
       .groupBy("term")
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("tf_total"),
-        array_join(sort_array(collect_list(
-          when(col("rn") <= 10, col("doc_id")))), ",").as("top_docs"))
+        // (−doc DESC, doc ASC) ⇔ doc ASC: the k smallest doc ids, already
+        // sorted — exact for any doc_id < 2^53
+        minDocs(negate(col("doc_id").cast("double")), col("doc_id")).as("top"))
+      .withColumn("top_docs",
+        expr("array_join(transform(top, t -> CAST(t._2 AS STRING)), ',')"))
       .crossJoin(nDocs)
       .filter(col("df") * 20 >= col("n_total"))
       .select("term", "df", "tf_total", "top_docs")

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Round-14 plan pins — the two round-11 `weak` flags were plans whose
+  * in-code scale claims were false (q133 claimed WindowGroupLimit but
+  * sorted full posting lists; q191 collected a user's full timeline into
+  * one aggregation buffer before the cap). These asserts make the fixed
+  * shapes load-bearing: a refactor that reintroduces an unbounded buffer
+  * or a full per-group sort fails here, not at 100 TB.
+  */
+class Round14PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  private def count(pat: String, p: String): Int =
+    ("\\b" + pat + "\\b").r.findAllIn(p).size
+
+  test("q133: single scan, bounded top-k aggregate, no Window/Sort") {
+    val p = plan("q133_inverted_index")
+    // the posting sample is a bounded-heap Aggregator INSIDE the term
+    // aggregate — no window, no per-term sort of full posting lists
+    assert(count("Window", p) == 0, s"expected no Window:\n$p")
+    assert(count("Sort", p) == 0, s"expected no Sort:\n$p")
+    // exactly 2 hash-partitioned data exchanges: (term, doc) then term
+    // (the n_total side's SinglePartition merge of 1-row partial counts
+    // and its BroadcastExchange don't move data rows)
+    assert(count("Exchange hashpartitioning", p) == 2,
+      s"expected 2 hash data Exchanges:\n$p")
+    // two-phase: partial top-k/df/Σtf run map-side on (term, doc)-
+    // partitioned data — a stopword term's work spreads across tasks
+    assert(p.contains("partial_topkaggregator") ||
+      p.contains("partial_TopKAggregator") ||
+      p.toLowerCase.contains("partial_topkagg"),
+      s"expected partial top-k aggregation:\n$p")
+    // the 1-row doc count joins by explicit broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"expected broadcast count:\n$p")
+  }
+
+  test("q191: per-user cap compiles to WindowGroupLimit before collect") {
+    val p = plan("q191_behavior_align")
+    // rank ≤ 128 is a FILTER above the window → InferWindowGroupLimit
+    // pre-trims map-side; the collect_list buffer is bounded at 128
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+}
