@@ -106,9 +106,39 @@ object Bench {
     // contention a co-tenant can only ever make runs slower, so the
     // lowest-drift attempt is also the most trustworthy one; `attempts`
     // in the JSON says how hard the file had to fight for its numbers.
-    val MaxAttempts = 3
+    //
+    // Round 11 still shipped `contended:true` after 3 attempts: every
+    // attempt STARTED during a co-tenant burst, so the retry budget was
+    // spent re-measuring the same contended window. Two changes: (a) a
+    // WAIT-FOR-IDLE gate before each attempt — the calibration probe
+    // must come back stable (two consecutive probes within 1.25× of
+    // each other AND of the best probe ever seen) before a 15-min
+    // battery run is allowed to begin, backing off up to IdleBudget;
+    // (b) MaxAttempts 3 → 5, affordable because the idle gate stops
+    // attempts from being wasted on a visibly busy machine.
+    val MaxAttempts = 5
+    val IdleBudgetNs = 10L * 60 * 1000 * 1000 * 1000 // 10 min of backoff
     calibrate() // warm the probe's plan/codegen before the first reading
+    var calibFloor = Double.MaxValue // fastest probe ever seen = idle cost
+    def probe(): Double = {
+      val c = calibrate(); calibFloor = math.min(calibFloor, c); c
+    }
+    def waitForIdle(): Unit = {
+      val deadline = System.nanoTime() + IdleBudgetNs
+      var prev = probe()
+      var cur = probe()
+      def unstable = math.max(prev, cur) / math.min(prev, cur) > 1.25 ||
+        cur > calibFloor * 1.25
+      while (unstable && System.nanoTime() < deadline) {
+        System.err.println(
+          f"[bench] machine busy (probe $cur%.3f s vs floor " +
+            f"$calibFloor%.3f s) — backing off 15 s before the battery")
+        Thread.sleep(15000)
+        prev = cur; cur = probe()
+      }
+    }
     def attempt(): (Seq[(String, Double, Seq[Double])], Double, Double) = {
+      waitForIdle()
       val before = calibrate()
       val res = runBattery()
       (res, before, calibrate())

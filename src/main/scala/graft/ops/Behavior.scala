@@ -339,29 +339,55 @@ object Behavior extends QueryModule {
   // cannot be folded incrementally under out-of-order file arrival
   // (a late event splices INTO a user's sequence, retroactively
   // rewriting two transitions), so the state carries the per-user log
-  // and the matrix is a view over it. State is bounded by per-user
-  // timeline length; the deployment-scale eviction knob is a session
-  // watermark (close a user's sequence when its gap exceeds the
-  // session horizon), which the battery's bounded corpus does not need.
-  // Runs on the RocksDB store like the rest of the streaming battery.
+  // and the matrix is a view over it.
+  //
+  // State is BOUNDED: the log lives in
+  // [[graft.functions.BoundedTimelineAgg]] — each user's FIRST `CapK`
+  // events by (ts, id, type), an O(CapK) buffer per key forever, not
+  // `collect_list`'s grow-with-history state (a 10M-event power user
+  // would otherwise hold a 10M-struct buffer in the store). The
+  // documented semantics at deployment scale: the matrix covers each
+  // user's first CapK events; the complementary eviction knob is a
+  // session watermark (close a sequence when its gap exceeds the
+  // horizon). Truncation is fail-loud, not silent — a paired count(*)
+  // exposes `size(timeline) < n_events`, and this entry REQUIRES zero
+  // truncation because its contract is exact count-for-count parity
+  // with batch q138 over full timelines (the fixture's max/user is ~99,
+  // two orders under the cap). Runs on the RocksDB store like the rest
+  // of the streaming battery.
   private def q143(s: SparkSession, dir: String): DataFrame = {
+    val CapK = 4096
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     val qname = s"q143_${System.nanoTime()}"
+    val capTimeline = udaf(new graft.functions.BoundedTimelineAgg(CapK),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long, String)]())
     val fromStream = graft.streaming.StreamConf.withStateParts(s) {
       val timelines = Tables.normalizeEvents(
           s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
         .select(col("user_id"), expr("ts div 1000").as("ts_us"),
           col("event_id"), col("event_type"))
         .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(
-          col("ts_us"), col("event_id"), col("event_type"))))
-          .as("timeline"))
+        .agg(
+          capTimeline(col("ts_us"), col("event_id"), col("event_type"))
+            .as("tl"),
+          count(lit(1)).as("n_events"))
       val q = timelines.writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
       try {
         q.processAllAvailable()
+        val truncated = s.table(qname)
+          .filter(expr("size(tl) < n_events")).count()
+        require(truncated == 0L,
+          s"q143: $truncated user timelines exceeded the $CapK-event " +
+            "cap — count-for-count parity with batch q138 requires the " +
+            "fixture inside the cap")
         s.table(qname)
+          .select(expr(
+            """transform(tl, t -> named_struct(
+              |  'ts_us', t._1, 'event_id', t._2, 'event_type', t._3))"""
+              .stripMargin).as("timeline"))
           .select(explode(expr(
             """arrays_zip(slice(timeline, 1, size(timeline) - 1),
               |           slice(timeline, 2, size(timeline) - 1))"""

@@ -906,7 +906,85 @@ object Similarity extends QueryModule {
       |  CAST(SUM(qv[p.i] * qv[p.j]) AS BIGINT) AS s
       |FROM q, pairs p GROUP BY 1, 2""".stripMargin
 
+  // --- q192: persisted IVF index lifecycle ---------------------------------
+  // Index REUSE across sessions, the missing third of the ANN story
+  // (q41 builds+probes in one plan; q122 builds incrementally from a
+  // stream): the build pass persists the index as two parquet tables —
+  // `anchors` (cell, av: the coarse quantizer) and `cells` (cid, cv,
+  // cell: the inverted file, cell-partitioned so a probe prunes to its
+  // probed cells' files — at 100 TB this is `partitionBy("cell")` +
+  // cell-pruned scans) — then the probe pass answers top-k from a FRESH
+  // READ of those tables plus the query vectors only, never rescanning
+  // the corpus. That read-from-disk probe is the lifecycle proof: any
+  // session holding the index dir can serve queries at the cost of the
+  // probed cells. Gated row-for-row against oracle-checked q41 (parquet
+  // float round-trip is exact, the probe expression is identical, so
+  // sims match byte-for-byte). Fail-loud via ParityGate; the scratch
+  // index is removed after the gate.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + NCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("av"))
+    // BUILD: one corpus pass — q41's candidate cell assignment, persisted
+    val cellW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val built = e.filter(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(anchors))
+      .withColumn("csim", expr(cosineSpark("embedding", "av")))
+      .withColumn("crn", row_number().over(cellW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cell"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    try {
+      built.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxDir/cells")
+      anchors.write.mode("overwrite").parquet(s"$idxDir/anchors")
+      // PROBE: reads ONLY the persisted index + the query vectors
+      val pCells = s.read.parquet(s"$idxDir/cells")
+      val pAnchors = s.read.parquet(s"$idxDir/anchors")
+      val probeW = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cell").asc)
+      val probes = e.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(pAnchors))
+        .withColumn("csim", expr(cosineSpark("embedding", "av")))
+        .withColumn("prn", row_number().over(probeW))
+        .filter(col("prn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("cell"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("cid").asc)
+      val persisted = pCells.join(broadcast(probes), Seq("cell"))
+        .withColumn("sim", expr(cosineSpark("cv", "qv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rn"))
+        .collect()
+      val batch = q41(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      import s.implicits._
+      graft.ParityGate(
+        persisted.toSeq.map { r =>
+          val t = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+          (t._1, t._2, t._3, t._4,
+            batch.contains(t) && batch.size == persisted.length)
+        }.toDF("qid", "cid", "sim", "rn", "matches_batch"),
+        "q192_ivf_persist", "matches_batch")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(idxDir))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_ivf_persist" -> q192 _,
     "q160_maxsim" -> q160 _,
     "q153_embed_gram" -> q153 _,
     "q156_random_projection" -> q156 _,

@@ -390,4 +390,31 @@ class GraftFunctionsSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
   }
+
+  test("BoundedTimelineAgg: first-k contract, splice, observability") {
+    import graft.functions.BoundedTimelineAgg
+    val agg = new BoundedTimelineAgg(3)
+    def fold(xs: Seq[(Long, Long, String)]) =
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    // keeps the k EARLIEST by (ts, id, type) regardless of arrival order
+    val evs = Seq((5L, 1L, "e"), (1L, 1L, "a"), (3L, 1L, "c"), (2L, 1L, "b"))
+    assert(fold(evs) == Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")))
+    // a LATE early event splices in and the current latest falls out
+    val lateLast = Seq((5L, 1L, "e"), (3L, 1L, "c"), (2L, 1L, "b"), (1L, 1L, "a"))
+    assert(fold(lateLast) == fold(evs), "arrival-order independence")
+    // merge of partial buffers == fold of the union (shuffle-safe)
+    val (l, r) = evs.splitAt(2)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged == fold(evs))
+    // buffer never exceeds k mid-fold (the streaming-state bound)
+    val big = (1L to 100L).map(i => (i, i, "x"))
+    val buf = big.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.items.size == 3)
+    // truncation is observable: size(finish) < n_events iff dropped
+    assert(fold(big).size == 3 && big.size > 3)
+    // under-capacity: everything kept, sorted
+    assert(fold(Seq((2L, 1L, "b"), (1L, 1L, "a"))) ==
+      Seq((1L, 1L, "a"), (2L, 1L, "b")))
+  }
 }
