@@ -1041,7 +1041,174 @@ object Dedup extends QueryModule {
       "q126_stream_dupgrams", "matches_batch")
   }
 
+  // --- q193: benchmark-contamination check ---------------------------------
+  // The eval-integrity pass of a training-data pipeline (the GPT-3
+  // appendix-C shape): does the TRAINING corpus contain a benchmark
+  // document's n-grams? Benchmark set = the 50 smallest-hash docs (q94's
+  // deterministic rank primitive — reproducible across engines and
+  // cluster sizes); collision unit = distinct word 8-grams (long enough
+  // that a hit means shared provenance, not idiom). Per benchmark doc:
+  // gram count, grams found anywhere in the remaining corpus, and the
+  // contamination rate in exact milli units.
+  //
+  // Scale shape: the benchmark gram set is SMALL BY CONSTRUCTION (50
+  // docs) and broadcast; the corpus side is ONE scan + explode feeding a
+  // broadcast hash semi-join that filters ~everything map-side — the
+  // only shuffle carries (bench_doc, gram) HITS, and the distinct that
+  // dedups per-corpus-doc repeats runs on that filtered set, never on
+  // the corpus gram stream. At 100 TB: scan-dominant, no corpus-keyed
+  // shuffle at all. The tiny bench frame is lazily localCheckpoint-ed so
+  // its 3 consumers don't re-derive the rank over the corpus.
+  private val ContamK = 8 // words per gram
+  private val NBench = 50
+
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        s"graft_shingles(regexp_extract_all(text, '[a-z]+', 0), $ContamK)")
+        .as("grams"))
+    val bench = grams
+      .withColumn("h", expr(Dialect.sparkHash60("CAST(doc_id AS STRING)")))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(NBench)
+      .select(col("doc_id").as("bench_doc"), col("grams"))
+      .localCheckpoint(eager = false)
+    val benchGrams = bench.select(col("bench_doc"),
+      explode(col("grams")).as("gram"))
+    val corpusGrams = grams
+      .join(broadcast(bench.select(col("bench_doc").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .select(explode(col("grams")).as("gram"))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select("bench_doc", "gram").distinct()
+      .groupBy("bench_doc").agg(count(lit(1)).as("n_hit"))
+    bench
+      .select(col("bench_doc"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("bench_doc"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contam_milli",
+        expr("(1000 * n_hit) div greatest(n_grams, 1)"))
+  }
+
+  private def gramsDuckOf(k: Int) =
+    s"""list_distinct(list_transform(
+       |  generate_series(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - ${k - 1}, 1)),
+       |  i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+${k - 1}], ' ')))"""
+      .stripMargin
+
+  private val q193Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${gramsDuckOf(ContamK)} AS grams FROM documents
+       |), bench AS (
+       |  SELECT doc_id AS bench_doc, grams FROM g
+       |  ORDER BY ${Dialect.duckHash60("CAST(doc_id AS VARCHAR)")} ASC,
+       |    doc_id ASC LIMIT $NBench
+       |), bg AS (
+       |  SELECT bench_doc, unnest(grams) AS gram FROM bench
+       |), cg AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g
+       |  WHERE doc_id NOT IN (SELECT bench_doc FROM bench)
+       |), hits AS (
+       |  SELECT bench_doc, COUNT(*) AS n_hit
+       |  FROM bg JOIN cg USING (gram) GROUP BY 1
+       |)
+       |SELECT b.bench_doc, CAST(len(b.grams) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  (1000 * CAST(COALESCE(h.n_hit, 0) AS BIGINT))
+       |    // greatest(CAST(len(b.grams) AS BIGINT), 1) AS contam_milli
+       |FROM bench b LEFT JOIN hits h USING (bench_doc)""".stripMargin
+
+  // --- q194: leakage-free train/val/test split ------------------------------
+  // Split assignment that can never leak a near-duplicate across splits:
+  // assign at the CLUSTER level (q50's connected components over the
+  // LSH-verified near-dup graph; docs in no cluster are singletons), the
+  // cluster's split = hash60(cluster id) mod 10 → 8/1/1 train/val/test.
+  // A hash of the CLUSTER — not the doc — is the whole point: every
+  // member of a near-dup group lands in the same split by construction,
+  // so "val examples with a train near-twin" (the classic eval
+  // inflation) cannot exist. The guarantee is also AUDITED, not just
+  // argued: the output carries the count of near-dup pairs whose
+  // endpoints landed in different splits — 0 by construction, computed
+  // from the data.
+  //
+  // Scale shape: reuses the battery-shared memoized LSH pair set and the
+  // iterative components (internally checkpointed per round); the split
+  // hash is a map-side expression; the audit joins the pair set (small:
+  // verified near-dups only) against the doc→split map twice — both
+  // probe-sided, no corpus shuffle beyond q50's own.
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val edges = lshVerifiedPairs(s, dir)
+      .filter(col("jac") >= NearDupJac)
+      .select(col("d1"), col("d2"))
+    val comp = Graph.connectedComponents(
+      edges.select(col("d1").as("a"), col("d2").as("b")))
+    val assigned = Tables.load(s, dir, "documents")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      .withColumn("hm",
+        expr(s"${Dialect.sparkHash60("CAST(cluster AS STRING)")} % 10"))
+      .withColumn("split", expr(
+        "CASE WHEN hm < 8 THEN 'train' WHEN hm = 8 THEN 'val' " +
+          "ELSE 'test' END"))
+    val splitOf = assigned.select(col("doc_id"), col("split"))
+    val leaked = broadcast(edges
+      .join(splitOf.select(col("doc_id").as("d1"), col("split").as("sa")),
+        Seq("d1"))
+      .join(splitOf.select(col("doc_id").as("d2"), col("split").as("sb")),
+        Seq("d2"))
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+        lit(0L)).as("n_leaked")))
+    assigned
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .crossJoin(leaked)
+  }
+
+  private val q194Sql =
+    s"""WITH RECURSIVE $lshPairsSqlCtes
+       |, e0 AS (
+       |  SELECT d1, d2 FROM scored WHERE jac >= $NearDupJac
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM e0
+       |  UNION SELECT d2, d1 FROM e0
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+       |), assigned AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    COALESCE(c.comp, d.doc_id) AS cluster,
+       |    CASE WHEN ${Dialect.duckHash60(
+              "CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)")} % 10 < 8
+       |      THEN 'train'
+       |      WHEN ${Dialect.duckHash60(
+              "CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)")} % 10 = 8
+       |      THEN 'val' ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |), leak AS (
+       |  SELECT CAST(COALESCE(SUM(
+       |    CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_leaked
+       |  FROM e0
+       |  JOIN assigned sa ON e0.d1 = sa.doc_id
+       |  JOIN assigned sb ON e0.d2 = sb.doc_id
+       |)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  COUNT(DISTINCT cluster) AS n_clusters,
+       |  (SELECT n_leaked FROM leak) AS n_leaked
+       |FROM assigned GROUP BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_contamination" -> q193 _,
+    "q194_split_leakage" -> q194 _,
     "q126_stream_dupgrams" -> q126 _,
     "q120_dup_spans" -> q120 _,
     "q110_overlap_matrix" -> q110 _,
@@ -1056,6 +1223,8 @@ object Dedup extends QueryModule {
     "q74_stream_dedup" -> q74 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q193_contamination" -> q193Sql,
+    "q194_split_leakage" -> q194Sql,
     "q120_dup_spans" -> q120Sql,
     "q110_overlap_matrix" -> q110Sql,
     "q91_fuzzy_match" -> q91Sql,
