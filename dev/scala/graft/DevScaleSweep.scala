@@ -53,7 +53,8 @@ object DevScaleSweep {
       "q100_gapfill_multi" -> "events", "q101_pipeline_e2e" -> "events",
       "q102_domain_cap" -> "documents", "q103_domain_cap_etld" -> "documents",
       "q110_overlap_matrix" -> "documents", "q193_contamination" -> "documents",
-      "q194_split_leakage" -> "documents", "q116_cohort_retention" -> "events",
+      "q194_split_leakage" -> "documents", "q195_incremental_dedup" -> "documents",
+      "q197_mixture_cap" -> "documents", "q116_cohort_retention" -> "events",
       "q117_funnel" -> "events", "q120_dup_spans" -> "documents",
       "q121_bpe_encode" -> "documents")
       .withDefaultValue("lineitem")

@@ -1120,6 +1120,103 @@ object Dedup extends QueryModule {
        |    // greatest(CAST(len(b.grams) AS BIGINT), 1) AS contam_milli
        |FROM bench b LEFT JOIN hits h USING (bench_doc)""".stripMargin
 
+  // --- q195: incremental dedup against a PERSISTED LSH index ----------------
+  // The crawl-pipeline shape: dedup each NEW batch against the EXISTING
+  // corpus without recomputing the corpus — the corpus's MinHash index
+  // is persisted once as two tables (`bands`: (band, bkey, cid), the
+  // LSH buckets; `sigs`: (cid, cmh), the signatures) and every
+  // subsequent batch only computes its OWN signatures and probes the
+  // stored buckets. Index-only verification: match quality is the
+  // ESTIMATED Jaccard (fraction of agreeing minhash components — what a
+  // production index answers without touching corpus text), in exact
+  // milli units. Batch = doc_id ≡ 0 (mod 10); corpus = the rest.
+  //
+  // Scale shape: candidate discovery joins band KEYS only (the
+  // lshCandidates narrow-shuffle argument), signatures attach to the
+  // ≤ candidates rows after the (qid, cid) dedup; per-query best-match
+  // is a bounded aggregate (min over a (−est, cid) struct), not a
+  // window. Unlike q192's float sims, minhash values are BIGINTs —
+  // parquet round-trips them exactly, so this is a full ORACLE entry
+  // (DuckDB replays the same math directly; the persistence hop cannot
+  // change a single bit). The index lands under java.io.tmpdir at a
+  // per-dataset fixed path, overwritten per run.
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minHashSignatures(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("mh"))
+      .localCheckpoint(eager = false)
+    val idxDir = sys.props("java.io.tmpdir") +
+      "/graft-lsh-index-" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // BUILD (once per corpus): bucket table + signature table
+    val corpus = sigs.filter(col("doc_id") % 10 =!= 0)
+    bandKeys(corpus, Bands, 3, "doc_id")
+      .select(col("band"), col("bkey"), col("doc_id").as("cid"))
+      .write.mode("overwrite").parquet(s"$idxDir/bands")
+    corpus.select(col("doc_id").as("cid"), col("mh").as("cmh"))
+      .write.mode("overwrite").parquet(s"$idxDir/sigs")
+    // PROBE: the new batch against the PERSISTED index only
+    val pBands = s.read.parquet(s"$idxDir/bands")
+    val pSigs = s.read.parquet(s"$idxDir/sigs")
+    val batch = sigs.filter(col("doc_id") % 10 === 0)
+    val candIds = bandKeys(batch, Bands, 3, "doc_id")
+      .select(col("band"), col("bkey"), col("doc_id").as("qid"))
+      .join(pBands, Seq("band", "bkey"))
+      .select("qid", "cid").distinct()
+    val est = candIds
+      .join(batch.select(col("doc_id").as("qid"), col("mh").as("qmh")),
+        Seq("qid"))
+      .join(pSigs, Seq("cid"))
+      .withColumn("est_milli", expr(
+        s"(1000 * size(filter(zip_with(qmh, cmh, (x, y) -> x = y), " +
+          s"v -> v))) div $NumHashes"))
+    val aggd = est.groupBy("qid").agg(
+      count(lit(1)).as("n_cand"),
+      min(struct((-col("est_milli")).as("neg"), col("cid").as("c")))
+        .as("b"))
+    batch.select(col("doc_id").as("new_doc"))
+      .join(aggd, col("new_doc") === col("qid"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("b.c").as("best_match"),
+        (-col("b.neg")).as("best_milli"))
+      .withColumn("is_dup",
+        coalesce(col("best_milli"), lit(0L)) >= 500)
+  }
+
+  private val q195Sql =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $minhashDuck AS mh
+       |  FROM (SELECT doc_id, $shinglesDuck AS sh FROM documents)
+       |), banded AS (
+       |  SELECT doc_id, b AS band,
+       |    md5(array_to_string(mh[b*3 + 1 : b*3 + 3], '_')) AS bkey
+       |  FROM sigs, unnest(generate_series(0, ${Bands - 1})) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT q.doc_id AS qid, c.doc_id AS cid
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.bkey = c.bkey
+       |  WHERE q.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+       |), est AS (
+       |  SELECT qid, cid,
+       |    (1000 * len(list_filter(generate_series(1, $NumHashes),
+       |      i -> qs.mh[i] = cs.mh[i]))) // $NumHashes AS est_milli
+       |  FROM cand
+       |  JOIN sigs qs ON cand.qid = qs.doc_id
+       |  JOIN sigs cs ON cand.cid = cs.doc_id
+       |), best AS (
+       |  SELECT qid, cid, est_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY est_milli DESC, cid ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY qid) AS n_cand
+       |  FROM est
+       |)
+       |SELECT d.doc_id AS new_doc,
+       |  CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
+       |  b.cid AS best_match, b.est_milli AS best_milli,
+       |  COALESCE(b.est_milli, 0) >= 500 AS is_dup
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.qid
+       |WHERE d.doc_id % 10 = 0""".stripMargin
+
   // --- q194: leakage-free train/val/test split ------------------------------
   // Split assignment that can never leak a near-duplicate across splits:
   // assign at the CLUSTER level (q50's connected components over the
@@ -1209,6 +1306,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_contamination" -> q193 _,
     "q194_split_leakage" -> q194 _,
+    "q195_incremental_dedup" -> q195 _,
     "q126_stream_dupgrams" -> q126 _,
     "q120_dup_spans" -> q120 _,
     "q110_overlap_matrix" -> q110 _,
@@ -1225,6 +1323,7 @@ object Dedup extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q193_contamination" -> q193Sql,
     "q194_split_leakage" -> q194Sql,
+    "q195_incremental_dedup" -> q195Sql,
     "q120_dup_spans" -> q120Sql,
     "q110_overlap_matrix" -> q110Sql,
     "q91_fuzzy_match" -> q91Sql,

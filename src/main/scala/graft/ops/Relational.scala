@@ -1840,7 +1840,70 @@ object Relational extends graft.QueryModule {
        |                           WHERE c_custkey % 97 = 0))
        |    AS survivor_checksum""".stripMargin
 
+  // --- q196: CDC snapshot diff (the MERGE classification primitive) --------
+  // Two table snapshots → the change set: inserts (new key), deletes
+  // (gone key), updates (key present in both, any tracked column
+  // changed), unchanged — the classification every MERGE INTO /
+  // incremental-materialization pipeline starts from. Snapshots are
+  // carved deterministically from orders (A = keys ≢ 0 mod 7; B = keys
+  // ≢ 0 mod 3 with price shifted +1 for keys ≡ 0 mod 5 — integer
+  // increments are exact in doubles, so the update predicate is
+  // bit-deterministic on both engines). Output: per-class row count and
+  // key checksums (sum/min/max).
+  //
+  // Scale shape: ONE full-outer sort-merge join on the key — the diff
+  // of two 100 TB snapshots is exactly one co-partitioned join (bucket
+  // both snapshots by key to make it shuffle-free), the class label is
+  // a map-side CASE over the null sides, and the result is a 4-group
+  // aggregate. No distinct, no window, no second pass.
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+        col("o_orderstatus").as("st"))
+    val a = o.filter(col("k") % 7 =!= 0)
+      .select(col("k"), col("p").as("pa"), col("st").as("sta"))
+    val b = o.filter(col("k") % 3 =!= 0)
+      .withColumn("p",
+        when(col("k") % 5 === 0, col("p") + 1).otherwise(col("p")))
+      .select(col("k"), col("p").as("pb"), col("st").as("stb"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("change_type", expr(
+        "CASE WHEN pa IS NULL THEN 'insert' " +
+          "WHEN pb IS NULL THEN 'delete' " +
+          "WHEN pa <> pb OR sta <> stb THEN 'update' " +
+          "ELSE 'unchanged' END"))
+      .groupBy("change_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).as("key_sum"),
+        min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+  }
+
+  private val q196Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS pa, o_orderstatus AS sta
+      |  FROM orders WHERE o_orderkey % 7 != 0
+      |), b AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+      |         ELSE o_totalprice END AS pb,
+      |    o_orderstatus AS stb
+      |  FROM orders WHERE o_orderkey % 3 != 0
+      |), d AS (
+      |  SELECT CASE WHEN pa IS NULL THEN 'insert'
+      |              WHEN pb IS NULL THEN 'delete'
+      |              WHEN pa <> pb OR sta <> stb THEN 'update'
+      |              ELSE 'unchanged' END AS change_type, k
+      |  FROM a FULL JOIN b USING (k)
+      |)
+      |SELECT change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM d GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_snapshot_diff" -> q196 _,
     "q188_ops_capstone" -> q188 _,
     "q187_purge_audit" -> q187 _,
     "q181_period_report" -> q181 _,
@@ -1897,6 +1960,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q196_snapshot_diff" -> q196Sql,
     "q188_ops_capstone" -> q188Sql(q179Sql, Temporal.q170Sql),
     "q187_purge_audit" -> q187Sql,
     "q181_period_report" -> q181Sql,

@@ -2550,7 +2550,82 @@ object TextAnalysis extends QueryModule {
       |      FROM phr)
       |WHERE rn <= 3""".stripMargin
 
+  // --- q197: mixture water-filling (per-source token budget) ---------------
+  // The mixture-capping step of corpus composition: given per-source
+  // token masses and a global budget B = half the corpus, allocate
+  // quota_i = min(mass_i, cap) where cap is the WATER LEVEL — the
+  // largest integer with Σ min(mass_i, cap) ≤ B — so small sources keep
+  // everything and the budget shortfall comes proportionally out of the
+  // heavy tails (the fair-cap mixture rule; the residual B − Σ quota <
+  // n_sources stays unallocated by contract, keeping every quantity an
+  // exact integer on both engines).
+  //
+  // The level solves RELATIONALLY, not by driver iteration: sort
+  // sources by mass, prefix-sum; for the rank interval containing the
+  // level, cap = (B − prefix_{r−1}) div (n − r + 1), and the row is
+  // self-identified by cap < mass_r AND cap ≥ mass_{r−1} — exactly one
+  // row passes (f(c) = Σ min(mass_i, c) is monotone; B < total keeps
+  // the level strictly under the max). Scale shape: the heavy lifting
+  // is ONE map-side-combinable aggregate over the corpus (source →
+  // mass); the window/solve runs on the n_sources-row AGGREGATE (a
+  // report-sized single-partition frame, q189's documented pattern),
+  // and the cap rejoins by broadcast.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val masses = Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .cast("long")).as("mass"))
+    val totals = broadcast(masses.agg(
+      count(lit(1)).as("n"),
+      expr("sum(mass) div 2").as("budget")))
+    val w = Window.orderBy(col("mass").asc, col("source").asc)
+    val cap = broadcast(masses
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_prefix",
+        sum(col("mass")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) - col("mass"))
+      .withColumn("prev_mass", lag(col("mass"), 1).over(w))
+      .crossJoin(totals)
+      .withColumn("cap", expr("(budget - prev_prefix) div (n - rn + 1)"))
+      .filter(expr("cap < mass AND (rn = 1 OR cap >= prev_mass)"))
+      .select(col("cap")))
+    masses.crossJoin(cap).crossJoin(totals)
+      .select(col("source"), col("mass"),
+        least(col("mass"), col("cap")).as("quota"),
+        col("cap"), col("budget"),
+        (col("mass") > col("cap")).as("saturated"))
+  }
+
+  private val q197Sql =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+      |      AS mass
+      |  FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(CAST(SUM(mass) AS BIGINT) // 2 AS BIGINT) AS budget
+      |  FROM m
+      |), r AS (
+      |  SELECT source, mass,
+      |    ROW_NUMBER() OVER (ORDER BY mass ASC, source ASC) AS rn,
+      |    CAST(SUM(mass) OVER (ORDER BY mass ASC, source ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - mass AS prev_prefix,
+      |    LAG(mass) OVER (ORDER BY mass ASC, source ASC) AS prev_mass
+      |  FROM m
+      |), c AS (
+      |  SELECT CAST((budget - prev_prefix) // (n - rn + 1) AS BIGINT)
+      |    AS cap
+      |  FROM r CROSS JOIN t
+      |  WHERE (budget - prev_prefix) // (n - rn + 1) < mass
+      |    AND (rn = 1 OR (budget - prev_prefix) // (n - rn + 1) >= prev_mass)
+      |)
+      |SELECT m.source, m.mass, LEAST(m.mass, c.cap) AS quota, c.cap,
+      |  t.budget, m.mass > c.cap AS saturated
+      |FROM m CROSS JOIN c CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_mixture_cap" -> q197 _,
     "q184_keyword_rake" -> q184 _,
     "q182_classifier_metrics" -> q182 _,
     "q183_calibration" -> q183 _,
@@ -2588,6 +2663,7 @@ object TextAnalysis extends QueryModule {
     "q70_decontaminate" -> q70 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q197_mixture_cap" -> q197Sql,
     "q184_keyword_rake" -> q184Sql,
     "q182_classifier_metrics" -> q182Sql,
     "q183_calibration" -> q183Sql,

@@ -60,4 +60,58 @@ class Round14OpsSpec extends SparkTestBase {
     // cluster counts never exceed doc counts
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
   }
+
+  test("q195 incremental dedup: index probe == direct batch-vs-corpus") {
+    // the persisted-index probe must equal what a direct (no
+    // persistence) LSH band join over the same split computes
+    val rows = graft.SparkEntry.queries("q195_incremental_dedup")(spark, sf)
+      .collect()
+    val nBatch = graft.Tables.load(spark, sf, "documents")
+      .filter("doc_id % 10 = 0").count()
+    assert(rows.length == nBatch, "one verdict per new doc")
+    // self-consistency: a best match implies candidates; est in [0,1000]
+    rows.foreach { r =>
+      val nCand = r.getLong(1)
+      if (nCand == 0) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        val est = r.getLong(3)
+        assert(est >= 0 && est <= 1000, s"est $est")
+        assert(r.getLong(2) % 10 != 0, "best match must be a corpus doc")
+        assert(r.getBoolean(4) == (est >= 500))
+      }
+    }
+    // discrimination: the fixture produces both dups and clean docs
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
+  test("q196 snapshot diff classes partition the key universe") {
+    val rows = graft.SparkEntry.queries("q196_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.Tables.load(spark, sf, "orders")
+    def n(pred: String) = o.filter(pred).count()
+    assert(rows("insert") == n("o_orderkey % 7 = 0 AND o_orderkey % 3 != 0"))
+    assert(rows("delete") == n("o_orderkey % 7 != 0 AND o_orderkey % 3 = 0"))
+    assert(rows("update") ==
+      n("o_orderkey % 7 != 0 AND o_orderkey % 3 != 0 AND o_orderkey % 5 = 0"))
+    assert(rows.values.sum == n("o_orderkey % 7 != 0 OR o_orderkey % 3 != 0"))
+  }
+
+  test("q197 water level: feasible, maximal, quotas preserved for small") {
+    val rows = graft.SparkEntry.queries("q197_mixture_cap")(spark, sf)
+      .collect()
+    val budget = rows.head.getLong(4)
+    val cap = rows.head.getLong(3)
+    assert(rows.forall(r => r.getLong(3) == cap), "one level for all")
+    val quotas = rows.map(_.getLong(2))
+    // feasible: Σ quota ≤ B; maximal: cap+1 would overshoot
+    assert(quotas.sum <= budget)
+    val overshoot = rows.map(r => math.min(r.getLong(1), cap + 1)).sum
+    assert(overshoot > budget, "cap is not maximal")
+    // unsaturated sources keep everything; saturated ones get exactly cap
+    rows.foreach { r =>
+      if (r.getBoolean(5)) assert(r.getLong(2) == cap)
+      else assert(r.getLong(2) == r.getLong(1))
+    }
+    assert(rows.exists(_.getBoolean(5)), "nothing saturated — degenerate")
+  }
 }
