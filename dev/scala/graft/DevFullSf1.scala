@@ -35,7 +35,11 @@ object DevFullSf1 {
 
     val all = SparkEntry.queries.keys.toSeq.sorted
     val names = args.headOption match {
-      case Some(start) => all.dropWhile(_ != start)
+      case Some(start) =>
+        // a typo'd resume point must fail loud, not run zero queries
+        require(all.contains(start),
+          s"unknown entry '$start' — valid: ${all.take(3).mkString(", ")} …")
+        all.dropWhile(_ != start)
       case None => all
     }
     val results = names.map { n =>

@@ -30,6 +30,16 @@ object DevMakeSf1 {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    // stride multiplier: key strides are sized for src=sf0.1; chaining
+    // the generator (sf1 → sf10) needs them ×10 so the shifted domains
+    // of the larger source cannot collide across copies
+    val strideF = if (args.length > 2) args(2).toLong else 1L
+    // tag alphabet base: a CHAINED run must tag with a DISJOINT letter
+    // range — with the same alphabet, copy (i=1, j=0) and copy (i=0,
+    // j=1) would both read "token + xb", making their documents
+    // byte-identical and manufacturing 10-way cross-copy exact dups
+    // (the same class of artifact the letter-only tag already fixed)
+    val tagBase: Char = if (args.length > 3) args(3).head else 'a'
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,14 +48,14 @@ object DevMakeSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val orderS = 10L * 1000 * 1000
-    val custS = 1L * 1000 * 1000
-    val partS = 1L * 1000 * 1000
-    val suppS = 100L * 1000
-    val eventS = 10L * 1000 * 1000
-    val userS = 10L * 1000 * 1000
-    val docS = 1L * 1000 * 1000
-    val vecS = 1L * 1000 * 1000
+    val orderS = 10L * 1000 * 1000 * strideF
+    val custS = 1L * 1000 * 1000 * strideF
+    val partS = 1L * 1000 * 1000 * strideF
+    val suppS = 100L * 1000 * strideF
+    val eventS = 10L * 1000 * 1000 * strideF
+    val userS = 10L * 1000 * 1000 * strideF
+    val docS = 1L * 1000 * 1000 * strideF
+    val vecS = 1L * 1000 * 1000 * strideF
 
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
@@ -80,7 +90,7 @@ object DevMakeSf1 {
       // identical suffixed corpus, manufacturing 9-way near-dups that
       // inflate every pair-based dedup measurement ~100× (observed:
       // 256 → 200k edges before this fix)
-      val tag = s"x${('a' + i).toChar}"
+      val tag = s"x${(tagBase + i).toChar}"
       if (i == 0) shifted
       else shifted.withColumn("text", expr(
         // token-level decoupling: every whitespace token gets a copy tag,

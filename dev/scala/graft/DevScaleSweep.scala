@@ -23,10 +23,15 @@ object DevScaleSweep {
         "q139_basket_pairs", "q120_dup_spans", "q125_embed_clusters",
         "q110_overlap_matrix")
     val sf1Dir = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    // optional 4th decade: present only when DevMakeSf1 has been chained
+    // (`runMain graft.DevMakeSf1 /tmp/graft-sf1 /tmp/graft-sf10 10 n`)
+    val sf10Dir = sys.env.getOrElse("GRAFT_SF10_DIR", "/tmp/graft-sf10")
     val sfs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
-      "sf1" -> sf1Dir)
+      "sf1" -> sf1Dir) ++
+      (if (new java.io.File(sf10Dir).isDirectory) Seq("sf10" -> sf10Dir)
+       else Nil)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -119,9 +119,18 @@ object Bench {
     val MaxAttempts = 5
     val IdleBudgetNs = 10L * 60 * 1000 * 1000 * 1000 // 10 min of backoff
     calibrate() // warm the probe's plan/codegen before the first reading
-    var calibFloor = Double.MaxValue // fastest probe ever seen = idle cost
+    // Idle-cost estimate: the floor tracks the fastest probe seen but
+    // DECAYS 2% per probe — a one-off anomalously fast reading (or a
+    // machine that legitimately got slower: throttle, lost page cache)
+    // would otherwise make `cur > floor × 1.25` true forever and turn
+    // the gate into a fixed 10-minute sleep per attempt. With decay the
+    // floor re-baselines to the new steady state within ~a dozen probes.
+    var calibFloor = Double.MaxValue
     def probe(): Double = {
-      val c = calibrate(); calibFloor = math.min(calibFloor, c); c
+      val c = calibrate()
+      calibFloor = math.min(c,
+        if (calibFloor == Double.MaxValue) c else calibFloor * 1.02)
+      c
     }
     def waitForIdle(): Unit = {
       val deadline = System.nanoTime() + IdleBudgetNs

@@ -1138,14 +1138,19 @@ object Dedup extends QueryModule {
   // window. Unlike q192's float sims, minhash values are BIGINTs —
   // parquet round-trips them exactly, so this is a full ORACLE entry
   // (DuckDB replays the same math directly; the persistence hop cannot
-  // change a single bit). The index lands under java.io.tmpdir at a
-  // per-dataset fixed path, overwritten per run.
+  // change a single bit). The index lands in a PER-JVM temp root
+  // (createTempDirectory once, per-dataset subdirs overwritten per
+  // call): a fixed shared path would let two concurrent sessions race
+  // one session's overwrite-delete against the other's probe read.
+  private lazy val lshIndexRoot: String = java.nio.file.Files
+    .createTempDirectory("graft-lsh-index").toString
+
   private def q195(s: SparkSession, dir: String): DataFrame = {
     val sigs = minHashSignatures(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("mh"))
       .localCheckpoint(eager = false)
-    val idxDir = sys.props("java.io.tmpdir") +
-      "/graft-lsh-index-" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val idxDir =
+      lshIndexRoot + "/" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // BUILD (once per corpus): bucket table + signature table
     val corpus = sigs.filter(col("doc_id") % 10 =!= 0)
     bandKeys(corpus, Bands, 3, "doc_id")
@@ -1234,11 +1239,16 @@ object Dedup extends QueryModule {
   // iterative components (internally checkpointed per round); the split
   // hash is a map-side expression; the audit joins the pair set (small:
   // verified near-dups only) against the doc→split map twice — both
-  // probe-sided, no corpus shuffle beyond q50's own.
+  // probe-sided, no corpus shuffle beyond q50's own. `edges` and
+  // `assigned` each feed two consumers, so both carry a lazy
+  // localCheckpoint barrier (the q193 `bench` pattern): without it the
+  // LSH verification re-executes for the leak audit and the doc→split
+  // derivation re-runs per join side.
   private def q194(s: SparkSession, dir: String): DataFrame = {
     val edges = lshVerifiedPairs(s, dir)
       .filter(col("jac") >= NearDupJac)
       .select(col("d1"), col("d2"))
+      .localCheckpoint(eager = false)
     val comp = Graph.connectedComponents(
       edges.select(col("d1").as("a"), col("d2").as("b")))
     val assigned = Tables.load(s, dir, "documents")
@@ -1249,6 +1259,7 @@ object Dedup extends QueryModule {
       .withColumn("split", expr(
         "CASE WHEN hm < 8 THEN 'train' WHEN hm = 8 THEN 'val' " +
           "ELSE 'test' END"))
+      .localCheckpoint(eager = false)
     val splitOf = assigned.select(col("doc_id"), col("split"))
     val leaked = broadcast(edges
       .join(splitOf.select(col("doc_id").as("d1"), col("split").as("sa")),

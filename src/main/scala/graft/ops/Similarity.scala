@@ -135,27 +135,51 @@ object Similarity extends QueryModule {
     * file.
     */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, anchors: DataFrame,
-      nProbe: Int = NProbe, k: Int = TopK): DataFrame = {
+      nProbe: Int = NProbe, k: Int = TopK): DataFrame =
+    ivfTopKFrom(assignCells(candidates, anchors),
+      probeCells(queries, anchors, nProbe), k)
+
+  /** Build half of the IVF index: nearest-anchor cell assignment for the
+    * candidate side (argmax cosine, tiebreak lowest cell id) →
+    * (cid, cv, cell) — the inverted file. Shared verbatim by the
+    * one-shot [[ivfTopK]] and the persisted-index lifecycle (q192), so
+    * a tie-break change cannot silently diverge between them.
+    */
+  def assignCells(candidates: DataFrame, anchors: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
-    // nearest-anchor assignment: argmax cosine, tiebreak lowest cell id
     val cellW = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell").asc)
-    val cells = candidates
+    candidates
       .crossJoin(broadcast(anchors))
       .withColumn("csim", expr(cosineSpark("embedding", "av")))
       .withColumn("crn", row_number().over(cellW))
       .filter(col("crn") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("cell"))
+  }
+
+  /** Probe half: each query selects its `nProbe` nearest cells →
+    * (qid, qv, cell). Same sharing rationale as [[assignCells]]. */
+  def probeCells(queries: DataFrame, anchors: DataFrame,
+      nProbe: Int = NProbe): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val probeW = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell").asc)
-    val probes = queries
+    queries
       .crossJoin(broadcast(anchors))
       .withColumn("csim", expr(cosineSpark("embedding", "av")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("cell"))
+  }
+
+  /** Scoring tail: exact cosine top-k inside probed cells only —
+    * `cells` may be a live [[assignCells]] frame or a read of its
+    * persisted parquet form. */
+  def ivfTopKFrom(cells: DataFrame, probes: DataFrame,
+      k: Int = TopK): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(cells.sparkSession)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     cells.join(broadcast(probes), Seq("cell"))
       .withColumn("sim", expr(cosineSpark("cv", "qv")))
@@ -927,42 +951,22 @@ object Similarity extends QueryModule {
     val anchors = e.filter(col("vec_id") >= NQueries &&
         col("vec_id") < NQueries + NCells)
       .select(col("vec_id").as("cell"), col("embedding").as("av"))
-    // BUILD: one corpus pass — q41's candidate cell assignment, persisted
-    val cellW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
-    val built = e.filter(col("vec_id") >= NQueries)
-      .crossJoin(broadcast(anchors))
-      .withColumn("csim", expr(cosineSpark("embedding", "av")))
-      .withColumn("crn", row_number().over(cellW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("cell"))
+    // BUILD: one corpus pass — the SAME assignCells half q41 runs,
+    // persisted
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft-ivf-index").toString
     try {
-      built.write.mode("overwrite").partitionBy("cell")
+      assignCells(e.filter(col("vec_id") >= NQueries), anchors)
+        .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$idxDir/cells")
       anchors.write.mode("overwrite").parquet(s"$idxDir/anchors")
-      // PROBE: reads ONLY the persisted index + the query vectors
+      // PROBE: reads ONLY the persisted index + the query vectors —
+      // probeCells + ivfTopKFrom, the same halves the one-shot operator
+      // composes, so the two paths cannot drift
       val pCells = s.read.parquet(s"$idxDir/cells")
       val pAnchors = s.read.parquet(s"$idxDir/anchors")
-      val probeW = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cell").asc)
-      val probes = e.filter(col("vec_id") < NQueries)
-        .crossJoin(broadcast(pAnchors))
-        .withColumn("csim", expr(cosineSpark("embedding", "av")))
-        .withColumn("prn", row_number().over(probeW))
-        .filter(col("prn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("cell"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("sim").desc, col("cid").asc)
-      val persisted = pCells.join(broadcast(probes), Seq("cell"))
-        .withColumn("sim", expr(cosineSpark("cv", "qv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
-        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
-          col("rn"))
+      val persisted = ivfTopKFrom(pCells,
+        probeCells(e.filter(col("vec_id") < NQueries), pAnchors))
         .collect()
       val batch = q41(s, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

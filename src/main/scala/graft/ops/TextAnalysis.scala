@@ -2577,15 +2577,25 @@ object TextAnalysis extends QueryModule {
         .cast("long")).as("mass"))
     val totals = broadcast(masses.agg(
       count(lit(1)).as("n"),
-      expr("sum(mass) div 2").as("budget")))
+      expr("sum(mass) div 2").as("budget"),
+      sum(col("mass")).as("total")))
     val w = Window.orderBy(col("mass").asc, col("source").asc)
     val cap = broadcast(masses
+      // in-plan guard (the bandKeys pattern): the "exactly one row
+      // passes" self-identification needs B < max mass, which holds iff
+      // the corpus has ANY tokens — a zero-mass corpus would otherwise
+      // return an EMPTY frame silently instead of per-source rows
       .withColumn("rn", row_number().over(w))
       .withColumn("prev_prefix",
         sum(col("mass")).over(w.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)) - col("mass"))
       .withColumn("prev_mass", lag(col("mass"), 1).over(w))
       .crossJoin(totals)
+      .where(coalesce(
+        assert_true(col("total") > 0,
+          lit("q197: zero-token corpus — the water level is undefined " +
+            "(budget = total = 0); feed a corpus with tokens")),
+        lit(true)))
       .withColumn("cap", expr("(budget - prev_prefix) div (n - rn + 1)"))
       .filter(expr("cap < mass AND (rn = 1 OR cap >= prev_mass)"))
       .select(col("cap")))
