@@ -97,7 +97,28 @@ object DevMakeSf1 {
         // so tokenizers ([a-z]+ / [a-z0-9]+) see disjoint vocabularies
         s"concat_ws(' ', transform(split(text, '\\\\s+'), t -> concat(t, '$tag')))"))
     }
-    scaled("embeddings")((d, i) => shift(d, "vec_id", vecS, i))
+    scaled("embeddings") { (d, i) =>
+      val shifted = shift(d, "vec_id", vecS, i)
+      // COPY-DECOUPLED vectors (the embedding analog of the text token
+      // tag): a bare vec_id shift leaves every copy's vectors EXACT
+      // duplicates of copy 0, so each SRP/IVF bucket holds `Factor`
+      // clones of every base vector and any pair-based operator (q31,
+      // q125, q127) blows up quadratically IN THE DATA — a generator
+      // artifact, not a plan property (observed: q127 at sf10 ran
+      // minutes/GBs instead of seconds). Each copy applies a
+      // deterministic per-(copy, seed) SIGN-FLIP pattern — a diagonal
+      // ±1 matrix, so every intra-copy cosine and norm is preserved
+      // EXACTLY while cross-copy directions decouple. Sign patterns
+      // (unlike rotations, whose composition is additive mod dim and
+      // collides on the (i, j) diagonals of a chained run: only 64
+      // rotations exist for 100 copies) compose by XOR keyed on the
+      // run seed — chained runs stay pairwise distinct.
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"transform(embedding, (x, d) -> " +
+          s"CASE WHEN pmod(hash(d, $i, ${tagBase.toInt}), 2) = 1 " +
+          s"THEN -x ELSE x END)"))
+    }
     spark.stop()
   }
 }

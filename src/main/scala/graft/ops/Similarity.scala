@@ -127,6 +127,37 @@ object Similarity extends QueryModule {
       .filter(col("sim") > threshold)
   }
 
+  /** CC edge set for embedding near-dup clustering, EXACT-CLONE
+    * COLLAPSED: identical vectors group to their min-id representative
+    * (one value-keyed shuffle), members attach to their rep by STAR
+    * edges, and the SRP near-dup pair generation runs on
+    * representatives only. The connected components are provably
+    * identical to the all-member pair graph — clones share the SRP
+    * signature and every cosine, so a member-level edge exists iff the
+    * corresponding rep-level edge does, and star paths restore the
+    * member connectivity — but a k-clone group costs k−1 star edges
+    * instead of a k²/2 clique: the quadratic term REAL corpora hit
+    * (default images, empty docs, boilerplate embeddings; observed as
+    * a GC-melt at the sf10 sweep decade before this operator existed).
+    */
+  def cloneCollapsedNearDupEdges(vectors: DataFrame,
+      threshold: Double = DupThreshold, idCol: String = "vec_id",
+      labelCol: String = "label", vecCol: String = "embedding")
+      : DataFrame = {
+    val reps = vectors.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as("rep"))
+    val withRep = vectors.join(reps, Seq(vecCol))
+      .localCheckpoint(eager = false) // feeds stars AND the rep rows
+    val stars = withRep.filter(col(idCol) =!= col("rep"))
+      .select(col(idCol).as("a"), col("rep").as("b"))
+    val repRows = withRep.filter(col(idCol) === col("rep"))
+      .select(vectors.columns.map(col).toIndexedSeq: _*)
+    val repPairs =
+      embeddingNearDupPairs(repRows, threshold, idCol, labelCol, vecCol)
+        .select(col("v1").as("a"), col("v2").as("b"))
+    stars.union(repPairs)
+  }
+
   /** IVF-style ANN top-k: `candidates`/`queries` (vec_id, embedding)
     * partition into Voronoi cells of broadcast `anchors` (cell, av);
     * queries probe their `nProbe` nearest cells and exact cosine top-k
@@ -499,8 +530,10 @@ object Similarity extends QueryModule {
   // oracle-checked, and the composed result hash-matches a DuckDB
   // recursive-CTE transitive closure over the identical pair set.
   private def q125(s: SparkSession, dir: String): DataFrame = {
-    val pairs = embeddingNearDupPairs(Tables.load(s, dir, "embeddings"))
-      .select(col("v1").as("a"), col("v2").as("b"))
+    // clone-collapsed edges: same components as the naive pair graph
+    // (oracle unchanged), linear instead of quadratic in clone-group
+    // size — see cloneCollapsedNearDupEdges
+    val pairs = cloneCollapsedNearDupEdges(Tables.load(s, dir, "embeddings"))
     Graph.connectedComponents(pairs)
       .groupBy("comp").agg(count(lit(1)).as("csize"))
       .groupBy(col("csize").as("cluster_size"))
@@ -540,8 +573,7 @@ object Similarity extends QueryModule {
   // keep-first survivors.
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-    val comp = Graph.connectedComponents(
-      embeddingNearDupPairs(e).select(col("v1").as("a"), col("v2").as("b")))
+    val comp = Graph.connectedComponents(cloneCollapsedNearDupEdges(e))
     val dropped = comp.filter(col("id") =!= col("comp"))
       .select(col("id").as("vec_id"))
     e.join(dropped, Seq("vec_id"), "left_anti")

@@ -114,4 +114,35 @@ class Round14OpsSpec extends SparkTestBase {
     }
     assert(rows.exists(_.getBoolean(5)), "nothing saturated — degenerate")
   }
+
+  test("cloneCollapsedNearDupEdges: components == naive pair graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // clone-heavy fixture: group A = 4 clones, group B = 3 clones of a
+    // near-dup of A (cos ≈ 0.9995), C orthogonal-ish, D unique near C
+    val vA = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Seq(0.999f, 0.04f, 0.0f, 0.0f)
+    val vC = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val vD = Seq(0.01f, 0.9999f, 0.0f, 0.0f)
+    val rows = Seq(
+      (1L, "x", vA), (2L, "x", vA), (3L, "x", vA), (4L, "x", vA),
+      (10L, "y", vB), (11L, "y", vB), (12L, "y", vB),
+      (20L, "z", vC), (30L, "z", vD))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Graph.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = comps(Similarity.embeddingNearDupPairs(df)
+      .select(col("v1").as("a"), col("v2").as("b")))
+    val collapsed = comps(Similarity.cloneCollapsedNearDupEdges(df))
+    assert(collapsed == naive, s"collapsed $collapsed != naive $naive")
+    // the fixture discriminates: A∪B one component, C/D behavior equal
+    // in both paths, and clone groups collapse to k−1 star edges
+    assert(naive.nonEmpty)
+    // stars run member→rep with rep = min id, so a > b distinguishes
+    // them from rep-level near-dup pairs (emitted v1 < v2)
+    val stars = Similarity.cloneCollapsedNearDupEdges(df)
+      .filter(col("a") > col("b")).count()
+    assert(stars == (4 - 1) + (3 - 1), s"star edges $stars")
+  }
 }
