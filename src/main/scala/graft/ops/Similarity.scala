@@ -76,10 +76,19 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
   }
 
-  /** The 8-plane SRP sign-bit signature of a float-array column — the
-    * LSH bucket key for [[srpBucketTopK]] / [[embeddingNearDupPairs]].
+  /** The SRP sign-bit signature of a float-array column — the LSH
+    * bucket key for [[srpBucketTopK]] / [[embeddingNearDupPairs]].
+    *
+    * `nPlanes` is THE scale knob: bucket count is 2^nPlanes, so
+    * expected bucket load is n / 2^nPlanes and candidate-pair work per
+    * bucket is load² — fixed width goes quadratic once the corpus
+    * dwarfs the bucket count (measured: the default 8 planes are flat
+    * to sf1 but 41× for the 10× step to sf10; see PERF.md round 12).
+    * Size nPlanes ≈ log₂(n / target_load); the battery pins 8 because
+    * the oracle replays the same fixed literal planes.
     */
-  def srpSignature(vecCol: String): Column = expr(sigSpark(vecCol))
+  def srpSignature(vecCol: String, nPlanes: Int = NPlanes): Column =
+    expr(sigSpark(vecCol, nPlanes))
 
   /** SRP-LSH bucketed ANN top-k: `candidates` (cid, cv, sig) equi-joined
     * to broadcast `queries` (qid, qv, sig) on the signature — each query
@@ -111,11 +120,12 @@ object Similarity extends QueryModule {
     */
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",
-      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+      labelCol: String = "label", vecCol: String = "embedding",
+      nPlanes: Int = NPlanes): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
     val e = vectors
       .select(col(idCol), col(labelCol), col(vecCol),
-        expr(sigSpark(vecCol)).as("sig"))
+        expr(sigSpark(vecCol, nPlanes)).as("sig"))
       .localCheckpoint(eager = false)
     val l = e.select(col("sig"), col(idCol).as("v1"),
       col(labelCol).as("lab1"), col(vecCol).as("e1"))
@@ -142,8 +152,8 @@ object Similarity extends QueryModule {
     */
   def cloneCollapsedNearDupEdges(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",
-      labelCol: String = "label", vecCol: String = "embedding")
-      : DataFrame = {
+      labelCol: String = "label", vecCol: String = "embedding",
+      nPlanes: Int = NPlanes): DataFrame = {
     val reps = vectors.groupBy(col(vecCol))
       .agg(min(col(idCol)).as("rep"))
     val withRep = vectors.join(reps, Seq(vecCol))
@@ -153,7 +163,8 @@ object Similarity extends QueryModule {
     val repRows = withRep.filter(col(idCol) === col("rep"))
       .select(vectors.columns.map(col).toIndexedSeq: _*)
     val repPairs =
-      embeddingNearDupPairs(repRows, threshold, idCol, labelCol, vecCol)
+      embeddingNearDupPairs(repRows, threshold, idCol, labelCol, vecCol,
+        nPlanes)
         .select(col("v1").as("a"), col("v2").as("b"))
     stars.union(repPairs)
   }
@@ -280,12 +291,12 @@ object Similarity extends QueryModule {
   private def planeCoefs(p: Int): String =
     (0 until Dims).map(d => planeCoef(p, d)).mkString(", ")
 
-  private def sigSpark(v: String): String =
-    (0 until NPlanes).map { p =>
+  private def sigSpark(v: String, nPlanes: Int = NPlanes): String =
+    (0 until nPlanes).map { p =>
       // int coefficients |c| <= 3 are exact as float, so the float-array
       // cast preserves bit parity with the oracle's integer-literal dot
       s"CASE WHEN graft_dot($v, CAST(array(${planeCoefs(p)}) AS ARRAY<FLOAT>)) > 0 " +
-        s"THEN ${1 << p} ELSE 0 END"
+        s"THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   private def sigDuck(v: String): String =
