@@ -1238,8 +1238,10 @@ object Dedup extends QueryModule {
   // Scale shape: reuses the battery-shared memoized LSH pair set and the
   // iterative components (internally checkpointed per round); the split
   // hash is a map-side expression; the audit joins the pair set (small:
-  // verified near-dups only) against the doc→split map twice — both
-  // probe-sided, no corpus shuffle beyond q50's own. `edges` and
+  // verified near-dups only) against the doc→split map twice — the only
+  // corpus-sized shuffles beyond q50's own are those two exchanges of
+  // the SLIM (doc_id, split) projection, never of document payloads.
+  // `edges` and
   // `assigned` each feed two consumers, so both carry a lazy
   // localCheckpoint barrier (the q193 `bench` pattern): without it the
   // LSH verification re-executes for the leak audit and the doc→split

@@ -49,4 +49,16 @@ class Round14PlanSpec extends SparkTestBase {
     // pre-trims map-side; the collect_list buffer is bounded at 128
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
+
+  test("q193: corpus grams meet the bench set by BROADCAST, not shuffle") {
+    val p = plan("q193_contamination")
+    // the corpus side must be filtered by a broadcast hash join before
+    // any exchange — a shuffled join here would move the full corpus
+    // gram stream at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    // anti-join of bench ids is also broadcast
+    assert(p.contains("LeftAnti"), s"expected broadcast anti join:\n$p")
+    assert(count("SortMergeJoin", p) <= 1, // bench × hits (50 rows) only
+      s"corpus-side SMJ crept in:\n$p")
+  }
 }
