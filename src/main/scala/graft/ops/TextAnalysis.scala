@@ -2571,10 +2571,16 @@ object TextAnalysis extends QueryModule {
   // report-sized single-partition frame, q189's documented pattern),
   // and the cap rejoins by broadcast.
   private def q197(s: SparkSession, dir: String): DataFrame = {
+    // the n_sources-row aggregate feeds THREE consumers (totals, the
+    // level solve, the final quota join) — the lazy checkpoint barrier
+    // makes the corpus scan+aggregate run ONCE; without it each
+    // consumer re-derives the aggregate from a fresh corpus scan
+    // (observed: 4 scans in the physical plan)
     val masses = Tables.load(s, dir, "documents")
       .groupBy("source")
       .agg(sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
         .cast("long")).as("mass"))
+      .localCheckpoint(eager = false)
     val totals = broadcast(masses.agg(
       count(lit(1)).as("n"),
       expr("sum(mass) div 2").as("budget"),

@@ -61,4 +61,24 @@ class Round14PlanSpec extends SparkTestBase {
     assert(count("SortMergeJoin", p) <= 1, // bench × hits (50 rows) only
       s"corpus-side SMJ crept in:\n$p")
   }
+
+  test("q196: the diff is ONE full-outer join and one aggregate") {
+    val p = plan("q196_snapshot_diff")
+    assert(p.contains("FullOuter"), s"expected full-outer join:\n$p")
+    assert(count("SortMergeJoin", p) == 1, s"expected exactly 1 join:\n$p")
+    assert(count("Window", p) == 0 && count("CartesianProduct", p) == 0,
+      s"unexpected window/cartesian:\n$p")
+  }
+
+  test("q197: corpus scans once (checkpoint), solve runs on the aggregate") {
+    val p = plan("q197_mixture_cap")
+    // the corpus aggregate materializes ONCE via localCheckpoint — every
+    // consumer reads the checkpointed n_sources-row frame, so the query
+    // plan itself contains no parquet scan at all (observed before the
+    // barrier: 4 corpus scans)
+    assert(!p.contains("Scan parquet"), s"corpus re-scan crept in:\n$p")
+    // the level solve's window runs on the aggregate, one tiny exchange
+    assert(count("Exchange hashpartitioning", p) <= 1,
+      s"expected at most 1 hash exchange:\n$p")
+  }
 }
