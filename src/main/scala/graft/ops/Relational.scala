@@ -1902,7 +1902,71 @@ object Relational extends graft.QueryModule {
       |  MIN(k) AS min_key, MAX(k) AS max_key
       |FROM d GROUP BY 1""".stripMargin
 
+  // --- q198: STREAMING upsert view (the incremental side of q196) ----------
+  // A CDC change stream folds into "latest row per key" keyed state —
+  // the materialized-upsert-view primitive behind every MERGE-fed table.
+  // The fixture synthesizes versioned changes from orders (v1 = base
+  // row for every B key; v2 = the price-shifted row for keys ≡ 0 mod 5
+  // — exactly q196's update set), streams them through a complete-mode
+  // aggregate whose state is max(struct(version, …)) — ONE struct per
+  // key forever, the bounded-state upsert fold (a late/duplicate v1
+  // cannot displace a v2: struct max orders by version first, so the
+  // fold is arrival-order independent). At drain the stream-built view
+  // replays q196's diff against snapshot A and must match the
+  // oracle-checked batch classification count-for-count (transitive
+  // parity, fail-loud ParityGate). Runs on RocksDB like the rest of
+  // the streaming battery.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/orders.parquet"
+    val schema = s.read.parquet(path).schema
+    val qname = s"q198_${System.nanoTime()}"
+    val fromStream = graft.streaming.StreamConf.withStateParts(s) {
+      val o = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+        .filter(col("o_orderkey") % 3 =!= 0)
+      val v1 = o.select(col("o_orderkey").as("k"), struct(
+        lit(1).as("v"), col("o_totalprice").as("pb"),
+        col("o_orderstatus").as("stb")).as("row"))
+      val v2 = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), struct(
+          lit(2).as("v"), (col("o_totalprice") + 1).as("pb"),
+          col("o_orderstatus").as("stb")).as("row"))
+      val latest = v1.union(v2).groupBy("k").agg(max(col("row")).as("r"))
+      val q = latest.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val b = s.table(qname)
+          .select(col("k"), col("r.pb").as("pb"), col("r.stb").as("stb"))
+        val a = s.read.parquet(path)
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").as("pa"), col("o_orderstatus").as("sta"))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("change_type", expr(
+            "CASE WHEN pa IS NULL THEN 'insert' " +
+              "WHEN pb IS NULL THEN 'delete' " +
+              "WHEN pa <> pb OR sta <> stb THEN 'update' " +
+              "ELSE 'unchanged' END"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+          .collect()
+      } finally { q.stop(); s.catalog.dropTempView(qname) }
+    }
+    val batch = q196(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import s.implicits._
+    graft.ParityGate(
+      fromStream.toSeq.map { r =>
+        val ct = r.getString(0)
+        (ct, r.getLong(1), r.getLong(2),
+          batch.get(ct).contains((r.getLong(1), r.getLong(2))) &&
+            batch.size == fromStream.length)
+      }.toDF("change_type", "n_rows", "key_sum", "matches_batch"),
+      "q198_stream_upsert", "matches_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_stream_upsert" -> q198 _,
     "q196_snapshot_diff" -> q196 _,
     "q188_ops_capstone" -> q188 _,
     "q187_purge_audit" -> q187 _,
