@@ -30,14 +30,23 @@ object DevSrpWidthProbe {
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = vectors.count()
     planes.foreach { p =>
-      val t0 = System.nanoTime()
       val edges = graft.ops.Similarity
         .cloneCollapsedNearDupEdges(vectors, nPlanes = p)
-      val nEdges = edges.count()
-      val stars = edges.filter(col("a") > col("b")).count()
+      // timed window covers EXACTLY one materialization of the edge
+      // build; the star count runs on a cheap aggregate afterwards and
+      // is excluded (a second full count would re-execute the pair join
+      // and inflate the published number)
+      val t0 = System.nanoTime()
+      val counts = edges.select(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("a") > col("b"), 1L)
+            .otherwise(0L)).as("stars")).collect().head
       val t = (System.nanoTime() - t0) / 1e9
       println(f"SRPWIDTH planes=$p%2d buckets=${1L << p}%7d n=$n%,d " +
-        f"edges=$nEdges%,d (stars=$stars%,d) t=$t%.2fs")
+        f"edges=${counts.getLong(0)}%,d (stars=${counts.getLong(1)}%,d) " +
+        f"t=$t%.2fs")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -1921,7 +1921,14 @@ object Relational extends graft.QueryModule {
     val schema = s.read.parquet(path).schema
     val qname = s"q198_${System.nanoTime()}"
     val fromStream = graft.streaming.StreamConf.withStateParts(s) {
-      val o = s.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+      // `orders.parquet*`: the file source requires a glob/directory (a
+      // bare file path throws 'basePath must be a directory' on the
+      // single-file fixtures), but the suffix-star form still pins the
+      // exact name the batch side reads in BOTH layouts (single file at
+      // sf0.01, part-file directory at sf1) — unlike the broader
+      // `orders*.parquet`, a future orders_v2.parquet cannot slip into
+      // the stream and desynchronize the gate
+      val o = s.readStream.schema(schema).parquet(s"$path*")
         .filter(col("o_orderkey") % 3 =!= 0)
       val v1 = o.select(col("o_orderkey").as("k"), struct(
         lit(1).as("v"), col("o_totalprice").as("pb"),

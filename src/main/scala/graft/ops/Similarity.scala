@@ -124,6 +124,16 @@ object Similarity extends QueryModule {
       nPlanes: Int = NPlanes): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
     val e = vectors
+      // in-plan dimension guard (the bandKeys pattern): graft_dot
+      // returns NULL on length mismatch, so a non-Dims embedding would
+      // silently signature to 0 — ALL vectors in one bucket, the exact
+      // quadratic blowup this operator exists to avoid. Fail loud.
+      .where(coalesce(
+        assert_true(size(col(vecCol)) === Dims,
+          lit(s"embeddingNearDupPairs: expected $Dims-dim embeddings — " +
+            "other widths would all land in one SRP bucket (the plane " +
+            "literals are fixed-width); re-project or re-plane first")),
+        lit(true)))
       .select(col(idCol), col(labelCol), col(vecCol),
         expr(sigSpark(vecCol, nPlanes)).as("sig"))
       .localCheckpoint(eager = false)
@@ -154,9 +164,18 @@ object Similarity extends QueryModule {
       threshold: Double = DupThreshold, idCol: String = "vec_id",
       labelCol: String = "label", vecCol: String = "embedding",
       nPlanes: Int = NPlanes): DataFrame = {
-    val reps = vectors.groupBy(col(vecCol))
-      .agg(min(col(idCol)).as("rep"))
-    val withRep = vectors.join(reps, Seq(vecCol))
+    // star edges connect exact clones UNCONDITIONALLY, which equals the
+    // naive graph only while clone pairs qualify (their cosine is
+    // exactly 1.0 under the strictly-greater threshold) — a threshold
+    // that excludes even identical vectors has no meaningful clusters
+    // and would silently diverge from the naive graph here
+    require(threshold < 1.0,
+      s"cloneCollapsedNearDupEdges: threshold $threshold would exclude " +
+        "exact clones (sim == 1.0); the star-edge identity needs t < 1")
+    // ONE value-keyed exchange: the rep is a window min over the vector
+    // value (a groupBy + join-back would shuffle the full payload twice)
+    val withRep = vectors.withColumn("rep",
+      min(col(idCol)).over(Window.partitionBy(col(vecCol))))
       .localCheckpoint(eager = false) // feeds stars AND the rep rows
     val stars = withRep.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("a"), col("rep").as("b"))

@@ -16,9 +16,10 @@ class Round14PropertiesSpec extends SparkTestBase {
     (1 to n).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong)))
 
-  private val evGen = Gen.listOfN(60, Gen.zip(
-    Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 5L),
-    Gen.oneOf("a", "b", "c")))
+  private val evGen = Gen.chooseNum(30, 70).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(
+      Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 5L),
+      Gen.oneOf("a", "b", "c"))))
 
   test("BoundedTimelineAgg == sorted-take-k under any partitioning") {
     val agg = new BoundedTimelineAgg(7)
@@ -26,16 +27,18 @@ class Round14PropertiesSpec extends SparkTestBase {
       case (events, nParts) =>
         // sequential definition: total-order sort, first k
         val expect = events.sorted.take(7)
-        // partitioned fold: split arbitrarily, reduce each, merge in
-        // a rotated order (exercises merge associativity + direction)
+        // partitioned fold: split arbitrarily, reduce each, then merge
+        // REVERSED and ROTATED-BY-ONE — both must equal the sequential
+        // result (a merge that assumed generation order would pass the
+        // identity order but fail these)
         val parts = events.grouped(
           math.max(1, events.size / nParts)).toList
         val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
-        val rotated = bufs.drop(nParts % math.max(bufs.size, 1)) ++
-          bufs.take(nParts % math.max(bufs.size, 1))
-        val merged = rotated.foldLeft(agg.zero)(agg.merge)
-        assert(agg.finish(merged) == expect,
-          s"events=$events parts=$nParts")
+        Seq(bufs.reverse, bufs.drop(1) ++ bufs.take(1)).foreach { order =>
+          val merged = order.foldLeft(agg.zero)(agg.merge)
+          assert(agg.finish(merged) == expect,
+            s"events=$events parts=$nParts order=$order")
+        }
         // the state bound holds on every partial, not just the result
         bufs.foreach(b => assert(b.items.size <= 7))
     }

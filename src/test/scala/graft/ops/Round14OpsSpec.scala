@@ -119,11 +119,17 @@ class Round14OpsSpec extends SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     // clone-heavy fixture: group A = 4 clones, group B = 3 clones of a
-    // near-dup of A (cos ≈ 0.9995), C orthogonal-ish, D unique near C
-    val vA = Seq(1.0f, 0.0f, 0.0f, 0.0f)
-    val vB = Seq(0.999f, 0.04f, 0.0f, 0.0f)
-    val vC = Seq(0.0f, 1.0f, 0.0f, 0.0f)
-    val vD = Seq(0.01f, 0.9999f, 0.0f, 0.0f)
+    // near-dup of A (cos ≈ 0.9995), C orthogonal-ish, D unique near C.
+    // Vectors are FULL 64-dim (the fixed plane width): shorter arrays
+    // signature to NULL→0 — one degenerate bucket that would bypass the
+    // LSH path this test exists to compare (and the operator now fails
+    // loud on them)
+    def v64(head: Float*): Seq[Float] =
+      head.toSeq ++ Seq.fill(64 - head.length)(0.0f)
+    val vA = v64(1.0f)
+    val vB = v64(0.999f, 0.04f)
+    val vC = v64(0.0f, 1.0f)
+    val vD = v64(0.01f, 0.9999f)
     val rows = Seq(
       (1L, "x", vA), (2L, "x", vA), (3L, "x", vA), (4L, "x", vA),
       (10L, "y", vB), (11L, "y", vB), (12L, "y", vB),
