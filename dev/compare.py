@@ -12,6 +12,7 @@ shipped library — pre-validates the correctness gate during development.
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -40,8 +41,13 @@ def canon(rows, cols):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; DevMakeSf1 output is a
+        # Spark-style directory of part files — glob accordingly
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):

@@ -503,6 +503,13 @@ object Behavior extends QueryModule {
   // Collect-then-truncate would materialize a power user's full 10M-
   // event timeline in ONE aggregation buffer before the substring cap
   // discarded it (Round14PlanSpec pins the WindowGroupLimit).
+  // Pre-trim contract: keeping the first 128 EVENTS equals the oracle's
+  // 128-CHAR substring cap only because each event contributes exactly
+  // one char (`c` = substring(event_type, 1, 1)); an empty event_type
+  // would contribute zero chars and the trimmed sequence would come up
+  // short. The events fixture pins non-empty event_type values
+  // (verified by r12 oracle hash parity); if the table ever admits
+  // empties, trim on cumulative CHAR count instead of row_number.
   private def q191(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seqs = Tables.load(s, dir, "events")

@@ -1041,6 +1041,94 @@ object Dedup extends QueryModule {
       "q126_stream_dupgrams", "matches_batch")
   }
 
+  // --- q199: UPDATE-MODE dup-gram monitor (the serving shape of q126) ------
+  // q126 proves stream-state parity but emits COMPLETE mode into a
+  // memory sink: every micro-batch re-emits the full gram-count table
+  // and the driver collects it — a parity-gate harness, not a 100 TB
+  // serving shape. This entry runs the SAME stateful aggregation in
+  // UPDATE mode through foreachBatch: each batch emits ONLY the grams
+  // whose counts changed, and the batch writer APPENDS the delta rows
+  // (keyed by batch id) to a parquet sink table — the upsert-log shape
+  // (append deltas, resolve latest-per-key on read, compact offline)
+  // that q196/q198 already pin for CDC. Nothing driver-side touches the
+  // per-batch data; the only collect is the final parity histogram.
+  //
+  // Gate bits, all fail-loud via ParityGate:
+  //   * resolved latest-per-gram view == the batch gram-count table
+  //     (zero full-outer symmetric difference) — same transitive scheme
+  //     as q126;
+  //   * ≥ 2 micro-batches actually ran (the input is pre-split into 4
+  //     files streamed with maxFilesPerTrigger=1 — one mega-batch would
+  //     make update vs complete indistinguishable);
+  //   * emitted delta rows < n_batches × vocabulary — the measurable
+  //     difference between update mode (each gram emitted once per
+  //     batch that TOUCHES it) and complete mode (every gram re-emitted
+  //     every batch). Positional grams are mostly doc-local, so deltas
+  //     stay near one emission per gram.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q199").toString
+    try {
+      val docs = Tables.load(s, dir, "documents")
+      // 4 input files → 4 micro-batches under maxFilesPerTrigger=1
+      docs.repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val sink = s"$tmp/sink"
+      val (hist, gateBits) =
+        graft.streaming.StreamConf.withStateParts(s, n = 8) {
+          val q = positionalGrams(
+              s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"),
+              "text", q120K)
+            .groupBy("g").agg(count(lit(1)).as("n"))
+            .writeStream
+            .outputMode("update")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              batch.withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(sink)
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            val appended = s.read.parquet(sink)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("g").orderBy(col("batch_id").desc)
+            val resolved = appended
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).select("g", "n")
+            val batchCounts =
+              positionalGrams(docs, "text", q120K)
+                .groupBy("g").agg(count(lit(1)).as("bn"))
+            val nDiff = resolved.join(batchCounts, Seq("g"), "full_outer")
+              .filter(col("n").isNull || col("bn").isNull ||
+                col("n") =!= col("bn"))
+              .count()
+            val nBatches = appended.select("batch_id").distinct().count()
+            val emitted = appended.count()
+            val vocab = batchCounts.count()
+            val h = resolved.groupBy("n")
+              .agg(count(lit(1)).as("n_grams"))
+              .collect()
+            (h, (nDiff == 0L, nBatches >= 2L,
+              emitted < nBatches * vocab))
+          } finally { q.stop() }
+        }
+      import s.implicits._
+      graft.ParityGate(
+        hist.toSeq.map(r => (r.getLong(0), r.getLong(1),
+            gateBits._1, gateBits._2, gateBits._3))
+          .toDF("n_occurrences", "n_grams", "matches_batch",
+            "multi_batch", "incremental_emission"),
+        "q199_stream_dupgrams_update",
+        "matches_batch", "multi_batch", "incremental_emission")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   // --- q193: benchmark-contamination check ---------------------------------
   // The eval-integrity pass of a training-data pipeline (the GPT-3
   // appendix-C shape): does the TRAINING corpus contain a benchmark
@@ -1142,8 +1230,21 @@ object Dedup extends QueryModule {
   // (createTempDirectory once, per-dataset subdirs overwritten per
   // call): a fixed shared path would let two concurrent sessions race
   // one session's overwrite-delete against the other's probe read.
-  private lazy val lshIndexRoot: String = java.nio.file.Files
-    .createTempDirectory("graft-lsh-index").toString
+  // shutdown-hook recursive delete: unlike q192 (whose probe collects
+  // inside the same call, so an rm-in-finally works), this root is
+  // reused across calls for the lifetime of the JVM — cleanup belongs
+  // at JVM exit, not per call
+  private lazy val lshIndexRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-lsh-index")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    p.toString
+  }
 
   private def q195(s: SparkSession, dir: String): DataFrame = {
     val sigs = minHashSignatures(Tables.load(s, dir, "documents"))
@@ -1221,6 +1322,95 @@ object Dedup extends QueryModule {
        |FROM documents d
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.qid
        |WHERE d.doc_id % 10 = 0""".stripMargin
+
+  // --- q200: LSH index MAINTENANCE (append a batch, compact, re-probe) -----
+  // The leg q195 leaves open: a crawl index is not build-once — new
+  // batches APPEND their bands/signatures (no rewrite of existing index
+  // files, no corpus re-scan), and a periodic COMPACTION rewrites the
+  // accumulated small files into band-clustered ones. This entry runs
+  // the full maintenance cycle: build the index from corpus A
+  // (doc_id % 10 ∉ {0, 5}), append batch B (≡ 5 mod 10) — computing
+  // signatures for B ONLY — compact the banded table (repartition by
+  // band → one clustered file set), then probe batch C (≡ 0 mod 10)
+  // against the COMPACTED A∪B index.
+  //
+  // Correctness story: the DuckDB oracle computes the probe directly
+  // over all non-C documents — i.e. the FULL-REBUILD answer — so the
+  // hash gate literally proves update∘compact ≡ rebuild (same q195
+  // integer-milli estimates; BIGINT minhashes round-trip parquet
+  // exactly). A lost append row or a compaction that dropped/duplicated
+  // a bucket entry changes n_cand/best match and breaks the hash.
+  // Driver-side require()s additionally pin conservation (append added
+  // exactly B's rows; compaction preserved the multiset size).
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minHashSignatures(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("mh"))
+      .localCheckpoint(eager = false)
+    val idxDir =
+      lshIndexRoot + "/upd_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // BUILD from corpus A only
+    val a = sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    bandKeys(a, Bands, 3, "doc_id")
+      .select(col("band"), col("bkey"), col("doc_id").as("cid"))
+      .write.mode("overwrite").parquet(s"$idxDir/bands")
+    a.select(col("doc_id").as("cid"), col("mh").as("cmh"))
+      .write.mode("overwrite").parquet(s"$idxDir/sigs")
+    val nA = s.read.parquet(s"$idxDir/bands").count()
+    // APPEND batch B: B's own signatures only — existing files untouched
+    val b = sigs.filter(col("doc_id") % 10 === 5)
+    bandKeys(b, Bands, 3, "doc_id")
+      .select(col("band"), col("bkey"), col("doc_id").as("cid"))
+      .write.mode("append").parquet(s"$idxDir/bands")
+    b.select(col("doc_id").as("cid"), col("mh").as("cmh"))
+      .write.mode("append").parquet(s"$idxDir/sigs")
+    val nB = bandKeys(b, Bands, 3, "doc_id").count()
+    val appended = s.read.parquet(s"$idxDir/bands")
+    require(appended.count() == nA + nB,
+      s"q200: append lost/duplicated index rows (${appended.count()} != " +
+        s"$nA + $nB)")
+    // COMPACT: band-clustered rewrite (at 100 TB this is the periodic
+    // small-file compaction; band clustering makes a probe's bucket
+    // lookup a contiguous read)
+    appended.repartition(col("band"))
+      .write.mode("overwrite").parquet(s"$idxDir/bands_compact")
+    s.read.parquet(s"$idxDir/sigs").repartition(col("cid"))
+      .write.mode("overwrite").parquet(s"$idxDir/sigs_compact")
+    val pBands = s.read.parquet(s"$idxDir/bands_compact")
+    val pSigs = s.read.parquet(s"$idxDir/sigs_compact")
+    require(pBands.count() == nA + nB,
+      "q200: compaction changed the index row multiset size")
+    // PROBE batch C from the compacted index only (q195's probe shape)
+    val batch = sigs.filter(col("doc_id") % 10 === 0)
+    val candIds = bandKeys(batch, Bands, 3, "doc_id")
+      .select(col("band"), col("bkey"), col("doc_id").as("qid"))
+      .join(pBands, Seq("band", "bkey"))
+      .select("qid", "cid").distinct()
+    val est = candIds
+      .join(batch.select(col("doc_id").as("qid"), col("mh").as("qmh")),
+        Seq("qid"))
+      .join(pSigs, Seq("cid"))
+      .withColumn("est_milli", expr(
+        s"(1000 * size(filter(zip_with(qmh, cmh, (x, y) -> x = y), " +
+          s"v -> v))) div $NumHashes"))
+    val aggd = est.groupBy("qid").agg(
+      count(lit(1)).as("n_cand"),
+      min(struct((-col("est_milli")).as("neg"), col("cid").as("c")))
+        .as("b"))
+    batch.select(col("doc_id").as("new_doc"))
+      .join(aggd, col("new_doc") === col("qid"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("b.c").as("best_match"),
+        (-col("b.neg")).as("best_milli"))
+      .withColumn("is_dup",
+        coalesce(col("best_milli"), lit(0L)) >= 500)
+  }
+
+  // oracle = the FULL-REBUILD probe over all non-batch docs (A∪B in one
+  // pass): identical to q195Sql because A∪B is exactly doc_id % 10 != 0
+  // — hash-matching it proves the appended+compacted index answers like
+  // a from-scratch build
+  private val q200Sql = q195Sql
 
   // --- q194: leakage-free train/val/test split ------------------------------
   // Split assignment that can never leak a near-duplicate across splits:
@@ -1320,6 +1510,8 @@ object Dedup extends QueryModule {
     "q193_contamination" -> q193 _,
     "q194_split_leakage" -> q194 _,
     "q195_incremental_dedup" -> q195 _,
+    "q200_lsh_index_update" -> q200 _,
+    "q199_stream_dupgrams_update" -> q199 _,
     "q126_stream_dupgrams" -> q126 _,
     "q120_dup_spans" -> q120 _,
     "q110_overlap_matrix" -> q110 _,
@@ -1337,6 +1529,7 @@ object Dedup extends QueryModule {
     "q193_contamination" -> q193Sql,
     "q194_split_leakage" -> q194Sql,
     "q195_incremental_dedup" -> q195Sql,
+    "q200_lsh_index_update" -> q200Sql,
     "q120_dup_spans" -> q120Sql,
     "q110_overlap_matrix" -> q110Sql,
     "q91_fuzzy_match" -> q91Sql,

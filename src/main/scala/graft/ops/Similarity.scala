@@ -82,13 +82,54 @@ object Similarity extends QueryModule {
     * `nPlanes` is THE scale knob: bucket count is 2^nPlanes, so
     * expected bucket load is n / 2^nPlanes and candidate-pair work per
     * bucket is load² — fixed width goes quadratic once the corpus
-    * dwarfs the bucket count (measured: the default 8 planes are flat
-    * to sf1 but 41× for the 10× step to sf10; see PERF.md round 12).
-    * Size nPlanes ≈ log₂(n / target_load); the battery pins 8 because
-    * the oracle replays the same fixed literal planes.
+    * dwarfs the bucket count (measured: 8 fixed planes are flat to sf1
+    * but 41× for the 10× step to sf10; see PERF.md round 12). Size it
+    * with [[adaptiveNPlanes]] from a corpus count — the near-dup
+    * operators below do so by default. This column builder can't count
+    * (it never sees the frame), so its own default stays the
+    * [[MinPlanes]] floor.
     */
-  def srpSignature(vecCol: String, nPlanes: Int = NPlanes): Column =
+  def srpSignature(vecCol: String, nPlanes: Int = MinPlanes): Column =
     expr(sigSpark(vecCol, nPlanes))
+
+  /** Sentinel `nPlanes` value: resolve the SRP width from the corpus
+    * row count via [[adaptiveNPlanes]] at plan-build time. */
+  val AdaptivePlanes: Int = -1
+
+  /** Scale-adaptive SRP width: the smallest `w` in
+    * [[[MinPlanes]], [[MaxPlanes]]] whose `2^w` buckets hold `n` rows at
+    * ≤ `targetLoad` expected rows per bucket — i.e.
+    * `w ≈ log₂(n / targetLoad)`, but computed by an exact integer
+    * search (`(1L << w) * targetLoad >= n`), not a float `log2`, so
+    * power-of-two boundaries resolve deterministically and the DuckDB
+    * oracle twin replays the identical arithmetic (its `nw` CTE scans
+    * `range(MinPlanes, MaxPlanes+1)` with the same shift-compare).
+    *
+    * Why this must be data-derived: with fixed width, bucket load grows
+    * linearly with the corpus and candidate-pair work quadratically —
+    * the measured 41×-per-decade blowup at sf10. Adaptive width holds
+    * expected load ≈ `targetLoad` at any scale, so pair work stays
+    * linear in `n`. The default `targetLoad` = 16 is deliberately BELOW
+    * the mean load that raw pair-arithmetic would suggest: LSH bucket
+    * loads are heavily skewed on clustered real-world embeddings (the
+    * sf10 probe measured 15.9M candidate pairs at a mean load of ~49 —
+    * the big buckets dominate), so the knob is sized for the skewed
+    * tail, not the mean. The `MaxPlanes` = 24 cap (16.7M buckets) keeps
+    * the signature in the low bits of a BIGINT; at corpora beyond
+    * `2^24 · targetLoad ≈ 2.7×10⁸` rows, raise the cap rather than let
+    * load creep.
+    */
+  def adaptiveNPlanes(n: Long, targetLoad: Long = TargetBucketLoad): Int =
+    (MinPlanes to MaxPlanes)
+      .find(w => (1L << w) * targetLoad >= n)
+      .getOrElse(MaxPlanes)
+
+  private def resolvePlanes(nPlanes: Int, vectors: DataFrame): Int =
+    // the count is a cheap dedicated job (parquet footer metadata for a
+    // raw table scan; a single-column scan otherwise) — run ONCE per
+    // plan build, never per row
+    if (nPlanes == AdaptivePlanes) adaptiveNPlanes(vectors.count())
+    else nPlanes
 
   /** SRP-LSH bucketed ANN top-k: `candidates` (cid, cv, sig) equi-joined
     * to broadcast `queries` (qid, qv, sig) on the signature — each query
@@ -102,6 +143,53 @@ object Similarity extends QueryModule {
       .withColumn("sim", expr(cosineSpark("cv", "qv")))
       .select("qid", "cid", "sim")
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Multi-probe SRP-LSH ANN top-k: like [[srpBucketTopK]], but each
+    * query probes its own bucket PLUS every bucket within Hamming
+    * distance `hamming` of its signature (flip 1..hamming sign bits) —
+    * the standard multi-probe LSH recall lever (Lv et al., VLDB'07
+    * shape): probing neighbor buckets recovers the near neighbors that
+    * landed one unlucky sign bit away, for `1 + w + w(w−1)/2` bucket
+    * lookups (hamming = 2) instead of more hash tables. Measured on the
+    * fixture decades (DevRecallProbe, sf0.001 → sf10): single-probe
+    * recall@10 decays to ~0–100 milli as adaptive width grows, while
+    * hamming-2 multi-probe holds ≥ 200 milli at every decade — the
+    * floor q202 gates.
+    *
+    * Scale shape: probes explode on the (tiny, broadcast) QUERY side —
+    * the candidate side keeps exactly one signature row per vector and
+    * the join stays a bucket equi-join; `distinct` dedups candidates
+    * reachable via several probes before the per-query top-k window.
+    * `nPlanes` resolves adaptively from the candidate count by default.
+    */
+  def srpMultiProbeTopK(candidates: DataFrame, queries: DataFrame,
+      k: Int = TopK, nPlanes: Int = AdaptivePlanes,
+      hamming: Int = 2): DataFrame = {
+    require(hamming >= 0 && hamming <= 2,
+      s"srpMultiProbeTopK: hamming $hamming outside the supported 0..2 " +
+        "(probe count is C(w,0..hamming); beyond 2 add hash tables instead)")
+    graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
+    val w = resolvePlanes(nPlanes, candidates)
+    val cands = candidates
+      .withColumn("sig", expr(sigSpark("cv", w)))
+    val flips1 = if (hamming < 1) Nil
+      else (0 until w).map(p => s"CAST(sig ^ ${1L << p} AS BIGINT)")
+    val flips2 = if (hamming < 2) Nil
+      else for { p <- 0 until w; q <- (p + 1) until w }
+        yield s"CAST(sig ^ ${(1L << p) | (1L << q)} AS BIGINT)"
+    val probeExprs = (Seq("CAST(sig AS BIGINT)") ++ flips1 ++ flips2)
+      .mkString("array(", ", ", ")")
+    val probes = queries
+      .withColumn("sig", expr(sigSpark("qv", w)))
+      .withColumn("sig", explode(expr(probeExprs)))
+    val win = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    cands.join(broadcast(probes), "sig")
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .select("qid", "cid", "sim").distinct()
+      .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
   }
@@ -121,8 +209,9 @@ object Similarity extends QueryModule {
   def embeddingNearDupPairs(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",
       labelCol: String = "label", vecCol: String = "embedding",
-      nPlanes: Int = NPlanes): DataFrame = {
+      nPlanes: Int = AdaptivePlanes): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val width = resolvePlanes(nPlanes, vectors)
     val e = vectors
       // in-plan dimension guard (the bandKeys pattern): graft_dot
       // returns NULL on length mismatch, so a non-Dims embedding would
@@ -135,7 +224,7 @@ object Similarity extends QueryModule {
             "literals are fixed-width); re-project or re-plane first")),
         lit(true)))
       .select(col(idCol), col(labelCol), col(vecCol),
-        expr(sigSpark(vecCol, nPlanes)).as("sig"))
+        expr(sigSpark(vecCol, width)).as("sig"))
       .localCheckpoint(eager = false)
     val l = e.select(col("sig"), col(idCol).as("v1"),
       col(labelCol).as("lab1"), col(vecCol).as("e1"))
@@ -159,11 +248,20 @@ object Similarity extends QueryModule {
     * instead of a k²/2 clique: the quadratic term REAL corpora hit
     * (default images, empty docs, boilerplate embeddings; observed as
     * a GC-melt at the sf10 sweep decade before this operator existed).
+    *
+    * PRECONDITION — nonzero norms: a zero vector's cosine divides by
+    * zero, which under ANSI mode makes the naive pair path THROW (and
+    * only when the zero rep happens to share a bucket — a data-dependent
+    * landmine); star edges, which skip the cosine, would meanwhile
+    * connect zero clones silently. Divergent failure shapes are worse
+    * than either, so this operator asserts `dot(v,v) > 0` in-plan and
+    * fails loud on the first zero-norm row — deterministically, not
+    * bucket-dependently. Filter or re-embed zero vectors first.
     */
   def cloneCollapsedNearDupEdges(vectors: DataFrame,
       threshold: Double = DupThreshold, idCol: String = "vec_id",
       labelCol: String = "label", vecCol: String = "embedding",
-      nPlanes: Int = NPlanes): DataFrame = {
+      nPlanes: Int = AdaptivePlanes): DataFrame = {
     // star edges connect exact clones UNCONDITIONALLY, which equals the
     // naive graph only while clone pairs qualify (their cosine is
     // exactly 1.0 under the strictly-greater threshold) — a threshold
@@ -172,10 +270,26 @@ object Similarity extends QueryModule {
     require(threshold < 1.0,
       s"cloneCollapsedNearDupEdges: threshold $threshold would exclude " +
         "exact clones (sim == 1.0); the star-edge identity needs t < 1")
+    graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    // adaptive width resolves against the FULL member count, not the
+    // post-collapse rep count: the oracle twin counts the raw table, and
+    // the star-edge identity ("collapsed components == naive pair-graph
+    // components") holds per-width — both sides must pick the SAME one
+    val width = resolvePlanes(nPlanes, vectors)
     // ONE value-keyed exchange: the rep is a window min over the vector
     // value (a groupBy + join-back would shuffle the full payload twice)
-    val withRep = vectors.withColumn("rep",
-      min(col(idCol)).over(Window.partitionBy(col(vecCol))))
+    val withRep = vectors
+      // zero-norm precondition (scaladoc): fail loud HERE, before the
+      // collapse, instead of the naive path's bucket-dependent ANSI
+      // divide-by-zero vs the star path's silent clone edge
+      .where(coalesce(
+        assert_true(expr(s"graft_dot($vecCol, $vecCol)") > 0,
+          lit("cloneCollapsedNearDupEdges: zero-norm embedding — cosine " +
+            "is undefined (ANSI divide-by-zero downstream); filter or " +
+            "re-embed zero vectors before near-dup clustering")),
+        lit(true)))
+      .withColumn("rep",
+        min(col(idCol)).over(Window.partitionBy(col(vecCol))))
       .localCheckpoint(eager = false) // feeds stars AND the rep rows
     val stars = withRep.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("a"), col("rep").as("b"))
@@ -183,7 +297,7 @@ object Similarity extends QueryModule {
       .select(vectors.columns.map(col).toIndexedSeq: _*)
     val repPairs =
       embeddingNearDupPairs(repRows, threshold, idCol, labelCol, vecCol,
-        nPlanes)
+        width)
         .select(col("v1").as("a"), col("v2").as("b"))
     stars.union(repPairs)
   }
@@ -296,12 +410,20 @@ object Similarity extends QueryModule {
        |WHERE rn <= $TopK""".stripMargin
 
   // --- q30: SRP-LSH bucketed ANN ------------------------------------------
-  // 8 deterministic integer hyperplanes over the 64 dims; signature =
-  // 8 sign bits; each query probes exactly its own bucket. Plane
+  // Deterministic integer hyperplanes over the 64 dims; signature = one
+  // sign bit per plane; each query probes exactly its own bucket. Plane
   // coefficients come from a fixed LCG evaluated on the driver — they are
   // engine config (like the reference's t-shirt bounds), so they embed as
-  // literals in both dialects and cost zero per-row hashing.
-  private val NPlanes = 8
+  // literals in both dialects and cost zero per-row hashing. WIDTH is
+  // data-adaptive ([[adaptiveNPlanes]]): 8-plane floor at fixture scale
+  // (bit-identical to the historic pinned-8 results), growing a plane
+  // per corpus doubling past 2^8·64 rows. The oracle twin mirrors the
+  // width choice with an `nw` CTE over the same integer search
+  // ([[nwDuck]]) and masks the per-plane bits with `p < w`
+  // ([[sigDuckMasked]]) — parity by construction at EVERY scale.
+  private[graft] val MinPlanes = 8
+  private[graft] val MaxPlanes = 24
+  private[graft] val TargetBucketLoad = 16L
   private val Dims = 64
   private def planeCoef(p: Int, d: Int): Int = {
     val x = (1103515245L * (p * Dims + d + 1) + 12345L) % 2147483648L
@@ -310,7 +432,7 @@ object Similarity extends QueryModule {
   private def planeCoefs(p: Int): String =
     (0 until Dims).map(d => planeCoef(p, d)).mkString(", ")
 
-  private def sigSpark(v: String, nPlanes: Int = NPlanes): String =
+  private def sigSpark(v: String, nPlanes: Int = MinPlanes): String =
     (0 until nPlanes).map { p =>
       // int coefficients |c| <= 3 are exact as float, so the float-array
       // cast preserves bit parity with the oracle's integer-literal dot
@@ -318,8 +440,29 @@ object Similarity extends QueryModule {
         s"THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** The `nw` (adaptive-width) CTE body: DuckDB mirror of
+    * [[adaptiveNPlanes]] — same [MinPlanes, MaxPlanes] integer search,
+    * same shift-compare, zero floats — over `COUNT(*)` of `table`. */
+  private def nwDuck(table: String): String =
+    s"SELECT COALESCE(MIN(t.w), $MaxPlanes) AS w " +
+      s"FROM range($MinPlanes, ${MaxPlanes + 1}) t(w), " +
+      s"(SELECT COUNT(*) AS n FROM $table) c " +
+      s"WHERE (CAST(1 AS BIGINT) << t.w) * $TargetBucketLoad >= c.n"
+
+  /** Width-masked SRP signature: all [[MaxPlanes]] plane bits emitted,
+    * each gated on `p < wRef` — the SQL-expressible form of "use the
+    * first w planes" when w is a runtime scalar (the `nw` CTE), not a
+    * literal. Bit-identical to [[sigSpark]] at width w because masked
+    * bits contribute exactly 0. */
+  private def sigDuckMasked(v: String, wRef: String): String =
+    (0 until MaxPlanes).map { p =>
+      s"CASE WHEN $p < $wRef AND " +
+        s"${Dialect.duckDot(v, s"[${planeCoefs(p)}]")} > 0 " +
+        s"THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   private def sigDuck(v: String): String =
-    (0 until NPlanes).map { p =>
+    (0 until MinPlanes).map { p =>
       s"CASE WHEN ${Dialect.duckDot(v, s"[${planeCoefs(p)}]")} > 0 " +
         s"THEN ${1 << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
@@ -330,22 +473,27 @@ object Similarity extends QueryModule {
     // session the functions must exist before the first select
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.load(s, dir, "embeddings")
+    // adaptive width from the FULL table count (queries are a fixed tiny
+    // subset — corpus scale is what sizes the buckets); the oracle's nw
+    // CTE counts the same table
+    val w = adaptiveNPlanes(e.count())
     srpBucketTopK(
       e.filter(col("vec_id") >= NQueries)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-          srpSignature("embedding").as("sig")),
+          srpSignature("embedding", w).as("sig")),
       e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          srpSignature("embedding").as("sig")))
+          srpSignature("embedding", w).as("sig")))
   }
 
   private val q30Sql =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
-       |             ${sigDuck("embedding")} AS sig
-       |           FROM embeddings WHERE vec_id < $NQueries),
+    s"""WITH nw AS (${nwDuck("embeddings")}),
+       |q AS (SELECT vec_id AS qid, embedding AS qv,
+       |             ${sigDuckMasked("embedding", "nw.w")} AS sig
+       |           FROM embeddings, nw WHERE vec_id < $NQueries),
        |c AS (SELECT vec_id AS cid, embedding AS cv,
-       |        ${sigDuck("embedding")} AS sig
-       |      FROM embeddings WHERE vec_id >= $NQueries),
+       |        ${sigDuckMasked("embedding", "nw.w")} AS sig
+       |      FROM embeddings, nw WHERE vec_id >= $NQueries),
        |scored AS (
        |  SELECT qid, cid, ${cosineDuck("cv", "qv")} AS sim
        |  FROM c JOIN q USING (sig))
@@ -369,9 +517,10 @@ object Similarity extends QueryModule {
         round(max(col("sim")), 6).as("max_sim"))
 
   private val q31Sql =
-    s"""WITH e AS (SELECT vec_id, label, embedding,
-       |             ${sigDuck("embedding")} AS sig
-       |           FROM embeddings),
+    s"""WITH nw AS (${nwDuck("embeddings")}),
+       |e AS (SELECT vec_id, label, embedding,
+       |             ${sigDuckMasked("embedding", "nw.w")} AS sig
+       |           FROM embeddings, nw),
        |pairs AS (
        |  SELECT l.label AS lab1, r.label AS lab2,
        |    ${cosineDuck("l.embedding", "r.embedding")} AS sim
@@ -562,7 +711,9 @@ object Similarity extends QueryModule {
   private def q125(s: SparkSession, dir: String): DataFrame = {
     // clone-collapsed edges: same components as the naive pair graph
     // (oracle unchanged), linear instead of quadratic in clone-group
-    // size — see cloneCollapsedNearDupEdges
+    // size — see cloneCollapsedNearDupEdges. Width is ADAPTIVE (the
+    // default): log₂(n/load)-sized buckets, the oracle's nw CTE picks
+    // the identical width from the identical count
     val pairs = cloneCollapsedNearDupEdges(Tables.load(s, dir, "embeddings"))
     Graph.connectedComponents(pairs)
       .groupBy("comp").agg(count(lit(1)).as("csize"))
@@ -571,9 +722,11 @@ object Similarity extends QueryModule {
   }
 
   private val q125Sql =
-    s"""WITH RECURSIVE e AS (
-       |  SELECT vec_id, embedding, ${sigDuck("embedding")} AS sig
-       |  FROM embeddings
+    s"""WITH RECURSIVE nw AS (${nwDuck("embeddings")}),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    ${sigDuckMasked("embedding", "nw.w")} AS sig
+       |  FROM embeddings, nw
        |), p0 AS (
        |  SELECT l.vec_id AS v1, r.vec_id AS v2
        |  FROM e l JOIN e r ON l.sig = r.sig AND l.vec_id < r.vec_id
@@ -614,9 +767,11 @@ object Similarity extends QueryModule {
   }
 
   private val q127Sql =
-    s"""WITH RECURSIVE e AS (
-       |  SELECT vec_id, embedding, ${sigDuck("embedding")} AS sig
-       |  FROM embeddings
+    s"""WITH RECURSIVE nw AS (${nwDuck("embeddings")}),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    ${sigDuckMasked("embedding", "nw.w")} AS sig
+       |  FROM embeddings, nw
        |), p0 AS (
        |  SELECT l.vec_id AS v1, r.vec_id AS v2
        |  FROM e l JOIN e r ON l.sig = r.sig AND l.vec_id < r.vec_id
@@ -788,7 +943,10 @@ object Similarity extends QueryModule {
   // --- q156: random-projection dimensionality reduction --------------------
   // Johnson–Lindenstrauss-style 64→8 reduction with the SAME
   // deterministic integer hyperplane family as the SRP signature (q30):
-  // coordinate p = ⌊1000 · ⟨v, plane_p⟩⌋. Where SRP keeps only the SIGN
+  // coordinate p = ⌊1000 · ⟨v, plane_p⟩⌋ for the first JlDims = 8
+  // planes (a fixed OUTPUT dimensionality — unrelated to the adaptive
+  // LSH bucket width, which sizes candidate generation, not this
+  // projection). Where SRP keeps only the SIGN
   // bit (a locality bucket), this keeps the scaled projection VALUE —
   // the compact embedding a downstream ANN/cluster stage consumes.
   // Planes are engine config embedded as literals in both dialects;
@@ -797,11 +955,12 @@ object Similarity extends QueryModule {
   // Scale shape: stateless per-row projection, zero shuffles, stays in
   // one whole-stage-codegen span; output is 8 longs per vector — the
   // 100 TB reading is "8× smaller embedding table in one pass".
+  private val JlDims = 8
   private def q156(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id") +:
-        (0 until NPlanes).map(p =>
+        (0 until JlDims).map(p =>
           expr(s"CAST(floor(1000 * graft_dot(embedding, " +
             s"CAST(array(${planeCoefs(p)}) AS ARRAY<FLOAT>))) AS BIGINT)")
             .as(s"p$p")): _*)
@@ -809,7 +968,7 @@ object Similarity extends QueryModule {
 
   private val q156Sql =
     s"""SELECT vec_id,
-       |${(0 until NPlanes).map(p =>
+       |${(0 until JlDims).map(p =>
            s"  CAST(FLOOR(1000 * ${Dialect.duckDot("embedding",
              s"[${planeCoefs(p)}]")}) AS BIGINT) AS p$p")
            .mkString(",\n")}
@@ -1049,7 +1208,128 @@ object Similarity extends QueryModule {
     }
   }
 
+  // --- q201: IVF index MAINTENANCE (append a batch, compact, re-probe) -----
+  // q192 proves the persisted-index lifecycle for a build-once index;
+  // this proves the index stays SERVABLE under growth without rebuilds:
+  // build the inverted file from candidates with vec_id % 10 != 0,
+  // APPEND the % 10 == 0 batch (only the batch is quantized — one
+  // assignCells pass over new vectors, appended into the cell
+  // partitions; existing files untouched), COMPACT the accumulated
+  // small files cell-by-cell (`repartition(cell)` + partitionBy —
+  // the periodic maintenance job), and probe the fixed query set from
+  // the compacted index. The probe must equal oracle-hash-checked q41
+  // (the full-corpus one-shot build) row-for-row: a vector lost in
+  // append or a cell corrupted in compaction changes some query's
+  // top-k. Fail-loud ParityGate; conservation require()s pin row counts
+  // at each maintenance step.
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") >= NQueries &&
+        col("vec_id") < NQueries + NCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("av"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-update").toString
+    try {
+      val cand = e.filter(col("vec_id") >= NQueries)
+      val initial = cand.filter(col("vec_id") % 10 =!= 0)
+      val batch = cand.filter(col("vec_id") % 10 === 0)
+      assignCells(initial, anchors)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxDir/cells")
+      anchors.write.mode("overwrite").parquet(s"$idxDir/anchors")
+      val n0 = s.read.parquet(s"$idxDir/cells").count()
+      // APPEND: quantize the new batch only, against the PERSISTED
+      // quantizer (the anchors table, not the in-session frame — the
+      // maintenance job of a long-lived index has only the index dir)
+      val pAnchors = s.read.parquet(s"$idxDir/anchors")
+      assignCells(batch, pAnchors)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$idxDir/cells")
+      val nB = batch.count()
+      val grown = s.read.parquet(s"$idxDir/cells")
+      require(grown.count() == n0 + nB,
+        s"q201: append lost/duplicated inverted-file rows")
+      // COMPACT: cell-clustered rewrite of the accumulated files
+      grown.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$idxDir/cells_compact")
+      val pCells = s.read.parquet(s"$idxDir/cells_compact")
+      require(pCells.count() == n0 + nB,
+        "q201: compaction changed the inverted-file row count")
+      // PROBE from the compacted index only
+      val persisted = ivfTopKFrom(pCells,
+        probeCells(e.filter(col("vec_id") < NQueries), pAnchors))
+        .collect()
+      val full = q41(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      import s.implicits._
+      graft.ParityGate(
+        persisted.toSeq.map { r =>
+          val t = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+          (t._1, t._2, t._3, t._4,
+            full.contains(t) && full.size == persisted.length)
+        }.toDF("qid", "cid", "sim", "rn", "matches_rebuild"),
+        "q201_ivf_index_update", "matches_rebuild")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(idxDir))
+    }
+  }
+
+  // --- q202: ANN recall audit ----------------------------------------------
+  // The accuracy leg the ANN entries were missing: q30/q41 prove
+  // determinism and cross-engine parity, but parity cannot say whether
+  // the approximate top-k is any GOOD — an LSH that returned garbage
+  // deterministically would still hash-match its twin. This entry
+  // measures recall@10 against oracle-checked exact q29 on the same
+  // fixture, in exact milli units, and gates each row on a pinned
+  // per-method floor (the q38 accuracy-bit precedent), for the two ANN
+  // paths with a recall CONTRACT: IVF multi-cell probing (q41) and
+  // hamming-2 multi-probe SRP ([[srpMultiProbeTopK]]). Single-probe SRP
+  // (q30) is deliberately NOT floor-gated: DevRecallProbe measured its
+  // recall@10 decaying to 0–100 milli as adaptive width grows — it is a
+  // candidate GENERATOR (the near-dup pair threshold downstream
+  // supplies precision), and gating it would pin a number the operator
+  // does not promise.
+  //
+  // Floors = measured cross-scale minima (DevRecallProbe, all five
+  // decades sf0.001 → sf10) minus headroom: both methods bottom out at
+  // exactly 200 milli on some (decade, query), so both gate at ≥ 150. A
+  // plane-literal typo, a broken bucket/cell join, or a quantizer drift
+  // zeroes some query's overlap and trips the gate.
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val exact = q29(s, dir).select(col("qid"), col("cid"))
+      .localCheckpoint(eager = false) // tiny: NQueries × TopK rows
+    def recallOf(approx: DataFrame, method: String, floorMilli: Long) = {
+      val hits = approx.select(col("qid"), col("cid"))
+        .join(exact, Seq("qid", "cid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("qid").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(method).as("method"),
+          ((lit(1000) * coalesce(col("n_hit"), lit(0L))) / col("k"))
+            .cast("long").as("recall_milli"))
+        .withColumn("recall_ok", col("recall_milli") >= floorMilli)
+    }
+    val mp = srpMultiProbeTopK(
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    graft.ParityGate(
+      recallOf(q41(s, dir), "ivf", 150L)
+        .unionAll(recallOf(mp, "srp_multiprobe", 150L)),
+      "q202_ann_recall", "recall_ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_ann_recall" -> q202 _,
+    "q201_ivf_index_update" -> q201 _,
     "q192_ivf_persist" -> q192 _,
     "q160_maxsim" -> q160 _,
     "q153_embed_gram" -> q153 _,

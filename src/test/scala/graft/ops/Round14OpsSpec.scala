@@ -151,4 +151,24 @@ class Round14OpsSpec extends SparkTestBase {
       .filter(col("a") > col("b")).count()
     assert(stars == (4 - 1) + (3 - 1), s"star edges $stars")
   }
+
+  test("cloneCollapsedNearDupEdges: zero-norm embedding fails loud") {
+    import spark.implicits._
+    // a zero vector's cosine is a divide-by-zero: the naive path throws
+    // only when the zero rep shares a bucket, star edges would silently
+    // connect its clones — the operator asserts the precondition
+    // deterministically instead (scaladoc contract)
+    val zero = Seq.fill(64)(0.0f)
+    val one = 1.0f +: Seq.fill(63)(0.0f)
+    val df = Seq((1L, "a", one), (2L, "b", zero), (3L, "b", zero))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception] {
+      Similarity.cloneCollapsedNearDupEdges(df).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("zero-norm")),
+      s"expected the zero-norm assert, got: ${messages(e).mkString(" | ")}")
+  }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Round-15 additions: scale-adaptive SRP LSH width (the fix for the
+  * sf10 quadratic-pair defect measured in round 12) and its contract
+  * with the oracle twin.
+  */
+class Round15OpsSpec extends SparkTestBase {
+
+  test("adaptiveNPlanes: exact integer search, boundary-stable") {
+    // values cross-checked against the DuckDB nw CTE (same shift-compare
+    // over range(8,25)) — any drift here is an oracle-parity break
+    val expect = Seq(
+      0L -> 8, 1L -> 8, 4096L -> 8, // 2^8·16 = 4096: floor boundary
+      4097L -> 9, // one past the boundary grows exactly one plane
+      16384L -> 10, 16385L -> 11, 70000L -> 13,
+      200000L -> 14, // the sf10 embeddings corpus lands here
+      1000000000000L -> 24) // cap: 2^24 buckets, load grows past 16
+    expect.foreach { case (n, w) =>
+      assert(Similarity.adaptiveNPlanes(n) == w,
+        s"adaptiveNPlanes($n) != $w")
+    }
+    // monotone non-decreasing in n (sanity over a spread of magnitudes)
+    val widths = (0 to 40).map(i => Similarity.adaptiveNPlanes(1L << (i / 2)))
+    assert(widths == widths.sorted)
+  }
+
+  test("embeddingNearDupPairs: adaptive default == explicit floor width " +
+      "at fixture scale") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // 500 rows < 2^8·64, so the adaptive default must resolve to the
+    // 8-plane floor — bit-identical pairs to the historic pinned-8 path
+    val adaptive = Similarity.embeddingNearDupPairs(e)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pinned = Similarity.embeddingNearDupPairs(e, nPlanes = 8)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(adaptive == pinned && adaptive.nonEmpty)
+  }
+
+  test("wider signature is a refinement: every wide-width pair is a " +
+      "floor-width pair") {
+    // growing the width only SPLITS buckets (bit w+1 partitions each
+    // 2^w bucket), so the candidate set shrinks monotonically — the
+    // invariant that makes adaptive width safe to widen under growth
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(w: Int) = Similarity.embeddingNearDupPairs(e, nPlanes = w)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val w8 = pairs(8)
+    val w12 = pairs(12)
+    assert(w12.subsetOf(w8), s"${(w12 -- w8).take(5)} appear only at w12")
+  }
+}

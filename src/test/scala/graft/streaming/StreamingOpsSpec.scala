@@ -239,6 +239,85 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally graft.Fs.deleteRecursively(root)
   }
 
+  test("upsert fold (latest-row-per-key state) survives a mid-stream " +
+      "checkpoint restart") {
+    // q198's stateful aggregate — groupBy(k).agg(max(struct(v, …))), the
+    // materialized-upsert-view fold — restarted from its checkpoint
+    // mid-stream. The file-sink restart test above covers windowed aggs;
+    // this covers the UNWINDOWED keyed fold whose state lives forever
+    // (one struct per key), in the q199 serving shape: update-mode
+    // deltas appended via foreachBatch, resolved latest-per-key on read.
+    // foreachBatch is at-least-once (a batch committed to the sink but
+    // not the checkpoint re-runs on restart), so the sink is an
+    // append-only delta LOG and exactly-once lives in the RESOLVE step:
+    // a replayed batch id appends byte-identical rows (file-source
+    // offsets pin batch contents), and latest-per-key picks one.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-rec-")
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    try {
+      // four files of versioned changes; later files carry BOTH higher
+      // versions (must displace) and stale v1 re-deliveries (must not)
+      val keys = 0L until 100L
+      Seq(
+        keys.map(k => (k, 1, s"p1-$k")),
+        keys.filter(_ % 3 == 0).map(k => (k, 2, s"p2-$k")),
+        keys.filter(_ % 5 == 0).map(k => (k, 3, s"p3-$k")),
+        keys.filter(_ % 7 == 0).map(k => (k, 1, s"p1-$k")) // stale redelivery
+      ).foreach { rows =>
+        rows.toDF("k", "v", "payload")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val schema = spark.read.parquet(in).schema
+      def start() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .select(col("k"), struct(col("v"), col("payload")).as("row"))
+        .groupBy("k").agg(max(col("row")).as("r"))
+        .select(col("k"), col("r.v").as("v"), col("r.payload").as("payload"))
+        .writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      StreamConf.withStateParts(spark) {
+        // run 1: kill after ≥1 committed micro-batch, mid-stream
+        val q1 = start()
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while ((q1.lastProgress == null || q1.lastProgress.batchId < 1) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        } finally q1.stop()
+        // run 2: same checkpoint, drain the rest
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      val deltas = spark.read.parquet(out)
+      val resolved = deltas
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(col("batch_id").desc)))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2)))
+        .toMap
+      val batch = spark.read.parquet(in)
+        .select(col("k"), struct(col("v"), col("payload")).as("row"))
+        .groupBy("k").agg(max(col("row")).as("r"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getStruct(1).getInt(0), r.getStruct(1).getString(1)))
+        .toMap
+      assert(resolved == batch,
+        s"restart divergence: ${(resolved.toSet diff batch.toSet).take(5)}")
+      // the fold actually upserted: v2/v3 displaced v1, stale v1 did not
+      assert(resolved(0L)._1 == 3 && resolved(1L)._1 == 1 &&
+        resolved(7L)._1 == 1 && resolved(15L)._1 == 3 && resolved(6L)._1 == 2)
+    } finally graft.Fs.deleteRecursively(root)
+  }
+
   test("state store backend is configurable; rocksdb (default) matches hdfs") {
     // The scale knob behind every gated streaming entry: RocksDB keeps
     // keyed state off-heap (the JVM-heap store is the 100 TB
