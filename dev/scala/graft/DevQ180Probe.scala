@@ -6,12 +6,21 @@ import org.apache.spark.sql.functions._
 /** Diagnose q180's expectation mismatch: print the stream-emitted window
   * set vs the batch-derived expected set, plus the watermark-drop ledger
   * vs |early|.
+  *
+  * Deliberately lands the early half MULTI-FILE (unlike the entry, which
+  * coalesces to one part file): the live query polls the directory while
+  * the batch write renames task files into place, so a slow multi-file
+  * commit can straddle a listing and split the early half across
+  * micro-batches — double-counting windows in the per-batch drop
+  * ledger. This probe is the reproducer for that race (seen at sf1/sf10
+  * under local[32]); the per-batch PROBE lines make the split visible.
   */
 object DevQ180Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val s = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,6 +55,12 @@ object DevQ180Probe {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       early.write.mode("append").parquet(scratch)
       q.processAllAvailable()
+      q.recentProgress.toSeq.foreach { p =>
+        val d = p.stateOperators.toSeq.map(_.numRowsDroppedByWatermark).sum
+        if (p.numInputRows > 0 || d > 0)
+          println(s"PROBE batch=${p.batchId} inputRows=${p.numInputRows} " +
+            s"dropped=$d")
+      }
       val drops = q.recentProgress.toSeq
         .flatMap(_.stateOperators.toSeq)
         .map(_.numRowsDroppedByWatermark).sum

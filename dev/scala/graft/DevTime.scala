@@ -15,6 +15,9 @@ object DevTime {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // q126's complete-mode gate collects ~1 GiB on the driver at sf10
+      // (see DevFullSf10) — same headroom here for ad-hoc sf10 timings
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink, same as Bench: count() would let column pruning drop the

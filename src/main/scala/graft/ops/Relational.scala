@@ -1737,7 +1737,13 @@ object Relational extends graft.QueryModule {
       col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey").as("del_ok"))
     val l = Tables.load(s, dir, "lineitem").select("l_orderkey")
-    val lPurged = l.join(delOrders,
+    // delOrders is |orders|/97 keys (~155k at sf10) — small vs lineitem
+    // but PAST Catalyst's pre-AQE broadcast estimate once the semi-join
+    // output stats are unknown: without the hint the lineitem anti/semi
+    // legs planned as sort-merge at sf10 (full 60M-row shuffle, measured
+    // 25.6× for the 10× step). The hint pins the design intent stated
+    // above; ReuseExchange shares the one broadcast across both legs.
+    val lPurged = l.join(broadcast(delOrders),
       col("l_orderkey") === col("del_ok"), "left_anti")
     def audit(table: String, before: DataFrame, after: DataFrame,
         residue: DataFrame): DataFrame =
@@ -1751,7 +1757,7 @@ object Relational extends graft.QueryModule {
         oPurged.join(broadcast(delKeys),
           col("o_custkey") === col("c_custkey"), "left_semi"))
       .unionAll(audit("lineitem", l, lPurged,
-        lPurged.join(delOrders,
+        lPurged.join(broadcast(delOrders),
           col("l_orderkey") === col("del_ok"), "left_semi")))
   }
 

@@ -123,13 +123,32 @@ object Stats extends QueryModule {
   // Quartiles of order value within each priority class. ntile is only
   // well-defined under a TOTAL order, so the unique o_orderkey tiebreak is
   // part of the operator contract (same rule as every other window in this
-  // battery). Scale: one shuffle on the partition key; each partition
-  // sorts locally — no global sort.
+  // battery). Scale: o_orderpriority has FIVE values, so ntile().over a
+  // per-priority window serializes one task per priority (q109's failure
+  // mode; measured 9.8× for the 10× step to sf10). The tile instead
+  // derives from the grouped [[graft.plans.PrefixSum.rowNumber]] rank +
+  // a broadcast per-group count, replaying the SQL ntile rule exactly:
+  // with bs = n div k and r = n mod k, the first r tiles hold bs+1 rows,
+  // the rest bs. (When n < k, r = n and every row sits alone in the
+  // bs+1 = 1 branch, so the `div bs` leg — bs = 0 — is never evaluated.)
   private def q71(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.load(s, dir, "orders")
-      .withColumn("tile", ntile(4).over(w))
+    val ranked = graft.plans.PrefixSum.rowNumber(
+        Tables.load(s, dir, "orders")
+          .select("o_orderpriority", "o_totalprice", "o_orderkey")
+          .localCheckpoint(eager = false),
+        "o_totalprice",
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+        "rn", groupCols = Seq("o_orderpriority"))
+      .localCheckpoint(eager = false)
+    val counts = ranked.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("o_orderpriority"))
+      .withColumn("tile", expr(
+        """CAST(CASE
+          |  WHEN rn <= (n % 4) * (n div 4 + 1)
+          |    THEN (rn - 1) div (n div 4 + 1) + 1
+          |  ELSE (n % 4) + (rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1
+          |END AS INT)""".stripMargin))
       .groupBy(col("o_orderpriority"), col("tile"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -191,31 +210,46 @@ object Stats extends QueryModule {
   // the unique (orderkey, linenumber) tiebreak, the battery's standard
   // window contract.
   //
-  // Scale shape: one shuffle on the group key; rn/n and the boundary
-  // broadcast are two window passes over the SAME partitioning (no
-  // second shuffle); the final aggregate is per-group. At 100 TB a
-  // per-group sort is the honest cost of exact percentiles (q76 is the
-  // sketch path when approximation is acceptable).
+  // Scale shape: l_returnflag has THREE values, so a
+  // `Window.partitionBy(flag)` rank serializes each group into one task
+  // (measured 14.5× for the 10× step to sf10, 134 s absolute — the
+  // spilling per-group sort). Ranks instead come from the grouped
+  // [[graft.plans.PrefixSum.rowNumber]] two-pass scan (value-bucketed,
+  // fully parallel); the rank-k clip boundaries are then a FILTER on the
+  // two pinned ranks (one row per group per bound) broadcast back — no
+  // whole-group window anywhere. Exact percentiles still cost a
+  // distributed sort pass; q76 is the sketch path when approximation is
+  // acceptable.
   private def q109(s: SparkSession, dir: String): DataFrame = {
-    val byVal = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
-        col("l_linenumber").asc)
-    val whole = Window.partitionBy("l_returnflag")
-    val ranked = Tables.load(s, dir, "lineitem")
+    // localCheckpoint: the scan evaluates its input ~3× and `ranked`
+    // feeds three consumers (counts, bounds, final agg) — house rule
+    val base = Tables.load(s, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-      .withColumn("rn", row_number().over(byVal))
-      .withColumn("n", count(lit(1)).over(whole))
-      // first/last KEPT rank: clip the bottom and top floor(5% · n) rows
+      .localCheckpoint(eager = false)
+    val ranked = graft.plans.PrefixSum.rowNumber(
+        base, "l_extendedprice",
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+        "rn", groupCols = Seq("l_returnflag"))
+      .localCheckpoint(eager = false)
+    // first/last KEPT rank: clip the bottom and top floor(5% · n) rows
+    val counts = ranked.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
       .withColumn("klo", expr("(n * 5) div 100 + 1"))
       .withColumn("khi", expr("n - (n * 5) div 100"))
-    val bounded = ranked
-      .withColumn("lo_val",
-        max(when(col("rn") === col("klo"), col("l_extendedprice"))).over(whole))
-      .withColumn("hi_val",
-        max(when(col("rn") === col("khi"), col("l_extendedprice"))).over(whole))
+    val withK = ranked.join(broadcast(counts), Seq("l_returnflag"))
+    val bounds = withK
+      .filter(col("rn") === col("klo") || col("rn") === col("khi"))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === col("klo"), col("l_extendedprice")))
+          .as("lo_val"),
+        max(when(col("rn") === col("khi"), col("l_extendedprice")))
+          .as("hi_val"))
+    withK.join(broadcast(bounds), Seq("l_returnflag"))
       .withColumn("wins",
         least(greatest(col("l_extendedprice"), col("lo_val")), col("hi_val")))
-    bounded.groupBy("l_returnflag")
+      .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
         max(col("lo_val")).as("lo_val"),
@@ -305,30 +339,39 @@ object Stats extends QueryModule {
   // near-uniform, where max modified z ≈ 1.35 and NOTHING ever flags —
   // a threshold op needs data with a tail to be a meaningful entry).
   //
-  // Scale shape: one shuffle on the group key; the value rank, the
-  // deviation rank, and the per-group broadcast of median/MAD are three
-  // window passes over the SAME partitioning (in-partition re-sorts, no
-  // extra exchange); the verdict aggregate is per-group. Exact medians
-  // cost the per-group sort — q76's sketch is the approximation path.
+  // Scale shape: event_type is a handful of values, so per-group window
+  // ranks serialize one task per type (the q109 failure mode — this
+  // entry measured 7.9× for the 10× step to sf10 on the same pattern).
+  // Both ranks come from the grouped
+  // [[graft.plans.PrefixSum.rowNumber]] two-pass scan instead (one scan
+  // per rank — the deviation order only exists after the median lands),
+  // and median/MAD are FILTERS on the pinned rank (one row per group)
+  // broadcast back. Exact medians still cost the distributed sort
+  // passes — q76's sketch is the approximation path.
   private def q115(s: SparkSession, dir: String): DataFrame = {
-    val whole = Window.partitionBy("event_type")
-    val byVal = whole.orderBy(col("v100").asc, col("event_id").asc)
-    val ranked = Tables.load(s, dir, "events")
+    val base = Tables.load(s, dir, "events")
       .select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
-      .withColumn("rn", row_number().over(byVal))
-      .withColumn("n", count(lit(1)).over(whole))
-      // lower median: the actual value at rank ceil(n/2)
-      .withColumn("med",
-        max(when(col("rn") === expr("(n + 1) div 2"), col("v100")))
-          .over(whole))
+      .localCheckpoint(eager = false)
+    val r1 = graft.plans.PrefixSum.rowNumber(
+        base, "v100", Seq(col("v100").asc, col("event_id").asc),
+        "rn", groupCols = Seq("event_type"))
+      .localCheckpoint(eager = false)
+    val counts = r1.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val withN = r1.join(broadcast(counts), Seq("event_type"))
+    // lower median: the actual value at rank ceil(n/2) — one row/group
+    val meds = withN.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("v100").as("med"))
+    val dev = withN.join(broadcast(meds), Seq("event_type"))
       .withColumn("dev", abs(col("v100") - col("med")))
-    val byDev = whole.orderBy(col("dev").asc, col("event_id").asc)
-    ranked
-      .withColumn("rn2", row_number().over(byDev))
-      .withColumn("mad",
-        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev")))
-          .over(whole))
+      .localCheckpoint(eager = false)
+    val r2 = graft.plans.PrefixSum.rowNumber(
+        dev, "dev", Seq(col("dev").asc, col("event_id").asc),
+        "rn2", groupCols = Seq("event_type"))
+      .localCheckpoint(eager = false)
+    val mads = r2.filter(col("rn2") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    r2.join(broadcast(mads), Seq("event_type"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -948,20 +991,25 @@ object Stats extends QueryModule {
   // within-type percentile in integer milli-units,
   // pctl = 1000·(rank−1) div (n−1) (min → 0, max → 1000, n = 1 → 500).
   // Rank = row_number under a pinned (v100, event_id) total order —
-  // average-rank tie handling would need a second window; the pinned
-  // tiebreak keeps ONE window pass and stays deterministic. Per-type
-  // windows (bounded series per partition); for a single giant group the
-  // PrefixSum scan is the drop-in (q169's path). Output sampled to every
-  // 7th event to keep the battery row count honest.
+  // average-rank tie handling would need a second pass; the pinned
+  // tiebreak keeps one rank pass and stays deterministic. Per-type
+  // WINDOW ranks serialize one task per type (q109's failure mode;
+  // this entry measured 10.3× for the 10× step to sf10), so the rank
+  // comes from the grouped [[graft.plans.PrefixSum.rowNumber]] scan and
+  // n from a broadcast per-type count. Output sampled to every 7th
+  // event to keep the battery row count honest (AFTER ranking — the
+  // percentile is against the full population).
   private def q176(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("v100").asc, col("event_id").asc)
-    val n = Window.partitionBy("event_type")
-    Tables.load(s, dir, "events")
+    val base = Tables.load(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(n))
+      .localCheckpoint(eager = false)
+    val r = graft.plans.PrefixSum.rowNumber(
+        base, "v100", Seq(col("v100").asc, col("event_id").asc),
+        "rk", groupCols = Seq("event_type"))
+      .localCheckpoint(eager = false)
+    val counts = r.groupBy("event_type").agg(count(lit(1)).as("n"))
+    r.join(broadcast(counts), Seq("event_type"))
       .filter(col("event_id") % 7 === 0)
       .select(col("event_id"), col("event_type"), col("v100"),
         expr("CASE WHEN n = 1 THEN 500L " +

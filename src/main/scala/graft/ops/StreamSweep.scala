@@ -399,8 +399,17 @@ object StreamSweep extends QueryModule {
   // open at end-of-input stay unemitted. Both facts are computed from
   // the batch table and ParityGated per row. The two-phase landing is
   // deterministic: file batches are separated by processAllAvailable,
-  // never by timing. Scratch is driver-local (q112's local-mode
-  // contract; a cluster routes it through spark.graft.scratch.dir).
+  // never by timing — AND the early half lands as ONE part file
+  // (coalesce(1)): the live query keeps polling the directory while a
+  // batch write commits its task files one rename at a time, so a
+  // multi-file landing can straddle a listing and split the early half
+  // across micro-batches. That split double-counts windows in the
+  // per-batch drop ledger (first seen at sf1/sf10, where the write is
+  // slow enough for the poller to win the race); a single part file
+  // becomes visible in one atomic rename, so the early batch is
+  // all-or-nothing by construction. Scratch is driver-local (q112's
+  // local-mode contract; a cluster routes it through
+  // spark.graft.scratch.dir).
   //
   // Ledger units (probed, not assumed): `numRowsDroppedByWatermark`
   // counts rows reaching the STATE operator — i.e. post-shuffle MERGED
@@ -443,7 +452,10 @@ object StreamSweep extends QueryModule {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            early.write.mode("append").parquet(scratch)
+            // one part file => atomic visibility to the polling source
+            // (multi-file commits can split across micro-batches and
+            // double-count windows in the drop ledger — see doc above)
+            early.coalesce(1).write.mode("append").parquet(scratch)
             q.processAllAvailable()
             val drops = q.recentProgress.toSeq
               .flatMap(_.stateOperators.toSeq)

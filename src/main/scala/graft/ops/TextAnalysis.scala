@@ -970,9 +970,11 @@ object TextAnalysis extends QueryModule {
   // carries (token, count) bounded by the LANGUAGE's vocabulary, never
   // the token stream; (2) scoring — the (token → quantized logp) table
   // is folded into ONE broadcast map row and every document scores
-  // map-side with an in-array fold (no shuffle, no join). At open-web
-  // vocabulary scale, swap stage 2 for the explode + vocab equi-join
-  // (decontamination's shape); semantics identical.
+  // map-side with an in-array fold (no shuffle, no join) — while the
+  // vocabulary stays under the measured break-even (256 terms; the
+  // map lookup is a linear scan, see unigramLogProb). Past it, the
+  // auto-select switches to the explode + vocab equi-join
+  // (decontamination's shape); semantics identical, bit-equal.
   //
   // Cross-engine exactness: ln() is libm, not IEEE-pinned, so per-token
   // log-probs are QUANTIZED to integer millinats — floor(ln(p)·1000) —
@@ -996,19 +998,27 @@ object TextAnalysis extends QueryModule {
     * TWO scoring paths, bit-identical (integer millinat sums are
     * order-independent; UnigramPathSpec proves equality):
     *  - broadcast: the (token → quantized logp) table folds into ONE
-    *    map row broadcast to the scorers — zero scoring shuffle, the
-    *    right plan while the vocabulary fits a driver/executor map row;
+    *    map row broadcast to the scorers — zero scoring shuffle. The
+    *    cliff: `element_at` on Spark's ArrayBasedMapData is a LINEAR
+    *    key scan, so scoring costs O(total_tokens × V) string compares
+    *    — measured 178 s at 27M tokens × 3,100 terms where the join
+    *    path takes 3.7 s, and the join already wins at V = 310
+    *    (2.1 s vs 4.9 s, PERF.md round 13). Right only for genuinely
+    *    tiny maps (stopword lists, label maps);
     *  - join: explode + pre-aggregated (doc, token) counts equi-joined
-    *    against a DISTRIBUTED logp table — the open-web-vocabulary
-    *    plan (a 100M-term map row cannot broadcast; a cached
-    *    vocabulary-bounded table shuffles fine).
+    *    against a DISTRIBUTED logp table — hash-probe O(1) per term,
+    *    linear at every measured decade (1.75× for the 10× step to
+    *    sf10); the plan for every non-toy vocabulary.
     * `scoreViaJoin` pins a path; `None` auto-selects by counting the
     * vocabulary (one extra vocabulary-bounded aggregation job — the
     * lazy checkpoint means tokenization itself still runs once) and
     * switching to the join above `broadcastVocabMax` distinct terms.
+    * The default bound is 256: the measured break-even, NOT a
+    * broadcast-size limit — a 2^20-term map row broadcasts fine and
+    * then burns quadratic time in the per-token scan.
     */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
-      broadcastVocabMax: Long = 1L << 20,
+      broadcastVocabMax: Long = 1L << 8,
       scoreViaJoin: Option[Boolean] = None): DataFrame = {
     val toks = docs
       .withColumn("toks",

@@ -136,4 +136,25 @@ object PrefixSum {
     }.drop(Seq("__bucket", "__cbucket") ++ groupCols.map(g => s"__cg_$g") ++
       srcs.map(s => s"__carry_$s"): _*)
   }
+
+  /** `row_number()` per group under a total order, WITHOUT the per-group
+    * single-task sort: an inclusive grouped running count of 1 via
+    * [[scan]]. `Window.partitionBy(k).orderBy(...)` ranks serialize into
+    * one task per distinct key — fine for high-cardinality keys, a
+    * measured scale-killer when the key has a handful of values
+    * (l_returnflag: 3; at sf10 each task sorts 20M rows and spills —
+    * q109 clocked 14.5× for the 10× step before this path). Requirements
+    * are scan's: `bucketCol` numeric and the LEADING component of
+    * `orderCols`, and the order total (unique tiebreak), else ranks at
+    * ties are nondeterministic. The output column is LongType (the SQL
+    * function's is int) — callers compare/cast, never subtract across
+    * types. Cost: the scan's three input evaluations — callers with a
+    * non-trivial upstream should localCheckpoint first.
+    */
+  def rowNumber(df: DataFrame, bucketCol: String, orderCols: Seq[Column],
+      dst: String, groupCols: Seq[String] = Nil,
+      uniformBounds: Boolean = false): DataFrame =
+    scan(df.withColumn("__one", lit(1L)), bucketCol, orderCols,
+      Seq("__one" -> dst), uniformBounds = uniformBounds,
+      groupCols = groupCols).drop("__one")
 }

@@ -539,8 +539,8 @@ class PublicApiSpec extends SparkTestBase {
     assert(bc == jn, s"broadcast=$bc\njoin=$jn")
     assert(jn(99L) == ((0L, 0L, None))) // empty doc survives the join path
     // auto-select: vocabulary (10 terms) above a threshold of 2 → the
-    // join plan (no map_from_entries broadcast fold); the default 2^20
-    // threshold → the broadcast plan. Same rows either way.
+    // join plan (no map_from_entries broadcast fold); under the default
+    // 256-term break-even → the broadcast plan. Same rows either way.
     val auto = TextAnalysis.unigramLogProb(docs, broadcastVocabMax = 2)
     assert(!auto.queryExecution.optimizedPlan.toString
       .contains("map_from_entries"))
