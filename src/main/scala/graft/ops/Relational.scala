@@ -898,20 +898,56 @@ object Relational extends graft.QueryModule {
       .stripMargin
 
   // --- Q60: theta (inequality-only) join ------------------------------------
-  // No equi-key at all, so Catalyst has no hash/SMJ option: this is the
-  // BroadcastNestedLoopJoin path, correct ONLY because one side is tiny
-  // (suppliers per nation). The predicate compares each supplier's acctbal
-  // against richer suppliers of a DIFFERENT nation — a genuine θ-join.
+  // Semantics: for every supplier, how many suppliers of a DIFFERENT nation
+  // have more than double its account balance — a genuine θ-join (no
+  // equi-key, so Catalyst's only direct plan is BroadcastNestedLoopJoin,
+  // O(n²) pairs: tolerable while suppliers are dim-sized, measured 12× for
+  // the 10× step to sf10, dead at warehouse scale). This θ predicate is a
+  // pure ORDER STATISTIC, though, so it decomposes exactly:
+  //   richer_foreign(a) = #{b : bal_b > 2·bal_a}              (global)
+  //                     − #{b ∈ nation(a) : bal_b > 2·bal_a}  (same-nation)
+  // and "count above a threshold" = total − #{≤ threshold}, computable for
+  // ALL suppliers at once by merging value rows (weight 1) and threshold
+  // rows (weight 0) into one ordered frame and taking a running count —
+  // the bucketed PrefixSum two-pass scan (fully parallel, O(n log n); the
+  // same machinery as the sweep-line). Strictness at ties: value rows sort
+  // BEFORE threshold rows at equal key (typ 0 < 1), so the inclusive
+  // running count AT a threshold row is exactly #{bal_b ≤ 2·bal_a}. ×2 on
+  // a double is an exponent bump — exact in both engines, ties align. The
+  // inner-join row set (zero-count suppliers absent) is kept by the final
+  // count > 0 filter. BNLJ remains the right plan only for θ predicates
+  // with no such decomposition and a genuinely tiny side (maxSimTopK).
   private def q60(s: SparkSession, dir: String): DataFrame = {
-    val a = Tables.load(s, dir, "supplier")
+    val sup = Tables.load(s, dir, "supplier")
       .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"),
         col("s_acctbal").as("bal"))
-    val b = Tables.load(s, dir, "supplier")
-      .select(col("s_suppkey").as("sk2"), col("s_nationkey").as("nk2"),
-        col("s_acctbal").as("bal2"))
-    a.join(b, col("nk") =!= col("nk2") && col("bal2") > col("bal") * 2)
-      .groupBy(col("sk"))
-      .agg(count(lit(1)).as("n_richer_foreign"))
+      .localCheckpoint(eager = false) // read by 2 multi-pass scans + totals
+    val frame = sup
+      .select(col("sk"), col("nk"), col("bal").as("v"),
+        lit(0).as("typ"), lit(1L).as("w"))
+      .unionByName(sup.select(col("sk"), col("nk"),
+        (col("bal") * 2).as("v"), lit(1).as("typ"), lit(0L).as("w")))
+      .localCheckpoint(eager = false)
+    val ord = Seq(col("v"), col("typ"), col("sk"))
+    // #{b : bal_b ≤ 2·bal_a} at each threshold row, globally …
+    val globLe = graft.plans.PrefixSum
+      .scan(frame, "v", ord, Seq("w" -> "n_le"))
+      .filter(col("typ") === 1).select(col("sk"), col("n_le"))
+    // … and within the probing supplier's own nation (grouped scan: the
+    // nation count is fixed, so per-nation windows would serialize
+    // linearly-growing groups into single tasks — the grouped scan's case)
+    val sameLe = graft.plans.PrefixSum
+      .scan(frame, "v", ord, Seq("w" -> "n_le_nk"), groupCols = Seq("nk"))
+      .filter(col("typ") === 1).select(col("sk"), col("nk"), col("n_le_nk"))
+    val perNation = sup.groupBy("nk").agg(count(lit(1)).as("n_nk"))
+    val total = sup.agg(count(lit(1)).as("n_all"))
+    sameLe.join(globLe, "sk")
+      .join(broadcast(perNation), "nk")
+      .crossJoin(broadcast(total))
+      .withColumn("n_richer_foreign",
+        (col("n_all") - col("n_le")) - (col("n_nk") - col("n_le_nk")))
+      .filter(col("n_richer_foreign") > 0)
+      .select(col("sk"), col("n_richer_foreign"))
   }
 
   private val q60Sql =
