@@ -929,15 +929,23 @@ object Relational extends graft.QueryModule {
         (col("bal") * 2).as("v"), lit(1).as("typ"), lit(0L).as("w")))
       .localCheckpoint(eager = false)
     val ord = Seq(col("v"), col("typ"), col("sk"))
+    // One shared bounds pass for BOTH scans: acctbal is near-uniform, so
+    // a min/max + even split gives balanced buckets without each scan
+    // paying its own eager approxQuantile job (bucket balance affects
+    // only parallelism, never correctness).
+    val mm = frame.agg(min(col("v")), max(col("v"))).head()
+    val range = if (mm.isNullAt(0)) None
+      else Some((mm.getDouble(0), mm.getDouble(1)))
     // #{b : bal_b ≤ 2·bal_a} at each threshold row, globally …
     val globLe = graft.plans.PrefixSum
-      .scan(frame, "v", ord, Seq("w" -> "n_le"))
+      .scan(frame, "v", ord, Seq("w" -> "n_le"), knownRange = range)
       .filter(col("typ") === 1).select(col("sk"), col("n_le"))
     // … and within the probing supplier's own nation (grouped scan: the
     // nation count is fixed, so per-nation windows would serialize
     // linearly-growing groups into single tasks — the grouped scan's case)
     val sameLe = graft.plans.PrefixSum
-      .scan(frame, "v", ord, Seq("w" -> "n_le_nk"), groupCols = Seq("nk"))
+      .scan(frame, "v", ord, Seq("w" -> "n_le_nk"), groupCols = Seq("nk"),
+        knownRange = range)
       .filter(col("typ") === 1).select(col("sk"), col("nk"), col("n_le_nk"))
     val perNation = sup.groupBy("nk").agg(count(lit(1)).as("n_nk"))
     val total = sup.agg(count(lit(1)).as("n_all"))
