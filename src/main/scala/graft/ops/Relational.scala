@@ -897,66 +897,86 @@ object Relational extends graft.QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
       .stripMargin
 
-  // --- Q60: theta (inequality-only) join ------------------------------------
-  // Semantics: for every supplier, how many suppliers of a DIFFERENT nation
-  // have more than double its account balance — a genuine θ-join (no
-  // equi-key, so Catalyst's only direct plan is BroadcastNestedLoopJoin,
-  // O(n²) pairs: tolerable while suppliers are dim-sized, measured 12× for
-  // the 10× step to sf10, dead at warehouse scale). This θ predicate is a
-  // pure ORDER STATISTIC, though, so it decomposes exactly:
-  //   richer_foreign(a) = #{b : bal_b > 2·bal_a}              (global)
-  //                     − #{b ∈ nation(a) : bal_b > 2·bal_a}  (same-nation)
-  // and "count above a threshold" = total − #{≤ threshold}, computable for
-  // ALL suppliers at once by merging value rows (weight 1) and threshold
-  // rows (weight 0) into one ordered frame and taking a running count —
-  // the bucketed PrefixSum two-pass scan (fully parallel, O(n log n); the
-  // same machinery as the sweep-line). Strictness at ties: value rows sort
-  // BEFORE threshold rows at equal key (typ 0 < 1), so the inclusive
-  // running count AT a threshold row is exactly #{bal_b ≤ 2·bal_a}. ×2 on
-  // a double is an exponent bump — exact in both engines, ties align. The
-  // inner-join row set (zero-count suppliers absent) is kept by the final
-  // count > 0 filter. BNLJ remains the right plan only for θ predicates
-  // with no such decomposition and a genuinely tiny side (maxSimTopK).
-  private def q60(s: SparkSession, dir: String): DataFrame = {
-    val sup = Tables.load(s, dir, "supplier")
-      .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"),
-        col("s_acctbal").as("bal"))
+  /** PUBLIC operator: order-statistic θ-join counts. For every row `a`
+    * of `df`, the number of rows `b` with `b.valueCol > threshold(a)`
+    * AND `b.groupCol ≠ a.groupCol` — the inequality-join shape
+    * (`JOIN ON g1 <> g2 AND v2 > f(v1)`) whose only direct Catalyst
+    * plan is an O(n²) BroadcastNestedLoopJoin. The θ predicate is a
+    * pure order statistic, so it decomposes exactly:
+    *   n(a) = #{b : v_b > t_a} − #{b ∈ group(a) : v_b > t_a}
+    * with each term = total − #{v ≤ t}, computed for ALL rows at once
+    * by merging value rows (weight 1) and threshold rows (weight 0)
+    * into one ordered frame and running the bucketed PrefixSum scan
+    * (one global + one grouped; O(n log n), fully parallel — the
+    * grouped scan matters because a fixed group count means per-group
+    * windows would serialize linearly-growing groups into single
+    * tasks). Strictness at ties: value rows sort BEFORE threshold rows
+    * at equal key (typ 0 < 1), so the inclusive running count AT a
+    * threshold row is exactly #{v_b ≤ t_a} — a `b` at v_b == t_a is
+    * not counted, matching `>`.
+    *
+    * Returns one row per input row: (keyCol, groupCol,
+    * n_above_foreign), ZERO COUNTS INCLUDED — callers wanting the
+    * inner-join row set filter n_above_foreign > 0. Requirements:
+    * keyCol unique (it is the scan's tiebreak), valueCol and the
+    * threshold non-null; both are compared as doubles. BNLJ remains
+    * the right plan only for θ predicates with no such decomposition
+    * and a genuinely tiny side (maxSimTopK).
+    */
+  def foreignCountAbove(df: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, thresholdCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__val"),
+        thresholdCol.cast("double").as("__thr"))
       .localCheckpoint(eager = false) // read by 2 multi-pass scans + totals
-    val frame = sup
-      .select(col("sk"), col("nk"), col("bal").as("v"),
+    val frame = base
+      .select(col("__k"), col("__g"), col("__val").as("v"),
         lit(0).as("typ"), lit(1L).as("w"))
-      .unionByName(sup.select(col("sk"), col("nk"),
-        (col("bal") * 2).as("v"), lit(1).as("typ"), lit(0L).as("w")))
+      .unionByName(base.select(col("__k"), col("__g"),
+        col("__thr").as("v"), lit(1).as("typ"), lit(0L).as("w")))
       .localCheckpoint(eager = false)
-    val ord = Seq(col("v"), col("typ"), col("sk"))
-    // One shared bounds pass for BOTH scans: acctbal is near-uniform, so
-    // a min/max + even split gives balanced buckets without each scan
-    // paying its own eager approxQuantile job (bucket balance affects
-    // only parallelism, never correctness).
+    val ord = Seq(col("v"), col("typ"), col("__k"))
+    // One shared bounds pass for BOTH scans: min/max + even split skips
+    // per-scan eager approxQuantile jobs (bucket balance affects only
+    // parallelism, never correctness).
     val mm = frame.agg(min(col("v")), max(col("v"))).head()
     val range = if (mm.isNullAt(0)) None
       else Some((mm.getDouble(0), mm.getDouble(1)))
-    // #{b : bal_b ≤ 2·bal_a} at each threshold row, globally …
     val globLe = graft.plans.PrefixSum
       .scan(frame, "v", ord, Seq("w" -> "n_le"), knownRange = range)
-      .filter(col("typ") === 1).select(col("sk"), col("n_le"))
-    // … and within the probing supplier's own nation (grouped scan: the
-    // nation count is fixed, so per-nation windows would serialize
-    // linearly-growing groups into single tasks — the grouped scan's case)
+      .filter(col("typ") === 1).select(col("__k"), col("n_le"))
     val sameLe = graft.plans.PrefixSum
-      .scan(frame, "v", ord, Seq("w" -> "n_le_nk"), groupCols = Seq("nk"),
+      .scan(frame, "v", ord, Seq("w" -> "n_le_g"), groupCols = Seq("__g"),
         knownRange = range)
-      .filter(col("typ") === 1).select(col("sk"), col("nk"), col("n_le_nk"))
-    val perNation = sup.groupBy("nk").agg(count(lit(1)).as("n_nk"))
-    val total = sup.agg(count(lit(1)).as("n_all"))
-    sameLe.join(globLe, "sk")
-      .join(broadcast(perNation), "nk")
+      .filter(col("typ") === 1)
+      .select(col("__k"), col("__g"), col("n_le_g"))
+    val perGroup = base.groupBy("__g").agg(count(lit(1)).as("n_g"))
+    val total = base.agg(count(lit(1)).as("n_all"))
+    sameLe.join(globLe, "__k")
+      .join(broadcast(perGroup), "__g")
       .crossJoin(broadcast(total))
-      .withColumn("n_richer_foreign",
-        (col("n_all") - col("n_le")) - (col("n_nk") - col("n_le_nk")))
-      .filter(col("n_richer_foreign") > 0)
-      .select(col("sk"), col("n_richer_foreign"))
+      .withColumn("n_above_foreign",
+        (col("n_all") - col("n_le")) - (col("n_g") - col("n_le_g")))
+      .select(col("__k").as(keyCol), col("__g").as(groupCol),
+        col("n_above_foreign"))
   }
+
+  // --- Q60: theta (inequality-only) join ------------------------------------
+  // For every supplier, how many suppliers of a DIFFERENT nation have
+  // more than double its account balance — foreignCountAbove with
+  // threshold 2·bal (×2 on a double is an exponent bump, exact in both
+  // engines, so ties align with the oracle's b.s_acctbal > a.s_acctbal*2).
+  // Measured 12× for the 10× step to sf10 as a BNLJ; 2.1×/decade as the
+  // scan decomposition. The inner-join row set (zero-count suppliers
+  // absent) is kept by the count > 0 filter.
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    foreignCountAbove(
+      Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"),
+          col("s_acctbal").as("bal")),
+      "sk", "nk", "bal", col("bal") * 2)
+      .filter(col("n_above_foreign") > 0)
+      .select(col("sk"), col("n_above_foreign").as("n_richer_foreign"))
 
   private val q60Sql =
     """SELECT a.s_suppkey AS sk, COUNT(*) AS n_richer_foreign

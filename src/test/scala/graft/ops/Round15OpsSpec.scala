@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 /** Round-15 additions: scale-adaptive SRP LSH width (the fix for the
   * sf10 quadratic-pair defect measured in round 12) and its contract
@@ -38,6 +39,25 @@ class Round15OpsSpec extends SparkTestBase {
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(adaptive == pinned && adaptive.nonEmpty)
+  }
+
+  test("foreignCountAbove == naive BNLJ theta join, ties/negatives/zeros") {
+    import spark.implicits._
+    // values from a small integer grid so v_b == 2·v_a ties are COMMON
+    // (the strictness edge), with negatives (2v < v) and zeros; 4 groups
+    val rows = (0 until 160).map { i =>
+      (i.toLong, i % 4, ((i * 7919 + 13) % 21 - 6).toDouble / 2.0)
+    }
+    val df = rows.toDF("k", "g", "v")
+    val got = Relational.foreignCountAbove(df, "k", "g", "v", col("v") * 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // naive reference: the O(n²) pair loop the operator replaces
+    val want = rows.map { case (k, g, v) =>
+      k -> rows.count { case (_, g2, v2) => g2 != g && v2 > v * 2 }.toLong
+    }.toMap
+    assert(got.size == rows.size, "one output row per input row")
+    val bad = want.collect { case (k, n) if got(k) != n => (k, n, got(k)) }
+    assert(bad.isEmpty, s"diverged at ${bad.take(5)}")
   }
 
   test("wider signature is a refinement: every wide-width pair is a " +

@@ -91,4 +91,18 @@ class Round15PlanSpec extends SparkTestBase {
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans >= 2, s"expected index parquet scans in probe plan:\n$p")
   }
+
+  test("q60 plan: no quadratic pair join — the only nested loop is the" +
+      " broadcast 1-row total attach") {
+    val p = graft.SparkEntry.queries("q60_theta_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    // crossJoin(broadcast(1-row total)) is the sole BNLJ; a second one
+    // means the O(n²) supplier-pair join crept back
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected <= 1 BNLJ (1-row total attach), got" +
+      s" $bnlj:\n$p")
+    // both running counts come from bucket-partitioned windows
+    assert("Window".r.findAllIn(p).size >= 2, s"expected scan windows:\n$p")
+  }
 }
