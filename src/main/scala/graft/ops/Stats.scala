@@ -198,6 +198,68 @@ object Stats extends QueryModule {
       "q76_approx_percentile", guardNonEmpty = false,
       "p50_within_1pct", "p90_within_1pct")
 
+  /** PUBLIC operator: exact per-group order statistics (percentile_disc
+    * at scale) — the value at 1-based rank `k` under (`valueCol` ASC,
+    * `tieCols`) for every (group, k) row of `targets` (columns:
+    * `groupCol`, `k`), WITHOUT a per-group sort or a full ranking pass.
+    * Distributed selection in two data passes:
+    *   1. bucket the value domain by global literals (Greenwald–Khanna
+    *      approxQuantile — no RNG, deterministic under recomputation)
+    *      and count rows per (group, bucket): one tiny hash agg;
+    *   2. locate each target's bucket and residual rank by a window
+    *      over that tiny frame, then rank ONLY the hit buckets (each
+    *      ≤ one task of ~n/nBuckets rows) and keep the residual row.
+    * Exactness: ties on `valueCol` never straddle buckets (the bucket
+    * id is a function of the value), and within-bucket order extends
+    * the cross-bucket value order, so preceding-bucket count + local
+    * rank IS the global rank. Skew: bounds are GLOBAL across groups; a
+    * group concentrated in one bucket ranks it in one task — raise
+    * shuffle partitions for strongly multi-modal groups. Requires
+    * non-null values and a total (group, value, tieCols) order.
+    * Returns (groupCol, k, value).
+    */
+  def valueAtRank(df: DataFrame, groupCol: String, valueCol: String,
+      tieCols: Seq[Column], targets: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.001).distinct.sorted
+    val bucketExpr = if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col(valueCol) > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = df.withColumn("__b", bucketExpr)
+    val wCum = Window.partitionBy(groupCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ nGroups × nBuckets rows — the tiny frame every step below joins
+    val cum = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before",
+        coalesce(sum(col("__cnt")).over(wCum), lit(0L)))
+      .select(col(groupCol).as("__cg"), col("__b").as("__cb"),
+        col("__cnt"), col("__before"))
+    val located = targets
+      .select(col(groupCol).as("__tg"), col("k"))
+      .join(cum, col("__tg") === col("__cg") &&
+        col("k") > col("__before") &&
+        col("k") <= col("__before") + col("__cnt"))
+      .select(col("__tg"), col("k"), col("__cb"),
+        (col("k") - col("__before")).as("__r"))
+    // rank ONLY the hit buckets; local rank + __before == global rank
+    val hits = bucketed.join(
+      broadcast(located.select(col("__tg"), col("__cb")).distinct()),
+      col(groupCol) === col("__tg") && col("__b") === col("__cb"),
+      "inner").drop("__tg", "__cb")
+    val wLocal = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col(valueCol).asc +: tieCols: _*)
+    hits.withColumn("__rn", row_number().over(wLocal))
+      .join(broadcast(located),
+        col(groupCol) === col("__tg") && col("__b") === col("__cb") &&
+          col("__rn") === col("__r"))
+      .select(col(groupCol), col("k"), col(valueCol).as("value"))
+  }
+
   // --- q109: rank-based winsorization --------------------------------------
   // Outlier clipping at the 5th/95th percentile before aggregate stats —
   // the robust-statistics pass a metrics pipeline runs ahead of means.
@@ -213,50 +275,49 @@ object Stats extends QueryModule {
   // Scale shape: l_returnflag has THREE values, so a
   // `Window.partitionBy(flag)` rank serializes each group into one task
   // (measured 14.5× for the 10× step to sf10, 134 s absolute — the
-  // spilling per-group sort). Ranks instead come from the grouped
-  // [[graft.plans.PrefixSum.rowNumber]] two-pass scan (value-bucketed,
-  // fully parallel); the rank-k clip boundaries are then a FILTER on the
-  // two pinned ranks (one row per group per bound) broadcast back — no
-  // whole-group window anywhere. Exact percentiles still cost a
-  // distributed sort pass; q76 is the sketch path when approximation is
-  // acceptable.
+  // spilling per-group sort). The round-13 grouped-PrefixSum rewrite
+  // fixed that but still RANKED EVERY ROW (two full-table
+  // materializations, 66 s at sf10) when only TWO boundary values per
+  // group are needed: ranks within a group are a permutation of 1..n,
+  // so the clip counts are pure arithmetic (Σ[rn < klo] = klo − 1,
+  // Σ[rn > khi] = n − khi — the oracle's window sums collapse to the
+  // same integers), and clipping by rank equals clipping by VALUE at
+  // the rank-k boundary (rows tied with the boundary are unchanged by
+  // the clip either way). So: [[valueAtRank]] selects the two boundary
+  // values exactly (bucket-count locate + rank only the hit buckets),
+  // and the final pass is one broadcast join + hash agg over the fact —
+  // no full ranking, no full-table checkpoint.
   private def q109(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the scan evaluates its input ~3× and `ranked`
-    // feeds three consumers (counts, bounds, final agg) — house rule
     val base = Tables.load(s, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-      .localCheckpoint(eager = false)
-    val ranked = graft.plans.PrefixSum.rowNumber(
-        base, "l_extendedprice",
-        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc),
-        "rn", groupCols = Seq("l_returnflag"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false) // counts + selection + final agg
     // first/last KEPT rank: clip the bottom and top floor(5% · n) rows
-    val counts = ranked.groupBy("l_returnflag")
+    val counts = base.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"))
       .withColumn("klo", expr("(n * 5) div 100 + 1"))
       .withColumn("khi", expr("n - (n * 5) div 100"))
-    val withK = ranked.join(broadcast(counts), Seq("l_returnflag"))
-    val bounds = withK
-      .filter(col("rn") === col("klo") || col("rn") === col("khi"))
+      .localCheckpoint(eager = false) // tiny; feeds targets + bounds
+    val targets = counts.select(col("l_returnflag"), col("klo").as("k"))
+      .unionByName(counts.select(col("l_returnflag"), col("khi").as("k")))
+      .distinct()
+    val atk = valueAtRank(base, "l_returnflag", "l_extendedprice",
+      Seq(col("l_orderkey").asc, col("l_linenumber").asc), targets)
+    val bnds = atk.join(broadcast(counts), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(
-        max(when(col("rn") === col("klo"), col("l_extendedprice")))
-          .as("lo_val"),
-        max(when(col("rn") === col("khi"), col("l_extendedprice")))
-          .as("hi_val"))
-    withK.join(broadcast(bounds), Seq("l_returnflag"))
-      .withColumn("wins",
-        least(greatest(col("l_extendedprice"), col("lo_val")), col("hi_val")))
+      .agg(max(col("klo")).as("klo"), max(col("khi")).as("khi"),
+        max(col("n")).as("n"),
+        max(when(col("k") === col("klo"), col("value"))).as("lo_val"),
+        max(when(col("k") === col("khi"), col("value"))).as("hi_val"))
+    base.join(broadcast(bnds), Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
         max(col("lo_val")).as("lo_val"),
         max(col("hi_val")).as("hi_val"),
-        sum(expr("CAST(rn < klo AS BIGINT)")).as("n_clipped_low"),
-        sum(expr("CAST(rn > khi AS BIGINT)")).as("n_clipped_high"),
-        round(sum(col("wins").cast("decimal(18,2)")), 2).cast("double")
+        max(col("klo") - 1).as("n_clipped_low"),
+        max(col("n") - col("khi")).as("n_clipped_high"),
+        round(sum(least(greatest(col("l_extendedprice"), col("lo_val")),
+          col("hi_val")).cast("decimal(18,2)")), 2).cast("double")
           .as("sum_winsorized"))
   }
 
@@ -342,36 +403,32 @@ object Stats extends QueryModule {
   // Scale shape: event_type is a handful of values, so per-group window
   // ranks serialize one task per type (the q109 failure mode — this
   // entry measured 7.9× for the 10× step to sf10 on the same pattern).
-  // Both ranks come from the grouped
-  // [[graft.plans.PrefixSum.rowNumber]] two-pass scan instead (one scan
-  // per rank — the deviation order only exists after the median lands),
-  // and median/MAD are FILTERS on the pinned rank (one row per group)
-  // broadcast back. Exact medians still cost the distributed sort
-  // passes — q76's sketch is the approximation path.
+  // MAD is TWO exact selection problems (median of values, then median
+  // of deviations — the second order only exists after the first
+  // lands), so each comes from [[valueAtRank]] (bucket-count locate +
+  // rank only the hit bucket) rather than ranking every row: no rank
+  // column is ever needed downstream — the outlier test is pure value
+  // arithmetic once med/mad are broadcast back.
   private def q115(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "events")
       .select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
       .localCheckpoint(eager = false)
-    val r1 = graft.plans.PrefixSum.rowNumber(
-        base, "v100", Seq(col("v100").asc, col("event_id").asc),
-        "rn", groupCols = Seq("event_type"))
-      .localCheckpoint(eager = false)
-    val counts = r1.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val withN = r1.join(broadcast(counts), Seq("event_type"))
     // lower median: the actual value at rank ceil(n/2) — one row/group
-    val meds = withN.filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("event_type"), col("v100").as("med"))
-    val dev = withN.join(broadcast(meds), Seq("event_type"))
+    val medTargets = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), expr("(n + 1) div 2").as("k"))
+      .localCheckpoint(eager = false) // tiny; drives both selections
+    val meds = valueAtRank(base, "event_type", "v100",
+        Seq(col("event_id").asc), medTargets)
+      .select(col("event_type"), col("value").as("med"))
+    val dev = base.join(broadcast(meds), Seq("event_type"))
       .withColumn("dev", abs(col("v100") - col("med")))
       .localCheckpoint(eager = false)
-    val r2 = graft.plans.PrefixSum.rowNumber(
-        dev, "dev", Seq(col("dev").asc, col("event_id").asc),
-        "rn2", groupCols = Seq("event_type"))
-      .localCheckpoint(eager = false)
-    val mads = r2.filter(col("rn2") === expr("(n + 1) div 2"))
-      .select(col("event_type"), col("dev").as("mad"))
-    r2.join(broadcast(mads), Seq("event_type"))
+    val mads = valueAtRank(dev, "event_type", "dev",
+        Seq(col("event_id").asc), medTargets)
+      .select(col("event_type"), col("value").as("mad"))
+    dev.join(broadcast(mads), Seq("event_type"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_rows"),

@@ -41,6 +41,28 @@ class Round15OpsSpec extends SparkTestBase {
     assert(adaptive == pinned && adaptive.nonEmpty)
   }
 
+  test("valueAtRank == sort-based reference on a ties-heavy grid") {
+    import spark.implicits._
+    // 9 distinct values over 300 rows per group: every bucket boundary
+    // lands ON a tie run, the case where bucket-local rank + preceding
+    // count must still reproduce the global rank exactly
+    val rows = (0 until 900).map { i =>
+      (i.toLong, "g" + (i % 3), ((i * 31 + 7) % 9).toDouble)
+    }
+    val df = rows.toDF("id", "grp", "v")
+    val targets = Seq(("g0", 1L), ("g0", 15L), ("g0", 300L), ("g1", 150L),
+      ("g2", 7L), ("g2", 299L)).toDF("grp", "k")
+    val got = Stats.valueAtRank(df, "grp", "v", Seq(col("id").asc), targets)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val want = Seq(("g0", 1L), ("g0", 15L), ("g0", 300L), ("g1", 150L),
+      ("g2", 7L), ("g2", 299L)).map { case (g, k) =>
+      val sorted = rows.filter(_._2 == g).sortBy(t => (t._3, t._1))
+      (g, k) -> sorted((k - 1).toInt)._3
+    }.toMap
+    assert(got == want, s"diverged: ${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("foreignCountAbove == naive BNLJ theta join, ties/negatives/zeros") {
     import spark.implicits._
     // values from a small integer grid so v_b == 2·v_a ties are COMMON
