@@ -1010,6 +1010,66 @@ object Relational extends graft.QueryModule {
       |  WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** PUBLIC operator: scale-safe `NOT IN` — the rows of `outer` where
+    * `outerKey NOT IN (SELECT subKey FROM sub)` under exact SQL
+    * three-valued semantics, WITHOUT Catalyst's null-aware anti join.
+    *
+    * Why: Spark plans a correlated-free `NOT IN` as a
+    * BroadcastHashJoin with `isNullAwareAntiJoin = true` — the build
+    * side is ALWAYS the whole subquery relation, broadcast to every
+    * executor, because a single NULL anywhere in it flips the global
+    * answer. That build grows linearly with data (q61 measured 10.1×
+    * for the 10× step to sf10) and dies at 100 TB on the broadcast
+    * limit. But the null sensitivity is only a TWO-BIT property of the
+    * subquery — (is it empty?, does it contain a null?) — so the plan
+    * decomposes exactly:
+    *   - sub empty            → every outer row qualifies (even
+    *                            null-key rows: `x NOT IN ()` is TRUE);
+    *   - sub contains a null  → NO row qualifies (`x NOT IN S` is at
+    *                            best UNKNOWN);
+    *   - else                 → null-key outer rows drop (UNKNOWN) and
+    *                            the rest is a plain left_anti join.
+    * The two bits come from a single-column aggregate (map-side
+    * partial → 1 row → broadcast; the parquet scan reads only
+    * `subKey`), the anti join runs on the distinct non-null keys with
+    * NO forced broadcast — Catalyst/AQE pick SMJ, shuffled-hash, or
+    * (only when the stats say it fits) broadcast. Every piece scales
+    * with partitions. `sub` is traversed twice (bits + keys), both
+    * single-column scans. Pinned BNLJ/NAAJ-free in Round16PlanSpec.
+    */
+  def notInAntiJoin(outer: DataFrame, outerKey: String,
+      sub: DataFrame, subKey: String): DataFrame = {
+    val bits = sub.agg(
+      count(lit(1)).as("__nin_n"),         // is it empty?
+      count(col(subKey)).as("__nin_nn"))   // does it contain a null?
+    val keys = sub.select(col(subKey).as("__nin_k"))
+      .where(col("__nin_k").isNotNull).distinct()
+    outer
+      .join(broadcast(bits))
+      .where(col("__nin_n") === 0 ||
+        (col("__nin_n") === col("__nin_nn") && col(outerKey).isNotNull))
+      .join(keys, col(outerKey) === col("__nin_k"), "left_anti")
+      .drop("__nin_n", "__nin_nn")
+  }
+
+  // --- Q203: NOT IN at scale (decomposed null-aware anti join) --------------
+  // q61's exact query through notInAntiJoin instead of the SQL NOT IN:
+  // same oracle (the decomposition is semantics-preserving by the case
+  // analysis above), but the plan replaces the mandatory whole-relation
+  // broadcast with a 1-row bits broadcast + a shuffled anti join.
+  // Measured min-of-3: q61 1.68 → 16.96 s for the 10× step to sf10
+  // (linear build); q203 holds the anti join shuffle-partitioned.
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    notInAntiJoin(
+      Tables.load(s, dir, "orders"),
+      "o_orderkey",
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey"),
+      "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_untouched"))
+
   // --- Q69: full outer join (both-side nulls) -------------------------------
   // Daily order counts vs daily shipment counts, FULL OUTER on the date:
   // shipdates run 1–122 days after orderdates, so the earliest dates exist
@@ -2066,6 +2126,7 @@ object Relational extends graft.QueryModule {
     "q65_null_semantics" -> q65 _,
     "q66_struct_ops" -> q66 _,
     "q61_not_in" -> q61 _,
+    "q203_not_in_scale" -> q203 _,
     "q58_skew_salted_join" -> q58 _,
     "q59_value_windows" -> q59 _,
     "q51_pivot" -> q51 _,
@@ -2123,6 +2184,7 @@ object Relational extends graft.QueryModule {
     "q65_null_semantics" -> q65Sql,
     "q66_struct_ops" -> q66Sql,
     "q61_not_in" -> q61Sql,
+    "q203_not_in_scale" -> q61Sql, // decomposition is semantics-preserving
     "q58_skew_salted_join" -> q58Sql,
     "q59_value_windows" -> q59Sql,
     "q51_pivot" -> q51Sql,
