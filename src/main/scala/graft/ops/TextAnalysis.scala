@@ -1756,6 +1756,123 @@ object TextAnalysis extends QueryModule {
        |FROM per_doc GROUP BY source""".stripMargin
   }
 
+  /** PUBLIC operator: distributed BPE merge TRAINING — the other half
+    * of [[bpeEncode]] (which consumes a fixed, already-learned merge
+    * table). Learns `rounds` merge rules from the corpus by the
+    * classic greedy loop (most frequent adjacent symbol pair wins;
+    * ties break by (lt, rt) ascending for determinism), returning one
+    * row per round: (round, lt, rt, merged = lt||rt, freq).
+    *
+    * Scale design — the part that matters at 100 TB: the corpus is
+    * scanned ONCE, into a (word, freq) table; every training round
+    * runs on that table, which is VOCABULARY-bounded (Heaps' law:
+    * distinct words grow ~n^0.5, not n) — the classic reason BPE
+    * training is tractable at corpus scale. Per round: explode
+    * adjacent pairs weighted by word freq (map-side), one tiny
+    * aggregate, a distributed top-1 (TakeOrderedAndProject), then the
+    * winning merge applied as a single string `replace` column op.
+    * The argmax stays a 1-row checkpointed DataFrame consumed via
+    * broadcast cross join — no collected literals, no driver loop
+    * over data; the per-round `localCheckpoint` bounds lineage depth
+    * (and is why rounds cost O(rounds), not O(rounds²) recompute).
+    *
+    * Merge-application exactness: word state is the '|'-delimited
+    * symbol string with DOUBLED internal delimiters ('|a||b||c|'),
+    * q121's encoding — one `replace('|a||b|','|ab|')` is then exactly
+    * one greedy left-to-right non-overlapping merge pass (runs of a
+    * self-adjacent symbol merge as BPE prescribes; see q121Sql's
+    * scaladoc for the single-delimiter trap). Pair counting counts
+    * OVERLAPPING adjacencies ('a a a' → (a,a) twice), the standard
+    * trainer convention. If pairs exhaust before `rounds` (degenerate
+    * corpora), later rounds emit no row — mirrored by the oracle's
+    * empty-CTE chain, so parity holds there too.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeTrainRounds,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeTrainMerges: rounds $rounds outside 1..64 (each round is a " +
+        "chained oracle CTE; production vocabularies train once and " +
+        "encode forever via bpeEncode)")
+    val words = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(
+        expr("concat('|', array_join(regexp_extract_all(w, '.', 0), '||')," +
+          " '|')").as("ts"),
+        col("freq"))
+      .localCheckpoint(eager = true) // vocab-sized; read by every round
+    var w = words
+    val perRound = (1 to rounds).map { i =>
+      val m = w
+        .select(col("freq"),
+          expr("split(trim(BOTH '|' FROM ts), '\\\\|\\\\|')").as("toks"))
+        .where(expr("size(toks) >= 2"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS lt, toks[i] AS rt))")).as("p"))
+        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+        .agg(sum("freq").as("freq"))
+        .orderBy(col("freq").desc, col("lt").asc, col("rt").asc)
+        .limit(1)
+        .localCheckpoint(eager = true) // 1 row; truncates round lineage
+      w = w
+        .crossJoin(broadcast(
+          m.select(col("lt").as("__mlt"), col("rt").as("__mrt"))))
+        .select(expr("replace(ts, '|' || __mlt || '||' || __mrt || '|', " +
+          "'|' || __mlt || __mrt || '|')").as("ts"), col("freq"))
+      m.select(lit(i).as("round"), col("lt"), col("rt"),
+        concat(col("lt"), col("rt")).as("merged"), col("freq"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
+
+  private val BpeTrainRounds = 10
+
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    bpeTrainMerges(Tables.load(s, dir, "documents"))
+
+  private val q204Sql: String = {
+    val head =
+      """WITH uw AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents
+        |), w0 AS MATERIALIZED (
+        |  SELECT '|' || array_to_string(regexp_extract_all(w, '.'), '||')
+        |           || '|' AS ts,
+        |         CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM uw GROUP BY w
+        |)""".stripMargin
+    // MATERIALIZED is load-bearing: w{i-1} is referenced twice per round
+    // (pair counts + merge application) — inlined, the chain would
+    // re-expand exponentially in the round depth
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s""", t$i AS (
+         |  SELECT string_split(trim(ts, '|'), '||') AS toks, freq
+         |  FROM w${i - 1}
+         |), p$i AS (
+         |  SELECT toks[j] AS lt, toks[j + 1] AS rt,
+         |         CAST(SUM(freq) AS BIGINT) AS freq
+         |  FROM t$i, UNNEST(generate_series(1, len(toks) - 1)) AS u(j)
+         |  WHERE len(toks) >= 2
+         |  GROUP BY lt, rt
+         |), m$i AS MATERIALIZED (
+         |  SELECT lt, rt, freq FROM p$i
+         |  ORDER BY freq DESC, lt ASC, rt ASC LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT replace(w.ts, '|' || m.lt || '||' || m.rt || '|',
+         |                 '|' || m.lt || m.rt || '|') AS ts, w.freq
+         |  FROM w${i - 1} w CROSS JOIN m$i m
+         |)""".stripMargin
+    }.mkString
+    val tail = (1 to BpeTrainRounds).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS round, lt, rt, lt || rt AS merged, " +
+        s"freq FROM m$i"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    head + rounds + tail
+  }
+
   // --- q123: interpolated bigram-LM scoring --------------------------------
   // One rung up the perplexity-filter ladder from q99's unigram model
   // (KenLM-style filtering, simplified to the distributed-shape
@@ -2663,6 +2780,7 @@ object TextAnalysis extends QueryModule {
     "q129_curation_v2" -> q129 _,
     "q123_bigram_lm" -> q123 _,
     "q121_bpe_encode" -> q121 _,
+    "q204_bpe_train" -> q204 _,
     "q119_pmi_collocations" -> q119 _,
     "q111_char_entropy" -> q111 _,
     "q108_pps_sample" -> q108 _,
@@ -2701,6 +2819,7 @@ object TextAnalysis extends QueryModule {
     "q129_curation_v2" -> q129Sql,
     "q123_bigram_lm" -> q123Sql,
     "q121_bpe_encode" -> q121Sql,
+    "q204_bpe_train" -> q204Sql,
     "q119_pmi_collocations" -> q119Sql,
     "q111_char_entropy" -> q111Sql,
     "q108_pps_sample" -> q108Sql,

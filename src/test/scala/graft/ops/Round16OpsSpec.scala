@@ -77,4 +77,91 @@ class Round16OpsSpec extends SparkTestBase {
         s"q203's anti join is not a broadcast-free shuffled plan:\n$opPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ---- bpeTrainMerges (q204) ----------------------------------------------
+
+  /** The greedy trainer the operator replaces: plain in-memory loops,
+    * overlapping pair counts, greedy LTR merge application.
+    */
+  private def referenceBpe(texts: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab = texts
+      .flatMap("[a-z0-9]+".r.findAllIn(_).toSeq.map(_.toLowerCase))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector, ws.size.toLong)
+      }.toVector
+    (1 to rounds).flatMap { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, f) <- vocab; i <- 0 until toks.size - 1)
+        counts((toks(i), toks(i + 1))) =
+          counts.getOrElse((toks(i), toks(i + 1)), 0L) + f
+      if (counts.isEmpty) Nil
+      else {
+        val ((lt, rt), f) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        vocab = vocab.map { case (toks, fr) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.size) {
+            if (i < toks.size - 1 && toks(i) == lt && toks(i + 1) == rt) {
+              out += lt + rt; i += 2 // greedy LTR, non-overlapping
+            } else { out += toks(i); i += 1 }
+          }
+          (out.result(), fr)
+        }
+        Seq((round, lt, rt, f))
+      }
+    }
+  }
+
+  test("bpeTrainMerges replays the greedy loop trainer exactly, " +
+      "including self-adjacent runs and tie-breaks") {
+    // 'aaaa' runs exercise overlapping counts + non-overlapping merges;
+    // equal-frequency pairs exercise the (lt, rt) tie-break
+    val texts = Seq(
+      "the theme thesis then", "aaaa aaaa baaab", "band bandana ban",
+      "zq zq zq xy xy xy", "mississippi missive")
+    val got = TextAnalysis
+      .bpeTrainMerges(texts.toDF("text"), rounds = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    val want = referenceBpe(texts, 8)
+    assert(got == want, s"trainer diverged:\n got $got\nwant $want")
+  }
+
+  test("bpeTrainMerges: winning pair frequency is non-increasing " +
+      "across rounds, merged = lt || rt") {
+    // merging (x,y) only removes (x,y) adjacencies and creates pairs
+    // whose counts are bounded by the pairs they subsume — so the max
+    // can never rise. A violation means the merge application and the
+    // pair counting disagree about adjacency.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextAnalysis.bpeTrainMerges(docs).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10, s"expected 10 rounds, got ${rows.length}")
+    assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    val freqs = rows.map(_.getLong(4))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      s"max pair frequency rose between rounds: ${freqs.mkString(",")}")
+  }
+
+  test("trained merges feed bpeEncode: encoding uses every learned rule") {
+    // the compose story: train on a corpus, encode with the result —
+    // rank order preserved (round order IS merge priority)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val merges = TextAnalysis.bpeTrainMerges(docs).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+      .select(org.apache.spark.sql.functions.explode(col("bpe")).as("e"))
+      .select(org.apache.spark.sql.functions
+        .explode(org.apache.spark.sql.functions.split(col("e"), " "))
+        .as("sym"))
+      .groupBy("sym").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val learned = merges.map { case (a, b) => a + b }
+    val used = learned.filter(enc.contains)
+    assert(used.nonEmpty && enc.contains(learned.head),
+      s"no learned symbol survives in the encoding: $learned")
+  }
 }
