@@ -383,6 +383,175 @@ object Similarity extends QueryModule {
       .select(col("cid").as("cluster"), col("embedding"))
   }
 
+  /** PQ codebooks from deterministic seed vectors: subspace `sub` of
+    * `m` gets codeword `code` = the rank-of-vec_id'th seed's sub-slice.
+    * Seeds are config-equivalent (lowest ids, like q41's anchors and
+    * q56's centroids — not RNG), so both engines and every run agree.
+    * Output: (sub, code, cw) — m·K rows, broadcast-sized.
+    */
+  def pqCodebooks(seed: DataFrame, m: Int = PqM,
+      vecCol: String = "embedding"): DataFrame = {
+    val d = Dims / m
+    val w = Window.orderBy(col("vec_id").asc)
+    seed
+      .withColumn("code", row_number().over(w) - 1)
+      .select(col("code"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS sub, slice($vecCol, s * $d + 1, $d) AS cw))"))
+        .as("x"))
+      .select(col("x.sub").as("sub"), col("code"), col("x.cw").as("cw"))
+  }
+
+  /** Product-quantization encode: each cell-assigned candidate
+    * (cid, cv, cell) → (cid, cell, codes, cnorm) where `codes[sub]` is
+    * the argmin-L2 codeword of its sub-slice (tiebreak lowest code,
+    * via min-of-struct — a partial-aggregable AGGREGATE, not a window:
+    * encode never shuffles more than (cid, sub) → best pairs) and
+    * `cnorm` is the stored vector norm (the 1-float sidecar that lets
+    * ADC approximate COSINE, not just dot). This is the 100 TB
+    * memory-shape move: m small ints + 1 float per vector instead of
+    * `Dims` floats — the 10⁹-vector inverted file fits where raw
+    * vectors cannot (Jégou et al., TPAMI 2011).
+    */
+  def pqEncode(cells: DataFrame, codebooks: DataFrame,
+      m: Int = PqM, vecCol: String = "cv"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(cells.sparkSession)
+    val d = Dims / m
+    cells
+      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+      .select(col("cid"), col("cell"), col("cnorm"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS sub, slice($vecCol, s * $d + 1, $d) AS sv))")).as("x"))
+      .select(col("cid"), col("cell"), col("cnorm"),
+        col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(codebooks), "sub")
+      .withColumn("d2", expr(
+        "graft_dot(sv, sv) - 2 * graft_dot(sv, cw) + graft_dot(cw, cw)"))
+      .groupBy("cid", "cell", "cnorm", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .groupBy("cid", "cell", "cnorm")
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(sub, best.code AS code))), x -> x.code)").as("codes"))
+  }
+
+  /** ADC lookup table: (qid, sub, code) → partial dot of the query's
+    * sub-slice with that codeword, plus the query norm. |queries|·m·K
+    * rows — broadcast-sized by construction.
+    */
+  def pqLut(queries: DataFrame, codebooks: DataFrame,
+      m: Int = PqM): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val d = Dims / m
+    queries
+      .withColumn("qnorm", expr("sqrt(graft_dot(qv, qv))"))
+      .select(col("qid"), col("qnorm"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS sub, slice(qv, s * $d + 1, $d) AS sv))")).as("x"))
+      .select(col("qid"), col("qnorm"), col("x.sub").as("sub"),
+        col("x.sv").as("sv"))
+      .join(broadcast(codebooks), "sub")
+      .select(col("qid"), col("qnorm"), col("sub"), col("code"),
+        expr("graft_dot(sv, cw)").as("lut"))
+  }
+
+  /** IVF-PQ ANN top-k with asymmetric distance computation (ADC) and
+    * exact re-rank — the billion-scale index structure: coarse IVF
+    * cells bound WHICH vectors are scored (probed cells only), PQ codes
+    * bound WHAT is read per scored vector (m bytes + 1 float, never the
+    * raw embedding), and the approximate cosine
+    * `Σ_sub lut[sub][code] / (qnorm·cnorm)` ranks a `shortlist` that a
+    * final exact pass re-scores from the raw vectors — fetched by
+    * BROADCASTING the tiny (qid, cid) shortlist against the corpus
+    * (map-side semi join; the corpus never shuffles).
+    *
+    * Codes quantize the cell RESIDUAL `cv − anchor(cell)` (IVFADC
+    * proper, Jégou et al. §IV): within a cell, vectors share the
+    * anchor direction, so residuals are small and `K` codewords cover
+    * them far better than raw vectors — measured (DevPqProbe) as the
+    * difference between recall collapsing at the sf10 decade and
+    * tracking the coarse-IVF ceiling there. The ADC score adds the
+    * exact per-(query, probed-cell) anchor dot back:
+    * `dot(q,c) ≈ dot(q, anchor) + Σ_sub lut[sub][code]`, both extra
+    * terms broadcast-sized. Codebook seeds are quantized in residual
+    * space too (their own cell assignment). Recall is gated, not
+    * assumed: q205 audits recall@k against exact q29 in-row (q202's
+    * pattern).
+    */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+      anchors: DataFrame, seed: DataFrame, m: Int = PqM,
+      nProbe: Int = NProbe, shortlist: Int = AdaptiveShortlist,
+      k: Int = TopK): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(candidates.sparkSession)
+    val sl = if (shortlist == AdaptiveShortlist)
+      adaptiveShortlist(candidates.count()) else shortlist
+    def withResidual(cells: DataFrame): DataFrame = cells
+      .join(broadcast(anchors), "cell")
+      .withColumn("rv", expr("zip_with(cv, av, (x, y) -> x - y)"))
+      .drop("av")
+    val cbs = pqCodebooks(
+      withResidual(assignCells(seed, anchors)
+        .withColumnRenamed("cid", "vec_id")), m, vecCol = "rv")
+      .localCheckpoint(eager = false) // m·K rows, read by 3 joins
+    val enc = pqEncode(withResidual(assignCells(candidates, anchors)),
+      cbs, m, vecCol = "rv")
+    val probes = probeCells(queries, anchors, nProbe)
+    // exact anchor term per (query, probed cell): nProbe rows per query
+    val qa = probes.join(broadcast(anchors), "cell")
+      .select(col("qid"), col("cell"),
+        expr("graft_dot(qv, av)").as("qa"))
+    val lut = pqLut(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      cbs, m)
+    val wS = Window.partitionBy("qid")
+      .orderBy(col("adc").desc, col("cid").asc)
+    val short = enc
+      .join(broadcast(probes.select("qid", "cell")), Seq("cell"))
+      .select(col("qid"), col("cid"), col("cell"), col("cnorm"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "cid", "cell", "cnorm", "qnorm")
+      .agg(sum("lut").as("dot_pq"))
+      .join(broadcast(qa), Seq("qid", "cell"))
+      .withColumn("adc",
+        (col("qa") + col("dot_pq")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= sl)
+      .select("qid", "cid")
+    val wK = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("cid").asc)
+    candidates
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .join(broadcast(short), Seq("cid"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))), Seq("qid"))
+      .withColumn("sim", expr(cosineSpark("cv", "qv")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+        col("rn"))
+  }
+
+  private[graft] val PqM = 8
+  private[graft] val PqK = 256 // codewords per subspace (the literature's k*)
+
+  /** Sentinel: resolve the re-rank shortlist from the corpus count. */
+  val AdaptiveShortlist: Int = -1
+
+  /** Scale-adaptive exact-re-rank shortlist: `max(200, n/250)`. Like
+    * [[adaptiveNPlanes]], a fixed value rots with scale — as corpus
+    * density grows, the sim margin between rank 10 and rank `shortlist`
+    * shrinks below the ADC quantization error, and a fixed-200 list
+    * drops true neighbors (measured, DevPqProbe at the sf10 decade:
+    * fixed 200 → 100 milli on two queries; n/250 = 800 → ≥ 200 milli
+    * everywhere, tracking the coarse-IVF ceiling). n/250 re-ranks 0.4%
+    * of the corpus exactly — the PQ win (compressed first pass over
+    * the probed cells) is untouched; tighten the ratio only alongside
+    * a bigger codebook (larger K / more subspaces / OPQ rotation), the
+    * levers that shrink ADC error itself.
+    */
+  def adaptiveShortlist(n: Long): Int =
+    math.max(200L, n / 250L).toInt
+
   // ===================== battery entries (driver gate) ====================
 
   // --- q29: brute-force cosine top-k --------------------------------------
@@ -1301,34 +1470,66 @@ object Similarity extends QueryModule {
   // exactly 200 milli on some (decade, query), so both gate at ≥ 150. A
   // plane-literal typo, a broken bucket/cell join, or a quantizer drift
   // zeroes some query's overlap and trips the gate.
+  /** Per-query recall@k of `approx` against the `exact` (qid, cid)
+    * top-k, in milli units, with the pinned floor as an in-row bit —
+    * the q202/q205 audit shape. */
+  private def recallOf(exact: DataFrame, approx: DataFrame,
+      method: String, floorMilli: Long): DataFrame = {
+    val hits = approx.select(col("qid"), col("cid"))
+      .join(exact, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), lit(method).as("method"),
+        ((lit(1000) * coalesce(col("n_hit"), lit(0L))) / col("k"))
+          .cast("long").as("recall_milli"))
+      .withColumn("recall_ok", col("recall_milli") >= floorMilli)
+  }
+
   private def q202(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val exact = q29(s, dir).select(col("qid"), col("cid"))
       .localCheckpoint(eager = false) // tiny: NQueries × TopK rows
-    def recallOf(approx: DataFrame, method: String, floorMilli: Long) = {
-      val hits = approx.select(col("qid"), col("cid"))
-        .join(exact, Seq("qid", "cid"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      exact.groupBy("qid").agg(count(lit(1)).as("k"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), lit(method).as("method"),
-          ((lit(1000) * coalesce(col("n_hit"), lit(0L))) / col("k"))
-            .cast("long").as("recall_milli"))
-        .withColumn("recall_ok", col("recall_milli") >= floorMilli)
-    }
     val mp = srpMultiProbeTopK(
       e.filter(col("vec_id") >= NQueries)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")),
       e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
     graft.ParityGate(
-      recallOf(q41(s, dir), "ivf", 150L)
-        .unionAll(recallOf(mp, "srp_multiprobe", 150L)),
+      recallOf(exact, q41(s, dir), "ivf", 150L)
+        .unionAll(recallOf(exact, mp, "srp_multiprobe", 150L)),
       "q202_ann_recall", "recall_ok")
+  }
+
+  // --- q205: IVF-PQ with ADC + exact re-rank (recall-gated) ---------------
+  // The full compressed-index ANN structure over the fixture: q41's
+  // anchors bound the probed cells, a 256-codeword × 8-subspace PQ
+  // codebook (seeds = the next PqK vectors after the anchors — config,
+  // not RNG) bounds the bytes read per scored vector, and the exact
+  // re-rank runs only on the ADC shortlist. Recall@10 vs exact q29 is
+  // the gate; no oracle (the interesting bits — compression and the
+  // scan shape — are not SQL-observable; correctness is the recall
+  // floor plus the lossless-PQ equality spec in Round16OpsSpec).
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val exact = q29(s, dir).select(col("qid"), col("cid"))
+      .localCheckpoint(eager = false)
+    val approx = ivfPqTopK(
+      e.filter(col("vec_id") >= NQueries),
+      e.filter(col("vec_id") < NQueries),
+      e.filter(col("vec_id") >= NQueries &&
+          col("vec_id") < NQueries + NCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("av")),
+      e.filter(col("vec_id") >= NQueries + NCells &&
+        col("vec_id") < NQueries + NCells + PqK))
+    graft.ParityGate(
+      recallOf(exact, approx, "ivfpq", 150L),
+      "q205_ann_ivfpq", "recall_ok")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_ann_recall" -> q202 _,
+    "q205_ann_ivfpq" -> q205 _,
     "q201_ivf_index_update" -> q201 _,
     "q192_ivf_persist" -> q192 _,
     "q160_maxsim" -> q160 _,

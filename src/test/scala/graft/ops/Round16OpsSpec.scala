@@ -145,6 +145,54 @@ class Round16OpsSpec extends SparkTestBase {
       s"max pair frequency rose between rounds: ${freqs.mkString(",")}")
   }
 
+  // ---- ivfPqTopK (q205) ---------------------------------------------------
+
+  test("ivfPqTopK with an exhaustive shortlist equals ivfTopK " +
+      "row-for-row (re-rank correctness)") {
+    // with shortlist >= every candidate in the probed cells, the exact
+    // re-rank sees exactly what ivfTopKFrom scores — ADC may order the
+    // shortlist however float summation falls, the RESULT must not move
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cands = e.filter(col("vec_id") >= 5)
+    val qs = e.filter(col("vec_id") < 5)
+    val anchors = e.filter(col("vec_id") >= 5 && col("vec_id") < 21)
+      .select(col("vec_id").as("cell"), col("embedding").as("av"))
+    val seed = e.filter(col("vec_id") >= 21 && col("vec_id") < 53)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val exact = rows(Similarity.ivfTopK(cands, qs, anchors))
+    val pq = rows(Similarity.ivfPqTopK(cands, qs, anchors, seed,
+      shortlist = 1000000))
+    assert(pq == exact && exact.nonEmpty,
+      s"re-rank diverged: ${(pq diff exact).take(3)} / " +
+        s"${(exact diff pq).take(3)}")
+  }
+
+  test("pqEncode: codes are length-m arrays of in-range codeword ids, " +
+      "one row per candidate") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val anchors = e.filter(col("vec_id") >= 5 && col("vec_id") < 21)
+      .select(col("vec_id").as("cell"), col("embedding").as("av"))
+    val seed = e.filter(col("vec_id") >= 21 && col("vec_id") < 53)
+    val cells = Similarity.assignCells(e.filter(col("vec_id") >= 5), anchors)
+    val cbs = Similarity.pqCodebooks(seed)
+    val k = cbs.agg(org.apache.spark.sql.functions.max("code")).head.getInt(0)
+    val enc = Similarity.pqEncode(cells, cbs)
+    val n = e.filter(col("vec_id") >= 5).count()
+    assert(enc.count() == n, "one encoded row per candidate")
+    val bad = enc.where(org.apache.spark.sql.functions.expr(
+      s"size(codes) != 8 OR exists(codes, c -> c < 0 OR c > $k)")).count()
+    assert(bad == 0, s"$bad malformed code arrays")
+  }
+
+  test("q205's recall gate holds on the smallest fixture") {
+    val rows = graft.SparkEntry.queries("q205_ann_ivfpq")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5 && rows.forall(_.getAs[Boolean]("recall_ok")),
+      s"gate rows: ${rows.mkString(";")}")
+  }
+
   test("trained merges feed bpeEncode: encoding uses every learned rule") {
     // the compose story: train on a corpus, encode with the result —
     // rank order preserved (round order IS merge priority)
