@@ -293,6 +293,82 @@ object Dedup extends QueryModule {
         .filter(col("jac") >= minJac)
         .select(col("d1").as("a"), col("d2").as("b")))
 
+  /** EXACT threshold Jaccard self-join via prefix filtering (AllPairs /
+    * PPJoin family — Bayardo et al., WWW 2007; Chaudhuri et al., ICDE
+    * 2006): every pair with distinct-token Jaccard ≥ `tMilli`/1000, with
+    * candidate generation bounded by rare-token prefixes instead of the
+    * O(n²) cross join — and, unlike the LSH operators above, ZERO
+    * recall loss (the output is provably the brute-force pair set).
+    *
+    * Canonical token order = (global document frequency ASC, token ASC)
+    * — no integer rank table and no global row_number window: each
+    * doc's tokens join the vocabulary-bounded df aggregate and sort as
+    * (df, tok) structs per doc. Prefix = the first
+    * `L = l − ceil(t·l) + 1` tokens of that order, i.e. each doc's
+    * RAREST tokens, so the candidate equi-join keys are predominantly
+    * rare and bucket loads stay bounded where a frequent-token join
+    * would skew.
+    *
+    * Completeness (the prefix-filtering theorem): J(a,b) ≥ t ⟹
+    * ov ≥ t·l_a, so ov ≥ α_a = ceil(t·l_a) (integer). If no common
+    * token fell in a's L_a-prefix, all ov common tokens would sit in
+    * a's suffix of size l_a − L_a = α_a − 1 < ov — contradiction. The
+    * rank-SMALLEST common token therefore lies within BOTH prefixes
+    * (the ≥ α common tokens occupy positions ≥ its own in each doc),
+    * and the prefix equi-join finds the pair. Verification is exact:
+    * cross-multiplied integer comparison `1000·ov ≥ t·(l₁+l₂−ov)` —
+    * no floats anywhere in the parity surface.
+    *
+    * `tokensCol` must be a DISTINCT-element array (the Jaccard set).
+    * The tokenized+ordered corpus is checkpointed once — it is read by
+    * the prefix leg and both verify legs; at 100 TB persist it
+    * DISK_ONLY instead. Empty-token-set rows cannot pair (no prefix
+    * token) and are filtered to keep the ÷0 path out of the plan.
+    */
+  def prefixFilteredJaccardJoin(docs: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "tk", tMilli: Int = JacTMilli): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"), col(tokensCol).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val df = toks.select(explode(col("__tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ord = toks.select(col("__id"), explode(col("__tk")).as("tok"))
+      .join(df, "tok")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      // verify compares plain token arrays, not (df, tok) structs: df is a
+      // function of tok, so the struct list and the token list have the
+      // same cardinality everywhere — and string equality is cheaper
+      .withColumn("tks", expr("transform(ord, p -> p.tok)"))
+      .withColumn("l", size(col("ord")))
+      .localCheckpoint(eager = false) // read by prefix + 2 verify legs
+    val pref = ord.select(col("__id"), col("l"),
+      explode(expr(
+        s"slice(ord, 1, greatest(l - (($tMilli * l + 999) div 1000) + 1, 1))"))
+        .as("p"))
+      .select(col("__id"), col("l"), col("p.tok").as("tok"))
+    val cand = pref.select(col("__id").as("d1"), col("l").as("la"), col("tok"))
+      .join(pref.select(col("__id").as("d2"), col("l").as("lb"), col("tok")),
+        Seq("tok"))
+      .filter(col("d1") < col("d2") &&
+        lit(1000) * least(col("la"), col("lb")) >=
+          lit(tMilli) * greatest(col("la"), col("lb")))
+      .select("d1", "d2").distinct()
+    cand
+      .join(ord.select(col("__id").as("d1"), col("tks").as("o1"),
+        col("l").as("l1")), "d1")
+      .join(ord.select(col("__id").as("d2"), col("tks").as("o2"),
+        col("l").as("l2")), "d2")
+      .withColumn("ov", size(array_intersect(col("o1"), col("o2"))))
+      .filter(lit(1000L) * col("ov") >=
+        lit(tMilli.toLong) * (col("l1") + col("l2") - col("ov")))
+      .select(col("d1"), col("d2"), expr(
+        "(1000L * ov) div (CAST(l1 AS BIGINT) + l2 - ov)").as("jac_milli"))
+  }
+
+  private[ops] val JacTMilli = 900
+
   // ===================== battery entries (driver gate) ====================
 
   // --- q25: exact dedup ---------------------------------------------------
@@ -469,6 +545,35 @@ object Dedup extends QueryModule {
        |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) AS jac
        |FROM g a JOIN g b
        |  ON a.source = b.source AND b.doc_id = a.doc_id + 20""".stripMargin
+
+  // --- q206: exact similarity join via prefix filtering -------------------
+  // [[prefixFilteredJaccardJoin]] on distinct lowercase word tokens at
+  // t = 0.9. The ORACLE is deliberately the brute-force all-pairs join —
+  // the hash match literally proves the prefix-filtered candidate
+  // generation loses no pair (exactness is the operator's whole claim
+  // vs the LSH entries; completeness is also spec-pinned against a
+  // Spark brute-force twin at two thresholds in Round16OpsSpec).
+  // Tokenizer parity: split(lower(text), ' ') ≡ string_split —
+  // both keep empty tokens at consecutive delimiters, both return ['']
+  // for '' (a set, after distinct).
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    prefixFilteredJaccardJoin(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("tk")))
+
+  private val q206Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST((1000 * len(list_intersect(a.tk, b.tk)))
+       |    // (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+       |    AS BIGINT) AS jac_milli
+       |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |WHERE 1000 * len(list_intersect(a.tk, b.tk)) >=
+       |  $JacTMilli * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))""".stripMargin
 
   // --- q50: near-dup cluster resolution (connected components) ------------
   // LSH pairs above a Jaccard threshold form an undirected graph; the
@@ -1522,6 +1627,7 @@ object Dedup extends QueryModule {
     "q26_minhash_lsh" -> q26 _,
     "q27_simhash" -> q27 _,
     "q28_ngram_jaccard" -> q28 _,
+    "q206_exact_simjoin" -> q206 _,
     "q50_dedup_clusters" -> q50 _,
     "q74_stream_dedup" -> q74 _)
 
@@ -1538,5 +1644,6 @@ object Dedup extends QueryModule {
     "q26_minhash_lsh" -> q26Sql,
     "q27_simhash" -> q27Sql,
     "q28_ngram_jaccard" -> q28Sql,
+    "q206_exact_simjoin" -> q206Sql,
     "q50_dedup_clusters" -> q50Sql)
 }

@@ -193,6 +193,66 @@ class Round16OpsSpec extends SparkTestBase {
       s"gate rows: ${rows.mkString(";")}")
   }
 
+  // ---- prefixFilteredJaccardJoin (q206) -----------------------------------
+
+  private def bruteJaccardPairs(tMilli: Int) = {
+    // the O(n²) twin the operator must reproduce exactly
+    val toks = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .array_distinct(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(col("text")), " ")).as("tk"))
+    val a = toks.select(col("doc_id").as("d1"), col("tk").as("t1"))
+    val b = toks.select(col("doc_id").as("d2"), col("tk").as("t2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("ov", org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.array_intersect(
+          col("t1"), col("t2"))))
+      .filter(org.apache.spark.sql.functions.lit(1000L) * col("ov") >=
+        org.apache.spark.sql.functions.lit(tMilli.toLong) *
+          (org.apache.spark.sql.functions.size(col("t1")) +
+            org.apache.spark.sql.functions.size(col("t2")) - col("ov")))
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def prefixJoinPairs(tMilli: Int) =
+    Dedup.prefixFilteredJaccardJoin(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), org.apache.spark.sql.functions
+          .array_distinct(org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(col("text")), " "))
+          .as("tk")),
+      tMilli = tMilli)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("prefixFilteredJaccardJoin equals the brute-force all-pairs set " +
+      "at t=0.9 AND the denser t=0.6 regime") {
+    // exactness is the operator's whole claim vs LSH: the prefix filter
+    // must lose NO pair (completeness theorem) and admit no extra
+    // (verification step); the low threshold stresses long prefixes
+    for (t <- Seq(900, 600)) {
+      val brute = bruteJaccardPairs(t)
+      val pref = prefixJoinPairs(t)
+      assert(pref == brute && brute.nonEmpty,
+        s"t=$t diverged: missing=${(brute diff pref).take(3)} " +
+          s"extra=${(pref diff brute).take(3)}")
+    }
+  }
+
+  test("prefixFilteredJaccardJoin plan has no cross join and no " +
+      "broadcast nested loop") {
+    val plan = Dedup.prefixFilteredJaccardJoin(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), org.apache.spark.sql.functions
+          .array_distinct(org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(col("text")), " "))
+          .as("tk")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in plan:\n$plan")
+  }
+
   test("trained merges feed bpeEncode: encoding uses every learned rule") {
     // the compose story: train on a corpus, encode with the result —
     // rank order preserved (round order IS merge priority)
