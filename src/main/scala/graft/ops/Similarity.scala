@@ -799,6 +799,148 @@ object Similarity extends QueryModule {
        |FROM assigned, unnest(generate_series(1, $MeanDims)) AS t(i)
        |GROUP BY cluster, i""".stripMargin
 
+  // --- q207: full iterative Lloyd k-means training -------------------------
+  // q56 is ONE assignment+update step; this is the training LOOP (Lloyd
+  // 1982) — the job that builds every IVF coarse quantizer (q41/q192/
+  // q205 take their anchors as given). Distributed shape per round: one
+  // corpus scan with the k-row centroid frame BROADCAST (assignment =
+  // min(struct(dist, cid)) — partial-aggregable, never a window), then a
+  // (cluster × dim)-keyed aggregate (k·64 groups) rebuilds centroids.
+  // The centroid frame is localCheckpointed each round (k rows — the
+  // q204 argmax precedent) so the plan stays O(1) per round instead of
+  // nesting.
+  //
+  // Cross-engine exactness: float means are partition-order-dependent,
+  // so EVERYTHING runs in micro-quantized BIGINTs — qe[j] =
+  // floor(x·1e6) (one exact float→double widening, one double multiply,
+  // identical IEEE on both engines), distances are integer Σ(qe−cv)²
+  // (≤ 64·(1.1e6)² ≈ 7.2e13, comfortably BIGINT), centroid update is
+  // the floor-division identity (s − pmod(s, n)) div n — the numerator
+  // is an exact multiple of n, so trunc-vs-floor division divergence
+  // between engines cannot arise. Ties go to the lowest cid on both
+  // sides. An emptied cluster KEEPS its previous centroid (left join +
+  // coalesce) — deterministic, and the oracle replays the same rule.
+  // Inertia is summed in DECIMAL (Σ over 1e12-scaled distances can pass
+  // 2^63 on a big corpus).
+
+  /** PUBLIC operator: `rounds` full Lloyd iterations from the k
+    * lowest-`idCol` seed vectors (config-equivalent determinism, not
+    * RNG). Returns one row per cluster: final size, integer inertia
+    * (DECIMAL), and the micro-unit centroid vector. */
+  def kmeansTrain(points: DataFrame, k: Int = KmKlusters,
+      rounds: Int = KmRounds, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 32,
+      s"kmeansTrain: k=$k rounds=$rounds outside 1../1..32 (each round " +
+        "is a chained oracle CTE)")
+    val pts = points.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))").as("qe"))
+    var cents = pts.orderBy(col("__id")).limit(k)
+      .select(col("__id"), col("qe"))
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("__id"))) - 1).cast("bigint"))
+      .select(col("cid"), col("qe").as("cv"))
+      .localCheckpoint(eager = true) // k rows
+    def assign(c: DataFrame): DataFrame = pts
+      .crossJoin(broadcast(c))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qe, cv, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, x) -> acc + x)"))
+      .groupBy("__id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("qe")).as("qe"))
+      .select(col("__id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("qe"))
+    for (_ <- 1 to rounds) {
+      val upd = assign(cents)
+        .select(col("cid"), posexplode(col("qe")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", expr("(s - pmod(s, n)) div n"))
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, v))), " +
+          "p -> p.v)").as("cv2"))
+      cents = cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint(eager = true) // k rows; truncates round lineage
+    }
+    val stats = assign(cents).groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist").cast("decimal(20,0)")).as("inertia"))
+    cents.join(stats, Seq("cid"), "left")
+      .select(col("cid").as("cluster"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("inertia"), lit(0).cast("decimal(30,0)")).as("inertia"),
+        col("cv"))
+  }
+
+  private val KmKlusters = 4
+  private val KmRounds = 3
+  private val KmDims = 64
+
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    kmeansTrain(Tables.load(s, dir, "embeddings"))
+      .select(col("cluster"), col("n_vecs"), col("inertia"),
+        col("cv")(0).as("c0"), col("cv")(1).as("c1"),
+        col("cv")(2).as("c2"), col("cv")(3).as("c3"))
+
+  private val q207Sql: String = {
+    val head =
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), c0 AS MATERIALIZED (
+         |  SELECT CAST(rn - 1 AS BIGINT) AS cid, qe AS cv FROM (
+         |    SELECT qe, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM pts)
+         |  WHERE rn <= $KmKlusters
+         |)""".stripMargin
+    def distCte(i: Int, prev: String) =
+      s""", d$i AS (
+         |  SELECT p.id, c.cid,
+         |    CAST(SUM((p.qe[j] - c.cv[j]) * (p.qe[j] - c.cv[j]))
+         |      AS BIGINT) AS dist
+         |  FROM pts p CROSS JOIN $prev c,
+         |       unnest(generate_series(1, $KmDims)) AS t(j)
+         |  GROUP BY p.id, c.cid
+         |), a$i AS MATERIALIZED (
+         |  SELECT id, cid, dist FROM (
+         |    SELECT id, cid, dist, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY dist ASC, cid ASC) AS rn FROM d$i)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    val rounds = (1 to KmRounds).map { i =>
+      distCte(i, s"c${i - 1}") +
+        s""", u$i AS (
+           |  SELECT cid, list(v ORDER BY j) AS cv FROM (
+           |    SELECT s.cid, s.j,
+           |      (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n AS v
+           |    FROM (
+           |      SELECT a.cid, j, CAST(SUM(p.qe[j]) AS BIGINT) AS s,
+           |        COUNT(DISTINCT a.id) AS n
+           |      FROM a$i a JOIN pts p ON p.id = a.id,
+           |           unnest(generate_series(1, $KmDims)) AS t(j)
+           |      GROUP BY a.cid, j) s)
+           |  GROUP BY cid
+           |), c$i AS MATERIALIZED (
+           |  SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
+           |  FROM c${i - 1} c LEFT JOIN u$i u USING (cid)
+           |)""".stripMargin
+    }.mkString
+    val fin = distCte(KmRounds + 1, s"c$KmRounds")
+    head + rounds + fin +
+      s"""
+         |SELECT c.cid AS cluster,
+         |  COALESCE(st.n_vecs, 0) AS n_vecs,
+         |  COALESCE(st.inertia, 0) AS inertia,
+         |  c.cv[1] AS c0, c.cv[2] AS c1, c.cv[3] AS c2, c.cv[4] AS c3
+         |FROM c$KmRounds c LEFT JOIN (
+         |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(dist) AS DECIMAL(30,0)) AS inertia
+         |  FROM a${KmRounds + 1} GROUP BY cid) st USING (cid)""".stripMargin
+  }
+
   // --- q89: int8 scalar quantization (per-dim affine codebook) ------------
   // The vector-compression step an ANN index runs before sharding: float32
   // → int8 is a 4× memory cut, per-dimension affine codebook (min/max →
@@ -1544,7 +1686,8 @@ object Similarity extends QueryModule {
     "q30_ann_lsh" -> q30 _,
     "q31_embed_neardup" -> q31 _,
     "q41_ann_ivf" -> q41 _,
-    "q56_kmeans_step" -> q56 _)
+    "q56_kmeans_step" -> q56 _,
+    "q207_kmeans_train" -> q207 _)
 
   val oracleSql: Map[String, String] = Map(
     "q160_maxsim" -> q160Sql,
@@ -1558,5 +1701,6 @@ object Similarity extends QueryModule {
     "q30_ann_lsh" -> q30Sql,
     "q31_embed_neardup" -> q31Sql,
     "q41_ann_ivf" -> q41Sql,
-    "q56_kmeans_step" -> q56Sql)
+    "q56_kmeans_step" -> q56Sql,
+    "q207_kmeans_train" -> q207Sql)
 }
