@@ -367,6 +367,66 @@ object Dedup extends QueryModule {
         "(1000L * ov) div (CAST(l1 AS BIGINT) + l2 - ov)").as("jac_milli"))
   }
 
+  /** EXACT set-CONTAINMENT self-join: every ordered pair (a, b), a ≠ b,
+    * with |A∩B| ≥ `tMilli`/1000 · |A| — "A is mostly inside B", the
+    * ASYMMETRIC dedup semantic Jaccard misses (a tweet quoted inside an
+    * article, boilerplate inclusion, snippet reuse: Jaccard of a 30-token
+    * quote vs a 500-token article is ~0.06, containment is 1.0).
+    *
+    * Same prefix-filtering theorem as [[prefixFilteredJaccardJoin]],
+    * containment form: ov ≥ α = ceil(t·l_a), so some common token lies
+    * in A's first `l_a − α + 1` canonical-order tokens (else all ov
+    * common tokens sit in the α−1 suffix — contradiction). The common
+    * token need NOT lie in B's prefix (B has no length bound relative
+    * to A), so the container side posts ALL its tokens — but those
+    * postings are first semi-joined against the DISTINCT A-prefix token
+    * vocabulary (vocabulary-bounded, predominantly rare tokens by the
+    * df-ASC canonical order), so the equi-join never sees a frequent
+    * token's full posting list unless that token is load-bearing for
+    * some doc's prefix. Verification is exact integer arithmetic:
+    * `1000·ov ≥ t·l_a`. Zero recall loss — the battery oracle is the
+    * brute-force O(n²) join.
+    *
+    * Both directions emit independently (A⊆B and B⊆A both hold for
+    * near-equal sets); `a = b` is excluded. Empty token sets cannot
+    * pair. Output: (a, b, cont_milli = 1000·ov div l_a).
+    */
+  def containmentJoin(docs: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "tk", tMilli: Int = JacTMilli): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"), col(tokensCol).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val df = toks.select(explode(col("__tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ord = toks.select(col("__id"), explode(col("__tk")).as("tok"))
+      .join(df, "tok")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .withColumn("tks", expr("transform(ord, p -> p.tok)"))
+      .withColumn("l", size(col("ord")))
+      .localCheckpoint(eager = false) // prefix leg + postings + 2 verifies
+    val pref = ord.select(col("__id"), col("l"),
+      explode(expr(
+        s"slice(ord, 1, greatest(l - (($tMilli * l + 999) div 1000) + 1, 1))"))
+        .as("p"))
+      .select(col("__id").as("a"), col("p.tok").as("tok"))
+    // container postings, pruned to tokens some prefix actually probes
+    val post = ord.select(col("__id").as("b"), explode(col("tks")).as("tok"))
+      .join(pref.select("tok").distinct(), Seq("tok"), "left_semi")
+    val cand = pref.join(post, Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(ord.select(col("__id").as("a"), col("tks").as("ta"),
+        col("l").as("la")), "a")
+      .join(ord.select(col("__id").as("b"), col("tks").as("tb")), "b")
+      .withColumn("ov", size(array_intersect(col("ta"), col("tb"))))
+      .filter(lit(1000L) * col("ov") >= lit(tMilli.toLong) * col("la"))
+      .select(col("a"), col("b"),
+        expr("(1000L * ov) div CAST(la AS BIGINT)").as("cont_milli"))
+  }
+
   private[ops] val JacTMilli = 900
 
   // ===================== battery entries (driver gate) ====================
@@ -574,6 +634,44 @@ object Dedup extends QueryModule {
        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
        |WHERE 1000 * len(list_intersect(a.tk, b.tk)) >=
        |  $JacTMilli * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))""".stripMargin
+
+  // --- q208: exact containment join (asymmetric quote/subset detection) ---
+  // [[containmentJoin]] over distinct word-3-gram SHINGLES at t = 0.9 on
+  // the contained side's size. Shingles, not single words, are the
+  // load-bearing choice: this fixture's docs share a small template
+  // vocabulary (median 25 distinct words), so word-set containment is
+  // degenerate (~30% of ALL ordered pairs qualify — measured 79k/500
+  // docs), while 3-gram shingles keep word ORDER in the token and only
+  // genuine quote/near-copy pairs survive (50 at sf0.01). That is also
+  // how production quote detectors tokenize. Oracle = brute force (the
+  // completeness proof, q206's precedent); docs under 3 words have no
+  // shingle and cannot pair (both engines).
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    containmentJoin(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """array_distinct(CASE WHEN size(split(lower(text), ' ')) >= 3
+            |THEN transform(
+            |  sequence(1, size(split(lower(text), ' ')) - 2),
+            |  i -> concat_ws(' ', split(lower(text), ' ')[i - 1],
+            |    split(lower(text), ' ')[i], split(lower(text), ' ')[i + 1]))
+            |ELSE array() END)""".stripMargin).as("tk")))
+
+  private val q208Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - 2, 0)),
+       |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tk
+       |  FROM w
+       |)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST((1000 * len(list_intersect(a.tk, b.tk)))
+       |    // len(a.tk) AS BIGINT) AS cont_milli
+       |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+       |WHERE len(a.tk) > 0 AND 1000 * len(list_intersect(a.tk, b.tk)) >=
+       |  $JacTMilli * len(a.tk)""".stripMargin
 
   // --- q50: near-dup cluster resolution (connected components) ------------
   // LSH pairs above a Jaccard threshold form an undirected graph; the
@@ -1628,6 +1726,7 @@ object Dedup extends QueryModule {
     "q27_simhash" -> q27 _,
     "q28_ngram_jaccard" -> q28 _,
     "q206_exact_simjoin" -> q206 _,
+    "q208_containment_join" -> q208 _,
     "q50_dedup_clusters" -> q50 _,
     "q74_stream_dedup" -> q74 _)
 
@@ -1645,5 +1744,6 @@ object Dedup extends QueryModule {
     "q27_simhash" -> q27Sql,
     "q28_ngram_jaccard" -> q28Sql,
     "q206_exact_simjoin" -> q206Sql,
+    "q208_containment_join" -> q208Sql,
     "q50_dedup_clusters" -> q50Sql)
 }

@@ -273,6 +273,62 @@ class Round16OpsSpec extends SparkTestBase {
       s"no learned symbol survives in the encoding: $learned")
   }
 
+  // ---- containmentJoin (q208) ---------------------------------------------
+
+  private def wordToks(dir: String) =
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .array_distinct(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(col("text")), " ")).as("tk"))
+
+  test("containmentJoin equals the brute-force ordered-pair set at " +
+      "t=0.9 AND t=0.6 (word tokens — the dense regime)") {
+    import org.apache.spark.sql.functions._
+    for (t <- Seq(900, 600)) {
+      val toks = wordToks("/root/testdata/sf0.001")
+      val a = toks.select(col("doc_id").as("a"), col("tk").as("ta"))
+      val b = toks.select(col("doc_id").as("b"), col("tk").as("tb"))
+      val brute = a.crossJoin(b).filter(col("a") =!= col("b"))
+        .withColumn("ov", size(array_intersect(col("ta"), col("tb"))))
+        .filter(lit(1000L) * col("ov") >=
+          lit(t.toLong) * size(col("ta")))
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.containmentJoin(toks, tMilli = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute && brute.nonEmpty,
+        s"t=$t diverged: missing=${(brute diff got).take(3)} " +
+          s"extra=${(got diff brute).take(3)}")
+    }
+  }
+
+  test("containmentJoin is asymmetric: a quote inside an article pairs " +
+      "one way only, and Jaccard misses it entirely") {
+    import spark.implicits._
+    val quote = (1 to 30).map(i => s"q$i")
+    val article = (1 to 470).map(i => s"w$i") ++ quote
+    val df = Seq(
+      (1L, quote), (2L, article),
+      (3L, (1 to 40).map(i => s"z$i"))).toDF("doc_id", "tk")
+    val got = Dedup.containmentJoin(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1000L)),
+      s"containment pairs: $got") // (2,1) absent: 30/500 < 0.9
+    val jac = Dedup.prefixFilteredJaccardJoin(df)
+      .collect()
+    assert(jac.isEmpty, // Jaccard(quote, article) = 30/500 = 0.06
+      s"jaccard should miss the quote: ${jac.toSeq}")
+  }
+
+  test("containmentJoin plan has no cross join and no broadcast " +
+      "nested loop") {
+    val plan = Dedup.containmentJoin(wordToks("/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in plan:\n$plan")
+  }
+
   // ---- kmeansTrain (q207) -------------------------------------------------
 
   private def lloydReference(vecs: Seq[(Long, Seq[Float])], k: Int,
