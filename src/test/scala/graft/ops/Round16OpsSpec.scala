@@ -425,4 +425,119 @@ class Round16OpsSpec extends SparkTestBase {
     assert(out(1)._3 == Seq.fill(4)(250000L),
       s"emptied cluster lost its centroid: ${out(1)._3}")
   }
+
+  // ---- dbscan (q209) ------------------------------------------------------
+
+  /** Sequential DBSCAN with the operator's deterministic refinement:
+    * cluster = min core id per core-connected component (union-by-min,
+    * so every root is its component's minimum), border joins the
+    * min-labeled core neighbor. */
+  private def dbscanReference(pts: Seq[(Long, Long, Long)], eps: Long,
+      minPts: Int): Set[(Long, String, Option[Long])] = {
+    val arr = pts.toArray
+    def d2(p: (Long, Long, Long), q: (Long, Long, Long)): Long = {
+      val dx = p._2 - q._2; val dy = p._3 - q._3; dx * dx + dy * dy
+    }
+    val neigh = arr.map(p =>
+      arr.filter(q => d2(p, q) <= eps * eps).map(_._1).toSet)
+    val idx = arr.map(_._1).zipWithIndex.toMap
+    val core = arr.indices
+      .filter(i => neigh(i).size >= minPts).map(arr(_)._1).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      core.map(c => c -> c)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for (i <- arr.indices if core(arr(i)._1); q <- neigh(i) if core(q)) {
+      val (ra, rb) = (find(arr(i)._1), find(q))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    arr.map { p =>
+      if (core(p._1)) (p._1, "core", Option(find(p._1)))
+      else {
+        val cn = (neigh(idx(p._1)) - p._1).filter(core)
+        if (cn.nonEmpty) (p._1, "border", Option(cn.map(find).min))
+        else (p._1, "noise", Option.empty[Long])
+      }
+    }.toSet
+  }
+
+  private def collectDbscan(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) Option.empty[Long] else Option(r.getLong(2)))).toSet
+
+  test("dbscan matches the sequential reference on the embeddings " +
+      "fixture at the adaptive default AND a fixed (eps, minPts)") {
+    val raw = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000D) AS BIGINT)"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000D) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val df = raw.toDF("vid", "x", "y")
+    // adaptive sentinel resolves to adaptiveEpsMicro(n) — same result
+    val epsAd = Similarity.adaptiveEpsMicro(raw.size.toLong)
+    val wantAd = dbscanReference(raw, epsAd, 5)
+    assert(collectDbscan(Similarity.dbscan(df)) == wantAd)
+    // every role occurs on the fixture (the test is non-vacuous)
+    assert(Set("core", "border", "noise")
+      .subsetOf(wantAd.map(_._2)), s"degenerate fixture: ${wantAd.map(_._2)}")
+    assert(wantAd.flatMap(_._3).size > 1, "single-cluster fixture")
+    // a fixed wider setting exercises a different grid resolution
+    val want = dbscanReference(raw, 40000L, 10)
+    assert(collectDbscan(
+      Similarity.dbscan(df, epsMicro = 40000L, minPts = 10)) == want)
+  }
+
+  test("adaptiveEpsMicro halves eps exactly at refN·4^s boundaries " +
+      "and never reaches zero") {
+    assert(Similarity.adaptiveEpsMicro(1L) == 20000L)
+    assert(Similarity.adaptiveEpsMicro(500L) == 20000L)
+    assert(Similarity.adaptiveEpsMicro(501L) == 10000L)
+    assert(Similarity.adaptiveEpsMicro(2000L) == 10000L)
+    assert(Similarity.adaptiveEpsMicro(2001L) == 5000L)
+    assert(Similarity.adaptiveEpsMicro(Long.MaxValue) == (20000L >> 14))
+    assert((20000L >> 14) >= 1L)
+  }
+
+  test("dbscan pairs points across grid-cell boundaries, borders take " +
+      "the min component label and never bridge two clusters") {
+    import spark.implicits._
+    // eps=10, minPts=4. Cluster A (ids 1-4) and cluster B (ids 10-13)
+    // are separate components; id 5 is within eps of a core in EACH —
+    // border, labeled min(1, 10) = 1, and A/B stay distinct (borders do
+    // not merge components). (-2,0) vs (0,0) straddle cells -1 and 0.
+    val df = Seq(
+      (1L, -2L, 0L), (2L, 0L, 0L), (3L, 2L, 0L), (4L, 0L, 2L),
+      (5L, 11L, 0L),
+      (10L, 20L, 0L), (11L, 26L, 0L), (12L, 28L, 0L), (13L, 26L, 2L),
+      (30L, 1000L, 1000L)).toDF("vid", "x", "y")
+    val got = collectDbscan(Similarity.dbscan(df, epsMicro = 10L,
+      minPts = 4))
+    val want: Set[(Long, String, Option[Long])] =
+      Set((1L, "core", Some(1L)), (2L, "core", Some(1L)),
+        (3L, "core", Some(1L)), (4L, "core", Some(1L)),
+        (5L, "border", Some(1L)),
+        (10L, "core", Some(10L)), (11L, "core", Some(10L)),
+        (12L, "core", Some(10L)), (13L, "core", Some(10L)),
+        (30L, "noise", None))
+    assert(got == want, s"got $got")
+  }
+
+  test("dbscan plan has no cross join and no broadcast nested loop") {
+    val raw = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select(col("vec_id").as("vid"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000D) AS BIGINT)")
+          .as("x"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000D) AS BIGINT)")
+          .as("y"))
+    val plan = Similarity.dbscan(raw)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in plan:\n$plan")
+  }
 }
