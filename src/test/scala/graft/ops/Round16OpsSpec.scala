@@ -525,6 +525,66 @@ class Round16OpsSpec extends SparkTestBase {
     assert(got == want, s"got $got")
   }
 
+  // ---- kCore (q210) -------------------------------------------------------
+
+  /** Sequential peel reference: repeatedly delete vertices with induced
+    * degree < k; returns surviving vertex → induced degree. */
+  private def kCoreReference(edges: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    var cur = adj.keySet.toSet
+    var done = false
+    while (!done) {
+      val drop = cur.filter(v => (adj(v) intersect cur).size < k)
+      if (drop.isEmpty) done = true else cur = cur -- drop
+    }
+    cur.map(v => v -> (adj(v) intersect cur).size.toLong).toMap
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 64): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("a", "b"), k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: a clique survives intact, a path peels to empty, and a " +
+      "clique with a pendant chain peels exactly the chain") {
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(runKCore(clique, 4) == (1L to 5L).map(_ -> 4L).toMap)
+    val path = (1L until 12L).map(i => (i, i + 1))
+    assert(runKCore(path, 2) == Map.empty) // every round exposes new ends
+    val chained = clique ++ Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    assert(runKCore(chained, 2) ==
+      (1L to 5L).map(_ -> 4L).toMap) // chain gone, clique degrees intact
+  }
+
+  test("kCore matches the sequential peel on seeded random graphs " +
+      "at several k") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(300)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)
+      for (k <- Seq(2, 4, 6)) {
+        val want = kCoreReference(edges, k)
+        assert(runKCore(edges, k) == want, s"k=$k diverged")
+      }
+    }
+  }
+
+  test("kCore refuses to return a non-core superset when maxRounds is " +
+      "too small") {
+    val path = (1L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      runKCore(path, 2, maxRounds = 3) // needs ~6 peel rounds
+    }
+  }
+
   test("dbscan plan has no cross join and no broadcast nested loop") {
     val raw = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "embeddings").select(col("vec_id").as("vid"),
