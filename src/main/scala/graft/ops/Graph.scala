@@ -766,13 +766,116 @@ object Graph extends QueryModule {
          |GROUP BY e.a""".stripMargin
   }
 
+  // --- q211: weighted label-propagation communities -------------------------
+  // Community detection (Raghavan et al. 2007) over the same trade
+  // graph: each vertex adopts the label carrying the largest total edge
+  // weight among its neighbors, synchronously, for a FIXED number of
+  // rounds — the published practice for LPA at scale ("run L
+  // iterations"), and the only well-defined variant: free-running
+  // synchronous LPA can oscillate (bipartite two-coloring flip-flop),
+  // while a fixed-round schedule with a deterministic tie-break
+  // (max Σw, then MIN label) is exact and cross-engine replayable — the
+  // q207/q210 bounded-replay precedent, oracle = chained CTEs, one per
+  // round. Communities after L rounds are the hub-anchored trade
+  // neighborhoods (which customers/suppliers move together) — the same
+  // primitive a curation pipeline uses to group near-dup clusters or
+  // topic-cluster a link graph without choosing k (q207 needs k;
+  // q209 needs a metric space; LPA needs only edges).
+  //
+  // Scale shape per round: one equi-join (edges ⋈ labels on the
+  // neighbor endpoint) + two aggregates keyed by (vertex, label) then
+  // vertex — all shuffles carry the entity-grain graph, and the label
+  // frame is localCheckpointed per round so the plan stays O(1)/round.
+
+  /** PUBLIC operator: synchronous weighted label propagation for
+    * exactly `rounds` rounds. `edges` as (`a`, `b`, `w`) with positive
+    * integral weights (symmetrized, self-loops dropped). Returns
+    * (`vid`, `lbl`) — the label is a vertex id, initially each vertex's
+    * own; ties broken by (max Σw, min label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"labelPropagation: rounds=$rounds outside 1..16 (each round is a " +
+        "chained oracle CTE)")
+    val und = edges.select(col("a"), col("b"), col("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint(eager = false) // read by every round
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .groupBy("a", "lbl").agg(sum(col("w")).as("ws"))
+        .groupBy("a")
+        .agg(min(struct((-col("ws")).as("nws"), col("lbl"))).as("m"))
+        .select(col("a").as("id"), col("m.lbl").as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("id").as("vid"), col("lbl"))
+  }
+
+  private[ops] val LpaRounds = 4
+
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("nl"))
+      .filter(col("nl") >= KcMinLinks)
+    labelPropagation(cs.select(
+        (-col("o_custkey")).cast("bigint").as("a"),
+        col("l_suppkey").cast("bigint").as("b"),
+        col("nl").as("w")), rounds = LpaRounds)
+      .withColumn("kind",
+        when(col("vid") < 0, lit("customer")).otherwise(lit("supplier")))
+  }
+
+  private val q211Sql: String = {
+    val head =
+      s"""WITH cs AS (
+         |  SELECT o.o_custkey AS c, l.l_suppkey AS s, count(*) AS n
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $KcMinLinks
+         |), e AS MATERIALIZED (
+         |  SELECT CAST(-c AS BIGINT) AS a, CAST(s AS BIGINT) AS b,
+         |    CAST(n AS BIGINT) AS w
+         |  FROM cs
+         |  UNION ALL
+         |  SELECT CAST(s AS BIGINT), CAST(-c AS BIGINT), CAST(n AS BIGINT)
+         |  FROM cs
+         |), l0 AS (
+         |  SELECT DISTINCT a AS id, a AS lbl FROM e
+         |)""".stripMargin
+    val rounds = (1 to LpaRounds).map { i =>
+      s""", l$i AS MATERIALIZED (
+         |  SELECT a AS id, lbl FROM (
+         |    SELECT e.a, l.lbl, SUM(e.w) AS ws,
+         |      ROW_NUMBER() OVER (PARTITION BY e.a
+         |        ORDER BY SUM(e.w) DESC, l.lbl ASC) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.b = l.id
+         |    GROUP BY e.a, l.lbl)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT id AS vid, lbl,
+         |  CASE WHEN id < 0 THEN 'customer' ELSE 'supplier' END AS kind
+         |FROM l$LpaRounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_pagerank" -> q107 _,
     "q128_bfs_hops" -> q128 _,
     "q134_triangles" -> q134 _,
     "q164_link_prediction" -> q164 _,
     "q168_subtree_rollup" -> q168 _,
-    "q210_kcore" -> q210 _)
+    "q210_kcore" -> q210 _,
+    "q211_label_prop" -> q211 _)
 
   val oracleSql: Map[String, String] = Map(
     "q107_pagerank" -> q107Sql,
@@ -780,5 +883,6 @@ object Graph extends QueryModule {
     "q134_triangles" -> q134Sql,
     "q164_link_prediction" -> q164Sql,
     "q168_subtree_rollup" -> q168Sql,
-    "q210_kcore" -> q210Sql)
+    "q210_kcore" -> q210Sql,
+    "q211_label_prop" -> q211Sql)
 }

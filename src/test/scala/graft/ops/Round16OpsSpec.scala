@@ -585,6 +585,71 @@ class Round16OpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- labelPropagation (q211) --------------------------------------------
+
+  /** Sequential synchronous weighted LPA with the operator's exact
+    * semantics: label = argmax Σw over neighbor labels, ties to the
+    * minimum label, run exactly `rounds` rounds. */
+  private def lpaReference(edges: Seq[(Long, Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val sym = scala.collection.mutable.Map[(Long, Long), Long]()
+    edges.filter(e => e._1 != e._2).foreach { case (a, b, w) =>
+      sym((a, b)) = sym.getOrElse((a, b), 0L) + w
+      sym((b, a)) = sym.getOrElse((b, a), 0L) + w
+    }
+    val adj = sym.toSeq.groupBy(_._1._1)
+      .map { case (v, es) => v -> es.map(e => (e._1._2, e._2)) }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (v, ns) =>
+        val scores = ns.groupBy(n => lbl(n._1))
+          .map { case (l, xs) => (l, xs.map(_._2).sum) }
+        v -> scores.toSeq.minBy(s => (-s._2, s._1))._1
+      }
+    }
+    lbl
+  }
+
+  private def runLpa(edges: Seq[(Long, Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("a", "b", "w"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation matches the sequential synchronous reference " +
+      "on seeded random weighted graphs at 1 AND 4 rounds") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(200)((rnd.nextInt(50).toLong,
+        rnd.nextInt(50).toLong, (rnd.nextInt(9) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      for (r <- Seq(1, 4)) {
+        assert(runLpa(edges, r) == lpaReference(edges, r),
+          s"rounds=$r diverged")
+      }
+    }
+  }
+
+  test("labelPropagation: two heavy triangles with a light bridge " +
+      "settle into two communities") {
+    val tri1 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 1L, 10L))
+    val tri2 = Seq((10L, 11L, 10L), (11L, 12L, 10L), (12L, 10L, 10L))
+    val edges = tri1 ++ tri2 ++ Seq((3L, 10L, 1L))
+    val got = runLpa(edges, 4)
+    assert(got == lpaReference(edges, 4))
+    val c1 = Set(1L, 2L, 3L).map(got)
+    val c2 = Set(10L, 11L, 12L).map(got)
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2,
+      s"triangles did not form two communities: $got")
+  }
+
+  test("labelPropagation ties break to the minimum label (square, " +
+      "equal weights, one round)") {
+    val sq = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L), (4L, 1L, 5L))
+    assert(runLpa(sq, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("dbscan plan has no cross join and no broadcast nested loop") {
     val raw = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "embeddings").select(col("vec_id").as("vid"),
