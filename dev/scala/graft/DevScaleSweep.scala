@@ -50,7 +50,8 @@ object DevScaleSweep {
       "q50_dedup_clusters" -> "documents", "q78_session_window" -> "events",
       "q87_repetition" -> "documents", "q88_vocabulary" -> "documents",
       "q89_quantization" -> "embeddings", "q90_curation_pipeline" -> "documents",
-      "q91_fuzzy_match" -> "part", "q92_gap_fill" -> "events",
+      "q91_fuzzy_match" -> "part", "q212_golden_records" -> "part",
+      "q92_gap_fill" -> "events",
       "q93_table_checksum" -> "orders", "q94_stratified_sample" -> "documents",
       "q82_sliding_window" -> "events", "q80_token_packing" -> "documents",
       "q95_packing_scan" -> "documents", "q97_rest_ingest" -> "events",

@@ -906,6 +906,106 @@ object Dedup extends QueryModule {
        |WHERE shared_3grams >= 2 AND levenshtein(name_a, name_b) <= 3"""
       .stripMargin
 
+  // --- q212: entity-resolution survivorship (golden records) ---------------
+  // The MDM end of the q91 → q50 pipeline: match pairs resolve into
+  // entity clusters (connected components), and each cluster merges into
+  // ONE canonical row under per-field survivorship rules — the step that
+  // turns "these rows are the same product" into the deduplicated
+  // catalog a downstream join actually wants. Rules here: categorical
+  // fields take the MODAL value with the deterministic (count DESC,
+  // value ASC) refinement of most-frequent-wins; price-like fields take
+  // the MIN (the conservative rule). Cluster key = the minimum entity id
+  // (CC's representative); unmatched rows pass through as singleton
+  // clusters of themselves.
+  //
+  // Scale shape: clustering runs on the MATCH-PAIR graph (≪ corpus —
+  // only candidates that survived the fuzzy verify), the merge is one
+  // groupBy per mode field keyed by (cluster, value) then cluster —
+  // entity-grain shuffles throughout; the corpus is scanned once.
+
+  /** PUBLIC operator: golden-record merge. `rows` carry `idCol` (the
+    * entity key, orderable) plus the survivorship fields; `pairs` are
+    * undirected match edges over `idCol` values as columns `a`, `b`.
+    * @return one row per entity cluster: (`cluster` = min member id,
+    *         `n_members`, each `modeFields` column as its modal value,
+    *         each `minFields` column as `min_<name>`). */
+  def goldenRecords(rows: DataFrame, pairs: DataFrame, idCol: String,
+      modeFields: Seq[String], minFields: Seq[String] = Nil): DataFrame = {
+    require(modeFields.nonEmpty, "goldenRecords: at least one mode field")
+    val comp = Graph.connectedComponents(pairs)
+    val labeled = rows
+      .select((idCol +: (modeFields ++ minFields)).map(col): _*)
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .localCheckpoint(eager = false) // one corpus scan, many merge legs
+    val aggs = count(lit(1)).as("n_members") +:
+      minFields.map(f => min(col(f)).as(s"min_$f"))
+    val base = labeled.groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+    modeFields.foldLeft(base) { (acc, f) =>
+      acc.join(
+        labeled.groupBy(col("cluster"), col(f))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("cluster")
+          .agg(min(struct((-col("c")).as("nc"), col(f).as("v"))).as("m"))
+          .select(col("cluster"), col("m.v").as(f)),
+        Seq("cluster"))
+    }
+  }
+
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    goldenRecords(part,
+      fuzzyNamePairs(part, "p_name")
+        .select(col("name_a").as("a"), col("name_b").as("b")),
+      idCol = "p_name",
+      modeFields = Seq("p_brand", "p_type"),
+      minFields = Seq("p_retailprice"))
+  }
+
+  private val q212Sql =
+    s"""WITH RECURSIVE names AS (
+       |  SELECT DISTINCT p_name FROM part
+       |), g AS (
+       |  SELECT p_name, unnest(${trigramsDuckOf("p_name")}) AS g FROM names
+       |), mp AS (
+       |  SELECT name_a, name_b FROM (
+       |    SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |      COUNT(*) AS shared_3grams
+       |    FROM g a JOIN g b ON a.g = b.g AND a.p_name < b.p_name
+       |    GROUP BY 1, 2)
+       |  WHERE shared_3grams >= 2 AND levenshtein(name_a, name_b) <= 3
+       |), e AS (
+       |  SELECT name_a AS a, name_b AS b FROM mp
+       |  UNION SELECT name_b, name_a FROM mp
+       |), reach AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+       |), lab AS MATERIALIZED (
+       |  SELECT p.*, COALESCE(c.comp, p.p_name) AS cluster
+       |  FROM part p LEFT JOIN comp c ON p.p_name = c.id
+       |), modes AS (
+       |  SELECT cluster, field, v FROM (
+       |    SELECT cluster, field, v,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster, field
+       |        ORDER BY COUNT(*) DESC, v ASC) AS rn
+       |    FROM (
+       |      SELECT cluster, 'b' AS field, p_brand AS v FROM lab
+       |      UNION ALL
+       |      SELECT cluster, 't', p_type FROM lab)
+       |    GROUP BY cluster, field, v)
+       |  WHERE rn = 1
+       |)
+       |SELECT l.cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MIN(l.p_retailprice) AS min_p_retailprice,
+       |  MIN(mb.v) AS p_brand, MIN(mt.v) AS p_type
+       |FROM lab l
+       |JOIN modes mb ON mb.cluster = l.cluster AND mb.field = 'b'
+       |JOIN modes mt ON mt.cluster = l.cluster AND mt.field = 't'
+       |GROUP BY l.cluster""".stripMargin
+
   // --- q110: cross-source overlap (contamination) matrix -------------------
   // The corpus-audit step before mixing sources into one training set:
   // for every source pair, how much content do they share? Shared unit =
@@ -1720,6 +1820,7 @@ object Dedup extends QueryModule {
     "q110_overlap_matrix" -> q110 _,
     "q105_stream_neardup" -> q105 _,
     "q91_fuzzy_match" -> q91 _,
+    "q212_golden_records" -> q212 _,
     "q72_window_dedup" -> q72 _,
     "q25_exact_dedup" -> q25 _,
     "q26_minhash_lsh" -> q26 _,
@@ -1738,6 +1839,7 @@ object Dedup extends QueryModule {
     "q120_dup_spans" -> q120Sql,
     "q110_overlap_matrix" -> q110Sql,
     "q91_fuzzy_match" -> q91Sql,
+    "q212_golden_records" -> q212Sql,
     "q72_window_dedup" -> q72Sql,
     "q25_exact_dedup" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,

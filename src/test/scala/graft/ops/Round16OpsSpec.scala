@@ -329,6 +329,28 @@ class Round16OpsSpec extends SparkTestBase {
       s"quadratic join shape in plan:\n$plan")
   }
 
+  // ---- goldenRecords (q212) -----------------------------------------------
+
+  test("goldenRecords merges match clusters under mode/min survivorship " +
+      "rules; ties break value-ASC; singletons pass through") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a1", "X", 10.0), ("a2", "Y", 8.0), ("a3", "X", 12.0),
+      ("b1", "Z", 5.0),
+      ("c1", "P", 3.0), ("c2", "Q", 2.0)).toDF("id", "brand", "price")
+    val pairs = Seq(("a1", "a2"), ("a2", "a3"), ("c1", "c2")).toDF("a", "b")
+    val got = Dedup.goldenRecords(rows, pairs, "id",
+      modeFields = Seq("brand"), minFields = Seq("price"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("a1", 3L, 8.0, "X"), // mode X (2 of 3); min price from a2
+      ("b1", 1L, 5.0, "Z"), // unmatched row = singleton cluster
+      ("c1", 2L, 2.0, "P")), // 1-1 brand tie -> value ASC
+      s"got $got")
+  }
+
   // ---- kmeansTrain (q207) -------------------------------------------------
 
   private def lloydReference(vecs: Seq[(Long, Seq[Float])], k: Int,
