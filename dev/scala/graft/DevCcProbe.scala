@@ -6,7 +6,12 @@ import org.apache.spark.sql.functions._
 /** Dev-only: round-by-round convergence trace of the
   * [[graft.ops.Graph.connectedComponents]] loop on q209's sf0.1 core
   * graph — run after the sf0.1 non-convergence to see whether label
-  * propagation is doubling (log d rounds) or creeping (linear). */
+  * propagation is doubling (log d rounds) or creeping (linear).
+  *
+  * NOTE: this is a deliberate SNAPSHOT of the round-13 loop (and of
+  * dbscan's grid pairing) kept for the PERF.md trace provenance — it is
+  * NOT wired to the production code. If connectedComponents changes,
+  * re-derive the trace rather than trusting this copy. */
 object DevCcProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

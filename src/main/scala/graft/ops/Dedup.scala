@@ -925,7 +925,14 @@ object Dedup extends QueryModule {
 
   /** PUBLIC operator: golden-record merge. `rows` carry `idCol` (the
     * entity key, orderable) plus the survivorship fields; `pairs` are
-    * undirected match edges over `idCol` values as columns `a`, `b`.
+    * undirected match edges over `idCol` values as columns `a`, `b` —
+    * normally produced from the SAME row set (a pair id absent from
+    * `rows` still labels/bridges its component, so the cluster key is
+    * drawn from `pairs ∪ rows` ids; that is the caller's contract, not
+    * validated here). NULL field values never win a mode tie (they are
+    * excluded from the vote; a cluster whose field is entirely NULL
+    * merges to NULL) — Spark's NULLS-FIRST struct ordering would
+    * otherwise let a missing value beat a known one on a tied count.
     * @return one row per entity cluster: (`cluster` = min member id,
     *         `n_members`, each `modeFields` column as its modal value,
     *         each `minFields` column as `min_<name>`). */
@@ -943,12 +950,13 @@ object Dedup extends QueryModule {
     val base = labeled.groupBy("cluster").agg(aggs.head, aggs.tail: _*)
     modeFields.foldLeft(base) { (acc, f) =>
       acc.join(
-        labeled.groupBy(col("cluster"), col(f))
+        labeled.filter(col(f).isNotNull) // NULL never wins a mode tie
+          .groupBy(col("cluster"), col(f))
           .agg(count(lit(1)).as("c"))
           .groupBy("cluster")
           .agg(min(struct((-col("c")).as("nc"), col(f).as("v"))).as("m"))
           .select(col("cluster"), col("m.v").as(f)),
-        Seq("cluster"))
+        Seq("cluster"), "left") // all-NULL cluster → NULL golden value
     }
   }
 
@@ -995,6 +1003,7 @@ object Dedup extends QueryModule {
        |      SELECT cluster, 'b' AS field, p_brand AS v FROM lab
        |      UNION ALL
        |      SELECT cluster, 't', p_type FROM lab)
+       |    WHERE v IS NOT NULL -- NULL never wins a mode tie (op contract)
        |    GROUP BY cluster, field, v)
        |  WHERE rn = 1
        |)
@@ -1002,8 +1011,8 @@ object Dedup extends QueryModule {
        |  MIN(l.p_retailprice) AS min_p_retailprice,
        |  MIN(mb.v) AS p_brand, MIN(mt.v) AS p_type
        |FROM lab l
-       |JOIN modes mb ON mb.cluster = l.cluster AND mb.field = 'b'
-       |JOIN modes mt ON mt.cluster = l.cluster AND mt.field = 't'
+       |LEFT JOIN modes mb ON mb.cluster = l.cluster AND mb.field = 'b'
+       |LEFT JOIN modes mt ON mt.cluster = l.cluster AND mt.field = 't'
        |GROUP BY l.cluster""".stripMargin
 
   // --- q110: cross-source overlap (contamination) matrix -------------------

@@ -793,9 +793,7 @@ object Graph extends QueryModule {
     * (`vid`, `lbl`) — the label is a vertex id, initially each vertex's
     * own; ties broken by (max Σw, min label). */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 16,
-      s"labelPropagation: rounds=$rounds outside 1..16 (each round is a " +
-        "chained oracle CTE)")
+    require(rounds >= 1, s"labelPropagation: rounds=$rounds must be >= 1")
     val und = edges.select(col("a"), col("b"), col("w"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))

@@ -1007,13 +1007,22 @@ object Similarity extends QueryModule {
   def dbscan(points: DataFrame, epsMicro: Long = AdaptiveEps,
       minPts: Int = DbMinPts, idCol: String = "vid", xCol: String = "x",
       yCol: String = "y"): DataFrame = {
+    // coordinate-bound guard rides the projection scan (zero extra
+    // pass, the cloneCollapsedNearDupEdges zero-norm precedent): past
+    // 2^30 the squared-distance arithmetic would wrap BIGINT and turn
+    // far-apart points into silent eps-neighbors — fail loud instead
+    def guarded(c: String) = expr(
+      s"CASE WHEN abs(CAST($c AS BIGINT)) < 1073741824 " +
+        s"THEN CAST($c AS BIGINT) ELSE CAST(raise_error(" +
+        s"'dbscan: |$c| must be < 2^30 (micro-quantized)') AS BIGINT) END")
     val pts = points.select(col(idCol).as("__id"),
-      col(xCol).cast("bigint").as("x"), col(yCol).cast("bigint").as("y"))
+      guarded(xCol).as("x"), guarded(yCol).as("y"))
+      .localCheckpoint(eager = false) // adaptive count + binning share it
     val eps =
       if (epsMicro == AdaptiveEps) adaptiveEpsMicro(pts.count())
       else epsMicro
-    require(eps >= 1 && minPts >= 1,
-      s"dbscan: eps=$eps minPts=$minPts must be positive")
+    require(eps >= 1 && eps < (1L << 31) && minPts >= 1,
+      s"dbscan: eps=$eps outside [1, 2^31) or minPts=$minPts < 1")
     // eps-side grid cell by exact floor division (pmod identity — the
     // numerator is a multiple of eps, so trunc vs floor cannot diverge)
     val binned = pts

@@ -351,6 +351,24 @@ class Round16OpsSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("goldenRecords: NULL never wins a mode vote, even on higher " +
+      "count; an all-NULL cluster merges to NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      ("d1", null, 1.0), ("d2", null, 2.0), ("d3", "X", 3.0),
+      ("e1", null, 4.0)).toDF("id", "brand", "price")
+    val pairs = Seq(("d1", "d2"), ("d2", "d3")).toDF("a", "b")
+    val got = Dedup.goldenRecords(rows, pairs, "id",
+      modeFields = Seq("brand"), minFields = Seq("price"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2),
+          Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("d1", 3L, 1.0, Some("X")), // 2 NULLs lose to 1 known value
+      ("e1", 1L, 4.0, None)), // nothing known -> NULL golden value
+      s"got $got")
+  }
+
   // ---- kmeansTrain (q207) -------------------------------------------------
 
   private def lloydReference(vecs: Seq[(Long, Seq[Float])], k: Int,
