@@ -625,6 +625,72 @@ class Round16OpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- shortestPaths (q213) -----------------------------------------------
+
+  /** Dijkstra reference over the symmetrized min-collapsed graph. */
+  private def ssspReference(edges: Seq[(Long, Long, Long)], src: Long)
+      : Map[Long, Option[Long]] = {
+    val w = scala.collection.mutable.Map[(Long, Long), Long]()
+    edges.filter(e => e._1 != e._2).foreach { case (a, b, x) =>
+      w((a, b)) = math.min(w.getOrElse((a, b), Long.MaxValue), x)
+      w((b, a)) = math.min(w.getOrElse((b, a), Long.MaxValue), x)
+    }
+    val adj = w.toSeq.groupBy(_._1._1)
+      .map { case (v, es) => v -> es.map(e => (e._1._2, e._2)) }
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    if (adj.contains(src)) {
+      val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+        Ordering.by(-_._1))
+      pq.enqueue((0L, src))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (!dist.contains(v)) {
+          dist(v) = d
+          adj(v).foreach { case (u, x) =>
+            if (!dist.contains(u)) pq.enqueue((d + x, u))
+          }
+        }
+      }
+    }
+    adj.keys.map(v => v -> dist.get(v)).toMap
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)], src: Long,
+      maxRounds: Int = 32): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    Graph.shortestPaths(edges.toDF("a", "b", "w"), src, maxRounds)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+  }
+
+  test("shortestPaths matches Dijkstra on seeded random weighted graphs, " +
+      "including an unreachable island (NULL dist)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      // main component on 0..39 plus an island on 100..104
+      val edges = Seq.fill(150)((rnd.nextInt(40).toLong,
+        rnd.nextInt(40).toLong, (rnd.nextInt(99) + 1).toLong))
+        .filter(e => e._1 != e._2) ++
+        (100L until 104L).map(i => (i, i + 1, 7L))
+      val want = ssspReference(edges, 0L)
+      assert(want.exists(_._2.isEmpty), "island must be unreachable")
+      assert(runSssp(edges, 0L) == want)
+    }
+  }
+
+  test("shortestPaths takes the minimum over parallel edges and " +
+      "fails loud when maxRounds is too small") {
+    assert(runSssp(Seq((1L, 2L, 9L), (2L, 1L, 4L), (1L, 2L, 6L)), 1L)
+      == Map(1L -> Some(0L), 2L -> Some(4L)))
+    val path = (1L until 10L).map(i => (i, i + 1, 1L))
+    intercept[IllegalStateException] {
+      runSssp(path, 1L, maxRounds = 3) // tree depth 9 needs ~10 rounds
+    }
+    intercept[Exception] { // non-positive weight rejected fail-loud
+      runSssp(Seq((1L, 2L, 0L)), 1L)
+    }
+  }
+
   // ---- labelPropagation (q211) --------------------------------------------
 
   /** Sequential synchronous weighted LPA with the operator's exact
