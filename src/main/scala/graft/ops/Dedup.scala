@@ -410,12 +410,20 @@ object Dedup extends QueryModule {
       explode(expr(
         s"slice(ord, 1, greatest(l - (($tMilli * l + 999) div 1000) + 1, 1))"))
         .as("p"))
-      .select(col("__id").as("a"), col("p.tok").as("tok"))
+      .select(col("__id").as("a"), col("l").as("la"), col("p.tok").as("tok"))
     // container postings, pruned to tokens some prefix actually probes
-    val post = ord.select(col("__id").as("b"), explode(col("tks")).as("tok"))
+    val post = ord.select(col("__id").as("b"), col("l").as("lb"),
+        explode(col("tks")).as("tok"))
       .join(pref.select("tok").distinct(), Seq("tok"), "left_semi")
+    // container-length prune, exact: ov ≤ l_b, so a qualifying pair needs
+    // t·l_a ≤ 1000·l_b (lb ≥ ceil(m/1000) ⟺ 1000·lb ≥ m for integer lb) —
+    // a short doc can never contain a long one, and on corpora with mixed
+    // lengths this kills the bulk of the token-join's fan-out before the
+    // distinct + verify stages ever see it. Zero recall loss (implied by
+    // the verify predicate).
     val cand = pref.join(post, Seq("tok"))
-      .filter(col("a") =!= col("b"))
+      .filter(col("a") =!= col("b") &&
+        lit(tMilli.toLong) * col("la") <= lit(1000L) * col("lb"))
       .select("a", "b").distinct()
     cand
       .join(ord.select(col("__id").as("a"), col("tks").as("ta"),
