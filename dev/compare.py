@@ -17,6 +17,14 @@ import sys
 
 import duckdb
 
+# The oracle dialect (graft.ops.Dialect and every oracleSql entry) is
+# written against and dev-verified on THIS DuckDB version. A skew between
+# the dev gate's duckdb and this pin must fail HERE, in dev, not surface
+# as an unexplained red row in the driver's correctness report (the
+# q207_kmeans_train r13 lesson). Bump the pin only after re-running the
+# full battery compare on the new version.
+PINNED_DUCKDB = "1.0.0"
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -39,6 +47,11 @@ def canon(rows, cols):
 
 
 def main(sf_dir, out_dir):
+    if duckdb.__version__ != PINNED_DUCKDB:
+        print(f"FATAL: duckdb {duckdb.__version__} != pinned "
+              f"{PINNED_DUCKDB}; the oracle dialect is verified against "
+              f"the pin — re-validate the full battery before bumping.")
+        return 2
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; DevMakeSf1 output is a

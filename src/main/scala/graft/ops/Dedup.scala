@@ -343,17 +343,21 @@ object Dedup extends QueryModule {
       .withColumn("tks", expr("transform(ord, p -> p.tok)"))
       .withColumn("l", size(col("ord")))
       .localCheckpoint(eager = false) // read by prefix + 2 verify legs
+    // BIGINT arithmetic throughout candidate generation (not just the
+    // verify stages): `900 * l` in 32-bit wraps past l ≈ 2.38M distinct
+    // tokens, which would silently shorten the prefix and DROP pairs —
+    // the one failure mode an exactness contract cannot have at 100 TB.
     val pref = ord.select(col("__id"), col("l"),
       explode(expr(
-        s"slice(ord, 1, greatest(l - (($tMilli * l + 999) div 1000) + 1, 1))"))
+        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))"))
         .as("p"))
       .select(col("__id"), col("l"), col("p.tok").as("tok"))
     val cand = pref.select(col("__id").as("d1"), col("l").as("la"), col("tok"))
       .join(pref.select(col("__id").as("d2"), col("l").as("lb"), col("tok")),
         Seq("tok"))
       .filter(col("d1") < col("d2") &&
-        lit(1000) * least(col("la"), col("lb")) >=
-          lit(tMilli) * greatest(col("la"), col("lb")))
+        lit(1000L) * least(col("la"), col("lb")) >=
+          lit(tMilli.toLong) * greatest(col("la"), col("lb")))
       .select("d1", "d2").distinct()
     cand
       .join(ord.select(col("__id").as("d1"), col("tks").as("o1"),
@@ -406,9 +410,11 @@ object Dedup extends QueryModule {
       .withColumn("tks", expr("transform(ord, p -> p.tok)"))
       .withColumn("l", size(col("ord")))
       .localCheckpoint(eager = false) // prefix leg + postings + 2 verifies
+    // BIGINT prefix arithmetic — same 32-bit-wrap guard as the Jaccard
+    // join's candidate stage (see the comment there).
     val pref = ord.select(col("__id"), col("l"),
       explode(expr(
-        s"slice(ord, 1, greatest(l - (($tMilli * l + 999) div 1000) + 1, 1))"))
+        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))"))
         .as("p"))
       .select(col("__id").as("a"), col("l").as("la"), col("p.tok").as("tok"))
     // container postings, pruned to tokens some prefix actually probes
@@ -941,20 +947,52 @@ object Dedup extends QueryModule {
     * excluded from the vote; a cluster whose field is entirely NULL
     * merges to NULL) — Spark's NULLS-FIRST struct ordering would
     * otherwise let a missing value beat a known one on a tied count.
+    *
+    * ==Over-merge guard (`maxClusterSize`)==
+    * Transitive closure over pairwise matches is the classic MDM
+    * failure mode: a chain A~B~C~…~Z of individually-plausible matches
+    * welds unrelated records into one blob (q212's fixture merges
+    * 2,000 parts into 18 clusters exactly this way). With
+    * `maxClusterSize > 0`, any component whose ROW membership exceeds
+    * the cap is NOT auto-merged: its members pass through as singleton
+    * golden records (cluster = own id) flagged `capped = true`.
+    * Refusing the merge is the deterministic conservative rule — any
+    * automatic split of an over-cap blob (edge pruning, id-chunking, …)
+    * would draw an arbitrary boundary between records the match rule
+    * itself called equal; flagging for review is what survivorship
+    * systems do in practice. There is no tie to break: the cap
+    * decision is an exact per-component row count. The `capped` BOOLEAN
+    * column is appended ONLY when the guard is active (default 0 = off
+    * keeps the legacy schema, and the q212 battery entry's oracle).
+    *
     * @return one row per entity cluster: (`cluster` = min member id,
     *         `n_members`, each `modeFields` column as its modal value,
-    *         each `minFields` column as `min_<name>`). */
+    *         each `minFields` column as `min_<name>`[, `capped`]). */
   def goldenRecords(rows: DataFrame, pairs: DataFrame, idCol: String,
-      modeFields: Seq[String], minFields: Seq[String] = Nil): DataFrame = {
+      modeFields: Seq[String], minFields: Seq[String] = Nil,
+      maxClusterSize: Long = 0L, ccMaxIter: Int = 48): DataFrame = {
     require(modeFields.nonEmpty, "goldenRecords: at least one mode field")
-    val comp = Graph.connectedComponents(pairs)
-    val labeled = rows
+    val comp = Graph.connectedComponents(pairs, maxIter = ccMaxIter)
+    val labeled0 = rows
       .select((idCol +: (modeFields ++ minFields)).map(col): _*)
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+    val labeled = (if (maxClusterSize > 0L) {
+      // component ROW count, not CC vertex count — a pair id absent
+      // from `rows` bridges components but occupies no catalog slot
+      val sizes = labeled0.groupBy("cluster")
+        .agg(count(lit(1)).as("__csz"))
+      labeled0.join(sizes, "cluster")
+        .withColumn("capped", col("__csz") > maxClusterSize)
+        .withColumn("cluster",
+          when(col("capped"), col(idCol)).otherwise(col("cluster")))
+        .drop("__csz")
+    } else labeled0)
       .localCheckpoint(eager = false) // one corpus scan, many merge legs
-    val aggs = count(lit(1)).as("n_members") +:
-      minFields.map(f => min(col(f)).as(s"min_$f"))
+    val aggs = (count(lit(1)).as("n_members") +:
+      minFields.map(f => min(col(f)).as(s"min_$f"))) ++
+      (if (maxClusterSize > 0L) Seq(max(col("capped")).as("capped"))
+       else Nil)
     val base = labeled.groupBy("cluster").agg(aggs.head, aggs.tail: _*)
     modeFields.foldLeft(base) { (acc, f) =>
       acc.join(

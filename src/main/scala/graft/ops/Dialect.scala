@@ -10,6 +10,18 @@ package graft.ops
   * digits of md5, parsed base-16. md5 is bytewise-identical everywhere;
   * 15 hex digits (60 bits) fit a signed 64-bit integer, so no overflow
   * and no sign games on either engine.
+  *
+  * ==DuckDB version pin==
+  * The oracle dialect is written against and dev-verified on DuckDB
+  * '''1.0.0''' (`dev/compare.py` asserts its own duckdb matches the pin
+  * and refuses to run otherwise, so a version skew fails the dev gate
+  * rather than surfacing as an unexplained driver red row). Dialect
+  * policy learned the hard way (q111 `\s`, q132 `log2`, r13's
+  * q207 `list(v ORDER BY j)`): every oracle restricts itself to
+  * constructs with stable cross-version semantics — plain arithmetic,
+  * SUM/COUNT/MIN/MAX, ROW_NUMBER, CASE, COALESCE, md5 — and avoids
+  * ORDER BY inside `list()` aggregates entirely (`string_agg(.. ORDER
+  * BY ..)` stays — it is driver-proven green in q120/q177).
   */
 object Dialect {
 

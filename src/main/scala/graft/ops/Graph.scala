@@ -44,9 +44,13 @@ object Graph extends QueryModule {
     *         `maxIter` HOOK rounds — a silent early stop would report
     *         one component as several. Each round is min-hooking
     *         followed by FULL path compression (Shiloach–Vishkin
-    *         shape), which merges label trees at least pairwise, so
-    *         `maxIter` = 20 covers > 10⁶ trees per component with slack
-    *         (convergence needs one quiescent confirming round).
+    *         shape). Empirically rounds track O(log |V|) (5 on the
+    *         q209 eps-graph, vs 26 for layer propagation), but the
+    *         PROVEN per-round guarantee is only pairwise tree merging,
+    *         so the fail-loud default is sized to the worst case:
+    *         `maxIter` = 48 covers 2⁴⁷ label trees — more vertices
+    *         than a 100 TB corpus has bytes — and costs nothing when
+    *         converged (the loop exits on the first quiescent round).
     *
     * Why ROOT-hooking + full compression, not per-vertex label
     * propagation with a fused pointer jump: propagating to vertices
@@ -63,7 +67,7 @@ object Graph extends QueryModule {
     * halve per round: the same eps-graph converges in 5 rounds, and
     * rounds grow O(log |V|), never with graph diameter.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 48): DataFrame = {
     val pairs = edges.select(col("a"), col("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
     // Vertex set BEFORE dropping self-loops: a vertex whose only edge is
@@ -91,7 +95,9 @@ object Graph extends QueryModule {
       // is acyclic by the < order. The previous label rides the same
       // aggregate (min over the own-row only) so the changed-count needs
       // no labels⋈next join; the checkpoint is LAZY so that count is the
-      // round's ONE action and materializes the blocks it runs on.
+      // hook step's one action and materializes the blocks it runs on
+      // (the compression loop below adds one more count per doubling
+      // step — O(log chain-depth) of them per round).
       val msgs = sym
         .join(labels.select(col("id").as("a"), col("comp").as("ca")), "a")
         .join(labels.select(col("id").as("b"), col("comp").as("cb")), "b")
@@ -108,15 +114,25 @@ object Graph extends QueryModule {
       // Labels are always vertex ids with comp(x) ≤ x, so the self-join
       // matches every row and labels stay monotone non-increasing; when
       // a step moves nothing the mapping is idempotent and the loop
-      // exits having adopted an identical frame.
+      // exits having adopted an identical frame. Termination is
+      // guaranteed for well-formed labels (each step HALVES every
+      // chain's depth, so 64 steps cover chains of 2⁶⁴), but a
+      // corrupted frame (a label cycle from a buggy caller edge type)
+      // must fail loud like every other iterative loop here, not spin.
       var compressing = changed > 0
+      var cstep = 0
       while (compressing) {
+        if (cstep >= 64) throw new IllegalStateException(
+          "connectedComponents: path compression did not reach a " +
+            "fixpoint in 64 doubling steps — label frame is corrupt " +
+            "(cycle?); doubling covers chains of depth 2^64")
         val stepped = labels
           .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
             "comp")
           .localCheckpoint(false)
         compressing = stepped.filter(col("jump") =!= col("comp")).count() > 0
         labels = stepped.select(col("id"), col("jump").as("comp"))
+        cstep += 1
       }
       iter += 1
     }

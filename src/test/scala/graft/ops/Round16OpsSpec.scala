@@ -369,6 +369,43 @@ class Round16OpsSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("goldenRecords: maxClusterSize dissolves over-cap components " +
+      "into capped singletons; under-cap clusters merge normally; " +
+      "guard off keeps the legacy schema") {
+    import spark.implicits._
+    val rows = Seq(
+      // 4-member transitive chain f1~f2~f3~f4 — the over-merge blob
+      ("f1", "A", 4.0), ("f2", "B", 3.0), ("f3", "C", 2.0),
+      ("f4", "D", 1.0),
+      // legitimate 2-member cluster
+      ("g1", "X", 9.0), ("g2", "X", 7.0),
+      ("h1", "Z", 5.0)).toDF("id", "brand", "price")
+    val pairs = Seq(("f1", "f2"), ("f2", "f3"), ("f3", "f4"),
+      ("g1", "g2")).toDF("a", "b")
+    val got = Dedup.goldenRecords(rows, pairs, "id",
+      modeFields = Seq("brand"), minFields = Seq("price"),
+      maxClusterSize = 3L)
+    assert(got.columns.toSeq ==
+      Seq("cluster", "n_members", "min_price", "capped", "brand"))
+    val m = got.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getString(4)))
+      .toMap
+    // blob refused: each member is its own golden record, flagged
+    for (f <- Seq("f1", "f2", "f3", "f4"))
+      assert(m(f)._1 == 1L && m(f)._3, s"$f should be a capped singleton")
+    assert(m("f2") == ((1L, 3.0, true, "B")))
+    // under-cap cluster merges exactly as without the guard
+    assert(m("g1") == ((2L, 7.0, false, "X")))
+    assert(m("h1") == ((1L, 5.0, false, "Z")))
+    assert(m.size == 6)
+    // guard off: no capped column (q212's oracle-pinned legacy schema)
+    val legacy = Dedup.goldenRecords(rows, pairs, "id",
+      modeFields = Seq("brand"), minFields = Seq("price"))
+    assert(legacy.columns.toSeq ==
+      Seq("cluster", "n_members", "min_price", "brand"))
+    assert(legacy.count() == 3)
+  }
+
   // ---- kmeansTrain (q207) -------------------------------------------------
 
   private def lloydReference(vecs: Seq[(Long, Seq[Float])], k: Int,
