@@ -394,18 +394,73 @@ object Graph extends QueryModule {
   // 2T/(d(d-1)) — the "how clique-ish is this node's neighborhood"
   // primitive behind community detection and link-spam scoring.
   //
-  // Algorithm: canonical-edge join counting. Undirected edges are
-  // canonicalized to (u < v) pairs once; triangles u<v<w are enumerated
-  // by joining the edge list with itself on the shared middle vertex
-  // (e1.v = e2.u gives u<v<w for free — no DISTINCT over permutations,
-  // each triangle materializes exactly once) and semi-joining the closing
-  // (u, w) edge. Scale shape: two key-partitioned shuffle joins over the
-  // EDGE list (never vertices × vertices); per-key fan-out is the
-  // degree, so on a skewed 100 TB graph the refinement is degree-ordered
-  // orientation (orient each edge toward the higher-degree endpoint
-  // before the self-join), which bounds fan-out by O(sqrt(|E|)) —
-  // unnecessary on this graph, noted for the scale path. Each triangle
-  // is then exploded to its 3 corners for the per-node count.
+  // Algorithm: DEGREE-ORDERED oriented join counting (the "forward"
+  // algorithm, Schank & Wagner 2005 / Latapy 2008). Undirected edges
+  // are canonicalized to (u < v) pairs once, then each edge is oriented
+  // from its lower-(degree, id) endpoint to its higher one — a DAG
+  // under the total rank order, so each triangle x≺y≺z materializes
+  // exactly once as wedge (x→y)⋈(y→z) closed by the semi-joined (x→z)
+  // edge. Scale shape: two key-partitioned shuffle joins over the EDGE
+  // list (never vertices × vertices), and the orientation is what makes
+  // that survive skew: every vertex's OUT-degree is at most O(√|E|)
+  // (its out-neighbors all have ≥ its own degree, and Σdeg = 2|E|), so
+  // per-middle-vertex wedge fan-out is in(v)·out(v) ≤ in(v)·O(√|E|)
+  // and total wedge work is O(|E|^{3/2}) — the enumeration optimum —
+  // where the unoriented/id-canonical join is Θ(deg(hub)²) on a hub
+  // vertex (Round17OpsSpec pins the star-graph blowup: 0 oriented
+  // wedges vs ~n²/4 id-canonical). Each triangle is then exploded to
+  // its 3 corners for the per-node count; orientation changes the PLAN,
+  // never the answer, so the brute-force oracle is unchanged.
+
+  /** PUBLIC operator: per-node triangle count + local clustering
+    * coefficient over canonical undirected simple edges `(u, v)` with
+    * `u < v` (orderable vertex type; no self-loops, no duplicates).
+    * Returns (`id`, `degree`, `n_triangles`, `clustering`). */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = false) // read by orientation + final join
+    val oriented = rankOrient(und, deg)
+    val tri = wedges(oriented)
+      .join(oriented.select(col("s").as("a3"), col("d").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"),
+        "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        expr("""CASE WHEN degree < 2 THEN 0.0
+               |ELSE round(2.0 * CAST(coalesce(t, 0) AS DOUBLE)
+               |  / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)),
+               |  6) END""".stripMargin).as("clustering"))
+  }
+
+  /** Orient canonical (u, v) edges from the lower-(degree, id) endpoint
+    * to the higher: columns (`s`, `d`). Total order (ids are distinct),
+    * so the result is a DAG with out-degree ≤ O(√|E|) everywhere. */
+  private[ops] def rankOrient(und: DataFrame, deg: DataFrame): DataFrame = {
+    val ru = deg.select(col("id").as("u"), col("degree").as("du"))
+    val rv = deg.select(col("id").as("v"), col("degree").as("dv"))
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    und.join(ru, "u").join(rv, "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("d"))
+  }
+
+  /** Wedge enumeration over oriented edges: (a→b)⋈(b→c). Exposed for
+    * the skew probe — its cardinality IS the join's fan-out cost. */
+  private[ops] def wedges(oriented: DataFrame): DataFrame =
+    oriented.select(col("s").as("a"), col("d").as("b"))
+      .join(oriented.select(col("s").as("b2"), col("d").as("c")),
+        col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+
   private def q134(s: SparkSession, dir: String): DataFrame = {
     // Sparsify to major routes first (relative threshold, like q128 —
     // scale-factor stable): the FULL trade graph is complete at sf≥0.01,
@@ -420,28 +475,7 @@ object Graph extends QueryModule {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .persist()
-    val deg = und.select(col("u").as("id"))
-      .union(und.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-    val tri = und.select(col("u").as("a"), col("v").as("b"))
-      .join(und.select(col("u").as("b2"), col("v").as("c")),
-        col("b") === col("b2"))
-      .join(und.select(col("u").as("a3"), col("v").as("c3")),
-        col("a") === col("a3") && col("c") === col("c3"),
-        "left_semi")
-      .select(col("a"), col("b"), col("c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("t"))
-    deg.join(perNode, Seq("id"), "left")
-      .select(
-        col("id").as("nation"),
-        col("degree"),
-        coalesce(col("t"), lit(0L)).as("n_triangles"),
-        expr("""CASE WHEN degree < 2 THEN 0.0
-               |ELSE round(2.0 * CAST(coalesce(t, 0) AS DOUBLE)
-               |  / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)),
-               |  6) END""".stripMargin).as("clustering"))
+    triangleStats(und).withColumnRenamed("id", "nation")
   }
 
   private val q134Sql =
