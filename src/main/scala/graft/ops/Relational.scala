@@ -481,12 +481,15 @@ object Relational extends graft.QueryModule {
       |                        (o_orderstatus, o_orderpriority))""".stripMargin
 
   // --- Q38: approximate distinct (HLL++) vs exact ------------------------
-  // No oracle entry: HLL sketches are engine-specific, so the driver
-  // records a rows-only check. What makes that check meaningful is the
-  // `within_5pct` column: |approx − exact| / exact < 0.05, asserted
-  // in-row against the exact distinct count (the sketch is configured at
-  // 2% rsd, so 5% is a generous-but-real bound) — a drifting sketch turns
-  // the bit false even though the oracle cannot hash-compare it.
+  // HLL sketch VALUES are engine-specific and can never be oracled —
+  // but the entry's contract can (round-14 conversion from rows-only):
+  // the output carries the EXACT distinct counts (hash-checked against
+  // DuckDB's COUNT(DISTINCT)) and the `within_5pct` accuracy bit, which
+  // the oracle pins as literal TRUE — |approx − exact| / exact < 0.05
+  // (the sketch runs at 2% rsd, so 5% is a generous-but-real bound). A
+  // drifting sketch now reddens the DRIVER row, not just the fail-loud
+  // gate; the raw approx values stay out of the output (they are the
+  // one engine-specific part).
   //
   // The approx and exact aggregates run as SEPARATE aggregations joined
   // on the 3-row result: mixing them in one agg makes the exact-distinct
@@ -501,18 +504,29 @@ object Relational extends graft.QueryModule {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     val exact = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
     // guardNonEmpty = false: the guard would re-run both full-table
     // aggregates just to count 3 rows; a grouped agg is empty only when
     // lineitem itself is, which the driver's rows-only check surfaces.
     graft.ParityGate(
       approx.join(exact, "l_returnflag")
-        .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
-          col("approx_parts"),
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders"))
-            / col("exact_orders") < 0.05).as("within_5pct")),
-      "q38_approx_distinct", guardNonEmpty = false, "within_5pct")
+            / col("exact_orders") < 0.05).as("orders_within_5pct"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            / col("exact_parts") < 0.05).as("parts_within_5pct")),
+      "q38_approx_distinct", guardNonEmpty = false,
+      "orders_within_5pct", "parts_within_5pct")
   }
+
+  private val q38Sql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS orders_within_5pct,
+      |  TRUE AS parts_within_5pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // --- Q39: skew-safe two-phase (salted) aggregation ----------------------
   // l_returnflag has 3 heavy keys — the degenerate skew case where a
@@ -2162,6 +2176,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q38_approx_distinct" -> q38Sql,
     "q196_snapshot_diff" -> q196Sql,
     "q188_ops_capstone" -> q188Sql(q179Sql, Temporal.q170Sql),
     "q187_purge_audit" -> q187Sql,

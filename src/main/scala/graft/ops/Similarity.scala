@@ -1840,6 +1840,14 @@ object Similarity extends QueryModule {
       .withColumn("recall_ok", col("recall_milli") >= floorMilli)
   }
 
+  // Round-14 conversion: formerly a rows-only gated entry. The output
+  // now carries the EXACT q29 top-k membership as rows (qid, cid) —
+  // which the DuckDB oracle replays verbatim, making this a hard
+  // hash-checked row — while each row still carries its method's
+  // in-row recall bit, which the oracle pins as literal TRUE: the
+  // driver hash itself now proves every recall_ok bit evaluated true
+  // AND the exact leg matches. recall_milli values remain measured by
+  // DevRecallProbe (PERF.md); the floor contract lives in the bit.
   private def q202(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val exact = q29(s, dir).select(col("qid"), col("cid"))
@@ -1849,11 +1857,20 @@ object Similarity extends QueryModule {
         .select(col("vec_id").as("cid"), col("embedding").as("cv")),
       e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val bits = recallOf(exact, q41(s, dir), "ivf", 150L)
+      .unionAll(recallOf(exact, mp, "srp_multiprobe", 150L))
+      .select(col("qid"), col("method"), col("recall_ok"))
     graft.ParityGate(
-      recallOf(exact, q41(s, dir), "ivf", 150L)
-        .unionAll(recallOf(exact, mp, "srp_multiprobe", 150L)),
+      exact.join(bits, Seq("qid"))
+        .select(col("qid"), col("cid"), col("method"), col("recall_ok")),
       "q202_ann_recall", "recall_ok")
   }
+
+  private val q202Sql =
+    s"""SELECT ex.qid, ex.cid, m.method, TRUE AS recall_ok
+       |FROM (SELECT qid, cid FROM ($q29Sql)) ex
+       |CROSS JOIN (SELECT 'ivf' AS method
+       |            UNION ALL SELECT 'srp_multiprobe') m""".stripMargin
 
   // --- q205: IVF-PQ with ADC + exact re-rank (recall-gated) ---------------
   // The full compressed-index ANN structure over the fixture: q41's
@@ -1876,10 +1893,19 @@ object Similarity extends QueryModule {
         .select(col("vec_id").as("cell"), col("embedding").as("av")),
       e.filter(col("vec_id") >= NQueries + NCells &&
         col("vec_id") < NQueries + NCells + PqK))
+    // Round-14 conversion (q202's pattern): exact q29 membership rows
+    // are the hashable payload; the oracle pins recall_ok as TRUE.
+    val bits = recallOf(exact, approx, "ivfpq", 150L)
+      .select(col("qid"), col("recall_ok"))
     graft.ParityGate(
-      recallOf(exact, approx, "ivfpq", 150L),
+      exact.join(bits, Seq("qid"))
+        .select(col("qid"), col("cid"), col("recall_ok")),
       "q205_ann_ivfpq", "recall_ok")
   }
+
+  private val q205Sql =
+    s"""SELECT qid, cid, TRUE AS recall_ok
+       |FROM (SELECT qid, cid FROM ($q29Sql))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_ann_recall" -> q202 _,
@@ -1916,5 +1942,7 @@ object Similarity extends QueryModule {
     "q31_embed_neardup" -> q31Sql,
     "q41_ann_ivf" -> q41Sql,
     "q56_kmeans_step" -> q56Sql,
+    "q202_ann_recall" -> q202Sql,
+    "q205_ann_ivfpq" -> q205Sql,
     "q207_kmeans_train" -> q207Sql)
 }

@@ -171,10 +171,13 @@ object Stats extends QueryModule {
   // --- q76: approximate percentiles (KLL-style sketch) vs exact ----------
   // The percentile counterpart of q38's HLL entry: percentile_approx is a
   // mergeable quantile sketch (one pass, bounded memory — the 100 TB path
-  // where q46's exact rank-based percentiles need a per-group sort),
-  // engine-specific, so no oracle — the driver records a rows-only check
-  // and the in-row `within_1pct` bits carry the real assertion against
-  // the exact percentile computed in the same aggregate.
+  // where q46's exact rank-based percentiles need a per-group sort).
+  // Round-14 conversion from rows-only: the output carries the EXACT
+  // percentiles rounded to 4 places (the q46-proven cross-engine parity
+  // shape vs DuckDB quantile_cont) and the `within_1pct` bits, which the
+  // oracle pins as literal TRUE — a drifting sketch reddens the driver
+  // row. The raw sketch values stay out of the output (engine-specific);
+  // the bits still compare approx against the UNROUNDED exact values.
   private def q76(s: SparkSession, dir: String): DataFrame =
     graft.ParityGate(
       Tables.load(s, dir, "lineitem")
@@ -182,21 +185,29 @@ object Stats extends QueryModule {
         .agg(
           expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
           expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90_exact"))
+          expr("percentile(l_extendedprice, 0.5)").as("p50_raw"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_raw"))
         .select(
           col("l_returnflag"),
-          col("p50_approx"), col("p50_exact"),
-          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.01)
+          round(col("p50_raw"), 4).as("p50_exact"),
+          round(col("p90_raw"), 4).as("p90_exact"),
+          (abs(col("p50_approx") - col("p50_raw")) / col("p50_raw") < 0.01)
             .as("p50_within_1pct"),
-          col("p90_approx"), col("p90_exact"),
-          (abs(col("p90_approx") - col("p90_exact")) / col("p90_exact") < 0.01)
+          (abs(col("p90_approx") - col("p90_raw")) / col("p90_raw") < 0.01)
             .as("p90_within_1pct")),
       // guardNonEmpty = false: the guard would re-run the whole
       // sketch+exact aggregate for a 3-row count; an empty grouped agg
       // means an empty lineitem, visible in the driver's rows-only check.
       "q76_approx_percentile", guardNonEmpty = false,
       "p50_within_1pct", "p90_within_1pct")
+
+  private val q76Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+      |  TRUE AS p50_within_1pct,
+      |  TRUE AS p90_within_1pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** PUBLIC operator: exact per-group order statistics (percentile_disc
     * at scale) — the value at 1-based rank `k` under (`valueCol` ASC,
@@ -1512,6 +1523,7 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q76_approx_percentile" -> q76Sql,
     "q189_rolling_corr" -> q189Sql,
     "q190_dist_drift" -> q190Sql,
     "q185_mann_whitney" -> q185Sql,
