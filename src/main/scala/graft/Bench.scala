@@ -122,22 +122,33 @@ object Bench {
     // Idle-cost estimate: the floor tracks the fastest probe seen but
     // DECAYS 2% per probe — a one-off anomalously fast reading (or a
     // machine that legitimately got slower: throttle, lost page cache)
-    // would otherwise make `cur > floor × 1.25` true forever and turn
-    // the gate into a fixed 10-minute sleep per attempt. With decay the
-    // floor re-baselines to the new steady state within ~a dozen probes.
+    // would otherwise make the gate true forever and turn it into a
+    // fixed 10-minute sleep per attempt. With decay the floor
+    // re-baselines to the new steady state within ~a dozen probes.
+    // `sessionMin` is the UNDECAYED session floor — the reference the
+    // elevation check below compares the pair against.
     var calibFloor = Double.MaxValue
+    var sessionMin = Double.MaxValue
     def probe(): Double = {
       val c = calibrate()
+      sessionMin = math.min(sessionMin, c)
       calibFloor = math.min(c,
         if (calibFloor == Double.MaxValue) c else calibFloor * 1.02)
       c
     }
+    // Round-14 tightening: r13's official record passed the 1.5× pair
+    // gate while OPENING 1.27× above the session floor — the box was
+    // uniformly ~30% slow for the whole battery and every shared entry
+    // inflated with it. The gate now demands the pair sit within
+    // ElevGate (~10%) of the session floor on BOTH ends, not merely
+    // close to each other; an elevated-but-stable box re-attempts.
+    val ElevGate = 1.10
     def waitForIdle(): Unit = {
       val deadline = System.nanoTime() + IdleBudgetNs
       var prev = probe()
       var cur = probe()
-      def unstable = math.max(prev, cur) / math.min(prev, cur) > 1.25 ||
-        cur > calibFloor * 1.25
+      def unstable = math.max(prev, cur) / math.min(prev, cur) > ElevGate ||
+        cur > calibFloor * ElevGate
       while (unstable && System.nanoTime() < deadline) {
         System.err.println(
           f"[bench] machine busy (probe $cur%.3f s vs floor " +
@@ -148,21 +159,28 @@ object Bench {
     }
     def attempt(): (Seq[(String, Double, Seq[Double])], Double, Double) = {
       waitForIdle()
-      val before = calibrate()
+      val before = probe()
       val res = runBattery()
-      (res, before, calibrate())
+      (res, before, probe())
     }
     def driftOf(a: (Seq[(String, Double, Seq[Double])], Double, Double)) =
       math.max(a._2, a._3) / math.max(1e-9, math.min(a._2, a._3))
+    def elevOf(a: (Seq[(String, Double, Seq[Double])], Double, Double)) =
+      math.max(a._2, a._3) / math.max(1e-9, sessionMin)
     var best = attempt()
     var attempts = 1
-    while (driftOf(best) > 1.5 && attempts < MaxAttempts) {
+    while ((driftOf(best) > 1.5 || elevOf(best) > ElevGate) &&
+        attempts < MaxAttempts) {
       System.err.println(
-        f"[bench] calibration drift ${driftOf(best)}%.2f× " +
-          f"(${best._2}%.3f→${best._3}%.3f s) — contended, re-running " +
-          s"battery (attempt ${attempts + 1}/$MaxAttempts)")
+        f"[bench] calibration pair ${best._2}%.3f→${best._3}%.3f s " +
+          f"(drift ${driftOf(best)}%.2f×, ${elevOf(best)}%.2f× above " +
+          f"session floor $sessionMin%.3f s) — re-running battery " +
+          s"(attempt ${attempts + 1}/$MaxAttempts)")
       val next = attempt()
-      if (driftOf(next) < driftOf(best)) best = next
+      // a co-tenant only ever slows runs down, so the attempt whose
+      // calibration ends sit LOWEST is the most trustworthy record
+      if (math.max(next._2, next._3) < math.max(best._2, best._3))
+        best = next
       attempts += 1
     }
     val (results, calibBefore, calibAfter) = best
@@ -208,7 +226,12 @@ object Bench {
       if (ts.contains(-1.0)) -1.0 else ts.min }.filter(_ >= 0).sum
     val drift = math.max(calibBefore, calibAfter) /
       math.max(1e-9, math.min(calibBefore, calibAfter))
-    val contended = drift > 1.5
+    // contended ALSO when the pair sits >ElevGate above the session
+    // floor: a uniformly-slow box poisons every entry even with a
+    // tight pair (the r13 record's failure mode)
+    val contended = drift > 1.5 ||
+      math.max(calibBefore, calibAfter) >
+        math.max(1e-9, sessionMin) * ElevGate
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.length},"failed":$failed,"calib_before":${r3(calibBefore)},"calib_after":${r3(calibAfter)},"contended":$contended,"attempts":$attempts,"total_min":${r3(totalMin)},"queries":$qs,"queries_min":$mins,"runs":$runs}"""
     System.err.println(detail)
