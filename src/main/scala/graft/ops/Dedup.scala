@@ -1864,9 +1864,131 @@ object Dedup extends QueryModule {
        |  (SELECT n_leaked FROM leak) AS n_leaked
        |FROM assigned GROUP BY split""".stripMargin
 
+  // --- q214: EXACT curation capstone (dedup + leakage-free split) ----------
+  // The q129 composition proof for the EXACTNESS legs: the LSH family
+  // has its end-to-end pipeline entry (q90/q129/q194); this is the same
+  // claim for the zero-recall-loss operators. One lazy plan composes:
+  //   1. exact Jaccard near-dup edges (q206's prefix-filtered join),
+  //   2. exact containment edges (q208's shingle containment join —
+  //      a quote embedded in an article is a leak vector LSH-Jaccard
+  //      misses: symmetric similarity of a 30-token quote vs a
+  //      500-token article is ~0.06),
+  //   3. connected components over the union graph,
+  //   4. keep-first survivorship (min doc_id per cluster) and
+  //   5. cluster-keyed hash60 8/1/1 split (q194's rule) with the
+  //      in-data leak audit: near-dup/containment pairs whose
+  //      endpoints landed in different splits (0 by construction,
+  //      COMPUTED, and the oracle recomputes it from brute force).
+  // The oracle is literally the MEMBER oracles as CTEs — both
+  // brute-force O(n²) joins, the recursive-CTE closure, the same hash
+  // — so the driver hash proves the composed plan equals composing
+  // the members' ground truths.
+  //
+  // Scale shape: nothing new — the members' own shapes (postings
+  // semi-joins, never a cross join; CC root-hooking; slim (doc_id,
+  // split) projections in the audit joins). `edges` and `assigned`
+  // each feed two consumers → lazy localCheckpoint barriers.
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val edges = q206(s, dir)
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(q208(s, dir).select(col("a"), col("b")))
+      .distinct()
+      .localCheckpoint(eager = false) // CC + leak audit
+    val comp = Graph.connectedComponents(edges)
+    val assigned = Tables.load(s, dir, "documents")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      .withColumn("hm",
+        expr(s"${Dialect.sparkHash60("CAST(cluster AS STRING)")} % 10"))
+      .withColumn("split", expr(
+        "CASE WHEN hm < 8 THEN 'train' WHEN hm = 8 THEN 'val' " +
+          "ELSE 'test' END"))
+      .localCheckpoint(eager = false)
+    val splitOf = assigned.select(col("doc_id"), col("split"))
+    val leaked = broadcast(edges
+      .join(splitOf.select(col("doc_id").as("a"), col("split").as("sa")),
+        Seq("a"))
+      .join(splitOf.select(col("doc_id").as("b"), col("split").as("sb")),
+        Seq("b"))
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+        lit(0L)).as("n_leaked")))
+    val surv = assigned.groupBy("cluster").agg(min(col("doc_id")).as("sdoc"))
+    assigned.join(surv, "cluster")
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("doc_id") === col("sdoc"), col("n_chars"))
+          .otherwise(0L)).as("chars_kept"))
+      .crossJoin(leaked)
+  }
+
+  private val q214Sql =
+    s"""WITH RECURSIVE jtoks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+       |  FROM documents
+       |), jp AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM jtoks a JOIN jtoks b ON a.doc_id < b.doc_id
+       |  WHERE 1000 * len(list_intersect(a.tk, b.tk)) >=
+       |    $JacTMilli * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+       |), w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+       |), ctoks AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - 2, 0)),
+       |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tk
+       |  FROM w
+       |), cp AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM ctoks a JOIN ctoks b ON a.doc_id <> b.doc_id
+       |  WHERE len(a.tk) > 0 AND 1000 * len(list_intersect(a.tk, b.tk)) >=
+       |    $JacTMilli * len(a.tk)
+       |), e0 AS (
+       |  SELECT d1 AS a, d2 AS b FROM jp
+       |  UNION SELECT a, b FROM cp
+       |), edges AS (
+       |  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+       |), assigned AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    COALESCE(c.comp, d.doc_id) AS cluster,
+       |    CASE WHEN ${Dialect.duckHash60(
+              "CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)")} % 10 < 8
+       |      THEN 'train'
+       |      WHEN ${Dialect.duckHash60(
+              "CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)")} % 10 = 8
+       |      THEN 'val' ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |), leak AS (
+       |  SELECT CAST(COALESCE(SUM(
+       |    CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_leaked
+       |  FROM e0
+       |  JOIN assigned sa ON e0.a = sa.doc_id
+       |  JOIN assigned sb ON e0.b = sb.doc_id
+       |), surv AS (
+       |  SELECT cluster, MIN(doc_id) AS sdoc FROM assigned GROUP BY cluster
+       |)
+       |SELECT a.split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT a.cluster) AS n_clusters,
+       |  CAST(SUM(a.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN a.doc_id = s.sdoc THEN a.n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_kept,
+       |  (SELECT n_leaked FROM leak) AS n_leaked
+       |FROM assigned a JOIN surv s ON a.cluster = s.cluster
+       |GROUP BY a.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_contamination" -> q193 _,
     "q194_split_leakage" -> q194 _,
+    "q214_exact_curation" -> q214 _,
     "q195_incremental_dedup" -> q195 _,
     "q200_lsh_index_update" -> q200 _,
     "q199_stream_dupgrams_update" -> q199 _,
@@ -1889,6 +2011,7 @@ object Dedup extends QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q193_contamination" -> q193Sql,
     "q194_split_leakage" -> q194Sql,
+    "q214_exact_curation" -> q214Sql,
     "q195_incremental_dedup" -> q195Sql,
     "q200_lsh_index_update" -> q200Sql,
     "q120_dup_spans" -> q120Sql,
