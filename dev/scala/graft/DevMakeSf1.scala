@@ -25,7 +25,6 @@ import org.apache.spark.sql.functions._
   *     scales 10×.
   */
 object DevMakeSf1 {
-  private val Factor = 10
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -40,6 +39,10 @@ object DevMakeSf1 {
     // byte-identical and manufacturing 10-way cross-copy exact dups
     // (the same class of artifact the letter-only tag already fixed)
     val tagBase: Char = if (args.length > 3) args(3).head else 'a'
+    // copy count (round-14 addition): a ×3 chained decade (sf10 → sf30)
+    // probes the >5×/decade tail without the disk/time of a full ×10;
+    // the tag range must stay within the alphabet (tagBase + factor ≤ z)
+    val Factor = if (args.length > 4) args(4).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

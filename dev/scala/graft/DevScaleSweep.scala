@@ -26,11 +26,16 @@ object DevScaleSweep {
     // optional 4th decade: present only when DevMakeSf1 has been chained
     // (`runMain graft.DevMakeSf1 /tmp/graft-sf1 /tmp/graft-sf10 10 n`)
     val sf10Dir = sys.env.getOrElse("GRAFT_SF10_DIR", "/tmp/graft-sf10")
+    // optional 5th decade-step (×3): chained via
+    // `runMain graft.DevMakeSf1 /tmp/graft-sf10 /tmp/graft-sf30 100 x 3`
+    val sf30Dir = sys.env.getOrElse("GRAFT_SF30_DIR", "/tmp/graft-sf30")
     val sfs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
       "sf1" -> sf1Dir) ++
       (if (new java.io.File(sf10Dir).isDirectory) Seq("sf10" -> sf10Dir)
+       else Nil) ++
+      (if (new java.io.File(sf30Dir).isDirectory) Seq("sf30" -> sf30Dir)
        else Nil)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -412,6 +412,20 @@ object Behavior extends QueryModule {
       "q143_stream_transitions", "matches_batch")
   }
 
+  // Round-14 conversion (StreamSweep.oracleSql's scheme): the bit
+  // asserts the stream-built timelines reproduce q138's transition
+  // counts; the oracle replays q138's trans CTE with the bit pinned.
+  private val q143Sql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |)
+      |SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans,
+      |  TRUE AS matches_batch
+      |FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   // --- q144: exact sliding-window distinct counts (rolling actives) --------
   // Distinct active users per rolling 7-day window, daily cadence — the
   // WAU curve. DISTINCT does not compose over overlapping windows (a
@@ -576,6 +590,7 @@ object Behavior extends QueryModule {
     "q116_cohort_retention" -> q116Sql,
     "q117_funnel" -> q117Sql,
     "q138_markov_transitions" -> q138Sql,
+    "q143_stream_transitions" -> q143Sql,
     "q141_time_weighted" -> q141Sql,
     "q142_event_paths" -> q142Sql,
     "q144_sliding_distinct" -> q144Sql)

@@ -803,6 +803,15 @@ object Dedup extends QueryModule {
       "q74_stream_dedup", "matches_batch")
   }
 
+  // Round-14 conversion (see StreamSweep.oracleSql): the expected set —
+  // distinct non-NULL dedup keys per source — is plain SQL; the oracle
+  // replays it and pins matches_batch TRUE, so the driver hash proves
+  // the streamed dropDuplicates state converged to the batch answer.
+  private val q74Sql =
+    s"""SELECT source, COUNT(DISTINCT k) AS n_unique, TRUE AS matches_batch
+       |FROM (SELECT source, $keyDuck AS k FROM documents)
+       |WHERE k IS NOT NULL GROUP BY source""".stripMargin
+
   // --- q105: STREAMING MinHash-LSH near-dup monitor ------------------------
   // The landing-zone incremental near-dup check a training-data pipeline
   // runs as documents arrive: readStream over the documents parquet →
@@ -892,6 +901,18 @@ object Dedup extends QueryModule {
         "matches_batch"),
       "q105_stream_neardup", "matches_batch")
   }
+
+  // Round-14 conversion: the in-row bit asserts the stream-derived
+  // verified pair set IS q26's (zero symmetric difference), so the
+  // histogram is q26's oracle histogram — replayed with the bit pinned.
+  private val q105Sql =
+    s"""WITH $lshPairsSqlCtes
+       |SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS jac_bucket,
+       |  COUNT(*) AS n_pairs,
+       |  round(MIN(jac), 6) AS min_jac,
+       |  round(MAX(jac), 6) AS max_jac,
+       |  TRUE AS matches_batch
+       |FROM scored GROUP BY 1""".stripMargin
 
   // --- q91: fuzzy name matching over the part vocabulary -------------------
   // The public fuzzyNamePairs operator on part.p_name: near-identical
@@ -1398,6 +1419,31 @@ object Dedup extends QueryModule {
         .toDF("n_occurrences", "n_grams", "matches_batch"),
       "q126_stream_dupgrams", "matches_batch")
   }
+
+  // Round-14 conversion: the bit asserts stream state ≡ the batch gram
+  // counts (zero full-outer diff), so the multiplicity histogram is a
+  // pure function of the corpus — q120's positional-gram arithmetic,
+  // aggregated twice. Shared by q126 (complete mode) and q199 (update
+  // mode + delta-log resolution), whose extra execution-shape bits the
+  // oracle pins TRUE alongside.
+  private def gramHistSql(extraBits: String): String =
+    s"""WITH toks AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |), pg AS (
+       |  SELECT array_to_string(t[i:i+${q120K - 1}], ' ') AS g
+       |  FROM toks, UNNEST(generate_series(1, len(t) - ${q120K - 1})) AS u(i)
+       |  WHERE len(t) >= $q120K
+       |), gc AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM pg GROUP BY g
+       |)
+       |SELECT n AS n_occurrences, COUNT(*) AS n_grams,
+       |  TRUE AS matches_batch$extraBits
+       |FROM gc GROUP BY n""".stripMargin
+
+  private val q126Sql = gramHistSql("")
+  private val q199Sql = gramHistSql(
+    ", TRUE AS multi_batch, TRUE AS incremental_emission")
 
   // --- q199: UPDATE-MODE dup-gram monitor (the serving shape of q126) ------
   // q126 proves stream-state parity but emits COMPLETE mode into a
@@ -2009,6 +2055,10 @@ object Dedup extends QueryModule {
     "q74_stream_dedup" -> q74 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q74_stream_dedup" -> q74Sql,
+    "q105_stream_neardup" -> q105Sql,
+    "q126_stream_dupgrams" -> q126Sql,
+    "q199_stream_dupgrams_update" -> q199Sql,
     "q193_contamination" -> q193Sql,
     "q194_split_leakage" -> q194Sql,
     "q214_exact_curation" -> q214Sql,

@@ -2116,6 +2116,31 @@ object Relational extends graft.QueryModule {
       "q198_stream_upsert", "matches_batch")
   }
 
+  // Round-14 conversion (StreamSweep.oracleSql's scheme): the streamed
+  // upsert fold's drained view replays q196's diff; the oracle is
+  // q196's CTEs projected to q198's columns with the bit pinned TRUE.
+  private val q198Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS pa, o_orderstatus AS sta
+      |  FROM orders WHERE o_orderkey % 7 != 0
+      |), b AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+      |         ELSE o_totalprice END AS pb,
+      |    o_orderstatus AS stb
+      |  FROM orders WHERE o_orderkey % 3 != 0
+      |), d AS (
+      |  SELECT CASE WHEN pa IS NULL THEN 'insert'
+      |              WHEN pb IS NULL THEN 'delete'
+      |              WHEN pa <> pb OR sta <> stb THEN 'update'
+      |              ELSE 'unchanged' END AS change_type, k
+      |  FROM a FULL JOIN b USING (k)
+      |)
+      |SELECT change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  TRUE AS matches_batch
+      |FROM d GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_stream_upsert" -> q198 _,
     "q196_snapshot_diff" -> q196 _,
@@ -2178,6 +2203,7 @@ object Relational extends graft.QueryModule {
   val oracleSql: Map[String, String] = Map(
     "q38_approx_distinct" -> q38Sql,
     "q196_snapshot_diff" -> q196Sql,
+    "q198_stream_upsert" -> q198Sql,
     "q188_ops_capstone" -> q188Sql(q179Sql, Temporal.q170Sql),
     "q187_purge_audit" -> q187Sql,
     "q181_period_report" -> q181Sql,

@@ -1907,6 +1907,14 @@ object Similarity extends QueryModule {
     s"""SELECT qid, cid, TRUE AS recall_ok
        |FROM (SELECT qid, cid FROM ($q29Sql))""".stripMargin
 
+  // Round-14 conversion (StreamSweep.oracleSql's scheme): q122/q192/
+  // q201 each assert full equality of their probe result with
+  // oracle-checked q41 (stream-built, persisted, and updated+compacted
+  // index respectively); the oracle replays q41 with the bit pinned.
+  private def q41WrapSql(bit: String): String =
+    s"""SELECT qid, cid, sim, rn, TRUE AS $bit
+       |FROM ($q41Sql)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_ann_recall" -> q202 _,
     "q205_ann_ivfpq" -> q205 _,
@@ -1944,5 +1952,8 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56Sql,
     "q202_ann_recall" -> q202Sql,
     "q205_ann_ivfpq" -> q205Sql,
+    "q122_stream_ivf" -> q41WrapSql("matches_batch"),
+    "q192_ivf_persist" -> q41WrapSql("matches_batch"),
+    "q201_ivf_index_update" -> q41WrapSql("matches_rebuild"),
     "q207_kmeans_train" -> q207Sql)
 }

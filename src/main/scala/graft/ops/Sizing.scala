@@ -100,7 +100,8 @@ object Sizing extends QueryModule {
   private def q20(s: SparkSession, dir: String): DataFrame =
     Concurrency.maxima(Concurrency.sweep(kept(s, dir)))
 
-  private def q20Sql = s"""${QuerylogAdapter.sqlCte(cfg)}
+  // private[ops]: q73's oracle wraps this (stream maxima ≡ batch maxima)
+  private[ops] def q20Sql = s"""${QuerylogAdapter.sqlCte(cfg)}
     |, kept AS (SELECT * FROM sized WHERE min_executor_pod <= $keptLimit)
     |, ev AS (
     |  SELECT query_id, admitted_us AS ts_us, 1 AS kind,

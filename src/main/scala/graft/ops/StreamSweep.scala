@@ -599,8 +599,136 @@ object StreamSweep extends QueryModule {
     "q78_session_window" -> q78 _,
     "q84_stream_sliding" -> q84 _)
 
-  // not SQL-expressible (the oracle cannot run a stream) → rows-only check;
-  // the matches_batch column carries the real assertion, and ParityGate
-  // makes a false bit raise into the driver's `err` field
-  val oracleSql: Map[String, String] = Map.empty
+  // Round-14 conversion: the oracle cannot RUN a stream, but it never
+  // needed to — each entry's contract is "the streamed result equals a
+  // batch-derivable expected set" (asserted in-row by matches_batch,
+  // fail-loud), and that EXPECTED SET is plain SQL: the same aggregates/
+  // joins plus the engine's own ms-truncated-watermark eviction
+  // predicate written out arithmetically. The oracle replays the
+  // expected set and pins the bit as literal TRUE, so the driver hash
+  // itself now proves the stream emitted exactly the eviction-correct
+  // rows. Entries whose output depends on micro-batch arrival order
+  // (none here — q75/q78/q84's append emission is watermark-determined,
+  // q77/q165's join output is input-determined, q73/q180's harness
+  // pins arrival phases deterministically) stay deterministic.
+
+  // q75/q84 share the shape: the window-assignment arithmetic (hour
+  // floor for tumbling; q82's proven epoch-aligned k = 0..3 slide grid
+  // for sliding — every one of the 4 grid windows contains the event,
+  // since (us mod 900e6) + k·900e6 < 3600e6 holds for k ≤ 3), then
+  // eviction = window end ≤ ms-truncated max event time.
+  private def windowOracle(assignCte: String): String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS us, event_type,
+       |    CAST(floor(value * 1000) AS BIGINT) AS v
+       |  FROM events
+       |), wm AS (
+       |  SELECT (MAX(us) // 1000) * 1000 AS w FROM e
+       |), x AS (
+       |$assignCte
+       |)
+       |SELECT make_timestamp(w_us) AS w_start, event_type,
+       |  COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v,
+       |  TRUE AS matches_batch
+       |FROM x, wm
+       |GROUP BY w_us, event_type, wm.w
+       |HAVING w_us + 3600000000 <= wm.w""".stripMargin
+
+  private val q75Sql = windowOracle(
+    """  SELECT (us // 3600000000) * 3600000000 AS w_us, event_type, v
+      |  FROM e""".stripMargin)
+
+  private val q84Sql = windowOracle(
+    """  SELECT ((us // 900000000) - k) * 900000000 AS w_us, event_type, v
+      |  FROM e, unnest(generate_series(0, 3)) AS t(k)""".stripMargin)
+
+  private val q77Sql =
+    """WITH v AS (
+      |  SELECT event_id AS v_id, user_id AS v_user, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT v.v_id, c.c_id, v.v_user AS user_id, TRUE AS matches_batch
+      |FROM v JOIN c ON v.v_user = c.c_user
+      |  AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 600000000""".stripMargin
+
+  private val q165Sql =
+    """WITH v AS (
+      |  SELECT event_id AS v_id, user_id AS v_user, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'
+      |), wm AS (
+      |  SELECT (LEAST((SELECT MAX(v_us) FROM v), (SELECT MAX(c_us) FROM c))
+      |    // 1000) * 1000 AS w
+      |)
+      |SELECT v.v_id, c.c_id, v.v_user AS user_id, TRUE AS matches_batch
+      |FROM v JOIN c ON v.v_user = c.c_user
+      |  AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 600000000
+      |UNION ALL
+      |SELECT v.v_id, NULL, v.v_user, TRUE
+      |FROM v, wm
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM c WHERE c.c_user = v.v_user
+      |      AND c.c_us >= v.v_us AND c.c_us <= v.v_us + 600000000)
+      |  AND v.v_us + 600000000 <= wm.w""".stripMargin
+
+  private val q78Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), s1 AS (
+      |  SELECT user_id, us, v,
+      |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+      |      > 900000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |), s2 AS (
+      |  SELECT user_id, us, v,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s1
+      |), g AS (
+      |  SELECT user_id, MIN(us) AS s_us, MAX(us) + 900000000 AS e_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v
+      |  FROM s2 GROUP BY user_id, sid
+      |), wm AS (
+      |  SELECT (MAX(us) // 1000) * 1000 AS w FROM e
+      |)
+      |SELECT make_timestamp(s_us) AS s_start, make_timestamp(e_us) AS s_end,
+      |  user_id, n_events, sum_v, TRUE AS matches_batch
+      |FROM g, wm WHERE e_us <= wm.w""".stripMargin
+
+  private val q180Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us FROM events
+      |), b AS (
+      |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e
+      |), late AS (
+      |  SELECT us FROM e, b WHERE us >= b.mid
+      |), wm AS (
+      |  SELECT (MAX(us) // 1000) * 1000 AS w FROM late
+      |)
+      |SELECT w_start_us, n_events, TRUE AS matches_batch FROM (
+      |  SELECT (us // 3600000000) * 3600000000 AS w_start_us,
+      |    COUNT(*) AS n_events
+      |  FROM late GROUP BY 1) g, wm
+      |WHERE g.w_start_us + 3600000000 <= wm.w""".stripMargin
+
+  private def q73Sql =
+    s"""SELECT *, TRUE AS matches_batch FROM (
+       |${Sizing.q20Sql}
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q73_stream_sweep" -> q73Sql,
+    "q75_stream_window" -> q75Sql,
+    "q77_stream_join" -> q77Sql,
+    "q78_session_window" -> q78Sql,
+    "q84_stream_sliding" -> q84Sql,
+    "q165_stream_outer_join" -> q165Sql,
+    "q180_late_data_audit" -> q180Sql)
 }

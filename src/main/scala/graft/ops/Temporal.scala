@@ -502,15 +502,25 @@ object Temporal extends QueryModule {
       "q96_stream_checksum", "matches_batch")
   }
 
-  private val q93Sql = {
-    val rowKey = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+  private val ordersRowKeyDuck =
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
       "CAST(o_custkey AS VARCHAR), coalesce(o_orderstatus, '<N>'), " +
       "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), " +
       "CAST(epoch_us(o_orderdate) AS VARCHAR))"
+
+  private val q93Sql =
     s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
-       |  bit_xor(${Dialect.duckHash60(rowKey)}) AS checksum
+       |  bit_xor(${Dialect.duckHash60(ordersRowKeyDuck)}) AS checksum
        |FROM orders GROUP BY o_orderpriority""".stripMargin
-  }
+
+  // Round-14 conversion (StreamSweep.oracleSql's scheme): q96's bit
+  // asserts stream checksums ≡ batch q93; the oracle replays q93's
+  // fingerprint with the bit pinned TRUE.
+  private val q96Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+       |  bit_xor(${Dialect.duckHash60(ordersRowKeyDuck)}) AS checksum,
+       |  TRUE AS matches_batch
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   // --- q92: LOCF gap fill (daily rollforward) ------------------------------
   // The public gapFill operator on the events stream at day resolution:
@@ -1224,6 +1234,7 @@ object Temporal extends QueryModule {
     "q113_interval_merge" -> q113Sql,
     "q100_gapfill_multi" -> q100Sql,
     "q93_table_checksum" -> q93Sql,
+    "q96_stream_checksum" -> q96Sql,
     "q92_gap_fill" -> q92Sql,
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,

@@ -187,9 +187,11 @@ class Round16OpsSpec extends SparkTestBase {
   }
 
   test("q205's recall gate holds on the smallest fixture") {
+    // r14 hard-oracle shape: one row per exact-q29 top-k member
+    // (5 queries × k=10) carrying the per-query recall bit
     val rows = graft.SparkEntry.queries("q205_ann_ivfpq")(
       spark, "/root/testdata/sf0.001").collect()
-    assert(rows.length == 5 && rows.forall(_.getAs[Boolean]("recall_ok")),
+    assert(rows.length == 50 && rows.forall(_.getAs[Boolean]("recall_ok")),
       s"gate rows: ${rows.mkString(";")}")
   }
 
