@@ -1895,10 +1895,38 @@ object TextAnalysis extends QueryModule {
   // ≤ 10⁶; beyond that, scale c12/T to per-mille ranks first.
   //
   // Scale shape: doc bigrams are one scan + explode (linear); the model
-  // is two vocabulary-bounded aggregates; scoring joins are
-  // key-partitioned on (w1,w2) and w2 — the q99 open-vocab shape; T is
-  // a broadcast 1-row cross join.
+  // is two vocabulary-bounded aggregates; T is a broadcast 1-row cross
+  // join. The model pieces (c12/ctx/c2/T) are joined into ONE
+  // per-bigram-TYPE term table FIRST — all of those frames are
+  // vocabulary-bounded, so those joins never touch corpus-sized data —
+  // and the corpus-sized bigram stream is then joined ONCE on (w1,w2).
+  // (The round-13 shape joined the big side three times — on (w1,w2),
+  // w1, then w2 — and the sf30 probe showed exactly that: 4.9× for 3×
+  // rows as three corpus-wide shuffles hit 32-partition spill. One
+  // shuffle of the big side is the 100 TB shape; AQE may even broadcast
+  // the term table when the observed-bigram vocabulary is small.)
   private val q123LambdaTenths = 7
+
+  /** Per-bigram-type interpolated-LM term table: (w1, w2, term_milli)
+    * with term_milli = floor(ln((λn·c12·T + (10−λn)·ctx·c2)/(10·ctx·T))
+    * ·1000) — integer numerator/denominator, ONE double division, libm
+    * ln (q123's exactness recipe). All inputs are vocabulary-bounded
+    * aggregates of `bigs`/`uni`, so this frame never scales with the
+    * corpus, only with the observed bigram vocabulary. */
+  private def bigramTermTable(bigs: DataFrame, uni: DataFrame): DataFrame = {
+    val total = uni.agg(sum(col("c2")).as("T"))
+    val bmodel = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bmodel.groupBy("w1").agg(sum(col("c12")).as("ctx"))
+    val lam = q123LambdaTenths
+    bmodel
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        expr(s"CAST(floor(ln(CAST($lam * c12 * T + ${10 - lam} * ctx * c2" +
+          s" AS DOUBLE) / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("term_milli"))
+  }
 
   private def q123(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -1912,19 +1940,9 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c2"))
-    val total = uni.agg(sum(col("c2")).as("T"))
-    val bmodel = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val ctx = bmodel.groupBy("w1").agg(sum(col("c12")).as("ctx"))
-    val lam = q123LambdaTenths
     val scored = bigs
-      .join(bmodel, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
-      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        expr(s"CAST(floor(ln(CAST($lam * c12 * T + ${10 - lam} * ctx * c2" +
-          s" AS DOUBLE) / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)")
-          .as("term_milli"))
+      .join(bigramTermTable(bigs, uni), Seq("w1", "w2"))
+      .select(col("doc_id"), col("term_milli"))
     val perDoc = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("term_milli")).as("ll_milli"))
@@ -2017,19 +2035,11 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c2"))
-    val total = uni.agg(sum(col("c2")).as("T"))
-    val bmodel = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val ctx = bmodel.groupBy("w1").agg(sum(col("c12")).as("ctx"))
-    val lam = q123LambdaTenths
+    // one corpus-sized join against the vocabulary-bounded term table
+    // (q123's restructured shape — see bigramTermTable)
     val perDoc = bigs
-      .join(bmodel, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
-      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        expr(s"CAST(floor(ln(CAST($lam * c12 * T + ${10 - lam} * ctx * c2" +
-          s" AS DOUBLE) / CAST(10 * ctx * T AS DOUBLE)) * 1000) AS BIGINT)")
-          .as("term_milli"))
+      .join(bigramTermTable(bigs, uni), Seq("w1", "w2"))
+      .select(col("doc_id"), col("term_milli"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("term_milli")).as("ll_milli"))
