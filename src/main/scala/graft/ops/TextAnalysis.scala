@@ -1999,6 +1999,107 @@ object TextAnalysis extends QueryModule {
        |GROUP BY source""".stripMargin
   }
 
+  // --- q215: Kneser-Ney smoothed bigram-LM scoring -------------------------
+  // The standard LM-filter smoothing (Kneser & Ney 1995; interpolated
+  // form per Chen & Goodman 1999), one rung up from q123's simple
+  // interpolation: absolute discounting d on the bigram count, with the
+  // stolen mass re-routed through the CONTINUATION unigram
+  //   Pcont(w2) = N1+(·w2) / B
+  // — how many distinct LEFT contexts w2 follows, over B = distinct
+  // bigram types — rather than raw frequency (the fix for "Francisco is
+  // frequent but only ever follows San"):
+  //   P(w2|w1) = (c12 − d)/ctx(w1) + d·N1+(w1·)/ctx(w1) · N1+(·w2)/B.
+  // Scoring the training corpus itself ⇒ every scored bigram has
+  // c12 ≥ 1 > d, so the max(c12−d, 0) clamp never binds and P > 0 with
+  // no unseen-event escape needed (same closed-corpus contract as q123).
+  //
+  // Cross-engine exactness (q123's recipe), d = dn/dd = 3/4:
+  //   P = [ (dd·c12 − dn)·B + dn·N1f·N1b ] / (dd·ctx·B)
+  // — integer numerator/denominator built exactly, ONE double division,
+  // libm ln, floored to integer millinats BEFORE the per-doc sum, so
+  // partition order cannot move the result. Int64 bound: dd·c12·B <
+  // 2^63 needs c12·B < 2.3e18 — holds while the hottest bigram's count
+  // times the bigram-type vocabulary stays under ~10⁹ × 10⁹; beyond,
+  // pre-scale counts to per-mille ranks first (q123's note).
+  //
+  // Scale shape: q123's restructured shape from the start — every model
+  // piece (c12, ctx, N1f, N1b, B) is a vocabulary-bounded aggregate,
+  // joined into ONE per-bigram-TYPE term table; the corpus-sized bigram
+  // stream joins it ONCE on (w1,w2); B is a broadcast 1-row cross join.
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+    val bigs = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(1, size(t) - 1),
+          |    i -> struct(t[i - 1] AS w1, t[i] AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bmodel = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bmodel.groupBy("w1").agg(
+      sum(col("c12")).as("ctx"), count(lit(1)).as("n1f"))
+    val cont = bmodel.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val btypes = bmodel.agg(count(lit(1)).as("B"))
+    val term = bmodel
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(btypes))
+      .select(col("w1"), col("w2"),
+        expr("CAST(floor(ln(CAST((4 * c12 - 3) * B + 3 * n1f * n1b" +
+          " AS DOUBLE) / CAST(4 * ctx * B AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("term_milli"))
+    val perDoc = bigs.join(term, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term_milli")).as("ll_milli"))
+    docs.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).as("n_bigrams"),
+        coalesce(sum(col("ll_milli")), lit(0L)).as("sum_ll_milli"),
+        coalesce(min(col("ll_milli")), lit(0L)).as("min_doc_ll"),
+        coalesce(max(col("ll_milli")), lit(0L)).as("max_doc_ll"))
+  }
+
+  private val q215Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents
+      |), bigs AS (
+      |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+      |  FROM toks, UNNEST(generate_series(2, len(t))) AS u(i)
+      |  WHERE len(t) >= 2
+      |), bmodel AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bigs GROUP BY w1, w2
+      |), ctx AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx, COUNT(*) AS n1f
+      |  FROM bmodel GROUP BY w1
+      |), cont AS (
+      |  SELECT w2, COUNT(*) AS n1b FROM bmodel GROUP BY w2
+      |), btypes AS (SELECT COUNT(*) AS B FROM bmodel),
+      |term AS (
+      |  SELECT w1, w2,
+      |    CAST(FLOOR(ln(CAST((4 * c12 - 3) * B + 3 * n1f * n1b AS DOUBLE)
+      |      / CAST(4 * ctx * B AS DOUBLE)) * 1000) AS BIGINT) AS term_milli
+      |  FROM bmodel JOIN ctx USING (w1) JOIN cont USING (w2)
+      |  CROSS JOIN btypes
+      |), per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(term_milli) AS BIGINT) AS ll_milli
+      |  FROM bigs JOIN term USING (w1, w2) GROUP BY doc_id
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COALESCE(SUM(n_bigrams), 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(SUM(ll_milli), 0) AS BIGINT) AS sum_ll_milli,
+      |  CAST(COALESCE(MIN(ll_milli), 0) AS BIGINT) AS min_doc_ll,
+      |  CAST(COALESCE(MAX(ll_milli), 0) AS BIGINT) AS max_doc_ll
+      |FROM documents LEFT JOIN per_doc USING (doc_id)
+      |GROUP BY source""".stripMargin
+
   // --- q129: curation pipeline v2 (capstone over the round-11 operators) ---
   // q90's successor, composed from the NEW primitives as ONE lazy plan:
   //   1. substring-level dedup — every doc rebuilt without its
@@ -2789,6 +2890,7 @@ object TextAnalysis extends QueryModule {
     "q147_padding_audit" -> q147 _,
     "q129_curation_v2" -> q129 _,
     "q123_bigram_lm" -> q123 _,
+    "q215_kneser_ney" -> q215 _,
     "q121_bpe_encode" -> q121 _,
     "q204_bpe_train" -> q204 _,
     "q119_pmi_collocations" -> q119 _,
@@ -2828,6 +2930,7 @@ object TextAnalysis extends QueryModule {
     "q147_padding_audit" -> q147Sql,
     "q129_curation_v2" -> q129Sql,
     "q123_bigram_lm" -> q123Sql,
+    "q215_kneser_ney" -> q215Sql,
     "q121_bpe_encode" -> q121Sql,
     "q204_bpe_train" -> q204Sql,
     "q119_pmi_collocations" -> q119Sql,
