@@ -212,11 +212,28 @@ object RestGate extends QueryModule {
       .crossJoin(broadcast(diff(twinS, restS, "n4")))
       .select((col("n1") === 0 && col("n2") === 0 &&
         col("n3") === 0 && col("n4") === 0).as("matches_batch"))
-    val summary = restQ.groupBy("pool").agg(
-      count(lit(1)).as("n_queries"),
-      sum(col("duration_millis")).as("sum_duration_ms"),
-      round(sum(col("reqd_agg_mem")), 2).as("sum_mem_gb"),
-      round(sum(col("cpu_time_sec")), 2).as("sum_cpu_sec"))
+    // Reported summary: aggregated from the REST-ingested frame in
+    // INTEGER-EXACT units (ms, floored bytes) so the row is
+    // hash-stable and the oracle can replay it as pure arithmetic over
+    // `events` — double sums of the reference's rounded-GB conversions
+    // would be partition-order- and engine-dependent at the ulp level
+    // (the q207 drift class), so those stay under the parity bit
+    // (rest ≡ twin runs toQuerylog on BOTH sides, same engine), while
+    // the hashed surface sticks to integers. Per-row floor(double) IS
+    // bit-stable cross-engine: the mem attribute is n·2³⁰/3 computed in
+    // IEEE double from exact-in-double operands, and Spark's
+    // double→string→double wire round-trip is exact (shortest repr).
+    val summary = api
+      .filter(map_contains_key(col("attributes"), "memory_aggregate_peak"))
+      .groupBy(col("pool"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("durationMillis")).as("sum_duration_ms"),
+        sum(expr("CAST(floor(CAST(element_at(attributes, " +
+          "'memory_aggregate_peak') AS DOUBLE)) AS BIGINT)"))
+          .as("sum_mem_bytes"),
+        sum(expr("CAST(element_at(attributes, 'thread_cpu_time') " +
+          "AS BIGINT)")).as("sum_cpu_ms"))
     ParityGate(summary.crossJoin(broadcast(bit)), "q97_rest_ingest",
       "matches_batch")
   }
@@ -224,6 +241,32 @@ object RestGate extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q97_rest_ingest" -> q97 _)
 
-  // Not SQL-expressible (live HTTP ingest): rows-only + fail-loud parity.
-  val oracleSql: Map[String, String] = Map.empty
+  // Round-14 conversion (the last one — the battery is now 214/214
+  // hard-oracle): the oracle cannot speak HTTP, but q97's expected
+  // summary is pure arithmetic over `events` — apiDocs' fixture
+  // formulas re-applied, restricted to the survivors (the %29 rows
+  // missing memory_aggregate_peak route to the skip flow, gated by the
+  // parity bit). The driver hash now proves the DSv2 REST source —
+  // real sockets, auth, pagination, adaptive truncation cascade —
+  // delivered exactly the arithmetic-predicted rows: any lost page,
+  // duplicated window, or corrupted attribute moves a sum.
+  private val q97Sql =
+    """WITH api AS (
+      |  SELECT event_type AS pool,
+      |    CAST(floor(value * 1000) AS BIGINT) + 1 AS duration_ms,
+      |    CAST((event_id % 500 + 1) * 1073741824 AS DOUBLE) / 3 AS mem_raw,
+      |    (CAST(floor(value * 1000) AS BIGINT) + 1) * (user_id % 5 + 1)
+      |      AS cpu_ms
+      |  FROM events
+      |  WHERE event_id < 2000 AND event_id % 29 != 0
+      |)
+      |SELECT pool, COUNT(*) AS n_queries,
+      |  CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms,
+      |  CAST(SUM(CAST(FLOOR(mem_raw) AS BIGINT)) AS BIGINT)
+      |    AS sum_mem_bytes,
+      |  CAST(SUM(cpu_ms) AS BIGINT) AS sum_cpu_ms,
+      |  TRUE AS matches_batch
+      |FROM api GROUP BY pool""".stripMargin
+
+  val oracleSql: Map[String, String] = Map("q97_rest_ingest" -> q97Sql)
 }
