@@ -1032,7 +1032,128 @@ object Graph extends QueryModule {
          |LEFT JOIN d$SpRounds d ON v.id = d.id""".stripMargin
   }
 
+  // --- q216: HITS hubs & authorities over the trade graph ------------------
+  // Kleinberg's HITS (JACM 1999) on the directed supplier→customer
+  // bipartite trade graph (q210's edge build: distinct trading pairs
+  // with ≥ KcMinLinks lineitems): a supplier is a good HUB if it serves
+  // customers many good hubs serve; a customer is a good AUTHORITY if
+  // good hubs serve it — the mutually-recursive pair PageRank's single
+  // score can't express (on a bipartite graph HITS is the power
+  // iteration for the adjacency matrix's principal singular pair).
+  //
+  // Cross-engine exactness: the textbook L2 normalization needs sqrt —
+  // not integer-replayable — so the iteration uses MAX normalization
+  // (a standard variant; scaling per round by any positive factor
+  // leaves the power iteration's direction, and therefore the ranking,
+  // unchanged): after each half-step every score is renormalized to
+  //   v ← (raw · S) div max(raw),   S = 10⁴ basis points,
+  // all BIGINT, truncating division (operands nonnegative, so Spark's
+  // `div` ≡ DuckDB's `//`). The argmax vertex sits at exactly S every
+  // round, so max(raw) ≥ S > 0 forever and the division is total.
+  // Int64 bound: raw ≤ in-degree · S, times S for the renormalize →
+  // degree · 10⁸ < 2⁶³ holds to degree ~9·10¹⁰ — any real graph.
+  //
+  // Scale shape: the edge frame is fact-aggregated once (the only
+  // corpus-sized work) and persisted; each round is 2 equi-joins of
+  // that frame against vertex-dim score frames + vertex aggregates,
+  // localCheckpoint-truncated per round (pageRank's lineage trade).
+  // Rounds fixed at 4 — the battery contract is "4 rounds of the
+  // integer iteration", replayed verbatim by the oracle's chained CTEs
+  // (the q107/q213 bounded-replay pattern).
+
+  /** Hub/authority scores: (role ∈ {hub, authority}, id, score) with
+    * score ∈ [0, scale] after `rounds` max-normalized iterations.
+    * `edges` are directed (src, dst); hubs live on the src side,
+    * authorities on the dst side.
+    */
+  def hits(edges: DataFrame, rounds: Int = 4, scale: Long = 10000L)
+      : DataFrame = {
+    require(rounds >= 1 && scale >= 1, "hits: rounds and scale must be >= 1")
+    val e = edges.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).persist()
+    var h = e.select(col("src").as("id")).distinct()
+      .withColumn("v", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val ar = e.join(h.select(col("id").as("src"), col("v")), "src")
+        .groupBy("dst").agg(sum(col("v")).as("raw"))
+      a = ar.crossJoin(broadcast(ar.agg(max(col("raw")).as("mx"))))
+        .select(col("dst").as("id"),
+          expr(s"(raw * ${scale}L) div mx").as("v"))
+        .localCheckpoint(false)
+      val hr = e.join(a.select(col("id").as("dst"), col("v")), "dst")
+        .groupBy("src").agg(sum(col("v")).as("raw"))
+      h = hr.crossJoin(broadcast(hr.agg(max(col("raw")).as("mx"))))
+        .select(col("src").as("id"),
+          expr(s"(raw * ${scale}L) div mx").as("v"))
+        .localCheckpoint(false)
+    }
+    h.withColumn("role", lit("hub"))
+      .unionByName(a.withColumn("role", lit("authority")))
+      .select(col("role"), col("id"), col("v").as("score"))
+  }
+
+  private val HitsRounds = 4
+  private val HitsScale = 10000L
+  private val HitsTopK = 10
+
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("nl"))
+      .filter(col("nl") >= KcMinLinks)
+    val scores = hits(
+      cs.select(col("l_suppkey").cast("bigint").as("src"),
+        col("o_custkey").cast("bigint").as("dst")),
+      rounds = HitsRounds, scale = HitsScale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("role").orderBy(col("score").desc, col("id").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HitsTopK)
+  }
+
+  private val q216Sql: String = {
+    val head =
+      s"""WITH cs AS MATERIALIZED (
+         |  SELECT o.o_custkey AS c, l.l_suppkey AS s
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $KcMinLinks
+         |), h0 AS (
+         |  SELECT DISTINCT s, CAST($HitsScale AS BIGINT) AS v FROM cs
+         |)""".stripMargin
+    val rounds = (1 to HitsRounds).map { i =>
+      s""", ar$i AS (
+         |  SELECT c, CAST(SUM(v) AS BIGINT) AS raw
+         |  FROM cs JOIN h${i - 1} USING (s) GROUP BY c
+         |), a$i AS MATERIALIZED (
+         |  SELECT c, (raw * $HitsScale) // (SELECT MAX(raw) FROM ar$i) AS v
+         |  FROM ar$i
+         |), hr$i AS (
+         |  SELECT s, CAST(SUM(v) AS BIGINT) AS raw
+         |  FROM cs JOIN a$i USING (c) GROUP BY s
+         |), h$i AS MATERIALIZED (
+         |  SELECT s, (raw * $HitsScale) // (SELECT MAX(raw) FROM hr$i) AS v
+         |  FROM hr$i
+         |)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT role, id, score, rank FROM (
+         |  SELECT 'authority' AS role, CAST(c AS BIGINT) AS id, v AS score,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY v DESC, c ASC) AS INTEGER)
+         |      AS rank
+         |  FROM a$HitsRounds
+         |  UNION ALL
+         |  SELECT 'hub', CAST(s AS BIGINT), v,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY v DESC, s ASC) AS INTEGER)
+         |  FROM h$HitsRounds
+         |)
+         |WHERE rank <= $HitsTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_hits" -> q216 _,
     "q107_pagerank" -> q107 _,
     "q128_bfs_hops" -> q128 _,
     "q134_triangles" -> q134 _,
@@ -1043,6 +1164,7 @@ object Graph extends QueryModule {
     "q213_sssp" -> q213 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q216_hits" -> q216Sql,
     "q107_pagerank" -> q107Sql,
     "q128_bfs_hops" -> q128Sql,
     "q134_triangles" -> q134Sql,

@@ -104,4 +104,59 @@ class Round17OpsSpec extends SparkTestBase {
       s"engine ${out("b")} vs sequential ${expected2("b")._3}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  // ---- Graph.hits (q216) --------------------------------------------------
+
+  /** Sequential max-normalized integer HITS with hits()'s exact
+    * arithmetic (truncating Long division, nonnegative operands). */
+  private def seqHits(edges: Seq[(Long, Long)], rounds: Int, scale: Long)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    var h = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val ar = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum }
+      val amax = ar.values.max
+      a = ar.map { case (k, raw) => k -> raw * scale / amax }
+      val hr = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum }
+      val hmax = hr.values.max
+      h = hr.map { case (k, raw) => k -> raw * scale / hmax }
+    }
+    (h, a)
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], rounds: Int) = {
+    val got = Graph.hits(edges.toDF("src", "dst"), rounds = rounds)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (got.collect { case (("hub", id), v) => id -> v },
+      got.collect { case (("authority", id), v) => id -> v })
+  }
+
+  test("hits equals the sequential max-normalized integer replay on a " +
+      "seeded random digraph") {
+    val rnd = new scala.util.Random(1729)
+    val edges = Seq.fill(120)((rnd.nextInt(15).toLong,
+      100L + rnd.nextInt(20))).distinct
+    val (gh, ga) = runHits(edges, rounds = 4)
+    val (eh, ea) = seqHits(edges, rounds = 4, scale = 10000L)
+    assert(gh == eh, s"hubs: ${(gh.toSet diff eh.toSet).take(3)} vs " +
+      s"${(eh.toSet diff gh.toSet).take(3)}")
+    assert(ga == ea, s"authorities: ${(ga.toSet diff ea.toSet).take(3)}")
+  }
+
+  test("hits: the vertex every hub serves is the unit authority, and " +
+      "the hub serving every authority is the unit hub") {
+    // 3 hubs all serve dst 100; hub 1 additionally serves 101 and 102
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 101L), (1L, 102L))
+    val (gh, ga) = runHits(edges, rounds = 4)
+    assert(ga(100L) == 10000L, "full-coverage authority must sit at scale")
+    assert(gh(1L) == 10000L, "full-coverage hub must sit at scale")
+    assert(ga(101L) < 10000L && gh(2L) < 10000L,
+      "partial-coverage vertices must rank strictly below")
+    val (eh, ea) = seqHits(edges, rounds = 4, scale = 10000L)
+    assert(gh == eh && ga == ea)
+  }
 }
