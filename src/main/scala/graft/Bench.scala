@@ -125,8 +125,9 @@ object Bench {
     // would otherwise make the gate true forever and turn it into a
     // fixed 10-minute sleep per attempt. With decay the floor
     // re-baselines to the new steady state within ~a dozen probes.
-    // `sessionMin` is the UNDECAYED session floor — the reference the
-    // elevation check below compares the pair against.
+    // `sessionMin` is the UNDECAYED session floor — forensics only
+    // (logged with each re-attempt); the elevation checks compare
+    // against the decayed calibFloor (see the round-14 correction).
     var calibFloor = Double.MaxValue
     var sessionMin = Double.MaxValue
     def probe(): Double = {
@@ -142,6 +143,19 @@ object Bench {
     // inflated with it. The gate now demands the pair sit within
     // ElevGate (~10%) of the session floor on BOTH ends, not merely
     // close to each other; an elevated-but-stable box re-attempts.
+    //
+    // Round-14 correction (measured on an IDLE box, 5 attempts, pairs
+    // 1.14–1.25× above the undecayed minimum): the elevation reference
+    // must be the DECAYED floor — the same one waitForIdle admits
+    // attempts against — not the undecayed luckiest-probe-ever.
+    // Single-probe noise on this box is ±20%, so one lucky 0.189 s
+    // reading makes a 10% band around the raw minimum statistically
+    // unreachable and the gate degenerates into attempts:5 +
+    // contended:true on a quiet machine. The decayed floor re-baselines
+    // at 2%/probe toward steady state, while a genuinely elevated box
+    // (r13's uniform 1.27×) still fails for the ~dozen probes the decay
+    // needs to absolve it — exactly the retry behavior the tightening
+    // wanted. sessionMin stays in the log line for forensics.
     val ElevGate = 1.10
     def waitForIdle(): Unit = {
       val deadline = System.nanoTime() + IdleBudgetNs
@@ -166,7 +180,7 @@ object Bench {
     def driftOf(a: (Seq[(String, Double, Seq[Double])], Double, Double)) =
       math.max(a._2, a._3) / math.max(1e-9, math.min(a._2, a._3))
     def elevOf(a: (Seq[(String, Double, Seq[Double])], Double, Double)) =
-      math.max(a._2, a._3) / math.max(1e-9, sessionMin)
+      math.max(a._2, a._3) / math.max(1e-9, calibFloor)
     var best = attempt()
     var attempts = 1
     while ((driftOf(best) > 1.5 || elevOf(best) > ElevGate) &&
@@ -231,7 +245,7 @@ object Bench {
     // tight pair (the r13 record's failure mode)
     val contended = drift > 1.5 ||
       math.max(calibBefore, calibAfter) >
-        math.max(1e-9, sessionMin) * ElevGate
+        math.max(1e-9, calibFloor) * ElevGate
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.length},"failed":$failed,"calib_before":${r3(calibBefore)},"calib_after":${r3(calibAfter)},"contended":$contended,"attempts":$attempts,"total_min":${r3(totalMin)},"queries":$qs,"queries_min":$mins,"runs":$runs}"""
     System.err.println(detail)
