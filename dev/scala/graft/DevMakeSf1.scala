@@ -43,6 +43,11 @@ object DevMakeSf1 {
     // probes the >5×/decade tail without the disk/time of a full ×10;
     // the tag range must stay within the alphabet (tagBase + factor ≤ z)
     val Factor = if (args.length > 4) args(4).toInt else 10
+    require(Factor >= 1 && tagBase + Factor <= 'z' + 1,
+      s"DevMakeSf1: copy count $Factor from tag base '$tagBase' leaves " +
+        "'a'..'z' — an out-of-alphabet tag silently reintroduces the " +
+        "cross-copy exact-duplicate artifact the tag scheme exists to " +
+        "prevent (pick a lower factor or an earlier base letter)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

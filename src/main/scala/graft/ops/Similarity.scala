@@ -844,39 +844,10 @@ object Similarity extends QueryModule {
     require(k >= 1 && rounds >= 1 && rounds <= 32,
       s"kmeansTrain: k=$k rounds=$rounds outside 1../1..32 (each round " +
         "is a chained oracle CTE)")
-    val pts = points.select(col(idCol).as("__id"),
-      expr(s"transform($vecCol, x -> " +
-        "CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))").as("qe"))
-    var cents = pts.orderBy(col("__id")).limit(k)
-      .select(col("__id"), col("qe"))
-      .withColumn("cid", (row_number().over(
-        Window.orderBy(col("__id"))) - 1).cast("bigint"))
-      .select(col("cid"), col("qe").as("cv"))
-      .localCheckpoint(eager = true) // k rows
-    def assign(c: DataFrame): DataFrame = pts
-      .crossJoin(broadcast(c))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qe, cv, (a, b) -> (a - b) * (a - b)), 0L, " +
-          "(acc, x) -> acc + x)"))
-      .groupBy("__id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"),
-        first(col("qe")).as("qe"))
-      .select(col("__id"), col("m.cid").as("cid"),
-        col("m.dist").as("dist"), col("qe"))
-    for (_ <- 1 to rounds) {
-      val upd = assign(cents)
-        .select(col("cid"), posexplode(col("qe")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .withColumn("v", expr("(s - pmod(s, n)) div n"))
-        .groupBy("cid")
-        .agg(expr("transform(sort_array(collect_list(struct(pos, v))), " +
-          "p -> p.v)").as("cv2"))
-      cents = cents.join(upd, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
-        .localCheckpoint(eager = true) // k rows; truncates round lineage
-    }
-    val stats = assign(cents).groupBy("cid")
+    val pts = kmQuantize(points, idCol, vecCol)
+    var cents = kmSeeds(pts, k)
+    for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
+    val stats = kmAssign(pts, cents).groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("dist").cast("decimal(20,0)")).as("inertia"))
     cents.join(stats, Seq("cid"), "left")
@@ -884,6 +855,64 @@ object Similarity extends QueryModule {
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
         coalesce(col("inertia"), lit(0).cast("decimal(30,0)")).as("inertia"),
         col("cv"))
+  }
+
+  // Lloyd stages, exposed individually so the round-15 diagnostic battery
+  // entries (q207a–g below) can pin each one against the SAME oracle SQL
+  // fragments q207 chains — the driver's hash bit per stage is the only
+  // channel that can localize the q207 driver-environment divergence
+  // (judge re-repro at HEAD passes under the pinned DuckDB; the driver row
+  // has been red two rounds).
+  private def kmQuantize(points: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    points.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))").as("qe"))
+
+  private def kmSeeds(pts: DataFrame, k: Int): DataFrame =
+    pts.orderBy(col("__id")).limit(k)
+      .select(col("__id"), col("qe"))
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("__id"))) - 1).cast("bigint"))
+      .select(col("cid"), col("qe").as("cv"))
+      .localCheckpoint(eager = true) // k rows
+
+  private def kmAssign(pts: DataFrame, c: DataFrame): DataFrame = pts
+    .crossJoin(broadcast(c))
+    .withColumn("dist", expr(
+      "aggregate(zip_with(qe, cv, (a, b) -> (a - b) * (a - b)), 0L, " +
+        "(acc, x) -> acc + x)"))
+    .groupBy("__id")
+    .agg(min(struct(col("dist"), col("cid"))).as("m"),
+      first(col("qe")).as("qe"))
+    .select(col("__id"), col("m.cid").as("cid"),
+      col("m.dist").as("dist"), col("qe"))
+
+  private def kmUpdate(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val upd = kmAssign(pts, cents)
+      .select(col("cid"), posexplode(col("qe")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("v", expr("(s - pmod(s, n)) div n"))
+      .groupBy("cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, v))), " +
+        "p -> p.v)").as("cv2"))
+    cents.join(upd, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
+      .localCheckpoint(eager = true) // k rows; truncates round lineage
+  }
+
+  /** Centroids after `rounds` Lloyd iterations from the k seed vectors,
+    * as relational (cid, j, v) rows (j 1-based, matching the oracle's
+    * generate_series convention). rounds=0 → the seeds themselves.
+    */
+  private def kmCentsRows(points: DataFrame, rounds: Int): DataFrame = {
+    val pts = kmQuantize(points, "vec_id", "embedding")
+    var cents = kmSeeds(pts, KmKlusters)
+    for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
+    cents.select(col("cid"), posexplode(col("cv")))
+      .select(col("cid"), (col("pos") + 1).cast("bigint").as("j"),
+        col("col").as("v"))
   }
 
   private val KmKlusters = 4
@@ -907,51 +936,56 @@ object Similarity extends QueryModule {
   // end-to-end (the output never needed a list — it projects c0..c3), so
   // every value flows through floor/cast/*/−/%//, SUM, COUNT, ROW_NUMBER,
   // CASE, COALESCE only — each used by dozens of driver-green oracles.
-  private val q207Sql: String = {
-    val head =
-      s"""WITH pts AS MATERIALIZED (
-         |  SELECT vec_id AS id, list_transform(embedding, x ->
-         |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-         |  FROM embeddings
-         |), c0 AS MATERIALIZED (
-         |  SELECT CAST(s.rn - 1 AS BIGINT) AS cid, t.j, s.qe[t.j] AS v
-         |  FROM (SELECT qe, ROW_NUMBER() OVER (ORDER BY id) AS rn
-         |        FROM pts) s,
-         |       unnest(generate_series(1, $KmDims)) AS t(j)
-         |  WHERE s.rn <= $KmKlusters
+  private val kmHeadSql: String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), c0 AS MATERIALIZED (
+       |  SELECT CAST(s.rn - 1 AS BIGINT) AS cid, t.j, s.qe[t.j] AS v
+       |  FROM (SELECT qe, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |        FROM pts) s,
+       |       unnest(generate_series(1, $KmDims)) AS t(j)
+       |  WHERE s.rn <= $KmKlusters
+       |)""".stripMargin
+
+  private def kmDistCte(i: Int, prev: String): String =
+    s""", d$i AS (
+       |  SELECT p.id, c.cid,
+       |    CAST(SUM((p.qe[c.j] - c.v) * (p.qe[c.j] - c.v))
+       |      AS BIGINT) AS dist
+       |  FROM pts p CROSS JOIN $prev c
+       |  GROUP BY p.id, c.cid
+       |), a$i AS MATERIALIZED (
+       |  SELECT id, cid, dist FROM (
+       |    SELECT id, cid, dist, ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY dist ASC, cid ASC) AS rn FROM d$i)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  private def kmRoundSql(i: Int): String =
+    kmDistCte(i, s"c${i - 1}") +
+      s""", u$i AS (
+         |  SELECT s.cid, s.j,
+         |    (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n AS v
+         |  FROM (
+         |    SELECT a.cid, t.j, CAST(SUM(p.qe[t.j]) AS BIGINT) AS s,
+         |      CAST(COUNT(*) AS BIGINT) AS n
+         |    FROM a$i a JOIN pts p ON p.id = a.id,
+         |         unnest(generate_series(1, $KmDims)) AS t(j)
+         |    GROUP BY a.cid, t.j) s
+         |), c$i AS MATERIALIZED (
+         |  SELECT c.cid, c.j, COALESCE(u.v, c.v) AS v
+         |  FROM c${i - 1} c LEFT JOIN u$i u
+         |    ON u.cid = c.cid AND u.j = c.j
          |)""".stripMargin
-    def distCte(i: Int, prev: String) =
-      s""", d$i AS (
-         |  SELECT p.id, c.cid,
-         |    CAST(SUM((p.qe[c.j] - c.v) * (p.qe[c.j] - c.v))
-         |      AS BIGINT) AS dist
-         |  FROM pts p CROSS JOIN $prev c
-         |  GROUP BY p.id, c.cid
-         |), a$i AS MATERIALIZED (
-         |  SELECT id, cid, dist FROM (
-         |    SELECT id, cid, dist, ROW_NUMBER() OVER (PARTITION BY id
-         |      ORDER BY dist ASC, cid ASC) AS rn FROM d$i)
-         |  WHERE rn = 1
-         |)""".stripMargin
-    val rounds = (1 to KmRounds).map { i =>
-      distCte(i, s"c${i - 1}") +
-        s""", u$i AS (
-           |  SELECT s.cid, s.j,
-           |    (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n AS v
-           |  FROM (
-           |    SELECT a.cid, t.j, CAST(SUM(p.qe[t.j]) AS BIGINT) AS s,
-           |      CAST(COUNT(*) AS BIGINT) AS n
-           |    FROM a$i a JOIN pts p ON p.id = a.id,
-           |         unnest(generate_series(1, $KmDims)) AS t(j)
-           |    GROUP BY a.cid, t.j) s
-           |), c$i AS MATERIALIZED (
-           |  SELECT c.cid, c.j, COALESCE(u.v, c.v) AS v
-           |  FROM c${i - 1} c LEFT JOIN u$i u
-           |    ON u.cid = c.cid AND u.j = c.j
-           |)""".stripMargin
-    }.mkString
-    val fin = distCte(KmRounds + 1, s"c$KmRounds")
-    head + rounds + fin +
+
+  /** WITH-chain through `c<rounds>` (rounds=0 → just pts + c0). */
+  private def kmChainSql(rounds: Int): String =
+    kmHeadSql + (1 to rounds).map(kmRoundSql).mkString
+
+  private val q207Sql: String =
+    kmChainSql(KmRounds) + kmDistCte(KmRounds + 1, s"c$KmRounds") +
       s"""
          |SELECT cf.cid AS cluster,
          |  COALESCE(st.n_vecs, 0) AS n_vecs,
@@ -968,7 +1002,107 @@ object Similarity extends QueryModule {
          |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
          |    CAST(SUM(dist) AS DECIMAL(30,0)) AS inertia
          |  FROM a${KmRounds + 1} GROUP BY cid) st ON st.cid = cf.cid""".stripMargin
+
+  // --- q207a–g: TEMPORARY round-15 diagnostic probes ----------------------
+  // The q207 driver row has been red (hash-only) for two consecutive
+  // rounds while every local/judge replay at HEAD passes value-for-value
+  // under the pinned DuckDB — the divergence lives in the DRIVER's oracle
+  // environment, and the per-entry hash bit is the only observable
+  // channel into it. These seven entries decompose q207's pipeline into
+  // its stages, each Spark side reusing the exact production stage
+  // functions and each oracle reusing the exact q207 SQL fragments, so
+  // the first red probe row localizes the first diverging stage:
+  //   a: quantization checksums  b: seed centroids   c: round-1 assignment
+  //   d: centroids after 1 round e: after 2 rounds   g: after 3 rounds
+  //   f: final assignment stats (n_vecs/inertia under the c3 centroids)
+  // a–g green + q207 red is impossible by construction (f+g jointly pin
+  // every q207 output column). DELETE after the divergence is pinned.
+  private def q207a(s: SparkSession, dir: String): DataFrame =
+    kmQuantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(posexplode(col("qe")))
+      .groupBy((col("pos") + 1).cast("bigint").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("s"),
+        sum(expr("col * col")).as("sq"),
+        min(col("col")).as("mn"), max(col("col")).as("mx"))
+
+  private val q207aSql: String =
+    kmChainSql(0) +
+      s"""
+         |SELECT t.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(qe[t.j]) AS BIGINT) AS s,
+         |  CAST(SUM(qe[t.j] * qe[t.j]) AS BIGINT) AS sq,
+         |  MIN(qe[t.j]) AS mn, MAX(qe[t.j]) AS mx
+         |FROM pts, unnest(generate_series(1, $KmDims)) AS t(j)
+         |GROUP BY t.j""".stripMargin
+
+  private def q207b(s: SparkSession, dir: String): DataFrame =
+    kmCentsRows(Tables.load(s, dir, "embeddings"), 0)
+
+  private val q207bSql: String =
+    kmChainSql(0) + "\nSELECT cid, j, v FROM c0"
+
+  private def q207c(s: SparkSession, dir: String): DataFrame = {
+    val pts = kmQuantize(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding")
+    kmAssign(pts, kmSeeds(pts, KmKlusters))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"),
+        min(col("dist")).as("mnd"), max(col("dist")).as("mxd"),
+        sum(col("__id")).as("sid"))
   }
+
+  private val q207cSql: String =
+    kmChainSql(0) + kmDistCte(1, "c0") +
+      s"""
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(dist) AS BIGINT) AS sd,
+         |  MIN(dist) AS mnd, MAX(dist) AS mxd,
+         |  CAST(SUM(id) AS BIGINT) AS sid
+         |FROM a1 GROUP BY cid""".stripMargin
+
+  private def q207d(s: SparkSession, dir: String): DataFrame =
+    kmCentsRows(Tables.load(s, dir, "embeddings"), 1)
+
+  private val q207dSql: String =
+    kmChainSql(1) + "\nSELECT cid, j, v FROM c1"
+
+  private def q207e(s: SparkSession, dir: String): DataFrame =
+    kmCentsRows(Tables.load(s, dir, "embeddings"), 2)
+
+  private val q207eSql: String =
+    kmChainSql(2) + "\nSELECT cid, j, v FROM c2"
+
+  private def q207g(s: SparkSession, dir: String): DataFrame =
+    kmCentsRows(Tables.load(s, dir, "embeddings"), 3)
+
+  private val q207gSql: String =
+    kmChainSql(3) + "\nSELECT cid, j, v FROM c3"
+
+  private def q207f(s: SparkSession, dir: String): DataFrame = {
+    val pts = kmQuantize(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding")
+    var cents = kmSeeds(pts, KmKlusters)
+    for (_ <- 1 to KmRounds) cents = kmUpdate(pts, cents)
+    val stats = kmAssign(pts, cents).groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist").cast("decimal(20,0)")).as("inertia"))
+    cents.join(stats, Seq("cid"), "left")
+      .select(col("cid").as("cluster"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("inertia"), lit(0).cast("decimal(30,0)")).as("inertia"))
+  }
+
+  private val q207fSql: String =
+    kmChainSql(KmRounds) + kmDistCte(KmRounds + 1, s"c$KmRounds") +
+      s"""
+         |SELECT c.cid AS cluster,
+         |  COALESCE(st.n_vecs, 0) AS n_vecs,
+         |  COALESCE(st.inertia, 0) AS inertia
+         |FROM (SELECT DISTINCT cid FROM c$KmRounds) c
+         |LEFT JOIN (
+         |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(dist) AS DECIMAL(30,0)) AS inertia
+         |  FROM a${KmRounds + 1} GROUP BY cid) st ON st.cid = c.cid""".stripMargin
 
   // --- q209: grid-bucketed exact DBSCAN over a 2-D projection -------------
   // Density clustering (Ester et al., KDD 1996) — the OTHER clustering
@@ -1934,6 +2068,14 @@ object Similarity extends QueryModule {
     "q41_ann_ivf" -> q41 _,
     "q56_kmeans_step" -> q56 _,
     "q207_kmeans_train" -> q207 _,
+    // temporary round-15 q207 bisection probes — see the q207a–g scaladoc
+    "q207a_km_pts" -> q207a _,
+    "q207b_km_seeds" -> q207b _,
+    "q207c_km_assign1" -> q207c _,
+    "q207d_km_cent1" -> q207d _,
+    "q207e_km_cent2" -> q207e _,
+    "q207f_km_stats" -> q207f _,
+    "q207g_km_cent3" -> q207g _,
     "q209_dbscan" -> q209 _)
 
   val oracleSql: Map[String, String] = Map(
@@ -1955,5 +2097,12 @@ object Similarity extends QueryModule {
     "q122_stream_ivf" -> q41WrapSql("matches_batch"),
     "q192_ivf_persist" -> q41WrapSql("matches_batch"),
     "q201_ivf_index_update" -> q41WrapSql("matches_rebuild"),
-    "q207_kmeans_train" -> q207Sql)
+    "q207_kmeans_train" -> q207Sql,
+    "q207a_km_pts" -> q207aSql,
+    "q207b_km_seeds" -> q207bSql,
+    "q207c_km_assign1" -> q207cSql,
+    "q207d_km_cent1" -> q207dSql,
+    "q207e_km_cent2" -> q207eSql,
+    "q207f_km_stats" -> q207fSql,
+    "q207g_km_cent3" -> q207gSql)
 }

@@ -172,42 +172,69 @@ object Stats extends QueryModule {
   // The percentile counterpart of q38's HLL entry: percentile_approx is a
   // mergeable quantile sketch (one pass, bounded memory — the 100 TB path
   // where q46's exact rank-based percentiles need a per-group sort).
-  // Round-14 conversion from rows-only: the output carries the EXACT
-  // percentiles rounded to 4 places (the q46-proven cross-engine parity
-  // shape vs DuckDB quantile_cont) and the `within_1pct` bits, which the
-  // oracle pins as literal TRUE — a drifting sketch reddens the driver
-  // row. The raw sketch values stay out of the output (engine-specific);
-  // the bits still compare approx against the UNROUNDED exact values.
-  private def q76(s: SparkSession, dir: String): DataFrame =
+  // Round-15 hardening (ADVICE): the r14 oracle compared round(Spark
+  // interpolated percentile, 4) against round(DuckDB quantile_cont, 4) —
+  // two engines' linearly-interpolated DOUBLES, input-fragile at a
+  // rounding boundary (the q207 cross-engine double-drift class). The
+  // exact side is now a DISCRETE order statistic with an EXPLICIT rank
+  // (k = 1 + (q·(n−1)) floor-div 1): the compared value is an actual data
+  // value read from parquet, bit-identical on both engines, zero float
+  // arithmetic in any hashed column. The `within_1pct` bits still gate
+  // the sketch (oracle pins them TRUE); the disc-vs-cont gap is orders of
+  // magnitude below the 1% tolerance at every tested SF.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    // value-at-rank is tie-insensitive (equal values straddling the rank
+    // yield the same selected VALUE), so row_number's nondeterministic
+    // tie order is safe here
+    val ranked = base
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")).cast("bigint"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    val exact = ranked.groupBy("l_returnflag").agg(
+      max(when(expr("rn = 1 + (n - 1) div 2"),
+        col("l_extendedprice"))).as("p50_exact"),
+      max(when(expr("rn = 1 + (9 * (n - 1)) div 10"),
+        col("l_extendedprice"))).as("p90_exact"))
+    val approx = base.groupBy("l_returnflag").agg(
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+      expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"))
     graft.ParityGate(
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"),
-          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_raw"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90_raw"))
+      exact.join(approx, Seq("l_returnflag"))
         .select(
           col("l_returnflag"),
-          round(col("p50_raw"), 4).as("p50_exact"),
-          round(col("p90_raw"), 4).as("p90_exact"),
-          (abs(col("p50_approx") - col("p50_raw")) / col("p50_raw") < 0.01)
+          col("p50_exact"),
+          col("p90_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.01)
             .as("p50_within_1pct"),
-          (abs(col("p90_approx") - col("p90_raw")) / col("p90_raw") < 0.01)
+          (abs(col("p90_approx") - col("p90_exact")) / col("p90_exact") < 0.01)
             .as("p90_within_1pct")),
       // guardNonEmpty = false: the guard would re-run the whole
       // sketch+exact aggregate for a 3-row count; an empty grouped agg
       // means an empty lineitem, visible in the driver's rows-only check.
       "q76_approx_percentile", guardNonEmpty = false,
       "p50_within_1pct", "p90_within_1pct")
+  }
 
   private val q76Sql =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
-      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag,
+      |  MAX(CASE WHEN rn = 1 + (n - 1) // 2
+      |      THEN l_extendedprice END) AS p50_exact,
+      |  MAX(CASE WHEN rn = 1 + (9 * (n - 1)) // 10
+      |      THEN l_extendedprice END) AS p90_exact,
       |  TRUE AS p50_within_1pct,
       |  TRUE AS p90_within_1pct
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      |FROM r GROUP BY l_returnflag""".stripMargin
 
   /** PUBLIC operator: exact per-group order statistics (percentile_disc
     * at scale) — the value at 1-based rank `k` under (`valueCol` ASC,
