@@ -396,7 +396,8 @@ object Dedup extends QueryModule {
     * pair. Output: (a, b, cont_milli = 1000·ov div l_a).
     */
   def containmentJoin(docs: DataFrame, idCol: String = "doc_id",
-      tokensCol: String = "tk", tMilli: Int = JacTMilli): DataFrame = {
+      tokensCol: String = "tk", tMilli: Int = JacTMilli,
+      probeIdFilter: Option[Column => Column] = None): DataFrame = {
     val toks = docs
       .select(col(idCol).as("__id"), col(tokensCol).as("__tk"))
       .filter(size(col("__tk")) > 0)
@@ -410,9 +411,17 @@ object Dedup extends QueryModule {
       .withColumn("tks", expr("transform(ord, p -> p.tok)"))
       .withColumn("l", size(col("ord")))
       .localCheckpoint(eager = false) // prefix leg + postings + 2 verifies
+    // Optional CONTAINED-side restriction (round 15, the q217 recall
+    // reference): the predicate — a function of the id column — cuts the
+    // prefix/candidate/verify legs to the probe sample while df, the
+    // canonical order, and the CONTAINER side all stay full-corpus, so
+    // the result is exactly {pairs (a, b) of the unrestricted join :
+    // pred(a)} at the sample's fraction of the cost.
+    val prefSrc = probeIdFilter.map(f => ord.filter(f(col("__id"))))
+      .getOrElse(ord)
     // BIGINT prefix arithmetic — same 32-bit-wrap guard as the Jaccard
     // join's candidate stage (see the comment there).
-    val pref = ord.select(col("__id"), col("l"),
+    val pref = prefSrc.select(col("__id"), col("l"),
       explode(expr(
         s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))"))
         .as("p"))
@@ -442,6 +451,117 @@ object Dedup extends QueryModule {
   }
 
   private[ops] val JacTMilli = 900
+
+  /** APPROXIMATE set-containment join — the documented scale path for
+    * [[containmentJoin]] when the exact answer is output-huge (the one
+    * operator family that had no approximate escape hatch; q206's analogue
+    * is the plain MinHash-LSH of q26). LSH-Ensemble shape (Zhu et al.,
+    * "LSH Ensemble: Internet-Scale Domain Search", VLDB 2016): containment
+    * C(A,B) = |A∩B|/|A| has no direct LSH family, but once containers are
+    * PARTITIONED BY LENGTH into powers of two, a containment threshold t
+    * converts — within partition p with upper bound u_p — to a Jaccard
+    * lower bound j_p = t·l_a / (l_a + u_p − t·l_a) (worst case at
+    * l_b = u_p, since J = ov/(l_a+l_b−ov) is decreasing in l_b), and
+    * plain MinHash banding applies per partition.
+    *
+    * Index side: every container posts its md5-banded minhash keys under
+    * its OWN length partition for each banding in the regime table
+    * (r ∈ {4, 2, 1} rows/band over one K=24 signature → 6+12+24 = 42 keys
+    * per doc, a bounded constant — built once, probed forever, the q195
+    * index economics). Probe side: each query computes j_p per candidate
+    * partition (exact BIGINT milli arithmetic) and probes with the
+    * COARSEST banding whose worst-case recall still clears the target:
+    * r=4 for j_p ≥ .9 (miss ≤ 0.2%), r=2 for j_p ≥ .55 (≤ 1.4%), r=1 for
+    * j_p ≥ .12 (≤ 4.7% at the boundary — single-row bands, the highest-
+    * recall banding K=24 can express). j_p < .12 (containers > ~7.4× the
+    * query length at t=.9) is OUT OF CONTRACT: a fixed-K ensemble cannot
+    * bound recall over an unbounded length ratio — widening the contract
+    * is a K (log-factor) knob, not a structural change. Candidates
+    * equi-join on (partition, banding, band, key) — never a cross join —
+    * then verify with [[containmentJoin]]'s exact integer predicate, so
+    * false positives are ZERO and the only approximation is recall.
+    * Output: (a, b, cont_milli), identical shape to the exact join.
+    */
+  def containmentLshJoin(queries: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", tokensCol: String = "tk",
+      tMilli: Int = JacTMilli, numHashes: Int = 24): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(Seq(4, 2, 1).forall(numHashes % _ == 0),
+      s"containmentLshJoin: numHashes=$numHashes must be divisible by " +
+        "every regime's rows-per-band (4, 2, 1)")
+    val t = tMilli.toLong
+    def sigsOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), col(tokensCol).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .withColumn("l", size(col("__tk")).cast("bigint"))
+      .withColumn("mh", expr(s"graft_minhash(graft_hash60_array(" +
+        s"__tk, ${P}L), $numHashes, ${P}L)"))
+      .localCheckpoint(eager = false) // keys leg + verify leg
+    val qs = sigsOf(queries)
+    val cs = sigsOf(corpus)
+    def keysOf(sigs: DataFrame): DataFrame =
+      Seq(4, 2, 1).map { r =>
+        bandKeys(sigs, numHashes / r, r, "__id").withColumn("r", lit(r))
+      }.reduce(_ unionByName _)
+    // candidate partitions: 21 literal rows (u_p = 2^(p+1)−1 exact via
+    // shiftleft, never float pow) — the crossJoin fans each query to at
+    // most 21 tiny planning rows, not to the corpus
+    val parts = corpus.sparkSession.range(0, 21)
+      .select(col("id").cast("int").as("p"))
+      .withColumn("u", expr("shiftleft(1L, p + 1) - 1"))
+    val probePlan = qs.select(col("__id"), col("l")).crossJoin(parts)
+      // some container in [2^p, u_p] must be long enough: 1000·u_p ≥ t·l_a
+      .filter(lit(1000L) * col("u") >= lit(t) * col("l"))
+      // j_p ≥ θ  ⟺  1000·t·l ≥ θ·(1000·l + 1000·u − t·l), all BIGINT
+      .withColumn("num", lit(1000L) * lit(t) * col("l"))
+      .withColumn("den", lit(1000L) * col("l") + lit(1000L) * col("u")
+        - lit(t) * col("l"))
+      .withColumn("r",
+        when(col("num") >= lit(900L) * col("den"), 4)
+          .when(col("num") >= lit(550L) * col("den"), 2)
+          .when(col("num") >= lit(120L) * col("den"), 1))
+      .filter(col("r").isNotNull)
+      .select(col("__id"), col("l").as("la"), col("p"), col("r"))
+    val probeKeys = probePlan.join(keysOf(qs), Seq("__id", "r"))
+      .select(col("__id").as("a"), col("la"), col("p"), col("r"),
+        col("band"), col("bkey"))
+    val idxKeys = keysOf(cs)
+      .join(cs.select(col("__id"),
+        expr(s"CAST(${pow2PartSql("l")} AS INT)").as("p"),
+        col("l").as("lb")), "__id")
+      .select(col("__id").as("b"), col("lb"), col("p"), col("r"),
+        col("band"), col("bkey"))
+    val cand = probeKeys.join(idxKeys, Seq("p", "r", "band", "bkey"))
+      .filter(col("a") =!= col("b") &&
+        lit(1000L) * col("lb") >= lit(t) * col("la"))
+      .select("a", "b").distinct()
+    cand
+      .join(qs.select(col("__id").as("a"), col("__tk").as("ta"),
+        col("l").as("la")), "a")
+      .join(cs.select(col("__id").as("b"), col("__tk").as("tb")), "b")
+      .withColumn("ov",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .filter(lit(1000L) * col("ov") >= lit(t) * col("la"))
+      .select(col("a"), col("b"),
+        expr("(1000L * ov) div la").as("cont_milli"))
+  }
+
+  /** Power-of-two length-partition id as portable SQL (valid in BOTH
+    * Spark SQL and DuckDB — shared text is the parity guarantee): the p
+    * with 2^p ≤ x ≤ 2^(p+1)−1, as a CASE ladder over integer literals.
+    * A ladder instead of floor(log2(x)): float log at exact powers of
+    * two is the cross-engine parity trap q132's scaladoc documents.
+    */
+  private[ops] def pow2PartSql(c: String): String =
+    "CASE " + (0 to 19).map(k =>
+      s"WHEN $c <= ${(1L << (k + 1)) - 1} THEN $k").mkString(" ") +
+      " ELSE 20 END"
+
+  /** Companion ladder: the partition UPPER BOUND u_p = 2^(p+1)−1. */
+  private[ops] def pow2UpperSql(c: String): String =
+    "CASE " + (0 to 19).map(k =>
+      s"WHEN $c <= ${(1L << (k + 1)) - 1} THEN ${(1L << (k + 1)) - 1}")
+      .mkString(" ") + s" ELSE ${(1L << 21) - 1} END"
 
   // ===================== battery entries (driver gate) ====================
 
@@ -660,16 +780,32 @@ object Dedup extends QueryModule {
   // how production quote detectors tokenize. Oracle = brute force (the
   // completeness proof, q206's precedent); docs under 3 words have no
   // shingle and cannot pair (both engines).
+  /** (doc_id, tk): distinct word-3-gram shingles, shared by
+    * q208/q214/q217. Round-14's form built the shingles with an inline
+    * `transform(sequence(...), i -> concat_ws(...))` lambda — and Spark
+    * evaluates higher-order-function lambdas INTERPRETED, outside
+    * whole-stage codegen, so the corpus paid ~10 s per full evaluation
+    * at sf0.1 (measured; the word explode itself is 0.9 s) — and the
+    * containment join evaluates tk at least twice (df pass + ord pass).
+    * The native [[graft.functions.WordShingles]] expression (the same
+    * fix the MinHash pipeline's scaladoc records) does it in a tight
+    * codegen'd loop. The `size(ws) >= 3` guard keeps the round-14
+    * oracle semantics for short docs: no shingle, excluded from the
+    * join — graft_shingles alone would emit one short-gram (its q26
+    * semantics), which the oracle's generate_series upper bound
+    * deliberately does not.
+    */
+  private[graft] def shingledDocs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.load(s, dir, "documents")
+      .withColumn("ws", split(lower(col("text")), " "))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(ws) >= 3 THEN graft_shingles(ws, 3)
+          |ELSE array() END""".stripMargin).as("tk"))
+  }
+
   private def q208(s: SparkSession, dir: String): DataFrame =
-    containmentJoin(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), expr(
-          """array_distinct(CASE WHEN size(split(lower(text), ' ')) >= 3
-            |THEN transform(
-            |  sequence(1, size(split(lower(text), ' ')) - 2),
-            |  i -> concat_ws(' ', split(lower(text), ' ')[i - 1],
-            |    split(lower(text), ' ')[i], split(lower(text), ' ')[i + 1]))
-            |ELSE array() END)""".stripMargin).as("tk")))
+    containmentJoin(shingledDocs(s, dir))
 
   private val q208Sql =
     s"""WITH w AS (
@@ -686,6 +822,98 @@ object Dedup extends QueryModule {
        |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
        |WHERE len(a.tk) > 0 AND 1000 * len(list_intersect(a.tk, b.tk)) >=
        |  $JacTMilli * len(a.tk)""".stripMargin
+
+  // --- q217: approximate containment join (LSH-Ensemble scale path) -------
+  // [[containmentLshJoin]] probing a 1-in-4 doc_id sample against the full
+  // corpus, on q208's exact tokenizer (distinct word-3-gram shingles,
+  // t = 0.9) — the approximate escape hatch for the one operator family
+  // that had none (VERDICT r14). Hard-oracle shape = the q202 recipe: the
+  // HASHED columns are all derived from the EXACT side (per-length-
+  // partition pair counts + id checksums, replayed brute-force by the
+  // oracle), while the LSH side enters only through the recall/subset
+  // bits the oracle pins TRUE — so the driver hash simultaneously proves
+  // the exact reference and gates the ensemble's recall (≥ 95% per
+  // partition over in-contract pairs; found ⊆ exact is free because
+  // verification IS the exact predicate). In-contract = j_p ≥ 0.12,
+  // i.e. containers ≤ ~7.4× the query length at t = 0.9 — the fixed-K
+  // dynamic-range contract documented on the operator.
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val t = JacTMilli.toLong
+    val docs = shingledDocs(s, dir)
+    val found = containmentLshJoin(
+      docs.filter(col("doc_id") % 4 === 0), docs)
+    val exact = containmentJoin(docs,
+      probeIdFilter = Some(id => id % 4 === 0))
+    val lens = docs.select(col("doc_id"),
+        size(col("tk")).cast("bigint").as("len"))
+      .filter(col("len") > 0)
+    def withPart(pairs: DataFrame): DataFrame = pairs
+      .join(lens.select(col("doc_id").as("b"), col("len").as("lb")), "b")
+      .withColumn("part", expr(s"CAST(${pow2PartSql("lb")} AS BIGINT)"))
+      .withColumn("u", expr(s"CAST(${pow2UpperSql("lb")} AS BIGINT)"))
+    val ex = withPart(exact)
+      .join(lens.select(col("doc_id").as("a"), col("len").as("la")), "a")
+      .withColumn("ic",
+        lit(1000L) * lit(t) * col("la") >=
+          lit(120L) * (lit(1000L) * col("la") + lit(1000L) * col("u")
+            - lit(t) * col("la")))
+    val exAgg = ex.groupBy("part").agg(
+      count(lit(1)).as("n_exact"),
+      sum(when(col("ic"), 1L).otherwise(0L)).as("n_exact_ic"),
+      coalesce(sum(when(col("ic"), col("a"))), lit(0L)).as("sa"),
+      coalesce(sum(when(col("ic"), col("b"))), lit(0L)).as("sb"))
+    val fAgg = withPart(found)
+      .groupBy("part").agg(count(lit(1)).as("n_found"))
+    // full outer, nulls NOT coalesced on the exact leg: a found-side
+    // partition absent from the exact side is impossible (found ⊆ exact)
+    // — if it ever happens the null bit makes the gate fire instead of
+    // a silent left-join drop
+    val out = exAgg.join(fAgg, Seq("part"), "full_outer")
+      .withColumn("nf", coalesce(col("n_found"), lit(0L)))
+      .select(col("part"), col("n_exact"), col("n_exact_ic"),
+        col("sa"), col("sb"),
+        (lit(1000L) * col("nf") >= lit(950L) * col("n_exact_ic"))
+          .as("recall_ok"),
+        (col("nf") <= col("n_exact_ic")).as("subset_ok"))
+    // guardNonEmpty = false: the guard would re-run the exact join + the
+    // ensemble for a row count; an empty result ⟺ the exact sample has
+    // zero pairs, which the oracle replays to the same zero rows
+    graft.ParityGate(out, "q217_containment_lsh", guardNonEmpty = false,
+      "recall_ok", "subset_ok")
+  }
+
+  private val q217Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - 2, 0)),
+       |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tk
+       |  FROM w
+       |), ex AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(len(a.tk) AS BIGINT) AS la, CAST(len(b.tk) AS BIGINT) AS lb
+       |  FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 4 = 0 AND len(a.tk) > 0
+       |    AND 1000 * len(list_intersect(a.tk, b.tk)) >=
+       |      $JacTMilli * len(a.tk)
+       |), exi AS (
+       |  SELECT a, b, la,
+       |    CAST(${pow2PartSql("lb")} AS BIGINT) AS part,
+       |    CAST(${pow2UpperSql("lb")} AS BIGINT) AS u
+       |  FROM ex
+       |), exf AS (
+       |  SELECT part, a, b,
+       |    (1000 * $JacTMilli * la >=
+       |      120 * (1000 * la + 1000 * u - $JacTMilli * la)) AS ic
+       |  FROM exi
+       |)
+       |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN ic THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_ic,
+       |  CAST(COALESCE(SUM(CASE WHEN ic THEN a END), 0) AS BIGINT) AS sa,
+       |  CAST(COALESCE(SUM(CASE WHEN ic THEN b END), 0) AS BIGINT) AS sb,
+       |  TRUE AS recall_ok, TRUE AS subset_ok
+       |FROM exf GROUP BY part""".stripMargin
 
   // --- q50: near-dup cluster resolution (connected components) ------------
   // LSH pairs above a Jaccard threshold form an undirected graph; the
@@ -2051,6 +2279,7 @@ object Dedup extends QueryModule {
     "q28_ngram_jaccard" -> q28 _,
     "q206_exact_simjoin" -> q206 _,
     "q208_containment_join" -> q208 _,
+    "q217_containment_lsh" -> q217 _,
     "q50_dedup_clusters" -> q50 _,
     "q74_stream_dedup" -> q74 _)
 
@@ -2075,5 +2304,6 @@ object Dedup extends QueryModule {
     "q28_ngram_jaccard" -> q28Sql,
     "q206_exact_simjoin" -> q206Sql,
     "q208_containment_join" -> q208Sql,
+    "q217_containment_lsh" -> q217Sql,
     "q50_dedup_clusters" -> q50Sql)
 }
