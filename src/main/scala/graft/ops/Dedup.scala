@@ -614,7 +614,7 @@ object Dedup extends QueryModule {
     .empty[(SparkSession, String), DataFrame]
 
   /** Battery-shared MinHash-LSH verified pairs (memoized signatures). */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val sigs = sigsMemo.getOrElseUpdate((s, dir),
       minHashSignatures(Tables.load(s, dir, "documents")))
@@ -920,7 +920,7 @@ object Dedup extends QueryModule {
   // duplicate GROUPS a dedup pipeline actually needs ("keep the minimum
   // doc_id per group") are its connected components ([[Graph]]). Output:
   // cluster-size histogram + the smallest representative per size class.
-  private val NearDupJac = 0.3
+  private[ops] val NearDupJac = 0.3
 
   private def q50(s: SparkSession, dir: String): DataFrame = {
     val edges = lshVerifiedPairs(s, dir)
@@ -934,8 +934,12 @@ object Dedup extends QueryModule {
 
   // Oracle: transitive closure by recursive CTE (min-reachable = the same
   // unique fixpoint the distributed label propagation converges to).
-  private val q50Sql =
-    s"""WITH RECURSIVE $lshPairsSqlCtes
+  /** Shared CTE body (no WITH prefix): LSH pairs -> thresholded edges ->
+    * transitive closure -> per-vertex component label, reused by q50 and
+    * by Graph's q218 modularity oracle. Must run under WITH RECURSIVE.
+    */
+  private[ops] val nearDupCcCtes =
+    s"""$lshPairsSqlCtes
        |, e0 AS (
        |  SELECT d1, d2 FROM scored WHERE jac >= $NearDupJac
        |), edges AS (
@@ -947,7 +951,11 @@ object Dedup extends QueryModule {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |), comp AS (
        |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
-       |), cs AS (
+       |)""".stripMargin
+
+  private val q50Sql =
+    s"""WITH RECURSIVE $nearDupCcCtes
+       |, cs AS (
        |  SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp
        |)
        |SELECT csize AS cluster_size, COUNT(*) AS n_clusters,

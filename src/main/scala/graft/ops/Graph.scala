@@ -882,9 +882,12 @@ object Graph extends QueryModule {
         when(col("vid") < 0, lit("customer")).otherwise(lit("supplier")))
   }
 
-  private val q211Sql: String = {
+  /** Shared CTE body (no WITH prefix): trade graph `e` + LPA label CTEs
+    * through `l<LpaRounds>` — the prefix of both q211's and q218's
+    * oracles (q218 needs to splice it under WITH RECURSIVE). */
+  private val lpaChainBody: String = {
     val head =
-      s"""WITH cs AS (
+      s"""cs AS (
          |  SELECT o.o_custkey AS c, l.l_suppkey AS s, count(*) AS n
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  GROUP BY 1, 2 HAVING count(*) >= $KcMinLinks
@@ -909,11 +912,171 @@ object Graph extends QueryModule {
          |  WHERE rn = 1
          |)""".stripMargin
     }.mkString
-    head + rounds +
+    head + rounds
+  }
+
+  private val q211Sql: String =
+    "WITH " + lpaChainBody +
       s"""
          |SELECT id AS vid, lbl,
          |  CASE WHEN id < 0 THEN 'customer' ELSE 'supplier' END AS kind
          |FROM l$LpaRounds""".stripMargin
+
+  // --- q218: modularity of the q211 communities ------------------------------
+  // The EVALUATION half of community detection (the q202-for-ANN
+  // pattern applied to q211): Newman–Girvan modularity
+  // Q = Σ_c [ w_in_c/2m − (deg_c/2m)² ] over the weighted symmetrized
+  // graph (2m = total directed weight, w_in_c = intra-community directed
+  // weight, deg_c = summed weighted degree). Cross-engine exactness: the
+  // two fractions are MICRO/MILLI-FLOORED PRE-SUM (the q215 recipe) —
+  // term_micro_c = (10⁶·w_in_c) div 2m − ((10³·deg_c) div 2m)², all
+  // BIGINT-safe at ANY scale (10⁶·w_in ≤ 10⁶·2m needs 2m < 9.2·10¹²;
+  // the milli-floored degree ratio is ≤ 10³ so its square is ≤ 10⁶ —
+  // no (2m)² ever materializes, which is what would overflow first).
+  // The floor bias is < 2·10⁻⁶ per community — far below any decision
+  // threshold a pipeline would put on Q — and the oracle replays the
+  // identical arithmetic, so the driver hash pins it exactly.
+
+  /** PUBLIC operator: modularity score of a vertex labeling over a
+    * weighted undirected graph, in floored micro-units. `edges` as
+    * (`a`, `b`, `w`) positive weights (symmetrized, self-loops
+    * dropped — [[labelPropagation]]'s graph contract); `labels` as
+    * (`vid`, `lbl`). One summary row: (n_communities, n_vertices,
+    * two_m, intra_w, q_micro). */
+  def modularityMicro(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"), col("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint(eager = false) // total + degree + intra legs
+    val tot = sym.groupBy()
+      .agg(sum(col("w")).cast("bigint").as("m2")) // 1 row
+    val deg = sym.groupBy("a")
+      .agg(sum(col("w")).cast("bigint").as("k"))
+    val lab = labels.select(col("vid").as("id"), col("lbl"))
+    val comm = lab.join(deg, col("id") === col("a"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("nv"), sum(col("k")).as("degc"))
+    val win = sym
+      .join(lab.select(col("id").as("a"), col("lbl").as("la")), "a")
+      .join(lab.select(col("id").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl"))
+      .agg(sum(col("w")).cast("bigint").as("w_in"))
+    val terms = comm.join(win, Seq("lbl"), "left")
+      .withColumn("w_in", coalesce(col("w_in"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro", expr(
+        "(1000000L * w_in) div m2 - " +
+          "((1000L * degc) div m2) * ((1000L * degc) div m2)"))
+    terms.groupBy(col("m2").as("two_m"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("nv")).as("n_vertices"),
+        sum(col("w_in")).as("intra_w"),
+        sum(col("term_micro")).as("q_micro"))
+      .select(col("n_communities"), col("n_vertices"), col("two_m"),
+        col("intra_w"), col("q_micro"))
+  }
+
+  // Battery entry: one row per SCORED LABELING —
+  //   'lpa_bipartite': q211's synchronous-LPA labels on the bipartite
+  //     trade graph. Modularity comes out NEGATIVE by structure, not by
+  //     bug: synchronous LPA on a bipartite graph oscillates label
+  //     origin between the two sides every round (customer labels live
+  //     in the negative id space, supplier labels in the positive one,
+  //     and each round swaps which side holds which), so communities
+  //     are single-sided and intra-community edges barely exist
+  //     (measured 4 of 42,592 at sf0.01) — the canonical published
+  //     caveat for sync-LPA, and exactly the kind of defect a curation
+  //     pipeline needs the EVALUATION operator to catch before trusting
+  //     cluster output. The row is the honest score of q211's labels.
+  //   'cc_neardup': connected-component labels on the MinHash near-dup
+  //     graph (q50's clusters, w = 1 per verified pair). Components are
+  //     perfect communities (intra_w = 2m by construction), so Q_micro
+  //     ≈ 10⁶·(1 − Σ(deg_c/2m)²) — high positive when duplicate
+  //     families are many and small, degrading toward 0 if one giant
+  //     component swallowed the corpus: the dedup-quality early-warning
+  //     number.
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("nl"))
+      .filter(col("nl") >= KcMinLinks)
+    val biEdges = cs.select(
+      (-col("o_custkey")).cast("bigint").as("a"),
+      col("l_suppkey").cast("bigint").as("b"),
+      col("nl").as("w"))
+    val bi = modularityMicro(biEdges,
+        labelPropagation(biEdges, rounds = LpaRounds))
+      .withColumn("labeling", lit("lpa_bipartite"))
+    val ndEdges = Dedup.lshVerifiedPairs(s, dir)
+      .filter(col("jac") >= Dedup.NearDupJac)
+      .select(col("d1").as("a"), col("d2").as("b"), lit(1L).as("w"))
+    val nd = modularityMicro(ndEdges,
+        connectedComponents(ndEdges.select("a", "b"))
+          .select(col("id").as("vid"), col("comp").as("lbl")))
+      .withColumn("labeling", lit("cc_neardup"))
+    bi.unionByName(nd)
+      .select(col("labeling"), col("n_communities"), col("n_vertices"),
+        col("two_m"), col("intra_w"), col("q_micro"))
+  }
+
+  private val q218Sql: String = {
+    // modularity replay over edge CTE `e` (symmetrized, columns a/b/w)
+    // and label CTE `lab` (columns id/<lcol>), suffixed to avoid CTE
+    // name collisions between the two scored labelings
+    def modCtes(e: String, lab: String, lcol: String, sfx: String) =
+      s""", deg$sfx AS (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k
+         |              FROM $e GROUP BY a)
+         |, tot$sfx AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM $e)
+         |, comm$sfx AS (
+         |  SELECT l.$lcol AS lbl, CAST(COUNT(*) AS BIGINT) AS nv,
+         |    CAST(SUM(d.k) AS BIGINT) AS degc
+         |  FROM $lab l JOIN deg$sfx d ON d.id = l.id
+         |  GROUP BY l.$lcol
+         |), win$sfx AS (
+         |  SELECT la.$lcol AS lbl, CAST(SUM(e.w) AS BIGINT) AS w_in
+         |  FROM $e e
+         |  JOIN $lab la ON la.id = e.a
+         |  JOIN $lab lb ON lb.id = e.b
+         |  WHERE la.$lcol = lb.$lcol
+         |  GROUP BY la.$lcol
+         |), terms$sfx AS (
+         |  SELECT c.lbl, c.nv, COALESCE(w.w_in, 0) AS w_in, c.degc,
+         |    ((1000000 * COALESCE(w.w_in, 0)) // t.m2
+         |      - ((1000 * c.degc) // t.m2) * ((1000 * c.degc) // t.m2))
+         |      AS term_micro,
+         |    t.m2
+         |  FROM comm$sfx c
+         |  LEFT JOIN win$sfx w ON w.lbl = c.lbl
+         |  CROSS JOIN tot$sfx t
+         |)""".stripMargin
+    def finalSel(tag: String, sfx: String) =
+      s"""SELECT '$tag' AS labeling,
+         |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  CAST(SUM(nv) AS BIGINT) AS n_vertices,
+         |  m2 AS two_m,
+         |  CAST(SUM(w_in) AS BIGINT) AS intra_w,
+         |  CAST(SUM(term_micro) AS BIGINT) AS q_micro
+         |FROM terms$sfx GROUP BY m2""".stripMargin
+    "WITH RECURSIVE " + lpaChainBody +
+      s"""
+         |, ${Dedup.nearDupCcCtes}
+         |, ne AS MATERIALIZED (
+         |  SELECT CAST(d1 AS BIGINT) AS a, CAST(d2 AS BIGINT) AS b,
+         |    CAST(1 AS BIGINT) AS w
+         |  FROM e0
+         |  UNION ALL
+         |  SELECT CAST(d2 AS BIGINT), CAST(d1 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM e0
+         |)""".stripMargin +
+      modCtes("e", s"l$LpaRounds", "lbl", "_b") +
+      modCtes("ne", "comp", "comp", "_n") + "\n" +
+      finalSel("lpa_bipartite", "_b") + "\nUNION ALL\n" +
+      finalSel("cc_neardup", "_n")
   }
 
   // --- q213: single-source shortest paths (weighted) ------------------------
@@ -1161,6 +1324,7 @@ object Graph extends QueryModule {
     "q168_subtree_rollup" -> q168 _,
     "q210_kcore" -> q210 _,
     "q211_label_prop" -> q211 _,
+    "q218_modularity" -> q218 _,
     "q213_sssp" -> q213 _)
 
   val oracleSql: Map[String, String] = Map(
@@ -1172,5 +1336,6 @@ object Graph extends QueryModule {
     "q168_subtree_rollup" -> q168Sql,
     "q210_kcore" -> q210Sql,
     "q211_label_prop" -> q211Sql,
+    "q218_modularity" -> q218Sql,
     "q213_sssp" -> q213Sql)
 }
