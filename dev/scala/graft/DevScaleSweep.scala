@@ -17,11 +17,16 @@ import org.apache.spark.sql.SparkSession
   */
 object DevScaleSweep {
   def main(args: Array[String]): Unit = {
+    // Default = the round-11 audit set PLUS the >5x/decade heavyweight
+    // tail (round-15 promotion, VERDICT r14 ask #6: q214/q208/q209/q210
+    // must always have a next-decade datapoint when sf30 is present).
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q101_pipeline_e2e", "q129_curation_v2", "q127_semantic_survivors",
         "q107_pagerank", "q103_domain_cap_etld", "q130_table_profile",
         "q139_basket_pairs", "q120_dup_spans", "q125_embed_clusters",
-        "q110_overlap_matrix")
+        "q110_overlap_matrix",
+        "q208_containment_join", "q209_dbscan", "q210_kcore",
+        "q214_exact_curation", "q217_containment_lsh")
     val sf1Dir = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft-sf1")
     // optional 4th decade: present only when DevMakeSf1 has been chained
     // (`runMain graft.DevMakeSf1 /tmp/graft-sf1 /tmp/graft-sf10 10 n`)
@@ -69,6 +74,9 @@ object DevScaleSweep {
       "q117_funnel" -> "events", "q120_dup_spans" -> "documents",
       "q121_bpe_encode" -> "documents", "q206_exact_simjoin" -> "documents",
       "q208_containment_join" -> "documents",
+      "q214_exact_curation" -> "documents",
+      "q217_containment_lsh" -> "documents",
+      "q218_modularity" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 
