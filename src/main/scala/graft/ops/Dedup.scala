@@ -746,7 +746,7 @@ object Dedup extends QueryModule {
   // the hash match literally proves the prefix-filtered candidate
   // generation loses no pair (exactness is the operator's whole claim
   // vs the LSH entries; completeness is also spec-pinned against a
-  // Spark brute-force twin at two thresholds in Round16OpsSpec).
+  // Spark brute-force twin at two thresholds in SequentialReplaySpec).
   // Tokenizer parity: split(lower(text), ' ') ≡ string_split —
   // both keep empty tokens at consecutive delimiters, both return ['']
   // for '' (a set, after distinct).

@@ -407,7 +407,7 @@ object Graph extends QueryModule {
   // per-middle-vertex wedge fan-out is in(v)·out(v) ≤ in(v)·O(√|E|)
   // and total wedge work is O(|E|^{3/2}) — the enumeration optimum —
   // where the unoriented/id-canonical join is Θ(deg(hub)²) on a hub
-  // vertex (Round17OpsSpec pins the star-graph blowup: 0 oriented
+  // vertex (TriangleKnHitsSpec pins the star-graph blowup: 0 oriented
   // wedges vs ~n²/4 id-canonical). Each triangle is then exploded to
   // its 3 corners for the per-node count; orientation changes the PLAN,
   // never the answer, so the brute-force oracle is unchanged.

@@ -2014,7 +2014,7 @@ object Similarity extends QueryModule {
   // re-rank runs only on the ADC shortlist. Recall@10 vs exact q29 is
   // the gate; no oracle (the interesting bits — compression and the
   // scan shape — are not SQL-observable; correctness is the recall
-  // floor plus the lossless-PQ equality spec in Round16OpsSpec).
+  // floor plus the lossless-PQ equality spec in SequentialReplaySpec).
   private def q205(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val exact = q29(s, dir).select(col("qid"), col("cid"))

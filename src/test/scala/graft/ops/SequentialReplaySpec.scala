@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
   * build) and its plan shape (no whole-relation broadcast, no NAAJ/BNLJ
   * node — the property that lets it survive 100 TB).
   */
-class Round16OpsSpec extends SparkTestBase {
+class SequentialReplaySpec extends SparkTestBase {
 
   import spark.implicits._
 

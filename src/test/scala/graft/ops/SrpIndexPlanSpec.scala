@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.col
   * candidate-side one, or the band probe into a corpus re-scan, fails
   * here rather than at 100 TB.
   */
-class Round15PlanSpec extends SparkTestBase {
+class SrpIndexPlanSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.col
   * sf10 quadratic-pair defect measured in round 12) and its contract
   * with the oracle twin.
   */
-class Round15OpsSpec extends SparkTestBase {
+class SrpWidthAndSelectionSpec extends SparkTestBase {
 
   test("adaptiveNPlanes: exact integer search, boundary-stable") {
     // values cross-checked against the DuckDB nw CTE (same shift-compare

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.{col, count, least, greatest, lit}
   * follows San" distinction that is the POINT of KN), and q216 HITS ≡
   * a sequential max-normalized integer replay.
   */
-class Round17OpsSpec extends SparkTestBase {
+class TriangleKnHitsSpec extends SparkTestBase {
 
   import spark.implicits._
 
