@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[Dedup.sortedNeighborhoodJoin]] (q219) and
+  * [[Dedup.blockingQuality]] (q220) on hand-computable fixtures plus a
+  * brute-force twin on the real sf0.001 corpus.
+  */
+class BlockingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------- sorted neighborhood --------------------------
+
+  private def snm(docs: org.apache.spark.sql.DataFrame, w: Int, t: Int) =
+    Dedup.sortedNeighborhoodJoin(docs, "doc_id", "k", "tk", w, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Brute-force twin: single-partition row_number, every in-window pair. */
+  private def snmBrute(docs: org.apache.spark.sql.DataFrame,
+      w: Int, t: Int): Set[(Long, Long, Long)] = {
+    val ranked = docs.filter(size(col("tk")) > 0)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("doc_id"))))
+      .select("doc_id", "tk", "rn")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[String](1).toSet, r.getInt(2)))
+    (for {
+      a <- ranked; b <- ranked
+      if b._3 > a._3 && b._3 <= a._3 + (w - 1)
+      ov = (a._2 & b._2).size.toLong
+      un = a._2.size.toLong + b._2.size - ov
+      if 1000L * ov >= t.toLong * un
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1),
+      (1000L * ov) / un)).toSet
+  }
+
+  test("window pairs match the brute-force single-window twin (fixture)") {
+    val docs = Seq(
+      (1L, "alpha beta", Seq("alpha", "beta", "gamma")),
+      (2L, "alpha beta", Seq("alpha", "beta", "gamma", "delta")),
+      (3L, "alpha zeta", Seq("alpha", "zeta")),
+      (4L, "mid key", Seq("unrelated", "tokens")),
+      (5L, "zz top", Seq("alpha", "beta", "gamma")), // far key: invisible
+      (6L, "", Seq.empty[String])) // empty tokens: dropped
+      .toDF("doc_id", "k", "tk")
+    val got = snm(docs, 3, 500)
+    assert(got === snmBrute(docs, 3, 500))
+    // 1-2 share 3 of 4 tokens (750) and sort adjacent; 1-5 identical
+    // tokens but keys sort >2 apart under window 3 — the SNM recall trade
+    assert(got.contains((1L, 2L, 750L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+
+  test("real corpus: PrefixSum rank ≡ global window rank (w=8, t=500)") {
+    val toks = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        array_join(slice(
+          expr("regexp_extract_all(text, '[a-z]+', 0)"), 1, 3), " ").as("k"),
+        array_distinct(
+          expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk"))
+    val got = snm(toks, 8, 500)
+    assert(got === snmBrute(toks, 8, 500))
+    assert(got.nonEmpty, "fixture must exercise the join")
+  }
+
+  test("window must be >= 2") {
+    val docs = Seq((1L, "a", Seq("a"))).toDF("doc_id", "k", "tk")
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodJoin(docs, window = 1)
+    }
+  }
+
+  // --------------------------- blocking quality ---------------------------
+
+  test("completeness curve: caught <= truth, exact dups always caught") {
+    val sigs = Dedup.minHashSignatures(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .persist()
+    val out = Dedup.blockingQuality(sigs, Dedup.lshCandidates(sigs),
+        samplePred = lit(true), tMilli = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val total = out.filter(_._1 == -1L)
+    assert(total.length === 1, "exactly one total row")
+    assert(total.head._2 > 0, "fixture must have sampled truth pairs")
+    out.foreach { case (_, t, c, comp) =>
+      assert(c <= t, "caught exceeds truth")
+      assert(comp <= 1000L)
+    }
+    // identical shingle sets → identical signatures → same band keys →
+    // always a candidate: the bucket-10 decile must sit at 1000
+    out.filter(_._1 == 10L).foreach { case (_, t, c, _) =>
+      assert(c === t, "an exact duplicate escaped the banding")
+    }
+    // buckets sum to the total row
+    val bs = out.filter(_._1 >= 0L)
+    assert(bs.map(_._2).sum === total.head._2)
+    assert(bs.map(_._3).sum === total.head._3)
+    sigs.unpersist()
+  }
+
+  test("empty sampled truth yields the -1 sentinel total row") {
+    val sigs = Seq((10L, Seq("a", "b")), (20L, Seq("x", "y")))
+      .toDF("doc_id", "sh")
+    val cand = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    // the two sampled docs share nothing: truth is empty
+    val out = Dedup.blockingQuality(sigs, cand,
+        samplePred = col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((-1L, 0L, 0L, -1L)))
+  }
+}
