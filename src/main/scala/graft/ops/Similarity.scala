@@ -76,6 +76,73 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** Lexical retrieval leg: exact token-Jaccard top-k — `candidates`
+    * (cid, ctk) × broadcast `queries` (qid, qtk) → (qid, cid, jac_milli,
+    * rn), rn ≤ k per query. Scoring is fully integer ((1000·|∩|) div
+    * |∪| — no float rank-order parity trap at all), ties break on cid;
+    * same salted two-phase top-k as [[bruteForceTopK]], and the same
+    * scale shape: score is map-side (broadcast queries), only the
+    * ≤ saltBuckets·k local winners per query reach the final window.
+    * Candidates with empty token sets score nothing and are dropped
+    * (keeps the Jaccard denominator positive).
+    */
+  def jaccardTopK(candidates: DataFrame, queries: DataFrame,
+      k: Int = TopK, saltBuckets: Int = 64): DataFrame = {
+    val wLocal = Window.partitionBy("qid", "salt")
+      .orderBy(col("jac_milli").desc, col("cid").asc)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("jac_milli").desc, col("cid").asc)
+    candidates.filter(size(col("ctk")) > 0)
+      .join(broadcast(queries.filter(size(col("qtk")) > 0)))
+      .withColumn("ov",
+        size(array_intersect(col("ctk"), col("qtk"))).cast("bigint"))
+      .withColumn("un",
+        size(col("ctk")).cast("bigint") + size(col("qtk")) - col("ov"))
+      .select(col("qid"), col("cid"),
+        expr("(1000L * ov) div un").as("jac_milli"))
+      .withColumn("salt", pmod(hash(col("cid")), lit(saltBuckets)))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("jac_milli"), col("rn"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * any number of retrieval legs: each leg contributes
+    * 10⁶ div (kRrf + rank) per (qid, cid) it ranked, contributions sum,
+    * and the fused ranking orders by the summed score. RRF is the
+    * standard hybrid-search combiner precisely because it consumes only
+    * RANKS — BM25 log-scores and cosine similarities never share a
+    * scale, so score-level fusion needs per-leg normalization constants
+    * that drift with the corpus, while rank-level fusion is
+    * scale-free. Floored micro-units make every contribution exact
+    * BIGINT arithmetic (order-independent summation), ties break on cid.
+    *
+    * Legs arrive as (qid, cid, rn) — the output shape of
+    * [[bruteForceTopK]] / [[jaccardTopK]] / any ANN probe — already
+    * top-k bounded, so the union + two aggregates here run over
+    * O(legs·k·|queries|) rows: the fusion stage is never the scale
+    * term, the legs are. `n_legs` counts how many legs ranked the pair
+    * (the hybrid-overlap diagnostic).
+    */
+  def rrfFuse(legs: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = TopK): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: need at least one leg")
+    val contribs = legs.map(_.select(col("qid"), col("cid"),
+      expr(s"1000000L div (${kRrf}L + CAST(rn AS BIGINT))").as("contrib")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy("qid", "cid").agg(
+      sum(col("contrib")).as("rrf_micro"),
+      count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_micro").desc, col("cid").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("cid"), col("rrf_micro"),
+        col("n_legs"), col("rn"))
+  }
+
   /** The SRP sign-bit signature of a float-array column — the LSH
     * bucket key for [[srpBucketTopK]] / [[embeddingNearDupPairs]].
     *
@@ -587,6 +654,76 @@ object Similarity extends QueryModule {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |        ORDER BY sim DESC, cid ASC) AS rn
        |      FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
+  // --- q221: hybrid retrieval via reciprocal-rank fusion -------------------
+  // [[rrfFuse]] of the two retrieval modalities the battery already
+  // trusts: the exact cosine top-k over embeddings (q29's leg, float
+  // rank parity oracle-proven there) and an exact token-Jaccard top-k
+  // over the same documents (integer scores, no float anywhere) — the
+  // hybrid-search pattern every retrieval-augmented curation pipeline
+  // runs, fused on ranks because cosine and Jaccard never share a score
+  // scale. Queries are the q29 query set (ids < NQueries), candidates
+  // the rest of the corpus; embeddings.vec_id ≡ documents.doc_id in the
+  // fixtures, which is what makes the cross-modality join meaningful.
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val vecLeg = bruteForceTopK(
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .select("qid", "cid", "rn")
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+      array_distinct(
+        expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk"))
+    val lexLeg = jaccardTopK(
+      d.filter(col("doc_id") >= NQueries)
+        .select(col("doc_id").as("cid"), col("tk").as("ctk")),
+      d.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("qid"), col("tk").as("qtk")))
+      .select("qid", "cid", "rn")
+    rrfFuse(Seq(vecLeg, lexLeg))
+  }
+
+  private val q221Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |      WHERE vec_id >= $NQueries),
+       |vleg AS (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${cosineDuck("cv", "qv")} DESC, cid ASC) AS rn
+       |    FROM c CROSS JOIN q)
+       |  WHERE rn <= $TopK),
+       |dt AS (SELECT doc_id,
+       |         list_distinct(regexp_extract_all(text, '[a-z]+')) AS tk
+       |       FROM documents),
+       |dq AS (SELECT doc_id AS qid, tk AS qtk FROM dt
+       |       WHERE doc_id < $NQueries AND len(tk) > 0),
+       |dc AS (SELECT doc_id AS cid, tk AS ctk FROM dt
+       |       WHERE doc_id >= $NQueries AND len(tk) > 0),
+       |lleg AS (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY (1000 * len(list_intersect(ctk, qtk)))
+       |        // (len(ctk) + len(qtk) - len(list_intersect(ctk, qtk)))
+       |        DESC, cid ASC) AS rn
+       |    FROM dc CROSS JOIN dq)
+       |  WHERE rn <= $TopK),
+       |contrib AS (
+       |  SELECT qid, cid, 1000000 // (60 + rn) AS c FROM vleg
+       |  UNION ALL
+       |  SELECT qid, cid, 1000000 // (60 + rn) AS c FROM lleg),
+       |fused AS (
+       |  SELECT qid, cid, SUM(c) AS rrf_micro, COUNT(*) AS n_legs
+       |  FROM contrib GROUP BY qid, cid)
+       |SELECT qid, cid, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |  CAST(n_legs AS BIGINT) AS n_legs, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY rrf_micro DESC, cid ASC) AS rn
+       |      FROM fused)
        |WHERE rn <= $TopK""".stripMargin
 
   // --- q30: SRP-LSH bucketed ANN ------------------------------------------
@@ -2063,6 +2200,7 @@ object Similarity extends QueryModule {
     "q122_stream_ivf" -> q122 _,
     "q89_quantization" -> q89 _,
     "q29_knn_brute" -> q29 _,
+    "q221_rrf_fusion" -> q221 _,
     "q30_ann_lsh" -> q30 _,
     "q31_embed_neardup" -> q31 _,
     "q41_ann_ivf" -> q41 _,
@@ -2088,6 +2226,7 @@ object Similarity extends QueryModule {
     "q127_semantic_survivors" -> q127Sql,
     "q89_quantization" -> q89Sql,
     "q29_knn_brute" -> q29Sql,
+    "q221_rrf_fusion" -> q221Sql,
     "q30_ann_lsh" -> q30Sql,
     "q31_embed_neardup" -> q31Sql,
     "q41_ann_ivf" -> q41Sql,
