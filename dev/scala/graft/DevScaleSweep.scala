@@ -77,6 +77,10 @@ object DevScaleSweep {
       "q214_exact_curation" -> "documents",
       "q217_containment_lsh" -> "documents",
       "q218_modularity" -> "documents",
+      "q219_sorted_neighborhood" -> "documents",
+      "q220_blocking_quality" -> "documents",
+      "q221_rrf_fusion" -> "documents",
+      "q222_mmr_diversify" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

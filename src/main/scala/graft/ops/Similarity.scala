@@ -143,6 +143,76 @@ object Similarity extends QueryModule {
         col("n_legs"), col("rn"))
   }
 
+  /** Maximal-marginal-relevance diversified selection (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick `selectK` items per query
+    * from a top-k `shortlist`, each step taking the candidate maximizing
+    * λ·relevance − (1−λ)·redundancy where redundancy is the max
+    * token-Jaccard to the already-selected set — the standard de-echo
+    * pass over retrieval results, and the same shape a diversified
+    * training-batch sampler runs over near-duplicate clusters.
+    *
+    * Everything is integer milli-units (score = (λ·rel + (1000−λ)·
+    * (1000 − max jac)) div 1000, ties on cid), so the greedy trajectory
+    * is exactly replayable — greedy selection is a BOUNDED REPLAY of
+    * `selectK` lazy plan steps (localCheckpoint barriers between steps,
+    * the q207 Lloyd-loop shape), never a driver loop over collected
+    * rows. Scale: the shortlist is top-k bounded per query by
+    * construction (ANN/brute retrieval is the scale term upstream), so
+    * each step joins O(|queries|·k) rows — selection cost is independent
+    * of corpus size.
+    *
+    * `shortlist`: (qid, cid, rel_milli, tk) — integer relevance in
+    * [0, 1000] (rank-derived upstream keeps it float-free) and the token
+    * array redundancy is measured over; empty-token rows are dropped
+    * (they carry no diversity evidence and would zero the Jaccard
+    * denominator). Output: (qid, cid, step, mmr_milli), step 1..selectK
+    * in selection order.
+    */
+  def mmrDiversify(shortlist: DataFrame, selectK: Int = 5,
+      lambdaMilli: Int = 700): DataFrame = {
+    require(selectK >= 1, s"mmrDiversify: selectK=$selectK must be >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"mmrDiversify: lambdaMilli=$lambdaMilli out of [0, 1000]")
+    val lam = lambdaMilli.toLong
+    val base = shortlist
+      .select(col("qid"), col("cid"), col("rel_milli"), col("tk"))
+      .filter(size(col("tk")) > 0)
+      .localCheckpoint(eager = false) // consumed once per step
+    var sel: DataFrame = null
+    (1 to selectK).foreach { step =>
+      val rem = if (sel == null) base
+        else base.join(
+          sel.select(col("qid").as("__sq"), col("cid").as("__sc")),
+          col("qid") === col("__sq") && col("cid") === col("__sc"),
+          "left_anti")
+      val scored = if (sel == null) rem.withColumn("maxjac", lit(0L))
+        else rem
+          .join(sel.select(col("qid").as("__sq"), col("tk").as("__stk")),
+            col("qid") === col("__sq"), "left")
+          .withColumn("ov",
+            size(array_intersect(col("tk"), col("__stk"))).cast("bigint"))
+          .withColumn("un",
+            size(col("tk")).cast("bigint") + size(col("__stk")) - col("ov"))
+          .withColumn("j", expr("(1000L * ov) div un"))
+          .groupBy("qid", "cid", "rel_milli", "tk")
+          .agg(coalesce(max(col("j")), lit(0L)).as("maxjac"))
+      val pick = scored
+        .withColumn("mmr_milli", expr(
+          s"(${lam}L * rel_milli + ${1000 - lam}L * (1000L - maxjac)) " +
+            "div 1000"))
+        .withColumn("rw", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("mmr_milli").desc, col("cid").asc)))
+        .filter(col("rw") === 1)
+        .select(col("qid"), col("cid"), col("rel_milli"), col("tk"),
+          col("mmr_milli"), lit(step).as("step"))
+        // the barrier that keeps step N+1's plan from re-deriving every
+        // earlier step's window twice (exponential growth otherwise)
+        .localCheckpoint(eager = false)
+      sel = if (sel == null) pick else sel.unionByName(pick)
+    }
+    sel.select(col("qid"), col("cid"), col("step"), col("mmr_milli"))
+  }
+
   /** The SRP sign-bit signature of a float-array column — the LSH
     * bucket key for [[srpBucketTopK]] / [[embeddingNearDupPairs]].
     *
@@ -725,6 +795,83 @@ object Similarity extends QueryModule {
        |        ORDER BY rrf_micro DESC, cid ASC) AS rn
        |      FROM fused)
        |WHERE rn <= $TopK""".stripMargin
+
+  // --- q222: MMR diversified selection --------------------------------------
+  // [[mmrDiversify]] over the q29 cosine top-10 shortlist with rank-derived
+  // integer relevance and token-Jaccard redundancy. Greedy sequential
+  // selection is a BOUNDED REPLAY (selectK lazy plan steps, q207/q210's
+  // pattern) — every term integer milli-units, so the oracle's unrolled
+  // 5-step CTE replay is exact, not float-drift-prone.
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = q29(s, dir).select(col("qid"), col("cid"),
+      // rank-derived relevance: rank 1 → 1000, rank K → 1000/K
+      expr(s"(1000L * (${TopK + 1} - CAST(rn AS BIGINT))) div $TopK")
+        .as("rel_milli"))
+      .join(Tables.load(s, dir, "documents").select(
+        col("doc_id").as("cid"), array_distinct(
+          expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk")), "cid")
+    mmrDiversify(shortlist)
+  }
+
+  /** One unrolled oracle MMR step: pick the argmax-scored remaining
+    * candidate given selected-set CTE `sel` (NULL-join-safe at step 1 via
+    * the LEFT JOIN + COALESCE(max jac, 0)).
+    */
+  private def mmrStepSql(step: Int): String = {
+    val prev = if (step == 1) "sel0" else s"sel${step - 1}"
+    s"""rem$step AS (
+       |  SELECT b.* FROM base b LEFT JOIN $prev s
+       |    ON b.qid = s.qid AND b.cid = s.cid
+       |  WHERE s.cid IS NULL
+       |), sc$step AS (
+       |  SELECT r.qid, r.cid, r.rel_milli, r.tk,
+       |    (700 * r.rel_milli + 300 * (1000 - COALESCE(MAX(
+       |      (1000 * len(list_intersect(r.tk, s.tk)))
+       |        // (len(r.tk) + len(s.tk) - len(list_intersect(r.tk, s.tk)))
+       |    ), 0))) // 1000 AS mmr_milli
+       |  FROM rem$step r LEFT JOIN $prev s ON r.qid = s.qid
+       |  GROUP BY r.qid, r.cid, r.rel_milli, r.tk
+       |), pick$step AS (
+       |  SELECT qid, cid, rel_milli, tk, mmr_milli, $step AS step
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY mmr_milli DESC, cid ASC) AS rw FROM sc$step)
+       |  WHERE rw = 1
+       |), sel$step AS (
+       |  SELECT qid, cid, rel_milli, tk, mmr_milli, step FROM $prev
+       |  UNION ALL
+       |  SELECT qid, cid, rel_milli, tk, mmr_milli, step FROM pick$step
+       |)""".stripMargin
+  }
+
+  private val q222Sql = {
+    val base =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |      WHERE vec_id >= $NQueries),
+         |short AS (
+         |  SELECT qid, cid,
+         |    (1000 * (${TopK + 1} - rn)) // $TopK AS rel_milli
+         |  FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY ${cosineDuck("cv", "qv")} DESC, cid ASC) AS rn
+         |        FROM c CROSS JOIN q)
+         |  WHERE rn <= $TopK),
+         |base AS (
+         |  SELECT qid, cid, rel_milli, tk FROM (
+         |    SELECT s.qid, s.cid, s.rel_milli,
+         |      list_distinct(regexp_extract_all(d.text, '[a-z]+')) AS tk
+         |    FROM short s JOIN documents d ON d.doc_id = s.cid)
+         |  WHERE len(tk) > 0),
+         |sel0 AS (
+         |  SELECT qid, cid, rel_milli, tk,
+         |    CAST(NULL AS BIGINT) AS mmr_milli, 0 AS step
+         |  FROM base WHERE FALSE)""".stripMargin
+    val steps = (1 to 5).map(mmrStepSql).mkString(",\n", ",\n", "")
+    s"""$base$steps
+       |SELECT qid, cid, CAST(step AS INTEGER) AS step,
+       |  CAST(mmr_milli AS BIGINT) AS mmr_milli
+       |FROM sel5""".stripMargin
+  }
 
   // --- q30: SRP-LSH bucketed ANN ------------------------------------------
   // Deterministic integer hyperplanes over the 64 dims; signature = one
@@ -2201,6 +2348,7 @@ object Similarity extends QueryModule {
     "q89_quantization" -> q89 _,
     "q29_knn_brute" -> q29 _,
     "q221_rrf_fusion" -> q221 _,
+    "q222_mmr_diversify" -> q222 _,
     "q30_ann_lsh" -> q30 _,
     "q31_embed_neardup" -> q31 _,
     "q41_ann_ivf" -> q41 _,
@@ -2227,6 +2375,7 @@ object Similarity extends QueryModule {
     "q89_quantization" -> q89Sql,
     "q29_knn_brute" -> q29Sql,
     "q221_rrf_fusion" -> q221Sql,
+    "q222_mmr_diversify" -> q222Sql,
     "q30_ann_lsh" -> q30Sql,
     "q31_embed_neardup" -> q31Sql,
     "q41_ann_ivf" -> q41Sql,
