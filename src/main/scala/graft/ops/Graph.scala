@@ -868,37 +868,129 @@ object Graph extends QueryModule {
 
   private[ops] val LpaRounds = 4
 
-  private def q211(s: SparkSession, dir: String): DataFrame = {
-    val cs = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+  /** The bipartite customer–supplier trade graph (customers in the
+    * negative id space), shared by q211 (LPA) and q223 (Louvain) —
+    * distinct from [[tradeEdges]]'s nation-level projection. */
+  private[ops] def custSuppEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("nl"))
       .filter(col("nl") >= KcMinLinks)
-    labelPropagation(cs.select(
-        (-col("o_custkey")).cast("bigint").as("a"),
-        col("l_suppkey").cast("bigint").as("b"),
-        col("nl").as("w")), rounds = LpaRounds)
+      .select((-col("o_custkey")).cast("bigint").as("a"),
+        col("l_suppkey").cast("bigint").as("b"), col("nl").as("w"))
+
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(custSuppEdges(s, dir), rounds = LpaRounds)
       .withColumn("kind",
         when(col("vid") < 0, lit("customer")).otherwise(lit("supplier")))
+
+  /** Semi-synchronous one-level Louvain (greedy modularity moves — the
+    * OPTIMIZATION half of community detection; [[modularityMicro]] is
+    * the evaluation half): every vertex starts in its own singleton
+    * community and, in alternating parity half-steps, greedily adopts
+    * the neighboring community with the best modularity gain.
+    *
+    * Move rule (Blondel et al. 2008, one level): v joins the label L
+    * maximizing ΔQ ∝ w_vL − deg_v·tot∖v(L)/2m. Comparisons multiply
+    * through by 2m so the score is EXACT BIGINT:
+    * score(L) = 2m·w_vL − deg_v·(tot(L) − [lbl_v = L]·deg_v); staying
+    * is a candidate with w_v,own over v's own-community neighbors (0
+    * when none), ties break on the smaller label. BIGINT bound:
+    * 2m·w_vL ≤ (2m)² needs 2m < 3·10⁹ — far above any realistic
+    * weighted-degree total here; for heavier graphs quantize w first.
+    *
+    * SEMI-synchronous is the determinism device: fully synchronous
+    * greedy moves oscillate on bipartite structure (two singletons
+    * adopt each other's label forever — the same pathology q218
+    * measures in sync-LPA), while sequential Louvain is
+    * order-dependent and unreplayable. Alternating by vertex-id parity
+    * (abs(id) % 2; half the vertices move while the other half's
+    * labels stay frozen) is deterministic, replayable in SQL, and
+    * breaks the ping-pong: published as "semi-synchronous label
+    * propagation" (Cordasco & Gargano 2010), applied here to the
+    * Louvain objective. `rounds` full rounds = 2·rounds half-steps.
+    *
+    * Scale shape: each half-step is two hash aggregates (tot, w_vL) +
+    * an argmax — all shuffles key on vertex/label ids (cardinality
+    * grows with the graph, partitions evenly); labels are
+    * checkpointed per half-step exactly like [[labelPropagation]], so
+    * the plan stays linear in rounds. Input contract = LPA's: (a, b,
+    * w > 0), symmetrized internally, self-loops dropped. Output
+    * (vid, lbl).
+    */
+  def louvainOneLevel(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"louvainOneLevel: rounds=$rounds must be >= 1")
+    val und = edges.select(col("a"), col("b"), col("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).cast("bigint").as("w"))
+      .localCheckpoint(eager = false) // read by every half-step
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(sum(col("w")).cast("bigint").as("k"))
+      .localCheckpoint(eager = false)
+    val mm = sym.groupBy().agg(sum(col("w")).cast("bigint").as("m2"))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(eager = true)
+    for (h <- 1 to 2 * rounds) {
+      val par = h % 2
+      val tot = labels.join(deg, "id")
+        .groupBy("lbl").agg(sum(col("k")).as("tot"))
+      val neigh = sym.filter(abs(col("a") % 2) === par)
+        .join(labels.select(col("id").as("b"), col("lbl").as("l")), "b")
+        .groupBy(col("a").as("id"), col("l"))
+        .agg(sum(col("w")).as("wvl"))
+      // own label always a candidate (w 0 when no intra neighbor):
+      // without it a vertex whose best neighbor-label gain is negative
+      // would be forced to move anyway
+      val own = labels.filter(abs(col("id") % 2) === par)
+        .select(col("id"), col("lbl").as("l"), lit(0L).as("wvl"))
+      val cands = neigh.unionByName(own)
+        .groupBy("id", "l").agg(sum(col("wvl")).as("wvl"))
+      val scored = cands
+        .join(labels.select(col("id"), col("lbl").as("ownl")), "id")
+        .join(deg, "id")
+        .join(tot.select(col("lbl").as("l"), col("tot")), "l")
+        .crossJoin(broadcast(mm))
+        .withColumn("sc", col("m2") * col("wvl") - col("k") *
+          (col("tot") -
+            when(col("ownl") === col("l"), col("k")).otherwise(lit(0L))))
+      val moved = scored.groupBy("id")
+        .agg(min(struct((-col("sc")).as("nsc"), col("l"))).as("m"))
+        .select(col("id"), col("m.l").as("nl"))
+      labels = labels.join(moved, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("id").as("vid"), col("lbl"))
   }
+
+  /** Trade-graph CTEs (no WITH prefix): `cs` (qualifying customer–
+    * supplier links) + symmetrized weighted `e` — shared by the LPA
+    * (q211/q218) and Louvain (q223) oracle chains. */
+  private val tradeGraphHead: String =
+    s"""cs AS (
+       |  SELECT o.o_custkey AS c, l.l_suppkey AS s, count(*) AS n
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $KcMinLinks
+       |), e AS MATERIALIZED (
+       |  SELECT CAST(-c AS BIGINT) AS a, CAST(s AS BIGINT) AS b,
+       |    CAST(n AS BIGINT) AS w
+       |  FROM cs
+       |  UNION ALL
+       |  SELECT CAST(s AS BIGINT), CAST(-c AS BIGINT), CAST(n AS BIGINT)
+       |  FROM cs
+       |)""".stripMargin
 
   /** Shared CTE body (no WITH prefix): trade graph `e` + LPA label CTEs
     * through `l<LpaRounds>` — the prefix of both q211's and q218's
     * oracles (q218 needs to splice it under WITH RECURSIVE). */
   private val lpaChainBody: String = {
-    val head =
-      s"""cs AS (
-         |  SELECT o.o_custkey AS c, l.l_suppkey AS s, count(*) AS n
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  GROUP BY 1, 2 HAVING count(*) >= $KcMinLinks
-         |), e AS MATERIALIZED (
-         |  SELECT CAST(-c AS BIGINT) AS a, CAST(s AS BIGINT) AS b,
-         |    CAST(n AS BIGINT) AS w
-         |  FROM cs
-         |  UNION ALL
-         |  SELECT CAST(s AS BIGINT), CAST(-c AS BIGINT), CAST(n AS BIGINT)
-         |  FROM cs
-         |), l0 AS (
+    val head = tradeGraphHead +
+      s""", l0 AS (
          |  SELECT DISTINCT a AS id, a AS lbl FROM e
          |)""".stripMargin
     val rounds = (1 to LpaRounds).map { i =>
@@ -921,6 +1013,72 @@ object Graph extends QueryModule {
          |SELECT id AS vid, lbl,
          |  CASE WHEN id < 0 THEN 'customer' ELSE 'supplier' END AS kind
          |FROM l$LpaRounds""".stripMargin
+
+  // --- q223: semi-synchronous one-level Louvain on the trade graph ---------
+  // [[louvainOneLevel]] (2 rounds = 4 half-steps) on q211's bipartite
+  // customer–supplier graph — the graph where q218 MEASURED sync-LPA's
+  // pathology (single-sided communities, negative Q). The greedy
+  // modularity mover with parity half-steps is the fix: its labels are
+  // two-sided by construction (a customer joins a supplier's community
+  // and the label SURVIVES the next half-step because only the other
+  // parity class moves). LouvainSpec pins Q(louvain) > Q(sync-LPA) on
+  // the real sf0.001 graph via modularityMicro. The oracle replays all
+  // four half-steps (exact BIGINT gain scores, smaller-label ties).
+  private val LouvainRounds = 2
+
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    louvainOneLevel(custSuppEdges(s, dir), rounds = LouvainRounds)
+      .withColumn("kind",
+        when(col("vid") < 0, lit("customer")).otherwise(lit("supplier")))
+
+  /** One oracle half-step: parity movers greedily adopt the
+    * gain-argmax label; frozen-parity labels carry over. */
+  private def louvainStepSql(i: Int): String = {
+    val par = i % 2
+    val prev = s"g${i - 1}"
+    s""", t$i AS (
+       |  SELECT g.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
+       |  FROM $prev g JOIN deg d ON g.id = d.id GROUP BY g.lbl
+       |), cands$i AS (
+       |  SELECT id, l, CAST(SUM(wvl) AS BIGINT) AS wvl FROM (
+       |    SELECT e.a AS id, gu.lbl AS l, e.w AS wvl
+       |    FROM e JOIN $prev gu ON e.b = gu.id
+       |    WHERE abs(e.a % 2) = $par
+       |    UNION ALL
+       |    SELECT id, lbl AS l, 0 FROM $prev WHERE abs(id % 2) = $par
+       |  ) GROUP BY id, l
+       |), moved$i AS (
+       |  SELECT id, l AS lbl FROM (
+       |    SELECT c.id, c.l, ROW_NUMBER() OVER (PARTITION BY c.id
+       |      ORDER BY m.m2 * c.wvl - d.k * (t.tot -
+       |        CASE WHEN gv.lbl = c.l THEN d.k ELSE 0 END) DESC,
+       |        c.l ASC) AS rn
+       |    FROM cands$i c
+       |    JOIN $prev gv ON c.id = gv.id
+       |    JOIN deg d ON c.id = d.id
+       |    JOIN t$i t ON c.l = t.lbl
+       |    CROSS JOIN mm m)
+       |  WHERE rn = 1
+       |), g$i AS MATERIALIZED (
+       |  SELECT g.id, COALESCE(mv.lbl, g.lbl) AS lbl
+       |  FROM $prev g LEFT JOIN moved$i mv ON g.id = mv.id
+       |)""".stripMargin
+  }
+
+  private val q223Sql: String =
+    "WITH " + tradeGraphHead +
+      s""", deg AS MATERIALIZED (
+         |  SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM e GROUP BY a
+         |), mm AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM e
+         |), g0 AS (
+         |  SELECT DISTINCT a AS id, a AS lbl FROM e
+         |)""".stripMargin +
+      (1 to 2 * LouvainRounds).map(louvainStepSql).mkString +
+      s"""
+         |SELECT id AS vid, lbl,
+         |  CASE WHEN id < 0 THEN 'customer' ELSE 'supplier' END AS kind
+         |FROM g${2 * LouvainRounds}""".stripMargin
 
   // --- q218: modularity of the q211 communities ------------------------------
   // The EVALUATION half of community detection (the q202-for-ANN
@@ -1324,6 +1482,7 @@ object Graph extends QueryModule {
     "q168_subtree_rollup" -> q168 _,
     "q210_kcore" -> q210 _,
     "q211_label_prop" -> q211 _,
+    "q223_louvain" -> q223 _,
     "q218_modularity" -> q218 _,
     "q213_sssp" -> q213 _)
 
@@ -1336,6 +1495,7 @@ object Graph extends QueryModule {
     "q168_subtree_rollup" -> q168Sql,
     "q210_kcore" -> q210Sql,
     "q211_label_prop" -> q211Sql,
+    "q223_louvain" -> q223Sql,
     "q218_modularity" -> q218Sql,
     "q213_sssp" -> q213Sql)
 }
