@@ -213,6 +213,47 @@ object Similarity extends QueryModule {
     sel.select(col("qid"), col("cid"), col("step"), col("mmr_milli"))
   }
 
+  /** Kendall-τ rank agreement between two top-k retrieval legs, per
+    * query, over their SHARED items: exact concordant/discordant pair
+    * counts and τ_milli = (1000·(C−D)) div (C+D) — the diagnostic that
+    * says when rank fusion ([[rrfFuse]]) is worth its cost (identical
+    * rankings fuse to themselves) and the general ranking-regression
+    * evaluator. Ranks within a leg are unique per query (ROW_NUMBER
+    * contract), so there is no tie-adjustment term. τ is NULL when the
+    * legs share fewer than 2 items (undefined, and both engines agree
+    * on the NULL); every query in `legA` gets a row (zero-shared rows
+    * surface as n_shared = 0, not absence). Legs arrive top-k bounded,
+    * so the per-query pair join is O(k²) on tiny frames — never a
+    * corpus-scale term.
+    */
+  def rankAgreement(legA: DataFrame, legB: DataFrame): DataFrame = {
+    val shared = legA
+      .select(col("qid"), col("cid"), col("rn").cast("bigint").as("ra"))
+      .join(legB.select(col("qid"), col("cid"),
+        col("rn").cast("bigint").as("rb")), Seq("qid", "cid"))
+      .localCheckpoint(eager = false) // both sides of the pair self-join
+    val x = shared.select(col("qid"), col("cid").as("cx"),
+      col("ra").as("rax"), col("rb").as("rbx"))
+    val y = shared.select(col("qid"), col("cid").as("cy"),
+      col("ra").as("ray"), col("rb").as("rby"))
+    val pairs = x.join(y, Seq("qid")).filter(col("cx") < col("cy"))
+      .select(col("qid"),
+        when((col("rax") - col("ray")) * (col("rbx") - col("rby")) > 0, 1L)
+          .otherwise(0L).as("conc"))
+    val agg = pairs.groupBy("qid")
+      .agg(count(lit(1)).as("np"), sum(col("conc")).as("c"))
+    val ns = shared.groupBy("qid").agg(count(lit(1)).as("n_shared"))
+    legA.select("qid").distinct()
+      .join(ns, Seq("qid"), "left")
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("c"), lit(0L)).as("concordant"),
+        coalesce(col("np") - col("c"), lit(0L)).as("discordant"),
+        when(col("np") > 0, expr("(1000L * (2L * c - np)) div np"))
+          .otherwise(lit(null).cast("bigint")).as("tau_milli"))
+  }
+
   /** The SRP sign-bit signature of a float-array column — the LSH
     * bucket key for [[srpBucketTopK]] / [[embeddingNearDupPairs]].
     *
@@ -795,6 +836,84 @@ object Similarity extends QueryModule {
        |        ORDER BY rrf_micro DESC, cid ASC) AS rn
        |      FROM fused)
        |WHERE rn <= $TopK""".stripMargin
+
+  // --- q224: rank-agreement (Kendall τ) between retrieval legs --------------
+  // [[rankAgreement]] of q221's two legs. Fusion earns its cost exactly
+  // when the legs DISAGREE (identical rankings fuse to themselves), so
+  // the agreement diagnostic is the go/no-go measurement for hybrid
+  // search — and a general ranking-comparison evaluator (model-version
+  // regression checks, retriever A/B). Kendall τ over the SHARED top-k
+  // items per query: concordant/discordant pair counts are exact
+  // integers, τ_milli = (1000·(C−D)) div (C+D), NULL when fewer than 2
+  // shared items (τ undefined — both engines agree on the NULL).
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val vecLeg = bruteForceTopK(
+      e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .select("qid", "cid", "rn")
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+      array_distinct(
+        expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk"))
+    val lexLeg = jaccardTopK(
+      d.filter(col("doc_id") >= NQueries)
+        .select(col("doc_id").as("cid"), col("tk").as("ctk")),
+      d.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("qid"), col("tk").as("qtk")))
+      .select("qid", "cid", "rn")
+    rankAgreement(vecLeg, lexLeg)
+  }
+
+  private val q224Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |      WHERE vec_id >= $NQueries),
+       |vleg AS (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${cosineDuck("cv", "qv")} DESC, cid ASC) AS rn
+       |    FROM c CROSS JOIN q)
+       |  WHERE rn <= $TopK),
+       |dt AS (SELECT doc_id,
+       |         list_distinct(regexp_extract_all(text, '[a-z]+')) AS tk
+       |       FROM documents),
+       |dq AS (SELECT doc_id AS qid, tk AS qtk FROM dt
+       |       WHERE doc_id < $NQueries AND len(tk) > 0),
+       |dc AS (SELECT doc_id AS cid, tk AS ctk FROM dt
+       |       WHERE doc_id >= $NQueries AND len(tk) > 0),
+       |lleg AS (
+       |  SELECT qid, cid, rn FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY (1000 * len(list_intersect(ctk, qtk)))
+       |        // (len(ctk) + len(qtk) - len(list_intersect(ctk, qtk)))
+       |        DESC, cid ASC) AS rn
+       |    FROM dc CROSS JOIN dq)
+       |  WHERE rn <= $TopK),
+       |shared AS (
+       |  SELECT v.qid, v.cid, v.rn AS ra, l.rn AS rb
+       |  FROM vleg v JOIN lleg l ON v.qid = l.qid AND v.cid = l.cid),
+       |pairs AS (
+       |  SELECT x.qid,
+       |    CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0
+       |      END AS conc
+       |  FROM shared x JOIN shared y
+       |    ON x.qid = y.qid AND x.cid < y.cid),
+       |agg AS (
+       |  SELECT qid, COUNT(*) AS np, SUM(conc) AS c FROM pairs GROUP BY 1),
+       |ns AS (
+       |  SELECT qid, COUNT(*) AS n_shared FROM shared GROUP BY 1)
+       |SELECT q.qid,
+       |  CAST(COALESCE(ns.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(COALESCE(a.c, 0) AS BIGINT) AS concordant,
+       |  CAST(COALESCE(a.np - a.c, 0) AS BIGINT) AS discordant,
+       |  CASE WHEN a.np > 0
+       |    THEN CAST((1000 * (2 * a.c - a.np)) // a.np AS BIGINT)
+       |    ELSE CAST(NULL AS BIGINT) END AS tau_milli
+       |FROM q LEFT JOIN ns ON q.qid = ns.qid
+       |LEFT JOIN agg a ON q.qid = a.qid""".stripMargin
 
   // --- q222: MMR diversified selection --------------------------------------
   // [[mmrDiversify]] over the q29 cosine top-10 shortlist with rank-derived
@@ -2349,6 +2468,7 @@ object Similarity extends QueryModule {
     "q29_knn_brute" -> q29 _,
     "q221_rrf_fusion" -> q221 _,
     "q222_mmr_diversify" -> q222 _,
+    "q224_rank_agreement" -> q224 _,
     "q30_ann_lsh" -> q30 _,
     "q31_embed_neardup" -> q31 _,
     "q41_ann_ivf" -> q41 _,
@@ -2376,6 +2496,7 @@ object Similarity extends QueryModule {
     "q29_knn_brute" -> q29Sql,
     "q221_rrf_fusion" -> q221Sql,
     "q222_mmr_diversify" -> q222Sql,
+    "q224_rank_agreement" -> q224Sql,
     "q30_ann_lsh" -> q30Sql,
     "q31_embed_neardup" -> q31Sql,
     "q41_ann_ivf" -> q41Sql,

@@ -38,6 +38,32 @@ class RrfFusionSpec extends SparkTestBase {
     assert(got === Seq(10L, 20L))
   }
 
+  test("rankAgreement: hand-computed tau on crafted rankings") {
+    // shared items A(1,1) B(2,3) C(3,2); pairs: AB conc, AC conc,
+    // BC disc → C=2 D=1, tau = 1000*(2-1)//3 = 333
+    val legA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+      .toDF("qid", "cid", "rn")
+    val legB = Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 11L, 3), (1L, 99L, 4))
+      .toDF("qid", "cid", "rn")
+    val r = Similarity.rankAgreement(legA, legB).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L, "n_shared")
+    assert(r(0).getLong(2) === 2L, "concordant")
+    assert(r(0).getLong(3) === 1L, "discordant")
+    assert(r(0).getLong(4) === 333L, "tau_milli")
+  }
+
+  test("rankAgreement: identical legs give tau = 1000, disjoint give NULL") {
+    val leg = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "cid", "rn")
+    val same = Similarity.rankAgreement(leg, leg).collect()(0)
+    assert(same.getLong(4) === 1000L)
+    val other = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("qid", "cid", "rn")
+    val dis = Similarity.rankAgreement(leg, other).collect()(0)
+    assert(dis.getLong(1) === 0L, "n_shared")
+    assert(dis.isNullAt(4), "tau undefined on empty shared set")
+  }
+
   test("jaccardTopK matches a brute-force twin on the real corpus") {
     val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), array_distinct(
