@@ -81,6 +81,8 @@ object DevScaleSweep {
       "q220_blocking_quality" -> "documents",
       "q221_rrf_fusion" -> "documents",
       "q222_mmr_diversify" -> "documents",
+      "q223_louvain" -> "documents",
+      "q224_rank_agreement" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

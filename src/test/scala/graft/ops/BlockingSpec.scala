@@ -73,6 +73,43 @@ class BlockingSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------ multi-pass SNM (q226) -------------------------
+
+  test("q226: pass 2 adds pairs pass 1 missed, and the union lifts " +
+      "the completeness curve") {
+    val dir = "/root/testdata/sf0.001"
+    def pass(first: Int) = {
+      val toks = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(
+            expr("regexp_extract_all(text, '[a-z]+', 0)"), first, 3),
+            " ").as("k"),
+          array_distinct(
+            expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk"))
+      Dedup.sortedNeighborhoodJoin(toks, "doc_id", "k", "tk", 8, 50)
+        .select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val p1 = pass(1)
+    val p2 = pass(4) // tokens 4-6: the second sort discipline
+    assert((p2 -- p1).nonEmpty,
+      "pass 2 must catch pairs the pass-1 sort order hides")
+    // the battery entry's curve: union never loses a caught pair and
+    // strictly lifts the total row
+    val curve = graft.SparkEntry.queries("q226_snb_multipass")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2),
+        r.getLong(3))).toMap
+    curve.keys.filter(_._1 == "pass1").map(_._2).foreach { b =>
+      val (t1, c1) = curve(("pass1", b))
+      val (tu, cu) = curve(("union", b))
+      assert(t1 === tu, s"truth differs per pass at bucket $b")
+      assert(cu >= c1, s"union lost pairs at bucket $b")
+    }
+    assert(curve(("union", -1L))._2 > curve(("pass1", -1L))._2,
+      "union must strictly lift total caught")
+  }
+
   // --------------------------- blocking quality ---------------------------
 
   test("completeness curve: caught <= truth, exact dups always caught") {

@@ -48,6 +48,49 @@ class LouvainSpec extends SparkTestBase {
     assert(qLouvain > 0L, "two-sided communities have positive Q")
   }
 
+  test("louvainMultiLevel(levels = 1) is exactly louvainOneLevel") {
+    val one = Graph.louvainOneLevel(bridgedTriangles, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Graph.louvainMultiLevel(bridgedTriangles, rounds = 2,
+        levels = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === multi)
+  }
+
+  test("level 2 coarsening never loses a vertex and only merges labels") {
+    val l1 = Graph.louvainOneLevel(bridgedTriangles, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val l2 = Graph.louvainMultiLevel(bridgedTriangles, rounds = 2,
+        levels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(l1.keySet === l2.keySet)
+    // expansion is a function of the level-1 label: same l1 label ⇒
+    // same l2 label (levels merge communities, never split them)
+    l1.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(l2).toSet.size === 1)
+    }
+  }
+
+  // The ask-#5 pins: level-over-level modularity is non-decreasing on
+  // the REAL trade graph at two scales — the Louvain expand invariant
+  // (the coarse singleton partition scores exactly the level-1 Q, so
+  // every coarse-graph gain is an original-graph gain).
+  for (sf <- Seq("sf0.01", "sf0.1")) {
+    test(s"$sf trade graph: Q(level 2) >= Q(level 1) > 0") {
+      val edges = Graph.custSuppEdges(spark, s"/root/testdata/$sf")
+        .localCheckpoint()
+      val q1 = Graph.modularityMicro(edges,
+          Graph.louvainOneLevel(edges, rounds = 2))
+        .collect()(0).getLong(4)
+      val q2 = Graph.modularityMicro(edges,
+          Graph.louvainMultiLevel(edges, rounds = 2, levels = 2))
+        .collect()(0).getLong(4)
+      assert(q1 > 0L, s"level-1 Q_micro $q1")
+      assert(q2 >= q1,
+        s"level 2 decreased modularity: $q2 < $q1 at $sf")
+    }
+  }
+
   test("determinism: two runs produce identical labels") {
     val a = Graph.louvainOneLevel(bridgedTriangles, rounds = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
