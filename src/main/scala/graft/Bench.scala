@@ -78,6 +78,29 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // ---- round-over-round trend (read BEFORE this run overwrites it) ----
+    // The committed BENCH_LOCAL.json is the previous record; the
+    // shared-entry min-basis ratio (Σ current min / Σ previous min over
+    // entries present and succeeding in BOTH) surfaces regressions in the
+    // artifact itself instead of leaving the arithmetic to the reader.
+    // Only computed when the previous record ran at the SAME sf — a
+    // dev-scale record would make the ratio meaningless.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL",
+      sys.props.getOrElse("user.dir", ".") + "/BENCH_LOCAL.json")
+    val prevRecord: Option[(String, Map[String, Double])] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(detailPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sfRe = """"sf":"([^"]*)"""".r
+      val minsRe = """"queries_min":\{([^}]*)\}""".r
+      val pairRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+      for {
+        s <- sfRe.findFirstMatchIn(txt).map(_.group(1))
+        body <- minsRe.findFirstMatchIn(txt).map(_.group(1))
+      } yield (s, pairRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -330,6 +353,23 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMin = results.map { case (_, _, ts) =>
         if (ts.contains(-1.0)) -1.0 else ts.min }.filter(_ >= 0).sum
+      // shared-entry min-basis trend vs the previous committed record
+      // (same sf only); "vs_prev":null when no comparable record exists
+      val vsPrev: String = prevRecord match {
+        case Some((psf, pm))
+            if psf.split('/').filter(_.nonEmpty).lastOption
+              .getOrElse(psf) == sfName =>
+          val shared = results.flatMap { case (k, _, ts) =>
+            val cur = if (ts.contains(-1.0)) -1.0 else ts.min
+            pm.get(k).filter(_ >= 0).filter(_ => cur >= 0)
+              .map(p => (cur, p))
+          }
+          val (cs, ps) = (shared.map(_._1).sum, shared.map(_._2).sum)
+          if (shared.nonEmpty && ps > 0)
+            s""""vs_prev":${r3(cs / ps)},"vs_prev_n":${shared.size}"""
+          else """"vs_prev":null"""
+        case _ => """"vs_prev":null"""
+      }
       val drift = math.max(calibBefore, calibAfter) /
         math.max(1e-9, math.min(calibBefore, calibAfter))
       // contended ALSO when the pair sits >ElevGate above the decayed
@@ -340,14 +380,14 @@ object Bench {
           math.max(1e-9, calibFloor) * ElevGate
       val partial = if (skipped.nonEmpty) s""","skipped":$skippedJson""" else ""
       val detail =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.length},"failed":$failed,"calib_before":${r3(calibBefore)},"calib_after":${r3(calibAfter)},"contended":$contended,"attempts":$attempts,"elev_gate":${r3(ElevGate)},"heavy":$heavy1$partial,"total_min":${r3(totalMin)},"queries":$qs,"queries_min":$mins,"runs":$runs}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.length},"failed":$failed,"calib_before":${r3(calibBefore)},"calib_after":${r3(calibAfter)},"contended":$contended,"attempts":$attempts,"elev_gate":${r3(ElevGate)},"heavy":$heavy1$partial,"total_min":${r3(totalMin)},$vsPrev,"queries":$qs,"queries_min":$mins,"runs":$runs}"""
       // The one stdout line. BUDGET ENFORCED: the driver stores only the
       // LAST ~2000 chars, and a truncated START is a non-parsing artifact
       // (the r7/r8 failure). Degrade deterministically: full [med,min]
       // pairs if they fit, else medians only, else the headline alone
       // (per-query detail always lives in BENCH_LOCAL.json).
       def headline(qfield: String): String =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfName","n_queries":${results.length},"failed":$failed,"calib_ms":[${ms(calibBefore)},${ms(calibAfter)}],"contended":$contended,"attempts":$attempts$partial,"total_min":${r3(totalMin)}$qfield}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfName","n_queries":${results.length},"failed":$failed,"calib_ms":[${ms(calibBefore)},${ms(calibAfter)}],"contended":$contended,"attempts":$attempts$partial,"total_min":${r3(totalMin)},$vsPrev$qfield}"""
       val qmed = results.map { case (k, v, _) =>
         "\"" + shortId(k) + "\":" + ms(v)
       }.mkString("{", ",", "}")
@@ -410,11 +450,10 @@ object Bench {
     val (line, detail) = buildLine(best, attempts)
     stagedLine = line
     System.err.println(detail)
-    // Detail artifact: next to the repo the bench runs FROM (overridable),
-    // never a hardcoded absolute path — and a failed write says so on
-    // stderr instead of silently leaving a stale committed file behind.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL",
-      sys.props.getOrElse("user.dir", ".") + "/BENCH_LOCAL.json")
+    // Detail artifact: next to the repo the bench runs FROM (overridable,
+    // path hoisted above so the previous record was read before this
+    // overwrite) — and a failed write says so on stderr instead of
+    // silently leaving a stale committed file behind.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1266,6 +1266,188 @@ object Dedup extends QueryModule {
        |${curveSql("pu", "union")}""".stripMargin
   }
 
+  // --- q227: incremental sorted-neighborhood blocking (persisted index) ----
+  // The ER-pipeline counterpart of q195's incremental LSH dedup: the
+  // corpus's SORT ORDER is the index. Built once: (a) the ranked corpus
+  // — every record with its global sorted rank from [[graft.plans
+  // .PrefixSum.rowNumber]] (never a single-task window), persisted
+  // parquet; (b) a DENSE 65,536-row bucket-carry table — for every
+  // possible 2-char key bucket, the count of corpus rows in strictly
+  // smaller buckets (a prefix sum over the BUCKET SPACE, whose size is
+  // fixed by construction, not by data — the one place a single-window
+  // cumsum is scale-safe). A new batch then probes WITHOUT re-sorting
+  // anything: per record, its insertion rank ins = carry(bucket) +
+  // |same-bucket corpus rows below| (one narrow equi-join on the
+  // bucket), and its window mates are corpus ranks
+  // [ins−w+2, ins+w−1] — EXACTLY the pairs a full re-sort SNM would
+  // form between this record and the corpus (one-at-a-time insertion
+  // semantics; batch-internal pairs are a separate plain q219 pass by
+  // contract). The 2(w−1) target ranks are EXPLODED and equi-joined on
+  // rank — the q219 offset trick, so the probe plan has no range join,
+  // no window, no sort: Θ(|batch|·(bucket occupancy + 2(w−1))) work.
+  // Oracle = the brute-force insertion-rank join (COUNT over key
+  // comparisons) — the hash match proves the carry+bucket decomposition
+  // loses no rank, the q206/q209 completeness-proof pattern.
+
+  /** Build the sorted-neighborhood index for `corpus` under `idxDir`:
+    * `sorted` (id, key, tokens, bucket, rank) + `carries` (bucket,
+    * carry) — see the q227 header comment. Same input contract as
+    * [[sortedNeighborhoodJoin]] (empty-token rows dropped, leading key
+    * chars guarded < 256). */
+  def snbIndexBuild(corpus: DataFrame, idxDir: String,
+      idCol: String = "doc_id", keyCol: String = "k",
+      tokensCol: String = "tk"): Unit = {
+    val s = corpus.sparkSession
+    val base = corpus
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"),
+        col(tokensCol).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .where(coalesce(
+        assert_true(
+          (ascii(substring(col("__k"), 1, 1)) < 256) &&
+            (ascii(substring(col("__k"), 2, 1)) < 256),
+          lit("snbIndexBuild: leading key codepoint >= 256 — supply a " +
+            "byte-monotonic key")),
+        lit(true)))
+      .withColumn("__kb",
+        ascii(substring(col("__k"), 1, 1)) * 256 +
+          ascii(substring(col("__k"), 2, 1)))
+      .localCheckpoint(eager = false) // rank scan reads it three times
+    val ranked = graft.plans.PrefixSum.rowNumber(base, "__kb",
+      Seq(col("__kb"), col("__k"), col("__id")), "__rn")
+    ranked.select(col("__id"), col("__k"), col("__tk"), col("__kb"),
+        col("__rn"))
+      .write.mode("overwrite").parquet(s"$idxDir/sorted")
+    // dense carry over the FIXED 65,536-bucket space: bounded single
+    // window by construction (bucket space, not data)
+    val hist = s.read.parquet(s"$idxDir/sorted")
+      .groupBy("__kb").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy("__kb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    s.range(0, 65536).select(col("id").cast("int").as("__kb"))
+      .join(hist, Seq("__kb"), "left")
+      .select(col("__kb"),
+        coalesce(sum(col("cnt")).over(win), lit(0L)).as("carry"))
+      .write.mode("overwrite").parquet(s"$idxDir/carries")
+  }
+
+  /** Probe `batch` against a persisted [[snbIndexBuild]] index: for
+    * each batch record, the `window−1` corpus records on EACH side of
+    * its insertion point in the corpus sort order, verified at integer
+    * Jaccard. Output one row per batch record (empty-token rows
+    * dropped): (new_doc, n_window, best_match, best_milli, is_dup) —
+    * best over all window mates by (jac desc, id asc); is_dup at
+    * `tMilli`. */
+  def snbIndexProbe(s: SparkSession, idxDir: String, batch: DataFrame,
+      idCol: String = "doc_id", keyCol: String = "k",
+      tokensCol: String = "tk", window: Int = 8,
+      tMilli: Int = 500): DataFrame = {
+    require(window >= 2, s"snbIndexProbe: window=$window must be >= 2")
+    val idx = s.read.parquet(s"$idxDir/sorted")
+      .localCheckpoint(eager = false) // below-count + rank-probe legs
+    val carries = s.read.parquet(s"$idxDir/carries")
+    val probes = batch
+      .select(col(idCol).as("qid"), col(keyCol).as("qk"),
+        col(tokensCol).as("qtk"))
+      .filter(size(col("qtk")) > 0)
+      .where(coalesce(
+        assert_true(
+          (ascii(substring(col("qk"), 1, 1)) < 256) &&
+            (ascii(substring(col("qk"), 2, 1)) < 256),
+          lit("snbIndexProbe: leading key codepoint >= 256 — supply a " +
+            "byte-monotonic key")),
+        lit(true)))
+      .withColumn("__kb",
+        ascii(substring(col("qk"), 1, 1)) * 256 +
+          ascii(substring(col("qk"), 2, 1)))
+      .localCheckpoint(eager = false) // below leg + final left join
+    val below = probes
+      .join(idx.select(col("__kb"), col("__k").as("ck"),
+        col("__id").as("cid")), Seq("__kb"), "left")
+      .withColumn("lt",
+        when(col("ck") < col("qk") ||
+          (col("ck") === col("qk") && col("cid") < col("qid")), 1L)
+          .otherwise(lit(0L)))
+      .groupBy("qid").agg(sum(col("lt")).as("below"))
+    val ins = probes.join(below, Seq("qid"), "left")
+      .join(broadcast(carries), Seq("__kb"))
+      .withColumn("ins", col("carry") + coalesce(col("below"), lit(0L)))
+    val mates = ins
+      .withColumn("__off",
+        explode(expr(s"sequence(${-(window - 2)}, ${window - 1})")))
+      .withColumn("__rn", col("ins") + col("__off"))
+      .join(idx.select(col("__rn"), col("__id").as("cand"),
+        col("__tk").as("ctk")), Seq("__rn"))
+      .withColumn("ov",
+        size(array_intersect(col("qtk"), col("ctk"))).cast("bigint"))
+      .withColumn("un",
+        size(col("qtk")).cast("bigint") + size(col("ctk")) - col("ov"))
+      .withColumn("jac", expr("(1000L * ov) div un"))
+      .groupBy("qid").agg(count(lit(1)).as("n_window"),
+        min(struct((-col("jac")).as("neg"), col("cand").as("c"))).as("b"))
+    probes.select(col("qid").as("new_doc"))
+      .join(mates, col("new_doc") === col("qid"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_window"), lit(0L)).as("n_window"),
+        col("b.c").as("best_match"),
+        (-col("b.neg")).as("best_milli"))
+      .withColumn("is_dup",
+        coalesce(col("best_milli"), lit(0L)) >= tMilli.toLong)
+  }
+
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("regexp_extract_all(text, '[a-z]+', 0)")
+    val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(words, 1, 3), " ").as("k"),
+        array_distinct(words).as("tk"))
+      .localCheckpoint(eager = false) // corpus build + batch probe
+    val idxDir =
+      lshIndexRoot + "/snb_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    snbIndexBuild(toks.filter(col("doc_id") % 10 =!= 0), idxDir)
+    snbIndexProbe(s, idxDir, toks.filter(col("doc_id") % 10 === 0))
+  }
+
+  private val q227Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ')
+      |      AS k,
+      |    list_distinct(regexp_extract_all(text, '[a-z]+')) AS tk
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(text, '[a-z]+')) > 0
+      |), corpus AS (
+      |  SELECT doc_id, k, tk,
+      |    ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+      |  FROM t WHERE doc_id % 10 != 0
+      |), ins AS (
+      |  SELECT b.doc_id AS qid, b.tk AS qtk,
+      |    COUNT(c.doc_id) AS ins
+      |  FROM (SELECT * FROM t WHERE doc_id % 10 = 0) b
+      |  LEFT JOIN corpus c
+      |    ON c.k < b.k OR (c.k = b.k AND c.doc_id < b.doc_id)
+      |  GROUP BY b.doc_id, b.tk
+      |), est AS (
+      |  SELECT i.qid, c.doc_id AS cand,
+      |    (1000 * len(list_intersect(i.qtk, c.tk))) //
+      |      (len(i.qtk) + len(c.tk) - len(list_intersect(i.qtk, c.tk)))
+      |      AS jac
+      |  FROM ins i JOIN corpus c ON c.rn BETWEEN i.ins - 6 AND i.ins + 7
+      |), best AS (
+      |  SELECT qid, cand, jac,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY jac DESC, cand ASC) AS rn2,
+      |    COUNT(*) OVER (PARTITION BY qid) AS n_window
+      |  FROM est
+      |)
+      |SELECT i.qid AS new_doc,
+      |  CAST(COALESCE(b.n_window, 0) AS BIGINT) AS n_window,
+      |  b.cand AS best_match, b.jac AS best_milli,
+      |  COALESCE(b.jac, 0) >= 500 AS is_dup
+      |FROM ins i
+      |LEFT JOIN (SELECT * FROM best WHERE rn2 = 1) b ON i.qid = b.qid"""
+      .stripMargin
+
   // --- q50: near-dup cluster resolution (connected components) ------------
   // LSH pairs above a Jaccard threshold form an undirected graph; the
   // duplicate GROUPS a dedup pipeline actually needs ("keep the minimum
@@ -2642,6 +2824,7 @@ object Dedup extends QueryModule {
     "q219_sorted_neighborhood" -> q219 _,
     "q220_blocking_quality" -> q220 _,
     "q226_snb_multipass" -> q226 _,
+    "q227_snb_incremental" -> q227 _,
     "q50_dedup_clusters" -> q50 _,
     "q74_stream_dedup" -> q74 _)
 
@@ -2670,5 +2853,6 @@ object Dedup extends QueryModule {
     "q219_sorted_neighborhood" -> q219Sql,
     "q220_blocking_quality" -> q220Sql,
     "q226_snb_multipass" -> q226Sql,
+    "q227_snb_incremental" -> q227Sql,
     "q50_dedup_clusters" -> q50Sql)
 }

@@ -110,6 +110,59 @@ class BlockingSpec extends SparkTestBase {
       "union must strictly lift total caught")
   }
 
+  // --------------------- incremental SNM index (q227) ---------------------
+
+  test("q227: index probe equals the sequential insertion twin") {
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(
+          expr("regexp_extract_all(text, '[a-z]+', 0)"), 1, 3),
+          " ").as("k"),
+        array_distinct(
+          expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val rows = toks.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toSet))
+    val corpus = rows.filter(_._1 % 10 != 0)
+      .sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, k, tk), i) => (id, k, tk, i + 1L) } // rank
+    val w = 8
+    val want = rows.filter(_._1 % 10 == 0).map { case (qid, qk, qtk) =>
+      val ins = corpus.count(c => c._2 < qk ||
+        (c._2 == qk && c._1 < qid))
+      val mates = corpus.filter(c =>
+        c._4 >= ins - (w - 2) && c._4 <= ins + (w - 1))
+      if (mates.isEmpty) (qid, 0L, None: Option[(Long, Long)])
+      else {
+        val best = mates.map { c =>
+          val ov = (qtk & c._3).size.toLong
+          val un = qtk.size.toLong + c._3.size - ov
+          ((1000L * ov) / un, c._1)
+        }.minBy { case (j, id) => (-j, id) }
+        (qid, mates.length.toLong, Some((best._2, best._1)))
+      }
+    }.map { case (qid, n, b) =>
+      qid -> ((n, b.map(_._1), b.map(_._2),
+        b.exists(_._2 >= 500L)))
+    }.toMap
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("snb-spec").toString
+    Dedup.snbIndexBuild(toks.filter(col("doc_id") % 10 =!= 0), idxDir)
+    val got = Dedup.snbIndexProbe(spark, idxDir,
+        toks.filter(col("doc_id") % 10 === 0))
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+      }.toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.values.exists(_._1 > 0L),
+      "fixture must exercise the window join")
+  }
+
   // --------------------------- blocking quality ---------------------------
 
   test("completeness curve: caught <= truth, exact dups always caught") {
