@@ -81,8 +81,11 @@ object DevScaleSweep {
       "q220_blocking_quality" -> "documents",
       "q221_rrf_fusion" -> "documents",
       "q222_mmr_diversify" -> "documents",
-      "q223_louvain" -> "documents",
+      // q223/q225 build the trade graph from lineitem+orders — they
+      // stay on the "lineitem" default for row counts
       "q224_rank_agreement" -> "documents",
+      "q226_snb_multipass" -> "documents",
+      "q227_snb_incremental" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 
