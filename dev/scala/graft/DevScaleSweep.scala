@@ -86,6 +86,7 @@ object DevScaleSweep {
       "q224_rank_agreement" -> "documents",
       "q226_snb_multipass" -> "documents",
       "q227_snb_incremental" -> "documents",
+      "q228_heavy_hitters" -> "events",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

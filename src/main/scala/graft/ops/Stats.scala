@@ -842,6 +842,101 @@ object Stats extends QueryModule {
     """SELECT l_partkey AS p_partkey, COUNT(*) AS n_items
       |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 45""".stripMargin
 
+  // --- q228: Misra–Gries deterministic heavy hitters ------------------------
+  // The DETERMINISTIC-BOUND complement of q151's count-min: one typed
+  // [[graft.functions.MisraGriesAggregator]] pass folds the key stream
+  // into ≤ k−1 counters per partition (map-side), merged by the
+  // PODS-2012 mergeable-summaries rule, with the worst-case guarantee
+  // f(x) − n/k ≤ est(x) ≤ f(x) for EVERY key — no hash collisions, no
+  // failure probability, so any key with f·k > n is provably present.
+  // The summary is a ≤ k−1-row frame (bounded collect, the centroid-
+  // frame precedent); the exact side is one grouped count. Because the
+  // counter VALUES are merge-order-dependent (only the bound is
+  // invariant), the hashed output carries the exact counts and the
+  // THEOREM BITS (present_ok / bound_ok, asserted in-plan fail-loud) —
+  // never the estimates: the q202 recall-audit discipline applied to a
+  // frequency sketch. Oracle = the exact GROUP BY/HAVING replay with
+  // the bits pinned TRUE.
+
+  /** PUBLIC operator: the guaranteed heavy hitters of `keys(keyCol)` —
+    * every key with `count·k > n` — with exact counts and the in-plan
+    * Misra–Gries theorem bits. `k` is the summary size (≤ k−1
+    * counters); pick k > n/f_min for the lightest key you must catch. */
+  def heavyHitters(keys: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536,
+      s"heavyHitters: k=$k outside 2..65536 (the summary is collected " +
+        "to the driver as a bounded k-row frame)")
+    val s = keys.sparkSession
+    val longKeys = keys.select(col(keyCol).cast("long").as("key"))
+      .filter(col("key").isNotNull)
+    val mg: Map[Long, Long] = longKeys
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .select(new graft.functions.MisraGriesAggregator(k).toColumn)
+      .head()
+    // ≤ k−1 rows, driver-built — the bounded sketch frame
+    val summary = s.createDataFrame(mg.toSeq.map(p => (p._1, p._2)))
+      .toDF("key", "est")
+    val tot = longKeys.groupBy().agg(count(lit(1)).as("n"))
+    val guaranteed = longKeys.groupBy("key")
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_exact") * k > col("n"))
+      .join(broadcast(summary), Seq("key"), "left")
+      .select(col("key"), col("n_exact"),
+        col("est").isNotNull.as("present_ok"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("est") * k >= col("n_exact") * k - col("n")).as("bound_ok"))
+    // guardNonEmpty = false: an EMPTY guaranteed set is a legitimate
+    // answer ("no key is provably heavy at this k"), and the oracle
+    // replays the same HAVING so both sides agree on emptiness — the
+    // q38/q76 grouped-aggregate reasoning. (At the battery's gate scale
+    // the adaptive k keeps the set non-empty: 3 rows at sf0.01, 16 at
+    // sf0.1 — only the 1k-row warm-up corpus truncates the key domain
+    // below the guarantee line.)
+    graft.ParityGate(guaranteed, "heavyHitters", guardNonEmpty = false,
+      "present_ok", "bound_ok")
+  }
+
+  // Adaptive summary size (the q209 AdaptiveEps pattern, resolved at
+  // plan-build time from one bounded scalar): k = the largest power of
+  // two with k² ≤ U (U = max key-domain id + 1). The battery key is
+  // floor(sqrt(user_id)) — sqrt is IEEE-correctly-rounded in BOTH
+  // engines (unlike exp/log2, the q132 parity trap), and the quadratic
+  // density it induces means the top keys hold f ≈ 2n/√U each, so
+  // k ∈ (√U/2, √U] keeps the guaranteed set NON-EMPTY (f_max·k ≈
+  // 2n·k/√U > n) while the counter budget k−1 < √U + 1 ≈ |distinct
+  // keys| forces real decrements — the sketch is exercised, not a
+  // disguised exact count, at EVERY scale factor.
+  private val MgMaxShift = 20
+
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val u = ev.agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
+    val shift = (1 to MgMaxShift)
+      .filter(sh => (1L << (2 * sh)) <= u).lastOption.getOrElse(1)
+    heavyHitters(ev.select(
+        expr("CAST(floor(sqrt(CAST(user_id AS DOUBLE))) AS BIGINT)")
+          .as("key")),
+      "key", k = (1L << shift).toInt)
+  }
+
+  private val q228Sql =
+    s"""WITH kk AS (
+       |  SELECT CAST(1 AS BIGINT) << s AS k FROM (
+       |    SELECT COALESCE(MAX(s), 1) AS s
+       |    FROM range(1, ${MgMaxShift + 1}) t(s)
+       |    WHERE (CAST(1 AS BIGINT) << (2 * s)) <=
+       |      (SELECT MAX(user_id) + 1 FROM events))
+       |), keys AS (
+       |  SELECT CAST(floor(sqrt(CAST(user_id AS DOUBLE))) AS BIGINT)
+       |    AS key
+       |  FROM events WHERE user_id IS NOT NULL
+       |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys)
+       |SELECT e.key, e.n_exact, TRUE AS present_ok, TRUE AS bound_ok
+       |FROM (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |      FROM keys GROUP BY key) e, kk, tot
+       |WHERE e.n_exact * kk.k > tot.n""".stripMargin
+
   // --- q161: Welch two-sample t-test (A/B experiment readout) --------------
   // Per event_type: users split A/B by parity, the experiment's decision
   // row — per-arm counts/means, the Welch t statistic (unequal variances,
@@ -1536,6 +1631,7 @@ object Stats extends QueryModule {
     "q166_weighted_median" -> q166 _,
     "q161_ab_welch" -> q161 _,
     "q151_cms_prefilter" -> q151 _,
+    "q228_heavy_hitters" -> q228 _,
     "q130_table_profile" -> q130 _,
     "q131_groupwise_ols" -> q131 _,
     "q140_chi2_independence" -> q140 _,
@@ -1562,6 +1658,7 @@ object Stats extends QueryModule {
     "q166_weighted_median" -> q166Sql,
     "q161_ab_welch" -> q161Sql,
     "q151_cms_prefilter" -> q151Sql,
+    "q228_heavy_hitters" -> q228Sql,
     "q130_table_profile" -> q130Sql,
     "q131_groupwise_ols" -> q131Sql,
     "q140_chi2_independence" -> q140Sql,
