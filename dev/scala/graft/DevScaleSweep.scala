@@ -87,6 +87,7 @@ object DevScaleSweep {
       "q226_snb_multipass" -> "documents",
       "q227_snb_incremental" -> "documents",
       "q228_heavy_hitters" -> "events",
+      "q229_pps_sample" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

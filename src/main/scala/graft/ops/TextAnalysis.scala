@@ -594,6 +594,93 @@ object TextAnalysis extends QueryModule {
        |WHERE rn <= $q94K""".stripMargin
   }
 
+  // --- q229: systematic PPS sampling (probability ∝ weight, no RNG) --------
+  // The WEIGHTED complement of q94's equal-per-stratum pick and q85's
+  // rate-based mix: sample k items with inclusion probability
+  // proportional to an integral weight (token count, quality score) —
+  // the "sample training docs by token mass" primitive. Method:
+  // systematic PPS (Madow, Ann. Math. Stat. 1949) — lay the items on
+  // the cumulative-weight axis in a deterministic total order (by id),
+  // drop k MIDPOINT selection points p_j = (2j+1)·W/(2k), and select
+  // every item whose weight interval [W_{i−1}, W_i) contains a point.
+  // Multiplicity is the honest PPS-without-replacement answer for
+  // items heavier than W/k (they cover several points); Σ n_picks = k
+  // EXACTLY by telescoping (PpsSampleSpec pins it).
+  //
+  // Deterministic and integer-exact end-to-end: no RNG (the fixed
+  // midpoint grid is the determinism device — same discipline as q94's
+  // hash ranks), and the point-in-interval count has the closed form
+  // f(x) = min(k, (2k·x + W − 1) div (2W)) evaluated per row in BIGINT
+  // (numerator bound: 2k·W must stay < 2⁶³ — guarded in-plan,
+  // fail-loud). The cumulative weights come from [[graft.plans
+  // .PrefixSum.scan]] (range-bucketed two-pass, never a single-task
+  // global window), so the whole operator is one prefix scan + one
+  // per-row projection — no join, no extra shuffle. Oracle replays the
+  // identical arithmetic over a plain window SUM.
+
+  /** PUBLIC operator: systematic PPS sample of `k` picks. `items`
+    * needs a unique numeric `idCol` (the deterministic order) and a
+    * non-negative integral `wCol`; zero-weight rows are unsampleable
+    * and dropped, negative weights fail loud. Output: the selected
+    * rows as (`idCol`, `w`, `n_picks`), n_picks ≥ 1, Σ = k. */
+  def ppsSample(items: DataFrame, k: Int, idCol: String = "doc_id",
+      wCol: String = "w"): DataFrame = {
+    require(k >= 1 && k <= 100000000,
+      s"ppsSample: k=$k outside 1..1e8 (2k·W must stay within BIGINT)")
+    val base = items.select(col(idCol).as("__id"),
+        col(wCol).cast("long").as("__w"))
+      .where(coalesce(
+        assert_true(col("__w") >= 0,
+          lit("ppsSample: negative weight — inclusion probability " +
+            "is undefined")),
+        lit(true)))
+      .filter(col("__w") > 0)
+    val cum = graft.plans.PrefixSum.scan(base, "__id",
+      Seq(col("__id")), Seq(("__w", "__cw")))
+    val tot = base.groupBy().agg(sum(col("__w")).as("__wt"))
+      .select(col("__wt"), coalesce(
+        assert_true(col("__wt") <= Long.MaxValue / (2L * k),
+          lit(s"ppsSample: 2k·W overflows BIGINT at k=$k — shrink k " +
+            "or rescale weights")),
+        lit(true)).as("__g"))
+    // integral div (never Column./, which routes through DOUBLE and
+    // loses exactness past 2^53)
+    def f(x: String) = least(lit(k.toLong),
+      expr(s"(${2L * k}L * ($x) + __wt - 1) div (2L * __wt)"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("n_picks", f("__cw") - f("__cw - __w"))
+      .filter(col("n_picks") >= 1)
+      .select(col("__id").as(idCol), col("__w").as("w"), col("n_picks"))
+  }
+
+  private val PpsK = 100
+
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    ppsSample(Tables.load(s, dir, "documents").select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)")
+          .as("w")),
+      k = PpsK)
+
+  private val q229Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS w
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, w,
+       |    CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+       |  FROM t WHERE w > 0
+       |), tot AS (
+       |  SELECT CAST(SUM(w) AS BIGINT) AS wt FROM t WHERE w > 0
+       |)
+       |SELECT doc_id, w, n_picks FROM (
+       |  SELECT doc_id, w,
+       |    LEAST($PpsK, (${2 * PpsK} * cw + wt - 1) // (2 * wt))
+       |    - LEAST($PpsK, (${2 * PpsK} * (cw - w) + wt - 1) // (2 * wt))
+       |      AS n_picks
+       |  FROM p, tot)
+       |WHERE n_picks >= 1""".stripMargin
+
   // --- q86: deterministic train/val/test split ----------------------------
   // The dataset-partitioning step: every document lands in EXACTLY one of
   // train (80%), val (10%), test (10%) by hash of its key — disjoint and
@@ -2904,6 +2991,7 @@ object TextAnalysis extends QueryModule {
     "q98_pii_redact" -> q98 _,
     "q95_packing_scan" -> q95 _,
     "q94_stratified_sample" -> q94 _,
+    "q229_pps_sample" -> q229 _,
     "q90_curation_pipeline" -> q90 _,
     "q88_vocabulary" -> q88 _,
     "q87_repetition" -> q87 _,
@@ -2944,6 +3032,7 @@ object TextAnalysis extends QueryModule {
     "q98_pii_redact" -> q98Sql,
     "q95_packing_scan" -> q95Sql,
     "q94_stratified_sample" -> q94Sql,
+    "q229_pps_sample" -> q229Sql,
     "q90_curation_pipeline" -> q90Sql,
     "q88_vocabulary" -> q88Sql,
     "q87_repetition" -> q87Sql,
