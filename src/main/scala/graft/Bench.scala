@@ -95,8 +95,17 @@ object Bench {
       val sfRe = """"sf":"([^"]*)"""".r
       val minsRe = """"queries_min":\{([^}]*)\}""".r
       val pairRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+      // Anchor the sf match to the record PREFIX (everything before the
+      // first "queries" key): a bare findFirstMatchIn over the whole
+      // file would take the first "sf":"..." substring ANYWHERE — e.g.
+      // inside a skipped-entry message — and silently mis-derive the
+      // previous scale factor, suppressing or mis-scoping the ratio.
+      val prefix = txt.indexOf("\"queries\"") match {
+        case -1 => txt
+        case i => txt.substring(0, i)
+      }
       for {
-        s <- sfRe.findFirstMatchIn(txt).map(_.group(1))
+        s <- sfRe.findFirstMatchIn(prefix).map(_.group(1))
         body <- minsRe.findFirstMatchIn(txt).map(_.group(1))
       } yield (s, pairRe.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)

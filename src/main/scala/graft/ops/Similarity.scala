@@ -1261,8 +1261,7 @@ object Similarity extends QueryModule {
     val pts = kmQuantize(points, idCol, vecCol)
     var cents = kmSeeds(pts, k)
     for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
-    val stats = kmAssign(pts, cents).groupBy("cid")
-      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
+    val stats = kmStats(kmAssign(pts, cents))
     cents.join(stats, Seq("cid"), "left")
       .select(col("cid").as("cluster"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
@@ -1287,6 +1286,30 @@ object Similarity extends QueryModule {
         Window.orderBy(col("__id"))) - 1).cast("bigint"))
       .select(col("cid"), col("qe").as("cv"))
       .localCheckpoint(eager = true) // k rows
+
+  /** Per-cluster (n_vecs, inertia) with the BIGINT sum ENFORCED in-plan
+    * (round 17, closing the r16 audited-but-unenforced headroom note
+    * above): Spark's non-ANSI `sum(long)` wraps silently on overflow
+    * while DuckDB promotes to HUGEINT, so past the audited bound the
+    * failure mode would be a hash divergence, not a loud error. The
+    * guard is exact and data-adaptive — `inertia ≤ n_vecs · max(dist)`,
+    * checked as `max(dist) ≤ 2⁶³−1 div n_vecs` (integral division, so
+    * the check itself cannot overflow). Conservative by construction:
+    * it can fire when the true sum would still fit, which is the right
+    * side to fail on (the hi/lo-limb split is the escape hatch). The
+    * guard is a FILTER, never a prunable projected column.
+    */
+  private[ops] def kmStats(assigned: DataFrame): DataFrame = assigned
+    .groupBy("cid")
+    .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"),
+      max(col("dist")).as("__md"))
+    .where(coalesce(
+      assert_true(col("__md") <= expr(s"${Long.MaxValue}L div n_vecs"),
+        concat(lit("kmeansTrain: inertia may overflow BIGINT (n_vecs="),
+          col("n_vecs"), lit(", max_dist="), col("__md"),
+          lit(") — split into hi/lo limbs (q161 precedent)"))),
+      lit(true)))
+    .drop("__md")
 
   private def kmAssign(pts: DataFrame, c: DataFrame): DataFrame = pts
     .crossJoin(broadcast(c))

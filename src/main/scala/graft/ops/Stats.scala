@@ -911,7 +911,14 @@ object Stats extends QueryModule {
 
   private def q228(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val u = ev.agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
+    // coalesce: max() over an empty/all-NULL table is NULL, and a bare
+    // getLong would surface as an opaque NPE at plan-build time; the
+    // require turns the broken-input case into a contract error instead.
+    val maxRow = ev.agg(coalesce(max(col("user_id")).cast("long"),
+      lit(-1L))).head()
+    require(maxRow.getLong(0) >= 0,
+      "q228: events table is empty or user_id all NULL — no key domain")
+    val u = maxRow.getLong(0) + 1
     val shift = (1 to MgMaxShift)
       .filter(sh => (1L << (2 * sh)) <= u).lastOption.getOrElse(1)
     heavyHitters(ev.select(

@@ -637,12 +637,18 @@ object TextAnalysis extends QueryModule {
       .filter(col("__w") > 0)
     val cum = graft.plans.PrefixSum.scan(base, "__id",
       Seq(col("__id")), Seq(("__w", "__cw")))
+    // Guard as a FILTER, not a projected column: an unreferenced
+    // projection is dropped by Catalyst column pruning (its assert_true
+    // only fires if the column is consumed), which would turn this
+    // fail-loud bound into silent wraparound. The filter form is the
+    // same pattern as the negative-weight guard above; PpsSampleSpec
+    // pins that it actually fires.
     val tot = base.groupBy().agg(sum(col("__w")).as("__wt"))
-      .select(col("__wt"), coalesce(
+      .where(coalesce(
         assert_true(col("__wt") <= Long.MaxValue / (2L * k),
           lit(s"ppsSample: 2k·W overflows BIGINT at k=$k — shrink k " +
             "or rescale weights")),
-        lit(true)).as("__g"))
+        lit(true)))
     // integral div (never Column./, which routes through DOUBLE and
     // loses exactness past 2^53)
     def f(x: String) = least(lit(k.toLong),

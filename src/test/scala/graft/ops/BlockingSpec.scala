@@ -163,6 +163,76 @@ class BlockingSpec extends SparkTestBase {
       "fixture must exercise the window join")
   }
 
+  test("q227: probe output is key-width invariant (b = 2/3/4), and " +
+      "sparse carries equal the dense twin at b=2") {
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(
+          expr("regexp_extract_all(text, '[a-z]+', 0)"), 1, 3),
+          " ").as("k"),
+        array_distinct(
+          expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val corpus = toks.filter(col("doc_id") % 10 =!= 0)
+    val batch = toks.filter(col("doc_id") % 10 === 0)
+    def probeAt(b: Int): Map[Long, Seq[Any]] = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory(s"snb-width-$b").toString
+      Dedup.snbIndexBuild(corpus, idxDir, keyBytes = b)
+      Dedup.snbIndexProbe(spark, idxDir, batch)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    }
+    val at2 = probeAt(2)
+    assert(at2.nonEmpty)
+    assert(at2 === probeAt(3), "b=2 vs b=3 diverge")
+    assert(at2 === probeAt(4), "b=3 vs b=4 diverge")
+    // dense-carry twin at b=2: enumerate ALL 65,536 buckets (the r16
+    // design), derive each probe's carry from it, and pin equality
+    // against the rank the sparse-carry probe must have used —
+    // reconstructed as ins = rank of the nearest window mate minus its
+    // offset is overkill; instead recompute carries sparsely here and
+    // compare table-to-table.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("snb-dense-twin").toString
+    Dedup.snbIndexBuild(corpus, idxDir, keyBytes = 2)
+    val hist = spark.read.parquet(s"$idxDir/hist")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val denseCarry = (0L until 65536L).scanLeft((0L, 0L)) {
+      case ((_, acc), kb) => (kb, acc + hist.getOrElse(kb - 1, 0L))
+    }.drop(1).toMap // dense exclusive prefix over the full 2-byte space
+    val probeKbs = batch.collect().map { r =>
+      val k = r.getString(1)
+      def at(i: Int): Long =
+        if (k.length > i) k.charAt(i).toLong else 0L
+      r.getLong(0) -> (at(0) * 256 + at(1))
+    }
+    // sparse carries via the production path: build a probe plan and
+    // read back the per-bucket carry it joins on
+    val sparse = {
+      val probes = batch
+        .select(col("doc_id").as("qid"), col("k").as("qk"))
+        .withColumn("__kb",
+          ascii(substring(col("qk"), 1, 1)).cast("long") * 256 +
+            ascii(substring(col("qk"), 2, 1)).cast("long"))
+      val sentinels = probes.select(col("__kb")).distinct()
+        .withColumn("cnt", lit(0L)).withColumn("__src", lit(0))
+      val histRows = spark.read.parquet(s"$idxDir/hist")
+        .select(col("__kb"), col("cnt"), lit(1).as("__src"))
+      graft.plans.PrefixSum.scan(
+          sentinels.unionByName(histRows), "__kb",
+          Seq(col("__kb"), col("__src")), Seq(("cnt", "__cum")))
+        .filter(col("__src") === 0)
+        .select(col("__kb"), col("__cum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(probeKbs.nonEmpty)
+    probeKbs.foreach { case (qid, kb) =>
+      assert(sparse(kb) === denseCarry(kb),
+        s"carry mismatch at bucket $kb (probe $qid)")
+    }
+  }
+
   // --------------------------- blocking quality ---------------------------
 
   test("completeness curve: caught <= truth, exact dups always caught") {

@@ -39,6 +39,32 @@ class KmeansInertiaSpec extends SparkTestBase {
       s"inertia $worst within 4 decades of 2^63 — move to hi/lo limbs")
   }
 
+  test("inertia overflow guard fires in-plan (round 17: enforced, " +
+      "not just audited)") {
+    import spark.implicits._
+    // Two same-cluster distances of 5e18 each: every per-point value
+    // fits BIGINT, but the sum (1e19) exceeds 2^63−1 ≈ 9.2e18. Under
+    // this repo's sessions (Spark 4 ANSI default ON) the sum itself
+    // raises ARITHMETIC_OVERFLOW — already loud; the guard exists for
+    // library users running spark.sql.ansi.enabled=false, where
+    // sum(long) wraps SILENTLY and the wrapped value would ride the
+    // hashed path. Exercise exactly that session mode here.
+    val e = intercept[Exception] {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try Similarity.kmStats(
+        Seq((0L, 5000000000000000000L), (0L, 5000000000000000000L))
+          .toDF("cid", "dist")).collect()
+      finally spark.conf.unset("spark.sql.ansi.enabled")
+    }
+    assert(e.getMessage.contains("overflow BIGINT"), e.getMessage)
+    // and the guard is pass-through on in-bound data
+    val ok = Similarity.kmStats(
+      Seq((0L, 7L), (0L, 5L), (1L, 3L)).toDF("cid", "dist"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(ok === Map(0L -> ((2L, 12L)), 1L -> ((1L, 3L))))
+  }
+
   test("q76 exact side is a data value at the explicit rank") {
     val rows = q("q76_approx_percentile").collect()
     val prices = graft.Tables.load(spark, sf, "lineitem")

@@ -64,6 +64,19 @@ class PpsSampleSpec extends SparkTestBase {
     assert(a === reference(ws, 17))
   }
 
+  test("2k*W BIGINT overflow fails loud (guard is a filter, not a " +
+      "prunable projection)") {
+    // k = 1e8 puts the threshold at Long.MaxValue/2e8 ~ 4.6e10; one row
+    // of weight 5e10 crosses it. Before round 17 this guard sat in an
+    // unconsumed projected column and Catalyst pruned it away silently.
+    val e = intercept[Exception] {
+      TextAnalysis.ppsSample(
+        Seq((1L, 50000000000L)).toDF("doc_id", "w"), 100000000)
+        .collect()
+    }
+    assert(e.getMessage.contains("overflows BIGINT"), e.getMessage)
+  }
+
   test("negative weight fails loud") {
     intercept[Exception] {
       TextAnalysis.ppsSample(
