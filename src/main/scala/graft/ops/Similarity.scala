@@ -2369,6 +2369,130 @@ object Similarity extends QueryModule {
     s"""SELECT qid, cid, sim, rn, TRUE AS $bit
        |FROM ($q41Sql)""".stripMargin
 
+  // --- q231: greedy k-center data pruning (farthest-point selection) -------
+  // The data-SELECTION primitive the curation family still lacked:
+  // pick k maximally diverse exemplars from the embedding table
+  // (coreset seeding, eval-set construction, dedup-by-coverage).
+  // Method: Gonzalez (1985) farthest-point greedy — seed with the
+  // smallest id, then k−1 times take the point FARTHEST from the
+  // chosen set (ties → smallest id). Classic 2-approximation of the
+  // optimal k-center radius in the metric; distances here are integer
+  // SQUARED euclidean in micro-units (monotone in the metric, so the
+  // argmax chain is identical and the approximation bound becomes
+  // radius² ≤ 4·opt² — KCenterSpec pins it by brute force).
+  //
+  // Distributed shape per round (the q207/q222 bounded-replay
+  // machinery): the ONE new center is a driver-held 64-long vector
+  // folded into the plan as a literal array — no join at all for the
+  // distance update — and the round's argmax+radius is ONE
+  // min(struct(−md, id, qe)) whole-corpus aggregate (partial-aggregable,
+  // never a window; the qe field rides along for the next round's
+  // center, compared only on unreachable ties since ids are unique).
+  // The running min-distance column is localCheckpointed per round, so
+  // the plan stays O(1) deep across k rounds: exactly k corpus scans
+  // total, which is the information-theoretic minimum for greedy
+  // k-center. Cross-engine exactness is q207's: micro-quantized BIGINT
+  // coordinates, integer Σ(a−b)², no floats anywhere after quantize.
+  // Oracle = the unrolled greedy CTE chain (ORDER BY md DESC, id LIMIT 1
+  // per round — the same argmax, replayed relationally).
+
+  /** PUBLIC operator: greedy (Gonzalez) k-center selection over an
+    * embedding column. Returns one row per selected center in
+    * selection order: `sel_order` (1-based), `center_id`, `sel_dist`
+    * (the point's min squared distance to the previously chosen set at
+    * selection time — 0 for the seed; these are non-increasing), and
+    * `radius_after` (max over ALL points of min squared distance to
+    * the set AFTER this selection — the coverage radius). All BIGINT,
+    * micro-unit squared euclidean. */
+  def kCenterSelect(points: DataFrame, k: Int = KcK,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"kCenterSelect: k=$k outside 1..64 (each selection round is a " +
+        "chained oracle CTE and a corpus scan)")
+    val s = points.sparkSession
+    val pts = kmQuantize(points, idCol, vecCol)
+    def dTo(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("qe"), array(center.map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val seedArr = pts.orderBy(col("__id")).limit(1).collect()
+    require(seedArr.nonEmpty, "kCenterSelect: empty input")
+    var selId = seedArr(0).getLong(0)
+    var selQe: Seq[Long] = seedArr(0).getSeq[Long](1)
+    var selDist = 0L
+    var md = pts.withColumn("md", dTo(selQe))
+      .localCheckpoint(eager = false) // argmax agg + next round's update
+    val out =
+      scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    for (i <- 1 to k) {
+      // one aggregate delivers BOTH the round's coverage radius
+      // (max md = −min(−md)) and the next center (the argmax row)
+      val m = md.agg(min(struct((-col("md")).as("nd"),
+          col("__id").as("i"), col("qe").as("q"))).as("m"))
+        .head().getStruct(0)
+      out += ((i.toLong, selId, selDist, -m.getLong(0)))
+      if (i < k) {
+        selDist = -m.getLong(0)
+        selId = m.getLong(1)
+        selQe = m.getSeq[Long](2)
+        md = md.withColumn("md", least(col("md"), dTo(selQe)))
+          .localCheckpoint(eager = false)
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("sel_order", "center_id", "sel_dist", "radius_after")
+  }
+
+  private val KcK = 8
+
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    kCenterSelect(Tables.load(s, dir, "embeddings"))
+
+  private val q231Sql: String = {
+    val dist = (src: String, ctr: String, out: String) =>
+      s"""  SELECT m.id, CAST(SUM((m.qe[t.j] - c.qe[t.j]) *
+         |    (m.qe[t.j] - c.qe[t.j])) AS BIGINT) AS $out
+         |  FROM $src m CROSS JOIN $ctr c,
+         |       unnest(generate_series(1, $KmDims)) AS t(j)
+         |  GROUP BY m.id"""
+    val head =
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), s1 AS MATERIALIZED (
+         |  SELECT id, qe FROM pts ORDER BY id LIMIT 1
+         |), dd1 AS (
+         |${dist("pts", "s1", "md")}
+         |), m1 AS MATERIALIZED (
+         |  SELECT d.id, p.qe, d.md FROM dd1 d JOIN pts p ON p.id = d.id
+         |)"""
+    val rounds = (2 to KcK).map { i =>
+      s""", c$i AS MATERIALIZED (
+         |  SELECT id, qe, md FROM m${i - 1} ORDER BY md DESC, id ASC
+         |  LIMIT 1
+         |), dd$i AS (
+         |${dist(s"m${i - 1}", s"c$i", "nd")}
+         |), m$i AS MATERIALIZED (
+         |  SELECT m.id, m.qe, LEAST(m.md, d.nd) AS md
+         |  FROM m${i - 1} m JOIN dd$i d ON d.id = m.id
+         |)"""
+    }.mkString
+    val rows = (1 to KcK).map { i =>
+      if (i == 1)
+        s"""SELECT CAST(1 AS BIGINT) AS sel_order,
+           |  (SELECT id FROM s1) AS center_id,
+           |  CAST(0 AS BIGINT) AS sel_dist,
+           |  (SELECT MAX(md) FROM m1) AS radius_after"""
+      else
+        s"""SELECT CAST($i AS BIGINT), (SELECT id FROM c$i),
+           |  (SELECT md FROM c$i), (SELECT MAX(md) FROM m$i)"""
+    }.mkString("\n|UNION ALL\n|")
+    (head + rounds + "\n|" + rows).stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_ann_recall" -> q202 _,
     "q205_ann_ivfpq" -> q205 _,
@@ -2391,7 +2515,8 @@ object Similarity extends QueryModule {
     "q41_ann_ivf" -> q41 _,
     "q56_kmeans_step" -> q56 _,
     "q207_kmeans_train" -> q207 _,
-    "q209_dbscan" -> q209 _)
+    "q209_dbscan" -> q209 _,
+    "q231_kcenter_select" -> q231 _)
 
   val oracleSql: Map[String, String] = Map(
     "q209_dbscan" -> q209Sql,
@@ -2415,5 +2540,6 @@ object Similarity extends QueryModule {
     "q122_stream_ivf" -> q41WrapSql("matches_batch"),
     "q192_ivf_persist" -> q41WrapSql("matches_batch"),
     "q201_ivf_index_update" -> q41WrapSql("matches_rebuild"),
-    "q207_kmeans_train" -> q207Sql)
+    "q207_kmeans_train" -> q207Sql,
+    "q231_kcenter_select" -> q231Sql)
 }

@@ -187,6 +187,160 @@ object TextAnalysis extends QueryModule {
       |)
       |SELECT lang, pred, COUNT(*) AS n_docs FROM pred GROUP BY lang, pred""".stripMargin
 
+  // --- q232: char-bigram Naive Bayes language ID (train + apply) -----------
+  // The SUPERVISED counterpart of q23: q23 scores documents against
+  // top-20 trigram profiles (an overlap heuristic, no probabilities);
+  // this is the real upstream gate a multilingual curation pipeline
+  // runs before q22's lang filter — a multinomial Naive Bayes over
+  // char bigrams, TRAINED on the corpus's own lang-labeled docs
+  // (doc_id % 10 != 0) and APPLIED to the held-out tenth, in one plan.
+  //
+  // Model: Laplace-smoothed P(g|lang) = (c(g,lang)+1)/(tot(lang)+V)
+  // over the TRAIN vocabulary V (shared across languages — the
+  // smoothing denominator must be per-language mass + global vocab for
+  // the scores to be comparable); prior P(lang) = docs(lang)/docs.
+  // Score(doc, lang) = prior + Σ_g tf·logP, every log floored to
+  // integer millinats BEFORE summing (q99's ln-quantization recipe:
+  // libm ln is not IEEE-pinned, but both engines floor the SAME
+  // double ratio built from identical integer counts, so the quantized
+  // values agree; integer sums are then order-independent and exact).
+  // Out-of-vocabulary test grams are DROPPED by contract (an inner
+  // join against the vocab — the standard NB treatment; the oracle
+  // replays the same rule). Argmax ties prefer the lexicographically
+  // smallest language on both sides.
+  //
+  // Scale shape: model build is one (lang, gram)-keyed partial
+  // aggregate (shuffle = vocabulary × languages, not the corpus);
+  // scoring is one (doc, gram) pre-aggregate equi-joined against the
+  // distributed log-prob table (q104's open-vocabulary discipline —
+  // never a broadcast map scan), then a (doc, lang) sum and a
+  // min(struct) argmax. Only language-cardinality frames (priors,
+  // lang list) broadcast. No windows, no driver loops.
+
+  /** PUBLIC operator: train a char-bigram Naive Bayes language
+    * classifier on the `% 10 != 0` rows of `docs` (labels from
+    * `langCol`) and score the held-out `% 10 == 0` rows. Returns one
+    * row per held-out doc: (`idCol`, pred_lang, score_milli — the
+    * winning class's integer-millinat log-posterior, true_lang,
+    * correct). */
+  def langIdNaiveBayes(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val normed = docs.select(col(idCol).as("__id"),
+        col(langCol).as("__lang"),
+        expr(s"array_join(regexp_extract_all(lower(`$textCol`), " +
+          "'[a-z]+', 0), ' ')").as("nt"))
+      .withColumn("grams", expr(
+        // Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not empty
+        // like DuckDB's generate_series) — guard short strings
+        "CASE WHEN length(nt) >= 2 THEN transform(" +
+          "sequence(1, length(nt) - 1), i -> substring(nt, i, 2)) " +
+          "ELSE array() END"))
+      .select(col("__id"), col("__lang"), col("grams"))
+      .localCheckpoint(eager = false) // train counts + test scoring
+    val train = normed.filter(col("__id") % 10 =!= 0)
+    val test = normed.filter(col("__id") % 10 === 0)
+    val trainGrams = train
+      .select(col("__lang"), explode(col("grams")).as("g"))
+      .groupBy("__lang", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // vocab + totals + smoothing join
+    val langs = train.groupBy("__lang").agg(count(lit(1)).as("ndocs"))
+      .localCheckpoint(eager = true) // |languages| rows
+    val totals = trainGrams.groupBy("__lang").agg(sum("c").as("tot"))
+    val vocab = trainGrams.select("g").distinct()
+      .localCheckpoint(eager = false) // lq scaffold + size
+    val vCount = vocab.groupBy().agg(count(lit(1)).as("vsz"))
+    val lq = vocab.crossJoin(broadcast(langs.select("__lang")))
+      .join(trainGrams, Seq("__lang", "g"), "left")
+      .join(broadcast(totals), Seq("__lang"))
+      .crossJoin(broadcast(vCount))
+      .select(col("__lang"), col("g"), expr(
+        "CAST(floor(ln(CAST(coalesce(c, 0L) + 1 AS DOUBLE) " +
+          "/ (tot + vsz)) * 1000) AS BIGINT)").as("lq"))
+    val priors = langs
+      .crossJoin(broadcast(langs.agg(sum("ndocs").as("nd_tot"))))
+      .select(col("__lang"), expr(
+        "CAST(floor(ln(CAST(ndocs AS DOUBLE) / nd_tot) * 1000) " +
+          "AS BIGINT)").as("prior"))
+    val contrib = test
+      .select(col("__id"), explode(col("grams")).as("g"))
+      .groupBy("__id", "g").agg(count(lit(1)).as("tc"))
+      .join(lq, Seq("g")) // inner: OOV grams dropped by contract
+      .groupBy("__id", "__lang")
+      .agg(sum(col("tc") * col("lq")).as("gsum"))
+    test.select(col("__id"), col("__lang").as("true_lang"))
+      .crossJoin(broadcast(priors)) // doc × language scaffold: a doc
+                                    // with zero in-vocab grams still
+                                    // scores on priors alone
+      .join(contrib, Seq("__id", "__lang"), "left")
+      .select(col("__id"), col("true_lang"), col("__lang"),
+        (col("prior") + coalesce(col("gsum"), lit(0L))).as("score"))
+      .groupBy(col("__id"), col("true_lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("__lang").as("l")))
+        .as("b"))
+      .select(col("__id").as(idCol), col("b.l").as("pred_lang"),
+        (-col("b.ns")).as("score_milli"), col("true_lang"),
+        (col("b.l") === col("true_lang")).as("correct"))
+  }
+
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    langIdNaiveBayes(Tables.load(s, dir, "documents"))
+
+  private val q232Sql =
+    """WITH gr AS (
+      |  SELECT doc_id, lang,
+      |    list_transform(generate_series(1, length(nt) - 1),
+      |      i -> substring(nt, i, 2)) AS grams
+      |  FROM (SELECT doc_id, lang, array_to_string(
+      |    regexp_extract_all(lower(text), '[a-z]+'), ' ') AS nt
+      |    FROM documents)
+      |), tg AS (
+      |  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(grams) AS g FROM gr
+      |        WHERE doc_id % 10 != 0)
+      |  GROUP BY lang, g
+      |), vocab AS (SELECT DISTINCT g FROM tg),
+      |vc AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM vocab),
+      |tot AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tg GROUP BY lang
+      |), ld AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndocs FROM gr
+      |  WHERE doc_id % 10 != 0 GROUP BY lang
+      |), lq AS (
+      |  SELECT l.lang, v.g,
+      |    CAST(FLOOR(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+      |      / (tt.tot + vc.vsz)) * 1000) AS BIGINT) AS lq
+      |  FROM vocab v CROSS JOIN ld l
+      |  LEFT JOIN tg t ON t.lang = l.lang AND t.g = v.g
+      |  JOIN tot tt ON tt.lang = l.lang
+      |  CROSS JOIN vc
+      |), pri AS (
+      |  SELECT lang, CAST(FLOOR(ln(CAST(ndocs AS DOUBLE)
+      |    / (SELECT CAST(SUM(ndocs) AS BIGINT) FROM ld)) * 1000)
+      |    AS BIGINT) AS prior
+      |  FROM ld
+      |), tstg AS (
+      |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tc
+      |  FROM (SELECT doc_id, unnest(grams) AS g FROM gr
+      |        WHERE doc_id % 10 = 0)
+      |  GROUP BY doc_id, g
+      |), contrib AS (
+      |  SELECT s.doc_id, q.lang, CAST(SUM(s.tc * q.lq) AS BIGINT) AS gsum
+      |  FROM tstg s JOIN lq q ON q.g = s.g
+      |  GROUP BY s.doc_id, q.lang
+      |), ranked AS (
+      |  SELECT t.doc_id, t.lang AS true_lang, p.lang AS cand,
+      |    p.prior + COALESCE(c.gsum, 0) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |      ORDER BY p.prior + COALESCE(c.gsum, 0) DESC, p.lang ASC)
+      |      AS rn
+      |  FROM (SELECT doc_id, lang FROM gr WHERE doc_id % 10 = 0) t
+      |  CROSS JOIN pri p
+      |  LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.lang = p.lang
+      |)
+      |SELECT doc_id, cand AS pred_lang, CAST(score AS BIGINT)
+      |  AS score_milli, true_lang, cand = true_lang AS correct
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   // --- q24: rolling-hash fingerprints (winnowing) -------------------------
   // Per document: 8-char k-gram hashes (the rolling window), the global
   // min-hash fingerprint, and the winnowing fingerprint count (distinct
@@ -3007,6 +3161,7 @@ object TextAnalysis extends QueryModule {
     "q21_token_stats" -> q21 _,
     "q22_quality_score" -> q22 _,
     "q23_langid" -> q23 _,
+    "q232_langid_nb" -> q232 _,
     "q24_fingerprint" -> q24 _,
     "q40_chunking" -> q40 _,
     "q57_tfidf" -> q57 _,
@@ -3048,6 +3203,7 @@ object TextAnalysis extends QueryModule {
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
+    "q232_langid_nb" -> q232Sql,
     "q24_fingerprint" -> q24Sql,
     "q40_chunking" -> q40Sql,
     "q57_tfidf" -> q57Sql,
