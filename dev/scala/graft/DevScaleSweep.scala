@@ -88,6 +88,9 @@ object DevScaleSweep {
       "q227_snb_incremental" -> "documents",
       "q228_heavy_hitters" -> "events",
       "q229_pps_sample" -> "documents",
+      "q231_kcenter_select" -> "embeddings",
+      "q232_langid_nb" -> "documents",
+      "q233_temp_apportion" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

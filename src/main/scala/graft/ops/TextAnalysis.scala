@@ -3035,6 +3035,100 @@ object TextAnalysis extends QueryModule {
       |      FROM phr)
       |WHERE rn <= 3""".stripMargin
 
+  // --- q233: temperature mixture apportionment (α-sampling targets) --------
+  // The OTHER half of corpus mixing next to q197's water-filling cap:
+  // the multilingual-pretraining temperature recipe — sampling weights
+  // w_s ∝ mass_s^α with α = 1/2 flatten the source distribution so
+  // low-resource sources are up-sampled relative to their share
+  // (the exponent family used by multilingual encoder pretraining;
+  // α = 1 is proportional, α = 0 uniform). The budget B of samples is
+  // then split into INTEGER per-source targets by largest-remainder
+  // (Hamilton) apportionment: base_s = (B·w_s) div W, and the
+  // leftover L = B − Σ base (< n_sources by the mod identity) goes +1
+  // each to the L largest remainders (ties → source asc). Σ target = B
+  // EXACTLY by construction (q229's telescoping discipline), and every
+  // target satisfies the quota property floor(B·w_s/W) ≤ target ≤
+  // ceil(B·w_s/W) — both spec-pinned.
+  //
+  // Cross-engine exactness: α = 1/2 is computed as floor(sqrt(mass)) —
+  // sqrt is IEEE-correctly-rounded in BOTH engines (the q228 recipe;
+  // unlike exp/ln/pow there is no libm drift surface), and everything
+  // after it is BIGINT div/mod (non-negative, so Spark trunc-div ≡
+  // DuckDB floor-div). B·w_s ≤ 1e9 · 3.04e9 < 2⁶³ under the guarded
+  // bounds. Scale shape: ONE map-side-combinable corpus aggregate to
+  // the n_sources frame; the remainder rank is a window over that
+  // report-sized frame (the q197 precedent — never over the corpus).
+
+  /** PUBLIC operator: largest-remainder apportionment of `budget`
+    * samples across sources under √-temperature weights. Returns one
+    * row per source: (source, mass, w, base, extra, target) — all
+    * BIGINT, Σ target = budget exactly. */
+  def temperatureApportion(docs: DataFrame, budget: Long,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(budget >= 1 && budget <= 1000000000L,
+      s"temperatureApportion: budget=$budget outside 1..1e9 " +
+        "(B·w must stay within BIGINT)")
+    val mass = docs.select(col(srcCol).as("source"),
+        expr(s"CAST(size(regexp_extract_all(`$textCol`, '[a-z]+', 0)) " +
+          "AS BIGINT)").as("t"))
+      .groupBy("source").agg(sum("t").as("mass"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT)"))
+      .localCheckpoint(eager = false) // totals + apportionment
+    val tot = mass.groupBy().agg(sum("w").as("wt"))
+      .where(coalesce(
+        assert_true(col("wt") > 0,
+          lit("temperatureApportion: zero total weight — corpus has " +
+            "no tokens")),
+        lit(true)))
+    val based = mass.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${budget}L * w) div wt"))
+      .withColumn("rem", expr(s"(${budget}L * w) % wt"))
+      .localCheckpoint(eager = false) // base sum + rank
+    val leftover = based.groupBy().agg(sum("base").as("bs"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
+      .withColumn("extra",
+        when(col("rk") <= lit(budget) - col("bs"), 1L).otherwise(0L))
+      .select(col("source"), col("mass"), col("w"), col("base"),
+        col("extra"), (col("base") + col("extra")).as("target"))
+  }
+
+  private val TempB = 1000L
+
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    temperatureApportion(Tables.load(s, dir, "documents"), TempB)
+
+  private val q233Sql =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+       |      AS mass
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, mass,
+       |    CAST(FLOOR(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w
+       |  FROM m
+       |), t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w),
+       |b AS (
+       |  SELECT source, mass, w,
+       |    ($TempB * w) // wt AS base,
+       |    ($TempB * w) % wt AS rem
+       |  FROM w CROSS JOIN t
+       |), s AS (SELECT CAST(SUM(base) AS BIGINT) AS bs FROM b),
+       |r AS (
+       |  SELECT b.source, b.mass, b.w, b.base, b.rem, s.bs,
+       |    ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.source ASC) AS rk
+       |  FROM b CROSS JOIN s
+       |)
+       |SELECT source, mass, w, base,
+       |  CAST(CASE WHEN rk <= $TempB - bs THEN 1 ELSE 0 END AS BIGINT)
+       |    AS extra,
+       |  CAST(base + CASE WHEN rk <= $TempB - bs THEN 1 ELSE 0 END
+       |    AS BIGINT) AS target
+       |FROM r""".stripMargin
+
   // --- q197: mixture water-filling (per-source token budget) ---------------
   // The mixture-capping step of corpus composition: given per-source
   // token masses and a global budget B = half the corpus, allocate
@@ -3162,6 +3256,7 @@ object TextAnalysis extends QueryModule {
     "q22_quality_score" -> q22 _,
     "q23_langid" -> q23 _,
     "q232_langid_nb" -> q232 _,
+    "q233_temp_apportion" -> q233 _,
     "q24_fingerprint" -> q24 _,
     "q40_chunking" -> q40 _,
     "q57_tfidf" -> q57 _,
@@ -3204,6 +3299,7 @@ object TextAnalysis extends QueryModule {
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
     "q232_langid_nb" -> q232Sql,
+    "q233_temp_apportion" -> q233Sql,
     "q24_fingerprint" -> q24Sql,
     "q40_chunking" -> q40Sql,
     "q57_tfidf" -> q57Sql,
