@@ -91,6 +91,7 @@ object DevScaleSweep {
       "q231_kcenter_select" -> "embeddings",
       "q232_langid_nb" -> "documents",
       "q233_temp_apportion" -> "documents",
+      "q234_cluster_purity" -> "embeddings",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

@@ -1424,6 +1424,76 @@ object Similarity extends QueryModule {
          |    CAST(SUM(dist) AS BIGINT) AS inertia
          |  FROM a${KmRounds + 1} GROUP BY cid) st ON st.cid = cf.cid""".stripMargin
 
+  // --- q234: k-means cluster purity (external clustering evaluation) ------
+  // The EVALUATION half of the clustering family — the same pattern the
+  // repo applies everywhere a heuristic needs a score next to it
+  // (q202 recall for ANN, q218 modularity for communities, q220
+  // completeness for blocking): purity of the q207 Lloyd clustering
+  // against the embedding table's own `label` column. Purity is the
+  // fraction of points whose cluster's MAJORITY label is their label —
+  // the standard external criterion when labels exist (the supervised
+  // sanity gate before trusting clusters for curation decisions), and
+  // it is integer-exact by construction: contingency counts → per-
+  // cluster majority (count desc, label asc ties) → milli-floored
+  // share. No logs, no libm surface (NMI's entropy terms would ride
+  // the millinat recipe; purity needs none of it).
+  //
+  // Scale shape: the training loop is q207's (k-row broadcast per
+  // round); the evaluation adds ONE equi-join of the final assignment
+  // to the label column and a (cluster × label)-keyed partial
+  // aggregate — the contingency table is k·|labels| rows (report-
+  // sized), and the majority argmax is a min(struct) over it, never a
+  // window over data. Oracle: the SAME kmChainSql CTE chain q207's
+  // oracle uses (shared generator — one drift surface), plus a
+  // contingency + ROW_NUMBER majority replay.
+
+  /** PUBLIC operator: external purity evaluation of [[kmeansTrain]]'s
+    * clustering against an integer label column. One row per nonempty
+    * cluster: (cluster, n_vecs, major_label, n_major, purity_milli =
+    * (1000·n_major) div n_vecs). */
+  def clusterPurity(points: DataFrame, k: Int = KmKlusters,
+      rounds: Int = KmRounds, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label")
+      : DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 32,
+      s"clusterPurity: k=$k rounds=$rounds outside 1../1..32")
+    val pts = kmQuantize(points, idCol, vecCol)
+    var cents = kmSeeds(pts, k)
+    for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
+    val contingency = kmAssign(pts, cents)
+      .select(col("__id"), col("cid"))
+      .join(points.select(col(idCol).as("__id"),
+        col(labelCol).cast("long").as("lab")), Seq("__id"))
+      .groupBy("cid", "lab").agg(count(lit(1)).as("n"))
+    contingency.groupBy("cid")
+      .agg(sum("n").as("n_vecs"),
+        min(struct((-col("n")).as("nn"), col("lab").as("l"))).as("b"))
+      .select(col("cid").as("cluster"), col("n_vecs"),
+        col("b.l").as("major_label"), (-col("b.nn")).as("n_major"))
+      .withColumn("purity_milli", expr("(1000 * n_major) div n_vecs"))
+  }
+
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    clusterPurity(Tables.load(s, dir, "embeddings"))
+
+  private val q234Sql: String =
+    kmChainSql(KmRounds) + kmDistCte(KmRounds + 1, s"c$KmRounds") +
+      s""", lab AS (
+         |  SELECT a.cid, CAST(e.label AS BIGINT) AS lab,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM a${KmRounds + 1} a JOIN embeddings e ON e.vec_id = a.id
+         |  GROUP BY a.cid, e.label
+         |), best AS (
+         |  SELECT cid, lab, n,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY n DESC, lab ASC) AS rn,
+         |    CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+         |  FROM lab
+         |)
+         |SELECT cid AS cluster, n_vecs, lab AS major_label, n AS n_major,
+         |  (1000 * n) // n_vecs AS purity_milli
+         |FROM best WHERE rn = 1""".stripMargin
+
   // --- q209: grid-bucketed exact DBSCAN over a 2-D projection -------------
   // Density clustering (Ester et al., KDD 1996) — the OTHER clustering
   // primitive a curation pipeline needs besides q207's k-means: k-means
@@ -2516,7 +2586,8 @@ object Similarity extends QueryModule {
     "q56_kmeans_step" -> q56 _,
     "q207_kmeans_train" -> q207 _,
     "q209_dbscan" -> q209 _,
-    "q231_kcenter_select" -> q231 _)
+    "q231_kcenter_select" -> q231 _,
+    "q234_cluster_purity" -> q234 _)
 
   val oracleSql: Map[String, String] = Map(
     "q209_dbscan" -> q209Sql,
@@ -2541,5 +2612,6 @@ object Similarity extends QueryModule {
     "q192_ivf_persist" -> q41WrapSql("matches_batch"),
     "q201_ivf_index_update" -> q41WrapSql("matches_rebuild"),
     "q207_kmeans_train" -> q207Sql,
-    "q231_kcenter_select" -> q231Sql)
+    "q231_kcenter_select" -> q231Sql,
+    "q234_cluster_purity" -> q234Sql)
 }
