@@ -1494,6 +1494,140 @@ object Similarity extends QueryModule {
          |  (1000 * n) // n_vecs AS purity_milli
          |FROM best WHERE rn = 1""".stripMargin
 
+  // --- q235: k-means NMI (information-theoretic cluster evaluation) -------
+  // The evaluation q234's scaladoc names but does not compute: purity is
+  // blind to a clustering that shatters every label into many pure
+  // shards (purity 1000 for the all-singletons clustering), so the
+  // standard companion criterion is normalized mutual information
+  // (Strehl & Ghosh, JMLR 2002) — NMI = 2·I(C;L)/(H(C)+H(L)) — which
+  // charges the clustering for the bits it wastes. Same contingency
+  // table as q234 (one drift surface for the counts), plus the entropy
+  // terms ridden on q99's ln-quantization recipe: every ln is taken of
+  // a RATIO OF EXACT BIGINT PRODUCTS cast to double (identical doubles
+  // in both engines — the products stay far under 2^53), floored to
+  // integer millinats PER TERM, and only then weighted by exact counts
+  // and summed in BIGINT (order-independent). The final normalization
+  // is one integer floor-division — gapFill's (x − pmod)/n identity,
+  // because I's quantized weighted sum can land a hair negative where
+  // true MI ≈ 0 (each cell term floors independently), and Spark `div`
+  // truncates while DuckDB `//` truncates with sign-of-dividend `%`.
+  //
+  // Scale shape: identical to q234 — the training loop is q207's, the
+  // evaluation adds ONE assignment→label equi-join and a (cluster ×
+  // label)-keyed partial aggregate; everything after the contingency
+  // table operates on k·|labels| report-sized rows (localCheckpointed —
+  // five tiny consumers must not each replay a corpus assignment scan).
+  // Units: with I ≈ i_milli_w/(N·1000) nats and H likewise, the N·1000
+  // factor cancels in the ratio, so nmi_micro = (2e6·i_milli_w) floor-
+  // div (hc_milli_w + hl_milli_w) — the 2e6 rescale is the only place
+  // a product could overflow, guarded in-plan as a FILTER (the q229/
+  // kmStats discipline: assert_true projected as an unused column is
+  // dead under column pruning).
+
+  /** PUBLIC operator: normalized mutual information of [[kmeansTrain]]'s
+    * clustering against an integer label column. ONE row:
+    * (n_points, n_clusters, n_labels, i_milli_w, hc_milli_w, hl_milli_w,
+    * nmi_micro) where i/hc/hl are the count-weighted millinat sums
+    * (≈ N·1000·{I, H(C), H(L)}) and nmi_micro = floor(2e6·I/(H_C+H_L)),
+    * NULL when both marginal entropies vanish (single cluster AND
+    * single label — NMI is undefined there). */
+  def clusterNmi(points: DataFrame, k: Int = KmKlusters,
+      rounds: Int = KmRounds, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label")
+      : DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 32,
+      s"clusterNmi: k=$k rounds=$rounds outside 1../1..32")
+    val pts = kmQuantize(points, idCol, vecCol)
+    var cents = kmSeeds(pts, k)
+    for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
+    val cont = kmAssign(pts, cents)
+      .select(col("__id"), col("cid"))
+      .join(points.select(col(idCol).as("__id"),
+        col(labelCol).cast("long").as("lab")), Seq("__id"))
+      .groupBy("cid", "lab").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // k·|labels| rows, five consumers
+    val mc = cont.groupBy("cid").agg(sum("n").as("nc"))
+    val ml = cont.groupBy("lab").agg(sum("n").as("nl"))
+    val tot = cont.agg(sum("n").as("nn"))
+    val iw = cont.join(broadcast(mc), "cid").join(broadcast(ml), "lab")
+      .crossJoin(broadcast(tot))
+      .select((col("n") * expr("CAST(floor(ln(CAST(nn * n AS DOUBLE) " +
+        "/ CAST(nc * nl AS DOUBLE)) * 1000) AS BIGINT)")).as("w"))
+      .agg(sum("w").as("i_milli_w"))
+    def margEntropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select((col(cnt) * expr("CAST(floor(ln(CAST(nn AS DOUBLE) " +
+          s"/ CAST($cnt AS DOUBLE)) * 1000) AS BIGINT)")).as("w"))
+        .agg(sum("w").as(out))
+    val hc = margEntropy(mc, "nc", "hc_milli_w")
+    val hl = margEntropy(ml, "nl", "hl_milli_w")
+    val nClu = mc.agg(count(lit(1)).as("n_clusters"))
+    val nLab = ml.agg(count(lit(1)).as("n_labels"))
+    tot.crossJoin(broadcast(nClu)).crossJoin(broadcast(nLab))
+      .crossJoin(broadcast(iw)).crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl))
+      // fail-loud BEFORE the 2e6 rescale can wrap (filter, not a
+      // prunable projection)
+      .where(coalesce(assert_true(
+        abs(col("i_milli_w")) <= lit(Long.MaxValue / 2000000L),
+        concat(lit("clusterNmi: 2e6 rescale would overflow BIGINT " +
+          "(i_milli_w="), col("i_milli_w"), lit(")"))), lit(true)))
+      .select(col("nn").as("n_points"), col("n_clusters"),
+        col("n_labels"), col("i_milli_w"), col("hc_milli_w"),
+        col("hl_milli_w"),
+        when(col("hc_milli_w") + col("hl_milli_w") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("(2000000 * i_milli_w - pmod(2000000 * " +
+            "i_milli_w, hc_milli_w + hl_milli_w)) div " +
+            "(hc_milli_w + hl_milli_w)")).as("nmi_micro"))
+  }
+
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    clusterNmi(Tables.load(s, dir, "embeddings"))
+
+  private val q235Sql: String =
+    kmChainSql(KmRounds) + kmDistCte(KmRounds + 1, s"c$KmRounds") +
+      s""", lab AS (
+         |  SELECT a.cid, CAST(e.label AS BIGINT) AS lab,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM a${KmRounds + 1} a JOIN embeddings e ON e.vec_id = a.id
+         |  GROUP BY a.cid, e.label
+         |), mc AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS nc
+         |          FROM lab GROUP BY cid),
+         |ml AS (SELECT lab, CAST(SUM(n) AS BIGINT) AS nl
+         |       FROM lab GROUP BY lab),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM lab),
+         |iw AS (
+         |  SELECT CAST(SUM(l.n * CAST(floor(ln(CAST(t.nn * l.n AS DOUBLE)
+         |      / CAST(mc.nc * ml.nl AS DOUBLE)) * 1000) AS BIGINT))
+         |    AS BIGINT) AS i_milli_w
+         |  FROM lab l JOIN mc ON mc.cid = l.cid
+         |    JOIN ml ON ml.lab = l.lab CROSS JOIN tot t
+         |), hc AS (
+         |  SELECT CAST(SUM(nc * CAST(floor(ln(CAST(t.nn AS DOUBLE)
+         |      / CAST(nc AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT)
+         |    AS hc_milli_w
+         |  FROM mc CROSS JOIN tot t
+         |), hl AS (
+         |  SELECT CAST(SUM(nl * CAST(floor(ln(CAST(t.nn AS DOUBLE)
+         |      / CAST(nl AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT)
+         |    AS hl_milli_w
+         |  FROM ml CROSS JOIN tot t
+         |)
+         |SELECT t.nn AS n_points,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mc) AS n_clusters,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ml) AS n_labels,
+         |  iw.i_milli_w, hc.hc_milli_w, hl.hl_milli_w,
+         |  CASE WHEN hc.hc_milli_w + hl.hl_milli_w = 0 THEN NULL
+         |    ELSE (2000000 * iw.i_milli_w
+         |      - ((((2000000 * iw.i_milli_w)
+         |            % (hc.hc_milli_w + hl.hl_milli_w))
+         |          + (hc.hc_milli_w + hl.hl_milli_w))
+         |         % (hc.hc_milli_w + hl.hl_milli_w)))
+         |      // (hc.hc_milli_w + hl.hl_milli_w)
+         |  END AS nmi_micro
+         |FROM tot t CROSS JOIN iw CROSS JOIN hc CROSS JOIN hl""".stripMargin
+
   // --- q209: grid-bucketed exact DBSCAN over a 2-D projection -------------
   // Density clustering (Ester et al., KDD 1996) — the OTHER clustering
   // primitive a curation pipeline needs besides q207's k-means: k-means
@@ -2587,7 +2721,8 @@ object Similarity extends QueryModule {
     "q207_kmeans_train" -> q207 _,
     "q209_dbscan" -> q209 _,
     "q231_kcenter_select" -> q231 _,
-    "q234_cluster_purity" -> q234 _)
+    "q234_cluster_purity" -> q234 _,
+    "q235_cluster_nmi" -> q235 _)
 
   val oracleSql: Map[String, String] = Map(
     "q209_dbscan" -> q209Sql,
@@ -2613,5 +2748,6 @@ object Similarity extends QueryModule {
     "q201_ivf_index_update" -> q41WrapSql("matches_rebuild"),
     "q207_kmeans_train" -> q207Sql,
     "q231_kcenter_select" -> q231Sql,
-    "q234_cluster_purity" -> q234Sql)
+    "q234_cluster_purity" -> q234Sql,
+    "q235_cluster_nmi" -> q235Sql)
 }
