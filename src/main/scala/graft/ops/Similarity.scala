@@ -1628,6 +1628,142 @@ object Similarity extends QueryModule {
          |  END AS nmi_micro
          |FROM tot t CROSS JOIN iw CROSS JOIN hc CROSS JOIN hl""".stripMargin
 
+  // --- q236: SemDeDup — semantic dedup via within-cluster cosine prune ----
+  // The published recipe for semantic dedup at web scale (Abbas et al.
+  // 2023, "SemDeDup"): k-means the embedding space first, then search
+  // for near-duplicates ONLY within each cluster — the clustering turns
+  // the O(n²) all-pairs cosine into Θ(Σ cᵢ²), and with cluster size
+  // held ≈ constant by an ADAPTIVE k (the adaptiveNPlanes/AdaptiveEps
+  // lesson applied to Lloyd: k = smallest power of two with
+  // k·targetClusterSize ≥ n, same integer shift-search, replayed
+  // exactly by the oracle's kp CTE) total pair work is Θ(n·target) —
+  // linear in the corpus, the paper's actual scaling argument. The
+  // battery's q125/q127 semantic dedup buckets by quantized coordinate
+  // prefix; SemDeDup buckets by LEARNED structure, which is what makes
+  // it the named method production curation stacks cite. Known,
+  // by-design miss: a near-dup pair straddling a cluster boundary is
+  // not examined (the paper accepts this; recall can be bought with
+  // more rounds or multi-probe, cf. q226's multi-pass argument).
+  //
+  // Exactness: the training loop is q207's integer Lloyd (micro-
+  // quantized coordinates, BIGINT distances); the within-cluster
+  // cosine rides q29's pinned-fold graft_dot parity (bit-identical
+  // doubles in both engines), so the τ threshold and the hashed
+  // round(sim, 6) are bit-reproducible. Keep/drop rule is
+  // deterministic: doc j drops iff some same-cluster i < j has
+  // sim(i, j) ≥ τ — the smallest id of every close group survives
+  // (exactly q25/q26's min-id survivor convention). τ = 0.35 in the
+  // battery entry: calibrated to the synthetic embedding range (max
+  // pairwise cosine ≈ 0.51, 99.9th pct ≈ 0.38); real text embeddings
+  // sit near 1.0 and use the paper's 0.95+.
+  //
+  // Scale shape: assignment is k broadcast rows per point (Lloyd's
+  // Θ(n·k·d) — at corpora where that bites, the IVF family q41/q192
+  // is the index to train against); the pair stage is ONE cid equi-
+  // join (never a cross join) whose per-cluster fan-out the adaptive
+  // k bounds in expectation; the assignment is localCheckpointed so
+  // the self-join's two legs don't each replay the training scan.
+
+  /** The adaptive cluster count: smallest k = 2^w, w ∈ [2, 12], with
+    * k·targetClusterSize ≥ n (capped at 4096). Same contract as
+    * [[adaptiveNPlanes]] — holds expected cluster size ≈ target so
+    * within-cluster pair work stays Θ(n·target). */
+  def adaptiveKClusters(n: Long, target: Long = SemTargetCluster): Int =
+    (SemMinKShift to SemMaxKShift)
+      .find(w => (1L << w) * target >= n)
+      .map(1 << _).getOrElse(1 << SemMaxKShift)
+
+  private val SemTargetCluster = 512L
+  private val SemMinKShift = 2
+  private val SemMaxKShift = 12
+  private val SemTau = 0.35
+
+  /** PUBLIC operator: SemDeDup. Clusters `points` with the integer
+    * Lloyd loop (adaptive k from the corpus count), then drops every
+    * doc that has a smaller-id same-cluster neighbor with cosine ≥
+    * `tau`. One row per DROPPED doc: (drop_id, keeper_id = its
+    * smallest such neighbor, keep_sim = that pair's cosine rounded to
+    * 6dp, n_close = how many smaller-id in-cluster docs cleared τ). */
+  def semDeDup(points: DataFrame, tau: Double = SemTau,
+      targetClusterSize: Long = SemTargetCluster, rounds: Int = KmRounds,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(points.sparkSession)
+    require(rounds >= 1 && rounds <= 32 && targetClusterSize >= 1,
+      s"semDeDup: rounds=$rounds target=$targetClusterSize out of range")
+    val k = adaptiveKClusters(points.count(), targetClusterSize)
+    val pts = kmQuantize(points, idCol, vecCol)
+    var cents = kmSeeds(pts, k)
+    for (_ <- 1 to rounds) cents = kmUpdate(pts, cents)
+    val asn = kmAssign(pts, cents)
+      .select(col("__id").as("id"), col("cid"))
+      .join(points.select(col(idCol).as("id"), col(vecCol).as("v")),
+        Seq("id"))
+      // materialize once: the self-join's two legs must not each
+      // replay the k-broadcast assignment scan
+      .localCheckpoint(eager = true)
+    val pairs = asn.select(col("cid"), col("id").as("id1"),
+        col("v").as("v1"))
+      .join(asn.select(col("cid"), col("id").as("id2"),
+        col("v").as("v2")), Seq("cid"))
+      .where(col("id1") < col("id2"))
+      .withColumn("sim", expr(cosineSpark("v1", "v2")))
+      .where(col("sim") >= lit(tau))
+    pairs.groupBy(col("id2").as("drop_id"))
+      .agg(min(struct(col("id1"), col("sim"))).as("m"),
+        count(lit(1)).as("n_close"))
+      .select(col("drop_id"), col("m.id1").as("keeper_id"),
+        round(col("m.sim"), 6).as("keep_sim"), col("n_close"))
+  }
+
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    semDeDup(Tables.load(s, dir, "embeddings"))
+
+  /** [[kmHeadSql]]'s adaptive-k twin: the kp CTE replays
+    * [[adaptiveKClusters]] with zero floats (shift-compare over the
+    * same [2, 12] range), and c0 seeds `rn ≤ kp.kk` instead of the
+    * fixed literal. */
+  private val kmHeadSqlAdaptive: String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), kp AS MATERIALIZED (
+       |  SELECT COALESCE(MIN(CAST(1 AS BIGINT) << t.w),
+       |      ${1L << SemMaxKShift}) AS kk
+       |  FROM range($SemMinKShift, ${SemMaxKShift + 1}) t(w),
+       |       (SELECT COUNT(*) AS n FROM pts) c
+       |  WHERE (CAST(1 AS BIGINT) << t.w) * $SemTargetCluster >= c.n
+       |), c0 AS MATERIALIZED (
+       |  SELECT CAST(s.rn - 1 AS BIGINT) AS cid, t.j, s.qe[t.j] AS v
+       |  FROM (SELECT qe, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |        FROM pts) s,
+       |       unnest(generate_series(1, $KmDims)) AS t(j)
+       |  WHERE s.rn <= (SELECT kk FROM kp)
+       |)""".stripMargin
+
+  private val q236Sql: String =
+    kmHeadSqlAdaptive + (1 to KmRounds).map(kmRoundSql).mkString +
+      kmDistCte(KmRounds + 1, s"c$KmRounds") +
+      s""", asn AS MATERIALIZED (SELECT id, cid FROM a${KmRounds + 1}),
+         |pairs AS (
+         |  SELECT id1, id2, sim FROM (
+         |    SELECT a1.id AS id1, a2.id AS id2,
+         |      ${cosineDuck("e1.embedding", "e2.embedding")} AS sim
+         |    FROM asn a1 JOIN asn a2
+         |      ON a1.cid = a2.cid AND a1.id < a2.id
+         |    JOIN embeddings e1 ON e1.vec_id = a1.id
+         |    JOIN embeddings e2 ON e2.vec_id = a2.id)
+         |  WHERE sim >= $SemTau
+         |)
+         |SELECT drop_id, keeper_id, round(sim, 6) AS keep_sim, n_close
+         |FROM (
+         |  SELECT id2 AS drop_id, id1 AS keeper_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY id2 ORDER BY id1 ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY id2) AS BIGINT) AS n_close
+         |  FROM pairs)
+         |WHERE rn = 1""".stripMargin
+
   // --- q209: grid-bucketed exact DBSCAN over a 2-D projection -------------
   // Density clustering (Ester et al., KDD 1996) — the OTHER clustering
   // primitive a curation pipeline needs besides q207's k-means: k-means
@@ -2722,7 +2858,8 @@ object Similarity extends QueryModule {
     "q209_dbscan" -> q209 _,
     "q231_kcenter_select" -> q231 _,
     "q234_cluster_purity" -> q234 _,
-    "q235_cluster_nmi" -> q235 _)
+    "q235_cluster_nmi" -> q235 _,
+    "q236_semdedup" -> q236 _)
 
   val oracleSql: Map[String, String] = Map(
     "q209_dbscan" -> q209Sql,
@@ -2749,5 +2886,6 @@ object Similarity extends QueryModule {
     "q207_kmeans_train" -> q207Sql,
     "q231_kcenter_select" -> q231Sql,
     "q234_cluster_purity" -> q234Sql,
-    "q235_cluster_nmi" -> q235Sql)
+    "q235_cluster_nmi" -> q235Sql,
+    "q236_semdedup" -> q236Sql)
 }
