@@ -341,6 +341,154 @@ object TextAnalysis extends QueryModule {
       |  AS score_milli, true_lang, cand = true_lang AS correct
       |FROM ranked WHERE rn = 1""".stripMargin
 
+  // --- q237: DSIR-style importance log-ratio data selection ----------------
+  // Data Selection via Importance Resampling (Xie et al., NeurIPS
+  // 2023): score every candidate doc by how much more likely its
+  // tokens are under a TARGET-domain LM than under the general-corpus
+  // LM, then keep the best. The published method resamples ∝ the
+  // importance weight; the deterministic variant here RANKS by the
+  // per-token mean log-ratio and takes the top K (their top-k
+  // heuristic baseline — ranking keeps the whole pipeline RNG-free
+  // and hashable, and the doc-level weights are exactly what a
+  // downstream q229 systematic-PPS pass would consume as integer
+  // masses). Length-normalizing by n_toks matters: the raw sum
+  // conflates domain affinity with document length (a long mediocre
+  // doc outscores a short on-target one), so selection orders on the
+  // exact rational mean in micro-nats — q99's floor-division identity.
+  //
+  // Models, on q232's Laplace recipe: p_src(t) = c_all(t)/tot_all over
+  // the WHOLE corpus (never zero — every scored token is in the corpus
+  // vocab by construction); p_tgt(t) = (c_tgt(t)+1)/(tot_tgt+|V|) over
+  // the target slice, smoothed over the SHARED corpus vocab so the two
+  // logs are comparable. Each ln is floored to integer millinats
+  // SEPARATELY before the difference (both engines floor the same
+  // double built from identical integer counts), so per-doc sums are
+  // order-independent BIGINTs.
+  //
+  // Scale shape: both models are vocabulary-bounded partial aggregates;
+  // scoring is the (doc, token) pre-aggregate equi-joined to the
+  // DISTRIBUTED delta table (q104's open-vocabulary discipline — no
+  // broadcast map scan); selection is a salted two-phase global top-K
+  // (the bruteForceTopK trick: per-salt ROW_NUMBER first, so the final
+  // single-partition window sees ≤ saltBuckets·K rows, and the output
+  // is salt-independent — the oracle replays a plain ROW_NUMBER).
+
+  /** PUBLIC operator: rank docs by mean per-token importance log-ratio
+    * ln(p_target/p_source) and keep the top `k`. `targetCol` ===
+    * `targetVal` defines the target slice. Zero-token docs are
+    * excluded (their mean is undefined). One row per selected doc:
+    * (rank, doc_id, source, n_toks, sum_lr_milli, mean_lr_micro),
+    * ordered mean desc / doc_id asc. */
+  def dsirSelect(docs: DataFrame, targetCol: String = "source",
+      targetVal: String = DsirTarget, k: Int = DsirK,
+      textCol: String = "text", idCol: String = "doc_id",
+      saltBuckets: Int = 64): DataFrame = {
+    require(k >= 1 && saltBuckets >= 1,
+      s"dsirSelect: k=$k saltBuckets=$saltBuckets must be positive")
+    val toks = docs.select(col(idCol).as("__id"),
+        col(targetCol).as("__tgt"),
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")
+          .as("tk"))
+      .localCheckpoint(eager = false) // two models + scoring
+    val allCnt = toks.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ca"))
+      .localCheckpoint(eager = false) // delta scaffold + vsz + tot_all
+    val tgtCnt = toks.filter(col("__tgt") === targetVal)
+      .select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val totAll = allCnt.agg(sum("ca").as("tot_all"))
+    val totTgt = tgtCnt.agg(
+      coalesce(sum("ct"), lit(0L)).as("tot_tgt"))
+    val vsz = allCnt.agg(count(lit(1)).as("vsz"))
+    val delta = allCnt.join(tgtCnt, Seq("t"), "left")
+      .crossJoin(broadcast(totAll)).crossJoin(broadcast(totTgt))
+      .crossJoin(broadcast(vsz))
+      .select(col("t"), (expr(
+        "CAST(floor(ln(CAST(coalesce(ct, 0L) + 1 AS DOUBLE) " +
+          "/ (tot_tgt + vsz)) * 1000) AS BIGINT)") - expr(
+        "CAST(floor(ln(CAST(ca AS DOUBLE) / tot_all) * 1000) " +
+          "AS BIGINT)")).as("d"))
+    val perdoc = toks
+      .select(col("__id"), explode(col("tk")).as("t"))
+      .groupBy("__id", "t").agg(count(lit(1)).as("c"))
+      .join(delta, Seq("t")) // inner ≡ total: corpus vocab covers all
+      .groupBy("__id").agg(sum(col("c") * col("d")).as("sum_lr_milli"))
+    val scored = toks
+      .select(col("__id"), col("__tgt"),
+        expr("CAST(size(tk) AS BIGINT)").as("n_toks"))
+      .where(col("n_toks") > 0)
+      .join(perdoc, Seq("__id"))
+      .withColumn("mean_lr_micro", expr("(sum_lr_milli * 1000 " +
+        "- pmod(sum_lr_milli * 1000, n_toks)) div n_toks"))
+    val wLocal = Window.partitionBy("salt")
+      .orderBy(col("mean_lr_micro").desc, col("__id").asc)
+    val w = Window.orderBy(col("mean_lr_micro").desc, col("__id").asc)
+    scored
+      .withColumn("salt", pmod(hash(col("__id")), lit(saltBuckets)))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("__id").as(idCol),
+        col("__tgt").as("source"), col("n_toks"), col("sum_lr_milli"),
+        col("mean_lr_micro"))
+  }
+
+  private val DsirTarget = "src0"
+  private val DsirK = 100
+
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.load(s, dir, "documents"))
+
+  private val q237Sql =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS tk
+       |  FROM documents
+       |), ac AS MATERIALIZED (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS ca
+       |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t
+       |), tc AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS ct
+       |  FROM (SELECT unnest(tk) AS t FROM toks
+       |        WHERE source = '$DsirTarget') GROUP BY t
+       |), ta AS (SELECT CAST(SUM(ca) AS BIGINT) AS tot_all FROM ac),
+       |tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tot_tgt
+       |       FROM tc),
+       |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM ac),
+       |delta AS (
+       |  SELECT ac.t,
+       |    CAST(FLOOR(ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+       |        / (tt.tot_tgt + vs.vsz)) * 1000) AS BIGINT)
+       |    - CAST(FLOOR(ln(CAST(ac.ca AS DOUBLE) / ta.tot_all) * 1000)
+       |        AS BIGINT) AS d
+       |  FROM ac LEFT JOIN tc ON tc.t = ac.t
+       |  CROSS JOIN ta CROSS JOIN tt CROSS JOIN vs
+       |), perdoc AS (
+       |  SELECT p.doc_id, CAST(SUM(p.c * delta.d) AS BIGINT)
+       |    AS sum_lr_milli
+       |  FROM (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+       |        GROUP BY doc_id, t) p
+       |  JOIN delta ON delta.t = p.t
+       |  GROUP BY p.doc_id
+       |), scored AS (
+       |  SELECT tk.doc_id, tk.source,
+       |    CAST(len(tk.tk) AS BIGINT) AS n_toks, pd.sum_lr_milli,
+       |    (pd.sum_lr_milli * 1000
+       |      - ((((pd.sum_lr_milli * 1000) % CAST(len(tk.tk) AS BIGINT))
+       |          + CAST(len(tk.tk) AS BIGINT))
+       |         % CAST(len(tk.tk) AS BIGINT)))
+       |      // CAST(len(tk.tk) AS BIGINT) AS mean_lr_micro
+       |  FROM toks tk JOIN perdoc pd ON pd.doc_id = tk.doc_id
+       |  WHERE len(tk.tk) > 0
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY mean_lr_micro DESC,
+       |    doc_id ASC) AS INTEGER) AS rank,
+       |  doc_id, source, n_toks, sum_lr_milli, mean_lr_micro
+       |FROM scored
+       |ORDER BY mean_lr_micro DESC, doc_id ASC LIMIT $DsirK""".stripMargin
+
   // --- q24: rolling-hash fingerprints (winnowing) -------------------------
   // Per document: 8-char k-gram hashes (the rolling window), the global
   // min-hash fingerprint, and the winnowing fingerprint count (distinct
@@ -3257,6 +3405,7 @@ object TextAnalysis extends QueryModule {
     "q23_langid" -> q23 _,
     "q232_langid_nb" -> q232 _,
     "q233_temp_apportion" -> q233 _,
+    "q237_dsir_select" -> q237 _,
     "q24_fingerprint" -> q24 _,
     "q40_chunking" -> q40 _,
     "q57_tfidf" -> q57 _,
@@ -3300,6 +3449,7 @@ object TextAnalysis extends QueryModule {
     "q23_langid" -> q23Sql,
     "q232_langid_nb" -> q232Sql,
     "q233_temp_apportion" -> q233Sql,
+    "q237_dsir_select" -> q237Sql,
     "q24_fingerprint" -> q24Sql,
     "q40_chunking" -> q40Sql,
     "q57_tfidf" -> q57Sql,
