@@ -301,6 +301,42 @@ object Graph extends QueryModule {
        |ORDER BY rank_scaled DESC, nation ASC""".stripMargin
   }
 
+  /** The unrolled-iteration PageRank CTE suffix — q107's oracle
+    * recurrence factored out so callers ranking OTHER edge sets
+    * (q238's word co-occurrence graph) don't fork the integer
+    * arithmetic. Assumes a CTE `e(src, dst, w)` is already in scope;
+    * emits `nodes, n, outw, r0, it1..it<iters>` with final ranks in
+    * `it<iters>(id, r)`. Same overflow-split contribution and the
+    * same `//`-truncation-equals-`div` argument (all values
+    * non-negative) as [[pageRank]].
+    */
+  private[graft] def pageRankUnrolledSql(iters: Int, scale: Long,
+      dampingPct: Int = 85): String = {
+    val base = s"(($scale // nn) * ${100 - dampingPct}) // 100"
+    def iter(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT nodes.id,
+         |    CAST($base + (COALESCE(m.s, 0) * $dampingPct) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (
+         |    SELECT dst AS id,
+         |      CAST(SUM((r // ow) * w + ((r % ow) * w) // ow) AS BIGINT) AS s
+         |    FROM e JOIN outw USING (src) JOIN $prev ON e.src = $prev.id
+         |    GROUP BY dst) m ON nodes.id = m.id
+         |)""".stripMargin
+    val chain = (1 to iters)
+      .map(i => iter(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+      .mkString(",\n")
+    s"""nodes AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e
+       |), n AS (SELECT COUNT(*) AS nn FROM nodes),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST($scale // nn AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN n),
+       |$chain""".stripMargin
+  }
+
   // --- frontier BFS: minimum hop distance from a seed set ------------------
 
   /** Minimum hop count from any seed, frontier-expanded: each round joins

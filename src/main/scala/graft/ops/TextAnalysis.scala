@@ -489,6 +489,101 @@ object TextAnalysis extends QueryModule {
        |FROM scored
        |ORDER BY mean_lr_micro DESC, doc_id ASC LIMIT $DsirK""".stripMargin
 
+  // --- q238: TextRank keyword extraction -----------------------------------
+  // TextRank (Mihalcea & Tarau, EMNLP 2004): rank words by PageRank
+  // over the token co-occurrence graph — the unsupervised keyword
+  // extractor that complements q118's RAKE (degree-scored phrase
+  // candidates) with a GLOBAL recursive importance score: a word
+  // matters because important words co-occur with it. Graph: vertices
+  // = corpus vocabulary, undirected edges between ADJACENT tokens
+  // (window 2, the paper's keyword setting) weighted by corpus-wide
+  // co-occurrence count; self-loops (immediate repetition) excluded —
+  // a vertex feeding itself only inflates its own score. Undirected =
+  // both directed edges, so out_w(v) = total co-occurrence mass of v
+  // and the random walk is symmetric.
+  //
+  // The ranking loop IS [[Graph.pageRank]] — the same bit-reproducible
+  // integer recurrence (scaled ranks, overflow-split contributions,
+  // floor per edge) q107 runs over the trade graph, here with
+  // smallVertexSet = true: the vertex set is the VOCABULARY, bounded
+  // by the language (q88's argument), not the token stream — so each
+  // round broadcasts vocab-sized rank/out-weight frames and the edge
+  // set is never shuffled. The oracle replays the identical recurrence
+  // via Graph.pageRankUnrolledSql — the SAME generator discipline as
+  // kmChainSql (one drift surface for the arithmetic).
+  //
+  // Scale shape: the edge build is one explode + (src, dst) partial
+  // aggregate (shuffle bounded by DISTINCT adjacent pairs ≤ vocab²,
+  // in practice ≈ vocab-sized — never the token stream); the top-K is
+  // the salted two-phase global window (q237's shape).
+
+  /** PUBLIC operator: corpus-level TextRank keywords. Builds the
+    * adjacent-token co-occurrence graph, runs `iters` integer PageRank
+    * rounds, and returns the top `k` words: (rank, word, rank_scaled)
+    * ordered rank_scaled desc / word asc. */
+  def textRankKeywords(docs: DataFrame, textCol: String = "text",
+      iters: Int = TrIters, k: Int = TrTopK,
+      saltBuckets: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 16 && k >= 1,
+      s"textRankKeywords: iters=$iters k=$k out of range " +
+        "(each round is an unrolled oracle CTE)")
+    val pairs = docs
+      .select(expr(s"regexp_extract_all(lower(`$textCol`), " +
+        "'[a-z]+', 0)").as("tk"))
+      // Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty like
+      // DuckDB's generate_series — guard one-token docs (q232's guard)
+      .select(expr("CASE WHEN size(tk) >= 2 THEN transform(" +
+        "sequence(1, size(tk) - 1), i -> named_struct(" +
+        "'a', element_at(tk, i), 'b', element_at(tk, i + 1))) " +
+        "ELSE array() END").as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .persist() // feeds |V| and every round (q107's trade)
+    val pr = Graph.pageRank(edges, iters, TrScale,
+      smallVertexSet = true)
+    val wLocal = Window.partitionBy("salt")
+      .orderBy(col("rank_scaled").desc, col("id").asc)
+    val w = Window.orderBy(col("rank_scaled").desc, col("id").asc)
+    pr.withColumn("salt", pmod(hash(col("id")), lit(saltBuckets)))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("id").as("word"), col("rank_scaled"))
+  }
+
+  private val TrIters = 5
+  private val TrTopK = 30
+  private val TrScale = 1000000000000L
+
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    textRankKeywords(Tables.load(s, dir, "documents"))
+
+  private val q238Sql =
+    s"""WITH toks AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS tk
+       |  FROM documents
+       |), pr AS (
+       |  SELECT tk[i] AS a, tk[i + 1] AS b
+       |  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+       |  WHERE tk[i] != tk[i + 1]
+       |), e AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM (SELECT a AS src, b AS dst FROM pr
+       |        UNION ALL SELECT b, a FROM pr)
+       |  GROUP BY src, dst
+       |),
+       |${Graph.pageRankUnrolledSql(TrIters, TrScale)}
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id ASC)
+       |    AS INTEGER) AS rank,
+       |  id AS word, r AS rank_scaled
+       |FROM it$TrIters
+       |ORDER BY r DESC, id ASC LIMIT $TrTopK""".stripMargin
+
   // --- q24: rolling-hash fingerprints (winnowing) -------------------------
   // Per document: 8-char k-gram hashes (the rolling window), the global
   // min-hash fingerprint, and the winnowing fingerprint count (distinct
@@ -3406,6 +3501,7 @@ object TextAnalysis extends QueryModule {
     "q232_langid_nb" -> q232 _,
     "q233_temp_apportion" -> q233 _,
     "q237_dsir_select" -> q237 _,
+    "q238_textrank" -> q238 _,
     "q24_fingerprint" -> q24 _,
     "q40_chunking" -> q40 _,
     "q57_tfidf" -> q57 _,
@@ -3450,6 +3546,7 @@ object TextAnalysis extends QueryModule {
     "q232_langid_nb" -> q232Sql,
     "q233_temp_apportion" -> q233Sql,
     "q237_dsir_select" -> q237Sql,
+    "q238_textrank" -> q238Sql,
     "q24_fingerprint" -> q24Sql,
     "q40_chunking" -> q40Sql,
     "q57_tfidf" -> q57Sql,
