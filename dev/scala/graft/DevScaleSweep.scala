@@ -92,6 +92,12 @@ object DevScaleSweep {
       "q232_langid_nb" -> "documents",
       "q233_temp_apportion" -> "documents",
       "q234_cluster_purity" -> "embeddings",
+      "q235_cluster_nmi" -> "embeddings",
+      "q236_semdedup" -> "embeddings",
+      "q237_dsir_select" -> "documents",
+      "q238_textrank" -> "documents",
+      "q239_kmv_distinct" -> "documents",
+      "q240_kmv_jaccard" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

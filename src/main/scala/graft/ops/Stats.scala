@@ -944,6 +944,227 @@ object Stats extends QueryModule {
        |      FROM keys GROUP BY key) e, kk, tot
        |WHERE e.n_exact * kk.k > tot.n""".stripMargin
 
+  // --- q239/q240: KMV bottom-k distinct sketch + coordinated Jaccard -------
+  // The k-minimum-values synopsis (Bar-Yossef et al. 2002; Beyer et al.
+  // SIGMOD 2007) — the sketch-family member the battery still lacked:
+  // q38's HLL estimates cardinality but is engine-internal (no oracle),
+  // q151's CMS bounds frequencies, q228's Misra–Gries guarantees heavy
+  // hitters; KMV adds a MERGEABLE distinct synopsis whose bits are
+  // FULLY replayable cross-engine (the shared 60-bit md5 hash,
+  // Dialect.sparkHash60/duckHash60), and — the property none of the
+  // others have — bottom-k sketches are COORDINATED samples (Cohen &
+  // Kaplan 2007): two groups' sketches compose into an unbiased
+  // Jaccard estimator without touching the raw data again, which is
+  // how a 100 TB pipeline estimates pairwise source overlap without a
+  // vocab × vocab join per pair.
+  //
+  // Estimator: with h_(k) the k-th smallest of the group's distinct
+  // 60-bit hash values, D̂ = (k−1)·2⁶⁰/h_(k); groups with ≤ k distinct
+  // hashes report EXACTLY (mode='exact' — the KMV small-set guarantee).
+  // The division runs in DOUBLE then floors: +,−,×,/ are IEEE-pinned
+  // (correctly rounded — the q233 sqrt argument; only libm
+  // transcendentals drift), so both engines floor the same double.
+  // The in-row audit column err_permille compares D̂ against the exact
+  // distinct count computed in the same pass — the q202/q220 pattern:
+  // the hash proves the accuracy the sketch claims, not just its bits.
+  //
+  // Scale shape: the sketch build is one (group, value)-distinct
+  // aggregate (vocabulary-bounded, never the token stream) + a
+  // per-group bottom-k window over vocabulary-sized partitions; all
+  // pairwise work in q240 runs on the |groups|·k sketch rows
+  // (report-sized — 20 sources × 64 = 1,280 rows here), so the
+  // estimator's cost is independent of the corpus. The exact-Jaccard
+  // audit leg is the token-keyed self-join with fan-out ≤ C(|groups|,2)
+  // per token — the only corpus-vocabulary-scale stage, and it exists
+  // ONLY to score the estimator in-row.
+
+  private val KmvK = 64
+
+  private def kmvHashes(rows: DataFrame, grpCol: String,
+      valCol: String): DataFrame =
+    rows.select(col(grpCol).as("src"), col(valCol).as("t"))
+      .distinct()
+      .select(col("src"), expr(Dialect.sparkHash60("t")).as("h"))
+      .distinct() // md5 collisions fold two values into one hash — the
+                  // sketch estimates the HASH-set cardinality (contract)
+
+  /** PUBLIC operator: per-group KMV distinct estimate with the exact
+    * count audited in-row. One row per group: (group, n_h = exact
+    * distinct hashes, h_k = the k-th minimum, est, mode
+    * ('exact' | 'kmv'), err_permille). */
+  def kmvDistinct(rows: DataFrame, grpCol: String, valCol: String,
+      k: Int = KmvK): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmvDistinct: k=$k outside 2..65536")
+    val sh = kmvHashes(rows, grpCol, valCol)
+    val w = Window.partitionBy("src").orderBy(col("h").asc)
+    val nH = sh.groupBy("src").agg(count(lit(1)).as("n_h"))
+    val hk = sh.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy("src").agg(max("h").as("h_k"))
+    hk.join(nH, Seq("src"))
+      .select(col("src").as(grpCol), col("n_h"), col("h_k"),
+        when(col("n_h") <= k, col("n_h")).otherwise(expr(
+          s"CAST(floor(${k - 1} * (CAST(1152921504606846976 AS DOUBLE)" +
+            " / CAST(h_k AS DOUBLE))) AS BIGINT)")).as("est"),
+        when(col("n_h") <= k, lit("exact")).otherwise(lit("kmv"))
+          .as("mode"))
+      // fail-loud before the permille rescale can wrap (a tiny h_k —
+      // probability ~(k/2^60)^k — would make est astronomical)
+      .where(coalesce(assert_true(
+        col("est") <= lit(Long.MaxValue / 1000L),
+        concat(lit("kmvDistinct: estimate overflows permille rescale " +
+          "(est="), col("est"), lit(")"))), lit(true)))
+      .withColumn("err_permille",
+        expr("(1000 * abs(est - n_h)) div n_h"))
+  }
+
+  /** PUBLIC operator: pairwise Jaccard between groups, estimated from
+    * the KMV sketches alone (coordinated bottom-k: J ≈ |A∩B restricted
+    * to bottom-k(A∪B)| / |bottom-k(A∪B)|) and audited in-row against
+    * the exact vocabulary Jaccard. One row per unordered group pair:
+    * (src_a, src_b, n_union_k, n_match, jac_est_milli,
+    * jac_exact_milli). */
+  def kmvJaccard(rows: DataFrame, grpCol: String, valCol: String,
+      k: Int = KmvK): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmvJaccard: k=$k outside 2..65536")
+    val vt = rows.select(col(grpCol).as("src"), col(valCol).as("t"))
+      .distinct()
+      .localCheckpoint(eager = false) // sketches + exact audit leg
+    val sh = vt.select(col("src"), expr(Dialect.sparkHash60("t")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("src").orderBy(col("h").asc)
+    val sk = sh.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select("src", "h")
+      .localCheckpoint(eager = true) // |groups|·k rows, four consumers
+    val srcs = sk.select("src").distinct()
+    val pp = srcs.select(col("src").as("sa"))
+      .crossJoin(srcs.select(col("src").as("sb")))
+      .where(col("sa") < col("sb")) // report-sized: |groups|² rows
+    val uh = pp.join(sk.withColumnRenamed("src", "sa"), Seq("sa"))
+      .select("sa", "sb", "h")
+      .unionByName(pp.join(sk.withColumnRenamed("src", "sb"), Seq("sb"))
+        .select("sa", "sb", "h"))
+      .distinct()
+    val wu = Window.partitionBy("sa", "sb").orderBy(col("h").asc)
+    val bk = uh.withColumn("rn", row_number().over(wu))
+      .where(col("rn") <= k)
+    val m = bk
+      .join(sk.select(col("src").as("sa"), col("h"), lit(1).as("ia")),
+        Seq("sa", "h"), "left")
+      .join(sk.select(col("src").as("sb"), col("h"), lit(1).as("ib")),
+        Seq("sb", "h"), "left")
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_union_k"),
+        sum(when(col("ia").isNotNull && col("ib").isNotNull, 1L)
+          .otherwise(0L)).as("n_match"))
+    val inter = vt.select(col("src").as("sa"), col("t"))
+      .join(vt.select(col("src").as("sb"), col("t")), Seq("t"))
+      .where(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("ninter"))
+    val sizes = vt.groupBy("src").agg(count(lit(1)).as("nv"))
+    m.join(inter, Seq("sa", "sb"), "left")
+      .join(broadcast(sizes.select(col("src").as("sa"),
+        col("nv").as("va"))), Seq("sa"))
+      .join(broadcast(sizes.select(col("src").as("sb"),
+        col("nv").as("vb"))), Seq("sb"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("n_union_k"), col("n_match"),
+        expr("(1000 * n_match) div n_union_k").as("jac_est_milli"),
+        expr("(1000 * coalesce(ninter, 0L)) div " +
+          "(va + vb - coalesce(ninter, 0L))").as("jac_exact_milli"))
+  }
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("t"))
+
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    kmvDistinct(docTokens(s, dir), "source", "t")
+
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    kmvJaccard(docTokens(s, dir), "source", "t")
+
+  private val kmvStSql: String =
+    s"""WITH vt AS MATERIALIZED (
+       |  SELECT DISTINCT source AS src,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+       |  FROM documents
+       |), st AS MATERIALIZED (
+       |  SELECT DISTINCT src, ${Dialect.duckHash60("t")} AS h FROM vt
+       |)""".stripMargin
+
+  private val q239Sql: String =
+    kmvStSql +
+      s""", nh AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_h
+         |         FROM st GROUP BY src),
+         |hk AS (
+         |  SELECT src, CAST(MAX(h) AS BIGINT) AS h_k FROM (
+         |    SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY h ASC) AS rn FROM st)
+         |  WHERE rn <= $KmvK GROUP BY src
+         |), est AS (
+         |  SELECT hk.src, nh.n_h, hk.h_k,
+         |    CASE WHEN nh.n_h <= $KmvK THEN nh.n_h
+         |      ELSE CAST(FLOOR(${KmvK - 1} *
+         |        (CAST(1152921504606846976 AS DOUBLE)
+         |         / CAST(hk.h_k AS DOUBLE))) AS BIGINT) END AS est,
+         |    CASE WHEN nh.n_h <= $KmvK THEN 'exact' ELSE 'kmv' END
+         |      AS mode
+         |  FROM hk JOIN nh ON nh.src = hk.src
+         |)
+         |SELECT src AS source, n_h, h_k, est, mode,
+         |  (1000 * abs(est - n_h)) // n_h AS err_permille
+         |FROM est""".stripMargin
+
+  private val q240Sql: String =
+    kmvStSql +
+      s""", sk AS MATERIALIZED (
+         |  SELECT src, h FROM (
+         |    SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY h ASC) AS rn FROM st)
+         |  WHERE rn <= $KmvK
+         |), pp AS (
+         |  SELECT a.src AS sa, b.src AS sb
+         |  FROM (SELECT DISTINCT src FROM sk) a,
+         |       (SELECT DISTINCT src FROM sk) b
+         |  WHERE a.src < b.src
+         |), uh AS (
+         |  SELECT DISTINCT sa, sb, h FROM (
+         |    SELECT pp.sa, pp.sb, s.h FROM pp JOIN sk s ON s.src = pp.sa
+         |    UNION ALL
+         |    SELECT pp.sa, pp.sb, s.h FROM pp JOIN sk s ON s.src = pp.sb)
+         |), bk AS (
+         |  SELECT sa, sb, h FROM (
+         |    SELECT sa, sb, h, ROW_NUMBER() OVER (PARTITION BY sa, sb
+         |      ORDER BY h ASC) AS rn FROM uh)
+         |  WHERE rn <= $KmvK
+         |), mm AS (
+         |  SELECT bk.sa, bk.sb, CAST(COUNT(*) AS BIGINT) AS n_union_k,
+         |    CAST(SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM bk
+         |  LEFT JOIN sk ia ON ia.src = bk.sa AND ia.h = bk.h
+         |  LEFT JOIN sk ib ON ib.src = bk.sb AND ib.h = bk.h
+         |  GROUP BY bk.sa, bk.sb
+         |), iz AS (
+         |  SELECT a.src AS sa, b.src AS sb,
+         |    CAST(COUNT(*) AS BIGINT) AS ninter
+         |  FROM vt a JOIN vt b ON a.t = b.t AND a.src < b.src
+         |  GROUP BY a.src, b.src
+         |), sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS nv
+         |          FROM vt GROUP BY src)
+         |SELECT mm.sa AS src_a, mm.sb AS src_b, mm.n_union_k,
+         |  mm.n_match,
+         |  (1000 * mm.n_match) // mm.n_union_k AS jac_est_milli,
+         |  (1000 * COALESCE(iz.ninter, 0))
+         |    // (za.nv + zb.nv - COALESCE(iz.ninter, 0))
+         |    AS jac_exact_milli
+         |FROM mm
+         |LEFT JOIN iz ON iz.sa = mm.sa AND iz.sb = mm.sb
+         |JOIN sz za ON za.src = mm.sa
+         |JOIN sz zb ON zb.src = mm.sb""".stripMargin
+
   // --- q161: Welch two-sample t-test (A/B experiment readout) --------------
   // Per event_type: users split A/B by parity, the experiment's decision
   // row — per-arm counts/means, the Welch t statistic (unequal variances,
@@ -1639,6 +1860,8 @@ object Stats extends QueryModule {
     "q161_ab_welch" -> q161 _,
     "q151_cms_prefilter" -> q151 _,
     "q228_heavy_hitters" -> q228 _,
+    "q239_kmv_distinct" -> q239 _,
+    "q240_kmv_jaccard" -> q240 _,
     "q130_table_profile" -> q130 _,
     "q131_groupwise_ols" -> q131 _,
     "q140_chi2_independence" -> q140 _,
@@ -1666,6 +1889,8 @@ object Stats extends QueryModule {
     "q161_ab_welch" -> q161Sql,
     "q151_cms_prefilter" -> q151Sql,
     "q228_heavy_hitters" -> q228Sql,
+    "q239_kmv_distinct" -> q239Sql,
+    "q240_kmv_jaccard" -> q240Sql,
     "q130_table_profile" -> q130Sql,
     "q131_groupwise_ols" -> q131Sql,
     "q140_chi2_independence" -> q140Sql,
