@@ -98,6 +98,7 @@ object DevScaleSweep {
       "q238_textrank" -> "documents",
       "q239_kmv_distinct" -> "documents",
       "q240_kmv_jaccard" -> "documents",
+      "q241_stream_kmv_merge" -> "documents",
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

@@ -1165,6 +1165,110 @@ object Stats extends QueryModule {
          |JOIN sz za ON za.src = mm.sa
          |JOIN sz zb ON zb.src = mm.sb""".stripMargin
 
+  // --- q241: STREAMING KMV merge (mergeability as the serving shape) -------
+  // The property q239's scaladoc claims — "mergeable under any tree"
+  // (bottom-k is a lattice: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+  // bottom-k(B)), so incremental merging loses nothing) — proven the
+  // way the repo proves every streaming conversion (q122/q195/q198/
+  // q230): documents arrive as a 4-file stream (maxFilesPerTrigger=1),
+  // each micro-batch folds its own (group, hash)-distinct rows into
+  // the PERSISTED k-row-per-group synopsis (read state → union →
+  // re-take bottom-k → overwrite; the state parquet IS the sketch —
+  // no state store, exactly the q230 argument), and the drained
+  // synopsis is parity-gated against the one-shot batch sketch: zero
+  // symmetric difference on the raw (group, hash) rows. The hash match
+  // then pins the whole merge tree, not just the summary numbers.
+  //
+  // The per-group summary re-derives the estimate FROM THE SYNOPSIS
+  // ALONE (n_in < k → the sketch is the complete hash set, exact;
+  // n_in = k → the closed form) — the pure-sketch contract a serving
+  // layer actually has, where the exact distinct count (q239's in-row
+  // audit) is no longer available. At n_h = k exactly the two
+  // contracts differ by design (q239 reports the exact count; the
+  // synopsis alone cannot distinguish k from truncation).
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "source", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q241").toString
+    docs.repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val state = s"$tmp/sketch"
+    val log = s"$tmp/log"
+    def toTokens(df: DataFrame): DataFrame =
+      df.select(col("source"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("t"))
+    val w = Window.partitionBy("src").orderBy(col("h").asc)
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .writeStream.outputMode("append")
+      .foreachBatch { (mb: DataFrame, id: Long) =>
+        val bh = kmvHashes(toTokens(mb), "source", "t")
+        val merged = (if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(state)))
+          s.read.parquet(state).unionByName(bh) else bh)
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= KmvK).select("src", "h")
+          // materialize BEFORE the overwrite clobbers the state this
+          // plan reads (the read-modify-write hazard)
+          .localCheckpoint(eager = true)
+        merged.write.mode("overwrite").parquet(state)
+        mb.sparkSession.range(1).select(lit(id).as("batch_id"))
+          .write.mode("append").parquet(log)
+      }
+      .start()
+    val (streamedSk, nBatches) = try {
+      q.processAllAvailable()
+      (s.read.parquet(state).localCheckpoint(eager = false),
+        s.read.parquet(log).select("batch_id").distinct().count())
+    } finally q.stop()
+    val batchSk = kmvHashes(toTokens(docs), "source", "t")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= KmvK).select("src", "h")
+    val nDiff = streamedSk.withColumn("side", lit(1))
+      .unionByName(batchSk.withColumn("side", lit(2)))
+      .groupBy("src", "h")
+      .agg(count_distinct(col("side")).as("ns"))
+      .filter(col("ns") =!= 2)
+      .count()
+    graft.ParityGate(
+      streamedSk.groupBy("src")
+        .agg(count(lit(1)).as("n_in"), max("h").as("h_k"))
+        .select(col("src").as("source"), col("n_in"), col("h_k"),
+          when(col("n_in") < KmvK, col("n_in")).otherwise(expr(
+            s"CAST(floor(${KmvK - 1} * " +
+              "(CAST(1152921504606846976 AS DOUBLE)" +
+              " / CAST(h_k AS DOUBLE))) AS BIGINT)")).as("est"),
+          when(col("n_in") < KmvK, lit("exact")).otherwise(lit("kmv"))
+            .as("mode"))
+        .withColumn("matches_batch", lit(nDiff == 0L))
+        .withColumn("multi_batch", lit(nBatches >= 2L)),
+      "q241_stream_kmv_merge", "matches_batch", "multi_batch")
+  }
+
+  private val q241Sql: String =
+    kmvStSql +
+      s""", sk AS (
+         |  SELECT src, h FROM (
+         |    SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY h ASC) AS rn FROM st)
+         |  WHERE rn <= $KmvK
+         |), gg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_in,
+         |    CAST(MAX(h) AS BIGINT) AS h_k
+         |  FROM sk GROUP BY src
+         |)
+         |SELECT src AS source, n_in, h_k,
+         |  CASE WHEN n_in < $KmvK THEN n_in
+         |    ELSE CAST(FLOOR(${KmvK - 1} *
+         |      (CAST(1152921504606846976 AS DOUBLE)
+         |       / CAST(h_k AS DOUBLE))) AS BIGINT) END AS est,
+         |  CASE WHEN n_in < $KmvK THEN 'exact' ELSE 'kmv' END AS mode,
+         |  TRUE AS matches_batch, TRUE AS multi_batch
+         |FROM gg""".stripMargin
+
   // --- q161: Welch two-sample t-test (A/B experiment readout) --------------
   // Per event_type: users split A/B by parity, the experiment's decision
   // row — per-arm counts/means, the Welch t statistic (unequal variances,
@@ -1862,6 +1966,7 @@ object Stats extends QueryModule {
     "q228_heavy_hitters" -> q228 _,
     "q239_kmv_distinct" -> q239 _,
     "q240_kmv_jaccard" -> q240 _,
+    "q241_stream_kmv_merge" -> q241 _,
     "q130_table_profile" -> q130 _,
     "q131_groupwise_ols" -> q131 _,
     "q140_chi2_independence" -> q140 _,
@@ -1891,6 +1996,7 @@ object Stats extends QueryModule {
     "q228_heavy_hitters" -> q228Sql,
     "q239_kmv_distinct" -> q239Sql,
     "q240_kmv_jaccard" -> q240Sql,
+    "q241_stream_kmv_merge" -> q241Sql,
     "q130_table_profile" -> q130Sql,
     "q131_groupwise_ols" -> q131Sql,
     "q140_chi2_independence" -> q140Sql,

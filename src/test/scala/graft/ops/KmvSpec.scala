@@ -80,4 +80,28 @@ class KmvSpec extends SparkTestBase {
       .collect()
     assert(j1.map(_.toSeq).toSet === j2.map(_.toSeq).toSet)
   }
+
+  test("streaming merge: gate bits true, estimate re-derives from " +
+      "the synopsis alone") {
+    val dir = "/root/testdata/sf0.001"
+    // ParityGate throws if the drained synopsis differs from the batch
+    // sketch or fewer than 2 micro-batches ran — reaching collect()
+    // with true bits IS the parity assertion
+    val rows = graft.SparkEntry.queries("q241_stream_kmv_merge")(
+      spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getBoolean(5) && r.getBoolean(6))
+      val (nIn, hK, est, mode) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nIn >= 1L && nIn <= 64L)
+      if (nIn < 64L) {
+        assert(mode === "exact" && est === nIn)
+      } else {
+        assert(mode === "kmv")
+        assert(est === math.floor(
+          63.0 * (1.152921504606846976e18 / hK.toDouble)).toLong)
+      }
+    }
+  }
 }
