@@ -310,7 +310,98 @@ object Formats extends QueryModule {
       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY 1""".stripMargin
 
+  // --- q243: zone-map manifest + pruned scan (data skipping) ---------------
+  // The storage-layer half of predicate pushdown: lineitem lands in
+  // time-windowed ingestion files (zfile = 90-day windows of
+  // l_shipdate — the layout a daily loader produces), a MANIFEST of
+  // per-file zone maps (min/max shipdate + row count) is derived, and a
+  // range query [d1, d2] consults the manifest FIRST, reading back only
+  // the overlapping files via a partition-pruned scan (Spark prunes the
+  // non-surviving directories at planning time — real file skipping,
+  // not a post-read filter). The audit row carries both sides of the
+  // bargain: files total vs scanned + rows scanned (the I/O saved) AND
+  // the exact match count/cents sum from the pruned read (nothing
+  // lost). The oracle replays the window arithmetic, manifest, and
+  // filter straight from the base table, so the hash-match proves the
+  // partitioned write preserved every row, the manifest agrees with the
+  // data, and pruning dropped no matching file.
+  //
+  // Scale shape (100 TB): the manifest is one row per FILE (metadata
+  // grain, same as parquet footers / an Iceberg manifest); the pruned
+  // read lists only survivor directories; the residual filter+agg runs
+  // on survivor rows only. The only driver-side values are the manifest
+  // itself (bounded by file count) — the q228 bounded-scalar pattern.
+  private val ZWindowDays = 90
+
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("sd", expr("CAST(l_shipdate AS DATE)"))
+    val gmin = li.agg(min(col("sd"))).head().getDate(0).toLocalDate
+    val d1 = gmin.plusDays(400).toString
+    val d2 = gmin.plusDays(800).toString
+    val rows = li.select(col("sd"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      expr(s"datediff(sd, DATE'$gmin') DIV $ZWindowDays").as("zfile"))
+    withScratch(s, "q243") { path =>
+      rows.write.mode("overwrite").partitionBy("zfile").parquet(path)
+      val manifest = s.read.parquet(path).groupBy("zfile")
+        .agg(min(col("sd")).as("sd_min"), max(col("sd")).as("sd_max"),
+          count(lit(1)).as("n_rows"))
+        .localCheckpoint() // file-count-bounded; read twice below
+      val nFiles = manifest.count()
+      val surv = manifest
+        .filter(col("sd_max") >= lit(d1).cast("date") &&
+          col("sd_min") <= lit(d2).cast("date"))
+        .select(col("zfile").cast("long")).collect().map(_.getLong(0))
+      // partition-pruned read: only survivor directories are scanned
+      val scanned = s.read.parquet(path)
+        .filter(col("zfile").cast("long").isin(surv.toIndexedSeq: _*))
+      scanned.agg(
+          count(lit(1)).as("rows_scanned"),
+          sum(when(col("sd").between(lit(d1).cast("date"),
+            lit(d2).cast("date")), 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("sd").between(lit(d1).cast("date"),
+            lit(d2).cast("date")), col("cents")).otherwise(0L))
+            .as("sum_cents"))
+        .select(lit(nFiles).as("n_files"),
+          lit(surv.length.toLong).as("n_files_scanned"),
+          col("rows_scanned"), col("n_match"), col("sum_cents"))
+        .localCheckpoint() // pin before the scratch files are deleted
+    }
+  }
+
+  private val q243Sql =
+    s"""WITH src AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS sd,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM lineitem
+       |), g AS (
+       |  SELECT MIN(sd) AS gmin, MIN(sd) + 400 AS d1, MIN(sd) + 800 AS d2
+       |  FROM src
+       |), f AS (
+       |  SELECT date_diff('day', gmin, sd) // $ZWindowDays AS zfile,
+       |    sd, cents, d1, d2
+       |  FROM src CROSS JOIN g
+       |), man AS (
+       |  SELECT zfile, MIN(sd) AS sd_min, MAX(sd) AS sd_max,
+       |    COUNT(*) AS n_rows, ANY_VALUE(d1) AS d1, ANY_VALUE(d2) AS d2
+       |  FROM f GROUP BY 1
+       |), surv AS (
+       |  SELECT zfile, n_rows FROM man WHERE sd_max >= d1 AND sd_min <= d2
+       |)
+       |SELECT (SELECT COUNT(*) FROM man) AS n_files,
+       |  (SELECT COUNT(*) FROM surv) AS n_files_scanned,
+       |  CAST((SELECT COALESCE(SUM(n_rows), 0) FROM surv) AS BIGINT)
+       |    AS rows_scanned,
+       |  CAST((SELECT COUNT(*) FROM f WHERE sd BETWEEN d1 AND d2)
+       |    AS BIGINT) AS n_match,
+       |  CAST((SELECT COALESCE(SUM(cents), 0) FROM f
+       |    WHERE sd BETWEEN d1 AND d2) AS BIGINT) AS sum_cents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_zonemap_prune" -> q243 _,
     "q159_partition_overwrite" -> q159 _,
     "q154_schema_evolution" -> q154 _,
     "q136_zorder_layout" -> q136 _,
@@ -319,6 +410,7 @@ object Formats extends QueryModule {
     "q124_orc_roundtrip" -> q124 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q243_zonemap_prune" -> q243Sql,
     "q159_partition_overwrite" -> q159Sql,
     "q154_schema_evolution" -> q154Sql,
     "q136_zorder_layout" -> q136Sql,

@@ -2141,7 +2141,137 @@ object Relational extends graft.QueryModule {
       |  TRUE AS matches_batch
       |FROM d GROUP BY 1""".stripMargin
 
+  // --- q242: equi-depth histogram + selectivity-estimate audit -------------
+  // The ANALYZE-statistics side of a query optimizer (equi-depth
+  // histograms per Piatetsky-Shapiro & Connell, SIGMOD 1984): build a
+  // K-bucket equi-depth histogram over l_extendedprice (cents-exact),
+  // then audit the estimator it induces — for a grid of range predicates
+  // `cents <= c_j`, the histogram's interpolated cardinality estimate
+  // vs the true count, side by side. This is the loop a cost-based
+  // optimizer lives on; the entry makes both the construction AND the
+  // estimator's error surface oracle-checkable.
+  //
+  // Scale shape (100 TB): one value-grain aggregation (|distinct cents|
+  // rows), one distributed PrefixSum scan over the value grain, then a
+  // CLOSED-FORM boundary extraction — each value row knows from
+  // (cum−cnt, cum] alone exactly which of the K depth targets
+  // r_i = ⌊i·n/K⌋ it crosses (r_i ∈ (cum−cnt, cum] ⇔
+  // i ∈ [⌈K(cum−cnt+1)/n⌉, ⌊(K(cum+1)−1)/n⌋]), so the K boundary rows
+  // fall out of one explode with NO top-k, NO global sort, NO second
+  // pass. Everything downstream (bucket frame, cut grid, estimates)
+  // runs on ≤ K-row frames; the true counts come from a per-row
+  // closed-form `jmin` (smallest cut index covering the row) folded to
+  // a ≤ CutGrid-row histogram — one more scan, no join amplification.
+  // The interpolation avoids the (c−lo+1)·rows_b product overflowing
+  // BIGINT at 10^12-row scale by splitting rows_b = q·w + r first
+  // (q·(c−lo+1) ≤ rows_b and r·(c−lo+1) < w² — both safe).
+  private val HistK = 32
+  private val CutGrid = 16
+
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    // three bounded driver scalars (one 1-row aggregate, q228 pattern)
+    val g = li.agg(count(lit(1)), min(col("cents")), max(col("cents")))
+      .head()
+    val n = g.getLong(0)
+    require(n >= HistK, s"q242: need at least $HistK rows, got $n")
+    val gmin = g.getLong(1)
+    val span = g.getLong(2) - gmin
+    require(span >= CutGrid,
+      s"q242: value span $span too narrow for a $CutGrid-point cut grid")
+    val vals = li.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val cum = graft.plans.PrefixSum.scan(vals, "cents", Seq(col("cents")),
+      Seq(("cnt", "cum")))
+    val bnd = cum
+      .withColumn("ilo",
+        expr(s"($HistK * (cum - cnt + 1) + $n - 1) DIV $n"))
+      .withColumn("ihi", expr(s"($HistK * (cum + 1) - 1) DIV $n"))
+      .filter(col("ihi") >= col("ilo"))
+      .select(explode(expr("sequence(ilo, ihi)")).as("i"),
+        col("cents").as("hi"), col("cum"))
+    // K-row frame: the single-partition window is over 32 rows at ANY
+    // data scale (K is a constant, not data-dependent)
+    val w = Window.orderBy("i")
+    val bkt = bnd
+      .withColumn("lo", coalesce(lag(col("hi"), 1).over(w) + 1, lit(gmin)))
+      .withColumn("below", coalesce(lag(col("cum"), 1).over(w), lit(0L)))
+      .withColumn("rows_b", col("cum") - col("below"))
+    val cuts = s.range(1, CutGrid.toLong)
+      .select(col("id").as("j"),
+        expr(s"$gmin + (id * $span) DIV $CutGrid").as("cut"))
+    val est = cuts
+      .join(bkt, col("cut").between(col("lo"), col("hi")))
+      .select(col("j"), col("cut"),
+        expr("""below + (rows_b DIV (hi - lo + 1)) * (cut - lo + 1)
+               |  + ((rows_b % (hi - lo + 1)) * (cut - lo + 1))
+               |    DIV (hi - lo + 1)""".stripMargin).as("est_rows"))
+    val jm = li
+      .select(expr(
+        s"greatest(1L, (${CutGrid}L * (cents - $gmin) + $span - 1) " +
+          s"DIV $span)").as("jmin"))
+      .groupBy("jmin").agg(count(lit(1)).as("c"))
+    val tru = cuts.join(jm, col("jmin") <= col("j"))
+      .groupBy("j").agg(sum(col("c")).as("true_rows"))
+    est.join(tru, Seq("j"), "left")
+      .select(col("j").as("cut_id"), col("cut").as("cut_cents"),
+        col("est_rows"),
+        coalesce(col("true_rows"), lit(0L)).as("true_rows"),
+        abs(col("est_rows") - coalesce(col("true_rows"), lit(0L)))
+          .as("abs_err"))
+  }
+
+  private val q242Sql =
+    s"""WITH src AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+       |    AS BIGINT) AS cents FROM lineitem
+       |), g AS (
+       |  SELECT COUNT(*) AS n, MIN(cents) AS gmin,
+       |    MAX(cents) - MIN(cents) AS span FROM src
+       |), cum AS (
+       |  SELECT cents, cnt, SUM(cnt) OVER (ORDER BY cents) AS cum
+       |  FROM (SELECT cents, COUNT(*) AS cnt FROM src GROUP BY cents)
+       |), bnd AS (
+       |  SELECT unnest(generate_series(
+       |      CAST(($HistK * (cum - cnt + 1) + n - 1) // n AS BIGINT),
+       |      CAST(($HistK * (cum + 1) - 1) // n AS BIGINT))) AS i,
+       |    cents AS hi, CAST(cum AS BIGINT) AS cum
+       |  FROM cum CROSS JOIN g
+       |), bkt AS (
+       |  SELECT i, hi, cum,
+       |    COALESCE(LAG(hi) OVER (ORDER BY i) + 1,
+       |      (SELECT gmin FROM g)) AS lo,
+       |    COALESCE(LAG(cum) OVER (ORDER BY i), 0) AS below
+       |  FROM bnd
+       |), cuts AS (
+       |  SELECT j, gmin + (j * span) // $CutGrid AS cut
+       |  FROM g CROSS JOIN
+       |    (SELECT unnest(generate_series(1, ${CutGrid - 1})) AS j)
+       |), est AS (
+       |  SELECT j, cut,
+       |    below + ((cum - below) // (hi - lo + 1)) * (cut - lo + 1)
+       |      + (((cum - below) % (hi - lo + 1)) * (cut - lo + 1))
+       |        // (hi - lo + 1) AS est_rows
+       |  FROM cuts JOIN bkt ON cut BETWEEN lo AND hi
+       |), jm AS (
+       |  SELECT GREATEST(1, ($CutGrid * (cents - gmin) + span - 1)
+       |      // span) AS jmin,
+       |    COUNT(*) AS c
+       |  FROM src CROSS JOIN g GROUP BY 1
+       |), tru AS (
+       |  SELECT j, SUM(c) AS true_rows
+       |  FROM cuts JOIN jm ON jmin <= j GROUP BY j
+       |)
+       |SELECT est.j AS cut_id, est.cut AS cut_cents,
+       |  CAST(est_rows AS BIGINT) AS est_rows,
+       |  CAST(COALESCE(true_rows, 0) AS BIGINT) AS true_rows,
+       |  CAST(abs(est_rows - COALESCE(true_rows, 0)) AS BIGINT)
+       |    AS abs_err
+       |FROM est LEFT JOIN tru ON est.j = tru.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_equidepth_selectivity" -> q242 _,
     "q198_stream_upsert" -> q198 _,
     "q196_snapshot_diff" -> q196 _,
     "q188_ops_capstone" -> q188 _,
@@ -2201,6 +2331,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q242_equidepth_selectivity" -> q242Sql,
     "q38_approx_distinct" -> q38Sql,
     "q196_snapshot_diff" -> q196Sql,
     "q198_stream_upsert" -> q198Sql,

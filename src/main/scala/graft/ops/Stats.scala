@@ -1951,7 +1951,140 @@ object Stats extends QueryModule {
       |    AS BIGINT) AS chi2_micro
       |FROM j GROUP BY 1""".stripMargin
 
+  // --- q244: block-sampling design-effect audit (cluster sampling) --------
+  // What TABLESAMPLE actually does at 100 TB: engines sample whole
+  // FILES/blocks, not rows — cheap (no full scan) but statistically
+  // worse when values cluster within blocks. This entry measures that
+  // trade exactly, on the classic survey-sampling decomposition
+  // (Kish 1965, "design effect"): lineitem is cut into equal 128-row
+  // blocks in insertion order (PrefixSum global rank — the distributed
+  // substitute for a single-partition ROW_NUMBER), a 10% BLOCK sample
+  // and a 10% ROW sample are drawn by the shared replayable 60-bit
+  // hash, and the audit row carries both Horvitz-Thompson totals with
+  // their realized errors PLUS the exact ANOVA decomposition behind
+  // them: intraclass correlation ρ̂ = (MSB−MSW)/(MSB+(m−1)·MSW) and
+  // deff = 1+(m−1)·ρ̂ — the factor by which block sampling inflates
+  // variance over row sampling for this table layout.
+  //
+  // Exactness contract: every aggregate is an exact BIGINT sum (T=Σq,
+  // Q=Σq², S2=Σ s_b² — s_b ≤ 128·50 keeps s_b² ≤ 4.1e7, so S2 stays
+  // within BIGINT to ~10¹¹ blocks); the final ratios are ONE double
+  // expression over those exact sums, written with identical shape in
+  // the oracle (IEEE ops are deterministic; only SUM order isn't, and
+  // no double is ever summed). Ragged tail rows beyond the last full
+  // block are excluded deterministically on both sides.
+  private val BlkM = 128
+
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+    val ranked = graft.plans.PrefixSum.rowNumber(li, "l_orderkey",
+      Seq(col("l_orderkey"), col("l_linenumber")), "rn")
+    val n = li.count() // bounded driver scalar (q228 pattern)
+    val nBlocks = n / BlkM
+    require(nBlocks >= 2, s"q244: need >= 2 full $BlkM-row blocks, n=$n")
+    val nUsed = nBlocks * BlkM
+    val used = ranked.filter(col("rn") <= nUsed)
+      .withColumn("bk", expr(s"(rn - 1) DIV $BlkM"))
+      .withColumn("rsel",
+        expr(Dialect.sparkHash60(
+          "concat(CAST(l_orderkey AS STRING), '|', " +
+            "CAST(l_linenumber AS STRING))") + " % 10 = 0"))
+    val blocks = used.groupBy("bk")
+      .agg(sum(col("q")).as("s_b"),
+        sum(when(col("rsel"), col("q")).otherwise(0L)).as("s_row"))
+      .withColumn("bsel",
+        expr(Dialect.sparkHash60("CAST(bk AS STRING)") + " % 10 = 0"))
+    val a = blocks.agg(
+      sum(col("s_b")).as("t_true"),
+      sum(expr("s_b * s_b")).as("s2"),
+      sum(when(col("bsel"), col("s_b")).otherwise(0L)).as("t_bsel"),
+      sum(col("s_row")).as("t_rsel"))
+    val qq = used.agg(sum(expr("q * q")).as("qsq"))
+    a.crossJoin(qq)
+      .select(lit(nUsed).as("n_used"), lit(nBlocks).as("n_blocks"),
+        lit(BlkM.toLong).as("block_m"), col("t_true"),
+        expr("10 * t_bsel").as("est_block"),
+        expr("10 * t_rsel").as("est_row"),
+        expr("abs(10 * t_bsel - t_true)").as("err_block"),
+        expr("abs(10 * t_rsel - t_true)").as("err_row"),
+        expr(deffExpr(s"CAST($nUsed AS DOUBLE)",
+          s"CAST($nBlocks AS DOUBLE)", "icc")).as("icc"),
+        expr(deffExpr(s"CAST($nUsed AS DOUBLE)",
+          s"CAST($nBlocks AS DOUBLE)", "deff")).as("deff"))
+  }
+
+  /** The shared double-expression tail of q244: identical text feeds
+    * Spark and (with n/M spelled as SQL subexpressions) DuckDB, so the
+    * IEEE evaluation shape is pinned once. `which` ∈ {icc, deff}.
+    */
+  private def deffExpr(nud: String, md: String, which: String): String = {
+    val m = s"CAST($BlkM AS DOUBLE)"
+    val ssb = s"(CAST(s2 AS DOUBLE) / $m - CAST(t_true AS DOUBLE) * " +
+      s"CAST(t_true AS DOUBLE) / $nud)"
+    val msb = s"($ssb / ($md - 1.0))"
+    val msw = s"((CAST(qsq AS DOUBLE) - CAST(s2 AS DOUBLE) / $m) / " +
+      s"($nud - $md))"
+    val icc = s"(($msb - $msw) / ($msb + ($m - 1.0) * $msw))"
+    which match {
+      case "icc"  => s"round($icc, 6)"
+      case "deff" => s"round(1.0 + ($m - 1.0) * $icc, 6)"
+    }
+  }
+
+  private val q244Sql = {
+    val rh = Dialect.duckHash60(
+      "concat(CAST(l_orderkey AS VARCHAR), '|', " +
+        "CAST(l_linenumber AS VARCHAR))")
+    val bh = Dialect.duckHash60("CAST(bk AS VARCHAR)")
+    val nud = "CAST(n_used AS DOUBLE)"
+    val md = "CAST(n_blocks AS DOUBLE)"
+    val m = s"CAST($BlkM AS DOUBLE)"
+    val ssb = s"(CAST(s2 AS DOUBLE) / $m - CAST(t_true AS DOUBLE) * " +
+      s"CAST(t_true AS DOUBLE) / $nud)"
+    val msb = s"($ssb / ($md - 1.0))"
+    val msw = s"((CAST(qsq AS DOUBLE) - CAST(s2 AS DOUBLE) / $m) / " +
+      s"($nud - $md))"
+    val icc = s"(($msb - $msw) / ($msb + ($m - 1.0) * $msw))"
+    s"""WITH ranked AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    ($rh % 10 = 0) AS rsel,
+       |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem
+       |), lim AS (
+       |  SELECT (COUNT(*) // $BlkM) * $BlkM AS n_used,
+       |    COUNT(*) // $BlkM AS n_blocks
+       |  FROM lineitem
+       |), used AS (
+       |  SELECT q, rsel, (rn - 1) // $BlkM AS bk
+       |  FROM ranked CROSS JOIN lim WHERE rn <= n_used
+       |), blocks AS (
+       |  SELECT bk, SUM(q) AS s_b,
+       |    SUM(CASE WHEN rsel THEN q ELSE 0 END) AS s_row
+       |  FROM used GROUP BY bk
+       |), a AS (
+       |  SELECT CAST(SUM(s_b) AS BIGINT) AS t_true,
+       |    CAST(SUM(s_b * s_b) AS BIGINT) AS s2,
+       |    CAST(SUM(CASE WHEN $bh % 10 = 0 THEN s_b ELSE 0 END)
+       |      AS BIGINT) AS t_bsel,
+       |    CAST(SUM(s_row) AS BIGINT) AS t_rsel
+       |  FROM blocks
+       |), qq AS (
+       |  SELECT CAST(SUM(q * q) AS BIGINT) AS qsq FROM used
+       |)
+       |SELECT n_used, n_blocks, CAST($BlkM AS BIGINT) AS block_m,
+       |  t_true,
+       |  10 * t_bsel AS est_block, 10 * t_rsel AS est_row,
+       |  abs(10 * t_bsel - t_true) AS err_block,
+       |  abs(10 * t_rsel - t_true) AS err_row,
+       |  round($icc, 6) AS icc,
+       |  round(1.0 + ($m - 1.0) * $icc, 6) AS deff
+       |FROM a CROSS JOIN qq CROSS JOIN lim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_block_sample_deff" -> q244 _,
     "q189_rolling_corr" -> q189 _,
     "q190_dist_drift" -> q190 _,
     "q185_mann_whitney" -> q185 _,
@@ -1981,6 +2114,7 @@ object Stats extends QueryModule {
   // q76 has no oracle by design: the quantile sketch is engine-specific;
   // its within_1pct bits assert accuracy against the exact percentiles.
   val oracleSql: Map[String, String] = Map(
+    "q244_block_sample_deff" -> q244Sql,
     "q76_approx_percentile" -> q76Sql,
     "q189_rolling_corr" -> q189Sql,
     "q190_dist_drift" -> q190Sql,
