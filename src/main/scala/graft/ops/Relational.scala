@@ -2270,7 +2270,177 @@ object Relational extends graft.QueryModule {
        |    AS abs_err
        |FROM est LEFT JOIN tru ON est.j = tru.j""".stripMargin
 
+  // --- q245: column profiler (ANALYZE-table statistics) --------------------
+  // The other half of q242's optimizer-statistics story: the per-column
+  // profile an ANALYZE pass materializes — row/null counts, exact NDV,
+  // lexicographic min/max, and the most-frequent value with its count
+  // (ties broken to the smallest value, so the profile is a pure
+  // function of the data). Every column is profiled through a
+  // DETERMINISTIC string image (prices as exact cents, dates as ISO
+  // days) so the profile — and its oracle — never touches engine float
+  // formatting.
+  //
+  // Scale shape (100 TB): one unpivot scan (×|cols| row multiplier, the
+  // price any profiler pays) into a (col, value)-grain aggregate; all
+  // per-column statistics fold from that grain as grouped aggregates.
+  // The top value deliberately AVOIDS a rank-window partitioned by
+  // column (|cols| partitions → one reducer per column would hold a
+  // billion-value partition): it's a grouped max(count) + an equi-join
+  // back + a grouped min(value) — three shuffles on value-grain rows,
+  // no single-reducer stage anywhere.
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val vg = o.select(expr(
+      """stack(6,
+        |  'o_orderkey', CAST(o_orderkey AS STRING),
+        |  'o_custkey', CAST(o_custkey AS STRING),
+        |  'o_orderstatus', o_orderstatus,
+        |  'o_totalprice', CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    * 100 AS BIGINT) AS STRING),
+        |  'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING),
+        |  'o_orderpriority', o_orderpriority) AS (col_name, val)"""
+        .stripMargin))
+      .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+    val prof = vg.groupBy("col_name").agg(
+      sum(col("cnt")).as("n_rows"),
+      sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+      count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+      min(col("val")).as("min_val"), max(col("val")).as("max_val"),
+      max(when(col("val").isNotNull, col("cnt"))).as("top_n"))
+    val top = vg.join(
+        prof.select(col("col_name"), col("top_n").as("mx")),
+        Seq("col_name"))
+      .filter(col("cnt") === col("mx") && col("val").isNotNull)
+      .groupBy("col_name").agg(min(col("val")).as("top_val"))
+    prof.join(top, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"),
+        col("top_val"), col("top_n"))
+  }
+
+  private val q245Sql =
+    """WITH u AS (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    CAST(o_orderkey AS VARCHAR) AS val FROM orders
+      |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+      |    FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |  UNION ALL SELECT 'o_totalprice',
+      |    CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderdate',
+      |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |), vg AS (
+      |  SELECT col_name, val, COUNT(*) AS cnt FROM u GROUP BY 1, 2
+      |), prof AS (
+      |  SELECT col_name,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_null,
+      |    CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+      |      AS n_distinct,
+      |    MIN(val) AS min_val, MAX(val) AS max_val,
+      |    CAST(MAX(CASE WHEN val IS NOT NULL THEN cnt END) AS BIGINT)
+      |      AS top_n
+      |  FROM vg GROUP BY 1
+      |), top AS (
+      |  SELECT vg.col_name, MIN(vg.val) AS top_val
+      |  FROM vg JOIN prof ON vg.col_name = prof.col_name
+      |    AND vg.cnt = prof.top_n
+      |  WHERE vg.val IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT prof.col_name, n_rows, n_null, n_distinct, min_val,
+      |  max_val, top_val, top_n
+      |FROM prof JOIN top ON prof.col_name = top.col_name""".stripMargin
+
+  // --- q246: approximate functional-dependency profile ---------------------
+  // Data-profiling's dependency half (the TANE family — Huhtala et al.,
+  // The Computer Journal 42(2), 1999): for a fixed candidate list of
+  // X → Y dependencies over lineitem, the exact violation count
+  // (g₃-style error: rows that must be removed for the FD to hold =
+  // Σ_X (group size − plurality Y count)) and the induced strength.
+  // The candidates span the spectrum on this data — the derived-column
+  // dependency (ship date → ship year) holds by construction,
+  // low-cardinality pairs are weak — so the profile, not a boolean, is
+  // the output. (The obvious key candidate, (orderkey, linenumber), is
+  // deliberately ALSO profiled: the synthetic generator repeats line
+  // numbers within an order, and a profiler's job is to report that,
+  // not assume it away.)
+  //
+  // Scale shape: each candidate is two grouped aggregates — (X, Y)
+  // grain, then X grain with max(count) — and a scalar fold; nothing
+  // wider than the value grain ever shuffles. Candidates run as
+  // independent unioned branches of one plan.
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    def fd(name: String, x: String, y: String): DataFrame =
+      li.select(expr(x).as("x"), expr(y).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c"))
+        .groupBy("x").agg(sum(col("c")).as("tot"), max(col("c")).as("mx"))
+        .agg(sum(col("tot")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(col("tot") - col("mx")).as("n_viol"))
+        .select(lit(name).as("fd"), col("n_rows"), col("n_groups"),
+          col("n_viol"), (col("n_viol") === 0L).as("holds"),
+          expr("1000 * (n_rows - n_viol) DIV n_rows")
+            .as("strength_milli"))
+    Seq(
+      fd("shipdate->shipyear",
+        "CAST(CAST(l_shipdate AS DATE) AS STRING)",
+        "CAST(year(CAST(l_shipdate AS DATE)) AS STRING)"),
+      fd("orderkey,linenumber->shipdate",
+        "concat(CAST(l_orderkey AS STRING), '|', " +
+          "CAST(l_linenumber AS STRING))",
+        "CAST(CAST(l_shipdate AS DATE) AS STRING)"),
+      fd("partkey,qty->price",
+        "concat(CAST(l_partkey AS STRING), '|', " +
+          "CAST(CAST(l_quantity AS BIGINT) AS STRING))",
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 " +
+          "AS BIGINT) AS STRING)"),
+      fd("suppkey->partkey", "CAST(l_suppkey AS STRING)",
+        "CAST(l_partkey AS STRING)"),
+      fd("returnflag->linestatus", "l_returnflag", "l_linestatus"))
+      .reduce(_ unionByName _)
+  }
+
+  private val q246Sql = {
+    def fd(name: String, x: String, y: String): String =
+      s"""SELECT '$name' AS fd,
+         |  CAST(SUM(tot) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(tot - mx) AS BIGINT) AS n_viol,
+         |  SUM(tot - mx) = 0 AS holds,
+         |  CAST(1000 * (SUM(tot) - SUM(tot - mx)) // SUM(tot) AS BIGINT)
+         |    AS strength_milli
+         |FROM (
+         |  SELECT x, SUM(c) AS tot, MAX(c) AS mx FROM (
+         |    SELECT $x AS x, $y AS y, COUNT(*) AS c
+         |    FROM lineitem GROUP BY 1, 2)
+         |  GROUP BY x)""".stripMargin
+    Seq(
+      fd("shipdate->shipyear",
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)",
+        "CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR)"),
+      fd("orderkey,linenumber->shipdate",
+        "CAST(l_orderkey AS VARCHAR) || '|' || " +
+          "CAST(l_linenumber AS VARCHAR)",
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"),
+      fd("partkey,qty->price",
+        "CAST(l_partkey AS VARCHAR) || '|' || " +
+          "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 " +
+          "AS BIGINT) AS VARCHAR)"),
+      fd("suppkey->partkey", "CAST(l_suppkey AS VARCHAR)",
+        "CAST(l_partkey AS VARCHAR)"),
+      fd("returnflag->linestatus", "l_returnflag", "l_linestatus"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_column_profile" -> q245 _,
+    "q246_fd_profile" -> q246 _,
     "q242_equidepth_selectivity" -> q242 _,
     "q198_stream_upsert" -> q198 _,
     "q196_snapshot_diff" -> q196 _,
@@ -2331,6 +2501,8 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q245_column_profile" -> q245Sql,
+    "q246_fd_profile" -> q246Sql,
     "q242_equidepth_selectivity" -> q242Sql,
     "q38_approx_distinct" -> q38Sql,
     "q196_snapshot_diff" -> q196Sql,

@@ -2854,7 +2854,76 @@ object Similarity extends QueryModule {
     (head + rounds + "\n|" + rows).stripMargin
   }
 
+  // --- q247: mutual-nearest-neighbor alignment gate ------------------------
+  // The bitext-mining/alignment filter (margin-based mining à la
+  // Artetxe & Schwenk, ACL 2019, reduced to its reciprocal core): two
+  // disjoint vector sets A and B, each point's cross-set cosine
+  // nearest neighbor, and the MUTUAL pairs — a→b kept only when b→a
+  // too. Reciprocity is the cheapest high-precision alignment gate a
+  // parallel-corpus pipeline has: one-directional NN keeps every hub
+  // match, mutual-NN drops them without any threshold to tune.
+  //
+  // Sides are deterministic id-residue slices (vec_id ≡ 0 / 1 mod 50)
+  // — a fixed FRACTION of the corpus, so the entry exercises a growing
+  // all-pairs |A|·|B| at every SF. Scale shape: this brute cross
+  // product is the correctness baseline, same contract as q29 — at
+  // 100 TB the scored-pair generator composes with any candidate
+  // source (q41's IVF cells, q30's LSH buckets) because the mutual
+  // gate only reads (src, dst, sim) pairs; rank-1 selection per side
+  // is a per-key window with ties pinned to the smaller id, float
+  // parity guaranteed by the shared pinned dot-fold shape (q29's
+  // discipline).
+  private val MnnMod = 50
+
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.filter(pmod(col("vec_id"), lit(MnnMod)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.filter(pmod(col("vec_id"), lit(MnnMod)) === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val scored = a.join(broadcast(b))
+      .withColumn("sim", expr(cosineSpark("av", "bv")))
+      .select("a_id", "b_id", "sim")
+      .localCheckpoint(eager = false) // both rank legs read it
+    val wa = Window.partitionBy("a_id")
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val wb = Window.partitionBy("b_id")
+      .orderBy(col("sim").desc, col("a_id").asc)
+    val nnA = scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1).select("a_id", "b_id", "sim")
+    val nnB = scored.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1).select(
+        col("a_id").as("ba_id"), col("b_id").as("bb_id"))
+    nnA.join(nnB,
+        col("a_id") === col("ba_id") && col("b_id") === col("bb_id"))
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  private val q247Sql =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS av
+       |           FROM embeddings WHERE vec_id % $MnnMod = 0),
+       |b AS (SELECT vec_id AS b_id, embedding AS bv
+       |      FROM embeddings WHERE vec_id % $MnnMod = 1),
+       |scored AS (
+       |  SELECT a_id, b_id, ${cosineDuck("av", "bv")} AS sim
+       |  FROM a CROSS JOIN b),
+       |nna AS (
+       |  SELECT a_id, b_id, sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+       |      ORDER BY sim DESC, b_id ASC) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |nnb AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+       |      ORDER BY sim DESC, a_id ASC) AS rn FROM scored)
+       |  WHERE rn = 1)
+       |SELECT nna.a_id, nna.b_id, round(nna.sim, 6) AS sim
+       |FROM nna JOIN nnb ON nna.a_id = nnb.a_id
+       |  AND nna.b_id = nnb.b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_mutual_nn" -> q247 _,
     "q202_ann_recall" -> q202 _,
     "q205_ann_ivfpq" -> q205 _,
     "q201_ivf_index_update" -> q201 _,
@@ -2883,6 +2952,7 @@ object Similarity extends QueryModule {
     "q236_semdedup" -> q236 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q247_mutual_nn" -> q247Sql,
     "q209_dbscan" -> q209Sql,
     "q160_maxsim" -> q160Sql,
     "q153_embed_gram" -> q153Sql,
