@@ -575,7 +575,129 @@ object Behavior extends QueryModule {
        |FROM anchors a JOIN anchors b ON a.user_id < b.user_id""".stripMargin
   }
 
+  // --- q249: multi-touch conversion attribution ----------------------------
+  // The marketing-analytics fold of the event stream: every `purchase`
+  // is a conversion; the `click`/`view`/`signup` touches since the
+  // user's PREVIOUS purchase form its path; three standard credit
+  // models (first-touch, last-touch, linear) split 1000 credit-milli
+  // per conversion across the path's channels, with touchless
+  // conversions credited to `direct`. Credit is conserved by
+  // construction — every model sums to exactly 1000 × conversions
+  // (linear's floor-div remainder goes to the first touch), which the
+  // spec pins.
+  //
+  // Scale shape: one per-user rank window + one per-user forward-frame
+  // window (each user's sequence sorts locally in its hash partition —
+  // no global sort), then all three models fold from a
+  // (user, conversion)-grain frame whose width is the channel count.
+  // Total order is pinned by (ts_us, event_id) battery-wide; the
+  // first/last selections ride min_by/arg_min on the UNIQUE per-user
+  // rank, so no float, no tie, no partition dependence anywhere.
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val seq = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("npr",
+        min(when(col("event_type") === "purchase", col("rn")))
+          .over(w.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing)))
+      .localCheckpoint(eager = false) // conversion + touch legs
+    val conv = seq.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("rn").as("npr"))
+    val touches = seq
+      .filter(col("event_type") =!= "purchase" && col("npr").isNotNull)
+    val paths = touches.groupBy("user_id", "npr").agg(
+      count(lit(1)).as("k"),
+      expr("min_by(event_type, rn)").as("first_type"),
+      expr("max_by(event_type, rn)").as("last_type"))
+    val byType = touches.groupBy("user_id", "npr", "event_type")
+      .agg(count(lit(1)).as("ct"))
+    val convPaths = conv.join(paths, Seq("user_id", "npr"), "left")
+      .localCheckpoint(eager = false) // three model legs
+    val first = convPaths.select(lit("first_touch").as("model"),
+      coalesce(col("first_type"), lit("direct")).as("channel"),
+      lit(1000L).as("credit"))
+    val last = convPaths.select(lit("last_touch").as("model"),
+      coalesce(col("last_type"), lit("direct")).as("channel"),
+      lit(1000L).as("credit"))
+    val linTouched = byType
+      .join(convPaths.filter(col("k").isNotNull),
+        Seq("user_id", "npr"))
+      .select(lit("linear").as("model"), col("event_type").as("channel"),
+        (col("ct") * expr("1000 DIV k") +
+          when(col("event_type") === col("first_type"),
+            expr("1000 % k")).otherwise(0L)).as("credit"))
+    val linDirect = convPaths.filter(col("k").isNull)
+      .select(lit("linear").as("model"), lit("direct").as("channel"),
+        lit(1000L).as("credit"))
+    Seq(first, last, linTouched, linDirect).reduce(_ unionByName _)
+      .groupBy("model", "channel")
+      .agg(count(lit(1)).as("n_rows"), sum(col("credit"))
+        .as("credit_milli"))
+  }
+
+  private val q249Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+      |  FROM events
+      |), seq0 AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS rn
+      |  FROM e
+      |), seq AS (
+      |  SELECT user_id, event_type, rn,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS npr
+      |  FROM seq0
+      |), conv AS (
+      |  SELECT user_id, rn AS npr FROM seq
+      |  WHERE event_type = 'purchase'
+      |), touches AS (
+      |  SELECT * FROM seq
+      |  WHERE event_type <> 'purchase' AND npr IS NOT NULL
+      |), paths AS (
+      |  SELECT user_id, npr, COUNT(*) AS k,
+      |    arg_min(event_type, rn) AS first_type,
+      |    arg_max(event_type, rn) AS last_type
+      |  FROM touches GROUP BY 1, 2
+      |), bytype AS (
+      |  SELECT user_id, npr, event_type, COUNT(*) AS ct
+      |  FROM touches GROUP BY 1, 2, 3
+      |), cp AS (
+      |  SELECT conv.user_id, conv.npr, k, first_type, last_type
+      |  FROM conv LEFT JOIN paths
+      |    ON conv.user_id = paths.user_id AND conv.npr = paths.npr
+      |), credits AS (
+      |  SELECT 'first_touch' AS model,
+      |    COALESCE(first_type, 'direct') AS channel,
+      |    CAST(1000 AS BIGINT) AS credit FROM cp
+      |  UNION ALL
+      |  SELECT 'last_touch', COALESCE(last_type, 'direct'),
+      |    CAST(1000 AS BIGINT) FROM cp
+      |  UNION ALL
+      |  SELECT 'linear', b.event_type,
+      |    CAST(b.ct * (1000 // c.k) + CASE WHEN b.event_type =
+      |      c.first_type THEN 1000 % c.k ELSE 0 END AS BIGINT)
+      |  FROM bytype b JOIN cp c
+      |    ON b.user_id = c.user_id AND b.npr = c.npr
+      |  WHERE c.k IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'linear', 'direct', CAST(1000 AS BIGINT)
+      |  FROM cp WHERE k IS NULL
+      |)
+      |SELECT model, channel, COUNT(*) AS n_rows,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_milli
+      |FROM credits GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_attribution" -> q249 _,
     "q191_behavior_align" -> q191 _,
     "q116_cohort_retention" -> q116 _,
     "q117_funnel" -> q117 _,
@@ -586,6 +708,7 @@ object Behavior extends QueryModule {
     "q144_sliding_distinct" -> q144 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q249_attribution" -> q249Sql,
     "q191_behavior_align" -> q191Sql,
     "q116_cohort_retention" -> q116Sql,
     "q117_funnel" -> q117Sql,

@@ -2438,7 +2438,163 @@ object Relational extends graft.QueryModule {
       .mkString("", "\nUNION ALL\n", "")
   }
 
+  // --- q248: join-cardinality estimation audit -----------------------------
+  // The third leg of the optimizer-statistics family (q242 range
+  // selectivity, q245 column profiles): |A ⋈ B| estimation. Two
+  // estimators per candidate join, audited against the exact join
+  // size: the System R uniform-NDV formula n_A·n_B / max(ndv_A, ndv_B)
+  // (Selinger et al., SIGMOD 1979) and an end-biased refinement
+  // (Ioannidis & Christodoulakis, SIGMOD 1991): the top-F fact keys
+  // carry their EXACT per-key product, the remainder falls back to the
+  // uniform formula on the residual masses/NDVs. The output is the
+  // error surface a cost model would pay on each join of the schema.
+  //
+  // Scale shape: per candidate, two value-grain aggregates (key counts
+  // per side), one equi-join of those grains for the exact size (never
+  // the row-level join itself), and a TakeOrdered top-F (distributed
+  // partial top-k, no global sort). The uniform quotients use the
+  // split-division form (q DIV + remainder) so every product stays
+  // exact in BIGINT through the audited decades; at 10^12-row scale
+  // the residual product term wants the hi/lo-limb split (documented,
+  // not needed in-battery).
+  private val JcTopF = 100
+
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val s0 = s
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val lg = left.select(col(lk).as("k")).groupBy("k")
+        .agg(count(lit(1)).as("cl"))
+      val rg = right.select(col(rk).as("k")).groupBy("k")
+        .agg(count(lit(1)).as("cr"))
+      val joined = lg.join(rg, Seq("k")) // value grain, never row grain
+        .localCheckpoint(eager = false)  // exact + top-F legs
+      val top = rg.orderBy(col("cr").desc, col("k").asc).limit(JcTopF)
+        .join(lg, Seq("k"), "left")
+        .agg(count(lit(1)).as("f"),
+          sum(coalesce(col("cl"), lit(0L)) * col("cr"))
+            .as("top_exact"),
+          sum(coalesce(col("cl"), lit(0L))).as("top_cl"),
+          sum(col("cr")).as("top_cr"),
+          count(col("cl")).as("top_matched_l"))
+      val totals = lg.agg(sum(col("cl")).as("nl"),
+          count(lit(1)).as("ndvl"))
+        .crossJoin(rg.agg(sum(col("cr")).as("nr"),
+          count(lit(1)).as("ndvr")))
+        .crossJoin(joined.agg(
+          coalesce(sum(col("cl") * col("cr")), lit(0L))
+            .as("true_rows")))
+        .crossJoin(top)
+      totals.select(lit(name).as("join_name"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("ndvl").as("ndv_left"), col("ndvr").as("ndv_right"),
+          col("true_rows"),
+          expr("""(nl DIV greatest(ndvl, ndvr)) * nr
+                 |  + ((nl % greatest(ndvl, ndvr)) * nr)
+                 |    DIV greatest(ndvl, ndvr)""".stripMargin)
+            .as("est_sysr"),
+          expr("""top_exact
+                 |  + ((nl - top_cl) DIV greatest(ndvl - top_matched_l,
+                 |      ndvr - f, 1)) * (nr - top_cr)
+                 |  + (((nl - top_cl) % greatest(ndvl - top_matched_l,
+                 |      ndvr - f, 1)) * (nr - top_cr))
+                 |    DIV greatest(ndvl - top_matched_l, ndvr - f, 1)"""
+            .stripMargin).as("est_eb"))
+        .withColumn("err_sysr", abs(col("est_sysr") - col("true_rows")))
+        .withColumn("err_eb", abs(col("est_eb") - col("true_rows")))
+    }
+    val li = Tables.load(s0, dir, "lineitem")
+    Seq(
+      audit("orders*lineitem", Tables.load(s0, dir, "orders"),
+        "o_orderkey", li, "l_orderkey"),
+      audit("customer*orders", Tables.load(s0, dir, "customer"),
+        "c_custkey", Tables.load(s0, dir, "orders"), "o_custkey"),
+      audit("part*lineitem", Tables.load(s0, dir, "part"),
+        "p_partkey", li, "l_partkey"),
+      audit("supplier*lineitem", Tables.load(s0, dir, "supplier"),
+        "s_suppkey", li, "l_suppkey"),
+      // the one non-key candidate: both sides carry non-uniform per-key
+      // counts, so System R's uniformity assumption pays a real error
+      // (Σc² > n²/ndv by Cauchy–Schwarz) and the end-biased refinement
+      // visibly closes most of it — the row that makes the audit an
+      // error SURFACE rather than a wall of zeros
+      audit("events*events", Tables.load(s0, dir, "events"), "user_id",
+        Tables.load(s0, dir, "events"), "user_id"))
+      .reduce(_ unionByName _)
+  }
+
+  private val q248Sql = {
+    def audit(name: String, lt: String, lk: String, rt: String,
+        rk: String): String =
+      s"""SELECT '$name' AS join_name, n_left, n_right, ndv_left,
+         |  ndv_right, true_rows,
+         |  (n_left // greatest(ndv_left, ndv_right)) * n_right
+         |    + ((n_left % greatest(ndv_left, ndv_right)) * n_right)
+         |      // greatest(ndv_left, ndv_right) AS est_sysr,
+         |  top_exact
+         |    + ((n_left - top_cl) // greatest(ndv_left - top_matched_l,
+         |        ndv_right - f, 1)) * (n_right - top_cr)
+         |    + (((n_left - top_cl) % greatest(ndv_left - top_matched_l,
+         |        ndv_right - f, 1)) * (n_right - top_cr))
+         |      // greatest(ndv_left - top_matched_l, ndv_right - f, 1)
+         |    AS est_eb
+         |FROM (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS n_left,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS n_right,
+         |    (SELECT CAST(COUNT(DISTINCT $lk) AS BIGINT) FROM $lt)
+         |      AS ndv_left,
+         |    (SELECT CAST(COUNT(DISTINCT $rk) AS BIGINT) FROM $rt)
+         |      AS ndv_right,
+         |    (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) FROM
+         |      (SELECT $lk AS k, COUNT(*) AS cl FROM $lt GROUP BY 1) l
+         |      JOIN (SELECT $rk AS k, COUNT(*) AS cr FROM $rt
+         |        GROUP BY 1) r ON l.k = r.k) AS true_rows,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |      (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY 1
+         |       ORDER BY cr DESC, k ASC LIMIT $JcTopF)) AS f,
+         |    (SELECT CAST(COALESCE(SUM(COALESCE(cl, 0) * cr), 0)
+         |      AS BIGINT) FROM
+         |      (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY 1
+         |       ORDER BY cr DESC, k ASC LIMIT $JcTopF) t
+         |      LEFT JOIN (SELECT $lk AS k, COUNT(*) AS cl FROM $lt
+         |        GROUP BY 1) l ON t.k = l.k) AS top_exact,
+         |    (SELECT CAST(COALESCE(SUM(COALESCE(cl, 0)), 0) AS BIGINT)
+         |      FROM
+         |      (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY 1
+         |       ORDER BY cr DESC, k ASC LIMIT $JcTopF) t
+         |      LEFT JOIN (SELECT $lk AS k, COUNT(*) AS cl FROM $lt
+         |        GROUP BY 1) l ON t.k = l.k) AS top_cl,
+         |    (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM
+         |      (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY 1
+         |       ORDER BY cr DESC, k ASC LIMIT $JcTopF)) AS top_cr,
+         |    (SELECT CAST(COUNT(cl) AS BIGINT) FROM
+         |      (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY 1
+         |       ORDER BY cr DESC, k ASC LIMIT $JcTopF) t
+         |      LEFT JOIN (SELECT $lk AS k, COUNT(*) AS cl FROM $lt
+         |        GROUP BY 1) l ON t.k = l.k) AS top_matched_l
+         |)""".stripMargin
+    val joins = Seq(
+      audit("orders*lineitem", "orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      audit("customer*orders", "customer", "c_custkey",
+        "orders", "o_custkey"),
+      audit("part*lineitem", "part", "p_partkey",
+        "lineitem", "l_partkey"),
+      audit("supplier*lineitem", "supplier", "s_suppkey",
+        "lineitem", "l_suppkey"),
+      audit("events*events", "events", "user_id",
+        "events", "user_id"))
+      .mkString("", "\nUNION ALL\n", "")
+    s"""SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+       |  true_rows, est_sysr, est_eb,
+       |  abs(est_sysr - true_rows) AS err_sysr,
+       |  abs(est_eb - true_rows) AS err_eb
+       |FROM ($joins)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_join_card_est" -> q248 _,
     "q245_column_profile" -> q245 _,
     "q246_fd_profile" -> q246 _,
     "q242_equidepth_selectivity" -> q242 _,
@@ -2501,6 +2657,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q248_join_card_est" -> q248Sql,
     "q245_column_profile" -> q245Sql,
     "q246_fd_profile" -> q246Sql,
     "q242_equidepth_selectivity" -> q242Sql,
