@@ -99,6 +99,10 @@ object DevScaleSweep {
       "q239_kmv_distinct" -> "documents",
       "q240_kmv_jaccard" -> "documents",
       "q241_stream_kmv_merge" -> "documents",
+      "q245_column_profile" -> "orders",
+      "q247_mutual_nn" -> "embeddings",
+      "q249_attribution" -> "events",
+      // q242/q243/q244/q246/q248 drive lineitem — the default
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 
