@@ -102,7 +102,8 @@ object DevScaleSweep {
       "q245_column_profile" -> "orders",
       "q247_mutual_nn" -> "embeddings",
       "q249_attribution" -> "events",
-      // q242/q243/q244/q246/q248 drive lineitem — the default
+      "q251_shot_boundaries" -> "documents",
+      // q242/q243/q244/q246/q248/q250 drive lineitem — the default
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

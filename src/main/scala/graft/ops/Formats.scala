@@ -400,7 +400,109 @@ object Formats extends QueryModule {
        |  CAST((SELECT COALESCE(SUM(cents), 0) FROM f
        |    WHERE sd BETWEEN d1 AND d2) AS BIGINT) AS sum_cents""".stripMargin
 
+  // --- q250: STREAMING zone-map manifest maintenance -----------------------
+  // q243's manifest, maintained the way a landing zone actually builds
+  // it: lineitem arrives as a 4-file stream (maxFilesPerTrigger=1) and
+  // each micro-batch FOLDS its per-file (min, max, count) partials into
+  // the persisted manifest (read state → union → re-aggregate →
+  // overwrite — min/max/count are algebraic, so merge ≡ rebuild
+  // exactly; the state parquet IS the manifest, no state store — the
+  // q230/q241 conversion argument). The drained manifest is
+  // parity-gated against the one-shot batch manifest (zero symmetric
+  // difference on every column), and the entry then SERVES a pruning
+  // decision from the streamed manifest alone — survivors for the
+  // q243 date window, with gmin derived from the manifest itself —
+  // the metadata-only query a table service answers without touching
+  // data files. Scan-side correctness of that decision is q243's
+  // oracle-proven half; this entry pins the maintenance half.
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    // epoch pinned ONCE before the stream starts: the file-window
+    // arithmetic must not depend on which micro-batch a row lands in
+    val gmin = Tables.load(s, dir, "lineitem")
+      .agg(min(expr("CAST(l_shipdate AS DATE)"))).head()
+      .getDate(0).toLocalDate
+    val src = Tables.load(s, dir, "lineitem")
+      .withColumn("sd", expr("CAST(l_shipdate AS DATE)"))
+      .select(col("sd"),
+        expr(s"datediff(sd, DATE'$gmin') DIV $ZWindowDays").as("zfile"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q250").toString
+    src.repartition(4, col("zfile"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val state = s"$tmp/manifest"
+    val log = s"$tmp/log"
+    def manifestOf(df: DataFrame): DataFrame =
+      df.groupBy("zfile").agg(min(col("sd")).as("sd_min"),
+        max(col("sd")).as("sd_max"), count(lit(1)).as("n_rows"))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .writeStream.outputMode("append")
+      .foreachBatch { (mb: DataFrame, id: Long) =>
+        val bm = manifestOf(mb)
+        val merged = (if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(state)))
+          s.read.parquet(state).unionByName(bm) else bm)
+          .groupBy("zfile").agg(min(col("sd_min")).as("sd_min"),
+            max(col("sd_max")).as("sd_max"),
+            sum(col("n_rows")).as("n_rows"))
+          // materialize BEFORE the overwrite clobbers the state this
+          // plan reads (the read-modify-write hazard)
+          .localCheckpoint(eager = true)
+        merged.write.mode("overwrite").parquet(state)
+        mb.sparkSession.range(1).select(lit(id).as("batch_id"))
+          .write.mode("append").parquet(log)
+      }
+      .start()
+    val (streamed, nBatches) = try {
+      q.processAllAvailable()
+      (s.read.parquet(state).localCheckpoint(eager = false),
+        s.read.parquet(log).select("batch_id").distinct().count())
+    } finally q.stop()
+    val nDiff = streamed.withColumn("side", lit(1))
+      .unionByName(manifestOf(src).withColumn("side", lit(2)))
+      .groupBy("zfile", "sd_min", "sd_max", "n_rows")
+      .agg(count_distinct(col("side")).as("ns"))
+      .filter(col("ns") =!= 2)
+      .count()
+    val d1 = gmin.plusDays(400).toString
+    val d2 = gmin.plusDays(800).toString
+    graft.ParityGate(
+      streamed.agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("sd_max") >= lit(d1).cast("date") &&
+            col("sd_min") <= lit(d2).cast("date"), 1L).otherwise(0L))
+            .as("n_files_scanned"),
+          sum(when(col("sd_max") >= lit(d1).cast("date") &&
+            col("sd_min") <= lit(d2).cast("date"), col("n_rows"))
+            .otherwise(0L)).as("rows_scanned"))
+        .withColumn("matches_batch", lit(nDiff == 0L))
+        .withColumn("multi_batch", lit(nBatches >= 2L)),
+      "q250_stream_zonemap", "matches_batch", "multi_batch")
+  }
+
+  private val q250Sql =
+    s"""WITH src AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS sd FROM lineitem
+       |), g AS (
+       |  SELECT MIN(sd) AS gmin, MIN(sd) + 400 AS d1, MIN(sd) + 800 AS d2
+       |  FROM src
+       |), man AS (
+       |  SELECT date_diff('day', gmin, sd) // $ZWindowDays AS zfile,
+       |    MIN(sd) AS sd_min, MAX(sd) AS sd_max, COUNT(*) AS n_rows,
+       |    ANY_VALUE(d1) AS d1, ANY_VALUE(d2) AS d2
+       |  FROM src CROSS JOIN g GROUP BY 1
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(CASE WHEN sd_max >= d1 AND sd_min <= d2 THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_files_scanned,
+       |  CAST(SUM(CASE WHEN sd_max >= d1 AND sd_min <= d2 THEN n_rows
+       |    ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  TRUE AS matches_batch, TRUE AS multi_batch
+       |FROM man""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_stream_zonemap" -> q250 _,
     "q243_zonemap_prune" -> q243 _,
     "q159_partition_overwrite" -> q159 _,
     "q154_schema_evolution" -> q154 _,
@@ -410,6 +512,7 @@ object Formats extends QueryModule {
     "q124_orc_roundtrip" -> q124 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q250_stream_zonemap" -> q250Sql,
     "q243_zonemap_prune" -> q243Sql,
     "q159_partition_overwrite" -> q159Sql,
     "q154_schema_evolution" -> q154Sql,

@@ -250,7 +250,101 @@ object Multimodal extends QueryModule {
       |  COUNT(*) AS n_images
       |FROM dom WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  // --- q251: shot-boundary detection over frame samples --------------------
+  // The temporal-segmentation step of a video-curation pipeline: q33's
+  // frame-sample shape widened to 16 frames per payload, each frame
+  // reduced to an integer "luma" (byte-codepoint sum — the same
+  // deterministic stand-in the StubDecoder uses for channel means; a
+  // real luma plugs in behind the identical per-frame scalar), and a
+  // shot boundary declared wherever consecutive frames differ by more
+  // than τ. Per kind: payload count, frame/boundary totals, shots
+  // (= 1 + boundaries per payload), the max shot count, and mean
+  // frames-per-shot in exact milli. This is the cut-detection
+  // arithmetic of shot segmentation (threshold-on-frame-difference,
+  // the classic baseline) with the decode stage stubbed per the module
+  // contract.
+  //
+  // Scale shape: one scan, explode ×16, per-PAYLOAD lag window (local
+  // sort within hash partitions — payload grain, never global), then a
+  // |kinds|-row aggregate. Payload bytes never shuffle — only
+  // (doc, frame, luma) integers do.
+  private val SbFrames = 16
+  private val SbStride = 16
+  private val SbLen = 16
+  private val SbTau = 40
+
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"element_at($Kinds, CAST(doc_id % 3 AS INT) + 1)")
+          .as("kind"),
+        explode(expr(
+          s"""transform(sequence(0, ${SbFrames - 1}), f -> named_struct(
+             |  'frame', f,
+             |  'fb', substring(text, 1 + f * $SbStride, $SbLen)))"""
+            .stripMargin)).as("e"))
+      .select(col("doc_id"), col("kind"), col("e.frame").as("frame"),
+        col("e.fb").as("fb"))
+      .filter(length(col("fb")) > 0)
+      .withColumn("luma", expr(
+        s"""aggregate(transform(sequence(1, $SbLen),
+           |  i -> ascii(substring(fb, i, 1))),
+           |  0L, (a, x) -> a + x)""".stripMargin))
+    val w = Window.partitionBy("doc_id").orderBy("frame")
+    val perDoc = frames
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .groupBy("doc_id", "kind")
+      .agg(count(lit(1)).as("nf"),
+        sum(when(abs(col("luma") - col("prev")) > SbTau, 1L)
+          .otherwise(0L)).as("nb"))
+    perDoc.groupBy("kind").agg(
+      count(lit(1)).as("n_media"),
+      sum(col("nf")).as("n_frames"),
+      sum(col("nb")).as("n_boundaries"),
+      sum(col("nb") + 1L).as("n_shots"),
+      max(col("nb") + 1L).as("max_shots"))
+      .withColumn("avg_shot_frames_milli",
+        expr("(1000 * n_frames) DIV n_shots"))
+  }
+
+  private val q251Sql =
+    s"""WITH frames AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+       |      AS kind,
+       |    f AS frame,
+       |    substring(text, 1 + f * $SbStride, $SbLen) AS fb
+       |  FROM documents,
+       |    unnest(generate_series(0, ${SbFrames - 1})) AS t(f)
+       |), lf AS (
+       |  SELECT doc_id, kind, frame,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, $SbLen),
+       |        i -> CAST(ascii(substr(fb, i, 1)) AS BIGINT))),
+       |      (a, x) -> a + x) AS luma
+       |  FROM frames WHERE length(fb) > 0
+       |), d AS (
+       |  SELECT doc_id, kind, luma,
+       |    LAG(luma) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+       |  FROM lf
+       |), pd AS (
+       |  SELECT doc_id, kind, COUNT(*) AS nf,
+       |    SUM(CASE WHEN abs(luma - prev) > $SbTau THEN 1 ELSE 0 END)
+       |      AS nb
+       |  FROM d GROUP BY 1, 2
+       |)
+       |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+       |  CAST(SUM(nf) AS BIGINT) AS n_frames,
+       |  CAST(SUM(nb) AS BIGINT) AS n_boundaries,
+       |  CAST(SUM(nb + 1) AS BIGINT) AS n_shots,
+       |  CAST(MAX(nb + 1) AS BIGINT) AS max_shots,
+       |  CAST((1000 * SUM(nf)) // SUM(nb + 1) AS BIGINT)
+       |    AS avg_shot_frames_milli
+       |FROM pd GROUP BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_shot_boundaries" -> q251 _,
     "q32_media_meta" -> q32 _,
     "q33_frame_sample" -> q33 _,
     "q42_media_features" -> q42 _,
@@ -258,6 +352,7 @@ object Multimodal extends QueryModule {
     "q167_color_histogram" -> q167 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q251_shot_boundaries" -> q251Sql,
     "q32_media_meta" -> q32Sql,
     "q33_frame_sample" -> q33Sql,
     "q42_media_features" -> q42Sql,

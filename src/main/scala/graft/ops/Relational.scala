@@ -2375,10 +2375,20 @@ object Relational extends graft.QueryModule {
   // independent unioned branches of one plan.
   private def q246(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    def fd(name: String, x: String, y: String): DataFrame =
-      li.select(expr(x).as("x"), expr(y).as("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("c"))
-        .groupBy("x").agg(sum(col("c")).as("tot"), max(col("c")).as("mx"))
+    // determinant/dependent stay RAW columns end to end: the keys never
+    // reach the output (only the fold does), so a concatenated string
+    // key would only widen the two value-grain shuffles. The cost term
+    // is irreducible anyway: three of the five candidates have
+    // near-row-cardinality (X, Y) grains, so each pays two full-width
+    // shuffles of ~n rows — linear, but with no combiner benefit
+    // (unique keys), which is what the sf10 decade measures (PERF.md)
+    def fd(name: String, xs: Seq[String], y: String): DataFrame = {
+      val xc = xs.zipWithIndex.map { case (e, i) => expr(e).as(s"x$i") }
+      val xn = xs.indices.map(i => col(s"x$i"))
+      li.select(xc :+ expr(y).as("y"): _*)
+        .groupBy(xn :+ col("y"): _*).agg(count(lit(1)).as("c"))
+        .groupBy(xn: _*).agg(sum(col("c")).as("tot"),
+          max(col("c")).as("mx"))
         .agg(sum(col("tot")).as("n_rows"),
           count(lit(1)).as("n_groups"),
           sum(col("tot") - col("mx")).as("n_viol"))
@@ -2386,27 +2396,27 @@ object Relational extends graft.QueryModule {
           col("n_viol"), (col("n_viol") === 0L).as("holds"),
           expr("1000 * (n_rows - n_viol) DIV n_rows")
             .as("strength_milli"))
+    }
     Seq(
       fd("shipdate->shipyear",
-        "CAST(CAST(l_shipdate AS DATE) AS STRING)",
-        "CAST(year(CAST(l_shipdate AS DATE)) AS STRING)"),
+        Seq("CAST(l_shipdate AS DATE)"),
+        "year(CAST(l_shipdate AS DATE))"),
       fd("orderkey,linenumber->shipdate",
-        "concat(CAST(l_orderkey AS STRING), '|', " +
-          "CAST(l_linenumber AS STRING))",
-        "CAST(CAST(l_shipdate AS DATE) AS STRING)"),
+        Seq("l_orderkey", "l_linenumber"),
+        "CAST(l_shipdate AS DATE)"),
       fd("partkey,qty->price",
-        "concat(CAST(l_partkey AS STRING), '|', " +
-          "CAST(CAST(l_quantity AS BIGINT) AS STRING))",
-        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 " +
-          "AS BIGINT) AS STRING)"),
-      fd("suppkey->partkey", "CAST(l_suppkey AS STRING)",
-        "CAST(l_partkey AS STRING)"),
-      fd("returnflag->linestatus", "l_returnflag", "l_linestatus"))
+        Seq("l_partkey", "CAST(l_quantity AS BIGINT)"),
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+      fd("suppkey->partkey", Seq("l_suppkey"), "l_partkey"),
+      fd("returnflag->linestatus", Seq("l_returnflag"), "l_linestatus"))
       .reduce(_ unionByName _)
   }
 
   private val q246Sql = {
-    def fd(name: String, x: String, y: String): String =
+    def fd(name: String, xs: Seq[String], y: String): String = {
+      val xsel = xs.zipWithIndex
+        .map { case (e, i) => s"$e AS x$i" }.mkString(", ")
+      val xn = xs.indices.map(i => s"x$i").mkString(", ")
       s"""SELECT '$name' AS fd,
          |  CAST(SUM(tot) AS BIGINT) AS n_rows,
          |  CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -2415,26 +2425,24 @@ object Relational extends graft.QueryModule {
          |  CAST(1000 * (SUM(tot) - SUM(tot - mx)) // SUM(tot) AS BIGINT)
          |    AS strength_milli
          |FROM (
-         |  SELECT x, SUM(c) AS tot, MAX(c) AS mx FROM (
-         |    SELECT $x AS x, $y AS y, COUNT(*) AS c
-         |    FROM lineitem GROUP BY 1, 2)
-         |  GROUP BY x)""".stripMargin
+         |  SELECT $xn, SUM(c) AS tot, MAX(c) AS mx FROM (
+         |    SELECT $xsel, $y AS y, COUNT(*) AS c
+         |    FROM lineitem GROUP BY ALL)
+         |  GROUP BY $xn)""".stripMargin
+    }
     Seq(
       fd("shipdate->shipyear",
-        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)",
-        "CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR)"),
+        Seq("CAST(l_shipdate AS DATE)"),
+        "year(CAST(l_shipdate AS DATE))"),
       fd("orderkey,linenumber->shipdate",
-        "CAST(l_orderkey AS VARCHAR) || '|' || " +
-          "CAST(l_linenumber AS VARCHAR)",
-        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"),
+        Seq("l_orderkey", "l_linenumber"),
+        "CAST(l_shipdate AS DATE)"),
       fd("partkey,qty->price",
-        "CAST(l_partkey AS VARCHAR) || '|' || " +
-          "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
-        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 " +
-          "AS BIGINT) AS VARCHAR)"),
-      fd("suppkey->partkey", "CAST(l_suppkey AS VARCHAR)",
-        "CAST(l_partkey AS VARCHAR)"),
-      fd("returnflag->linestatus", "l_returnflag", "l_linestatus"))
+        Seq("l_partkey", "CAST(l_quantity AS BIGINT)"),
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+      fd("suppkey->partkey", Seq("l_suppkey"), "l_partkey"),
+      fd("returnflag->linestatus", Seq("l_returnflag"),
+        "l_linestatus"))
       .mkString("", "\nUNION ALL\n", "")
   }
 
