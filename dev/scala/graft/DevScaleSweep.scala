@@ -103,7 +103,8 @@ object DevScaleSweep {
       "q247_mutual_nn" -> "embeddings",
       "q249_attribution" -> "events",
       "q251_shot_boundaries" -> "documents",
-      // q242/q243/q244/q246/q248/q250 drive lineitem — the default
+      "q252_seasonal_mase" -> "events",
+      // q242/q243/q244/q246/q248/q250/q253 drive lineitem — the default
       "q209_dbscan" -> "embeddings")
       .withDefaultValue("lineitem")
 

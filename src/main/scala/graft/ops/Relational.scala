@@ -2601,7 +2601,106 @@ object Relational extends graft.QueryModule {
        |FROM ($joins)""".stripMargin
   }
 
+  // --- q253: A-priori frequent triples (market-basket, level 3) ------------
+  // q139 stops at pairs; this is the level the A-priori pruning
+  // argument (Agrawal & Srikant, VLDB 1994) actually exists for:
+  // candidate triples are generated ONLY from frequent pairs sharing a
+  // prefix ((a,b) ⋈ (a,c), b < c) and pruned by the third sub-pair
+  // (b,c) ∈ L2 — the downward-closure property makes the candidate
+  // space polynomial in |L2|, never in the item domain. Baskets =
+  // distinct (order, category) with category = partkey mod 12 (the
+  // basket-analysis grain a category rollup produces); support =
+  // order count, minsup = max(2, orders/100).
+  //
+  // Scale shape: per-order pair/triple generation is Θ(Σ C(m_o, 2|3))
+  // with m_o ≤ 12 categories per basket — linear in orders with a
+  // small constant; candidate generation runs on the |L2|-row frame
+  // (item-domain-bounded); the only data-scale shuffles are the
+  // (order, category)-grain distinct and the grouped support counts.
+  private val AprCat = 12
+
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("oid"),
+        expr(s"l_partkey % $AprCat").as("cat"))
+      .distinct()
+      .localCheckpoint(eager = false) // L1 + pair + triple legs
+    val nB = b.select("oid").distinct().count() // bounded driver scalar
+    val minsup = math.max(2L, nB / 100)
+    val l1 = b.groupBy("cat").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minsup).select("cat")
+    val b1 = b.join(l1, Seq("cat")).select("oid", "cat")
+      .localCheckpoint(eager = false) // three self-join legs
+    val l2 = b1.as("x").join(b1.as("y"),
+        col("x.oid") === col("y.oid") && col("x.cat") < col("y.cat"))
+      .groupBy(col("x.cat").as("a"), col("y.cat").as("bb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minsup)
+      .select("a", "bb")
+      .localCheckpoint(eager = false) // prefix join + subset prune
+    val cand = l2.as("p")
+      .join(l2.as("q"), col("p.a") === col("q.a") &&
+        col("p.bb") < col("q.bb"))
+      .select(col("p.a").as("a"), col("p.bb").as("b"),
+        col("q.bb").as("c"))
+      .join(l2.select(col("a").as("b"), col("bb").as("c")),
+        Seq("b", "c")) // downward closure: (b, c) must be frequent too
+      .select("a", "b", "c")
+    b1.as("t1")
+      .join(b1.as("t2"),
+        col("t1.oid") === col("t2.oid") && col("t1.cat") < col("t2.cat"))
+      .join(b1.as("t3"),
+        col("t2.oid") === col("t3.oid") && col("t2.cat") < col("t3.cat"))
+      .select(col("t1.cat").as("a"), col("t2.cat").as("b"),
+        col("t3.cat").as("c"))
+      .join(cand, Seq("a", "b", "c"), "left_semi")
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minsup)
+      .select(col("a"), col("b"), col("c"), col("support"),
+        lit(nB).as("n_orders"),
+        expr(s"(1000 * support) DIV $nB").as("support_milli"))
+  }
+
+  private val q253Sql =
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey AS oid, l_partkey % $AprCat AS cat
+       |  FROM lineitem
+       |), n AS (
+       |  SELECT GREATEST(2, COUNT(DISTINCT oid) // 100) AS minsup,
+       |    COUNT(DISTINCT oid) AS no
+       |  FROM b
+       |), l1 AS (
+       |  SELECT cat FROM b GROUP BY cat
+       |  HAVING COUNT(*) >= (SELECT minsup FROM n)
+       |), b1 AS (
+       |  SELECT b.oid, b.cat FROM b JOIN l1 USING (cat)
+       |), l2 AS (
+       |  SELECT x.cat AS a, y.cat AS bb
+       |  FROM b1 x JOIN b1 y ON x.oid = y.oid AND x.cat < y.cat
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT minsup FROM n)
+       |), cand AS (
+       |  SELECT p.a, p.bb AS b, q.bb AS c
+       |  FROM l2 p
+       |  JOIN l2 q ON p.a = q.a AND p.bb < q.bb
+       |  JOIN l2 r ON r.a = p.bb AND r.bb = q.bb
+       |), tri AS (
+       |  SELECT t1.cat AS a, t2.cat AS b, t3.cat AS c,
+       |    COUNT(*) AS support
+       |  FROM b1 t1
+       |  JOIN b1 t2 ON t1.oid = t2.oid AND t1.cat < t2.cat
+       |  JOIN b1 t3 ON t2.oid = t3.oid AND t2.cat < t3.cat
+       |  JOIN cand ON cand.a = t1.cat AND cand.b = t2.cat
+       |    AND cand.c = t3.cat
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT minsup FROM n)
+       |)
+       |SELECT a, b, c, CAST(support AS BIGINT) AS support,
+       |  (SELECT CAST(no AS BIGINT) FROM n) AS n_orders,
+       |  CAST((1000 * support) // (SELECT no FROM n) AS BIGINT)
+       |    AS support_milli
+       |FROM tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_apriori_triples" -> q253 _,
     "q248_join_card_est" -> q248 _,
     "q245_column_profile" -> q245 _,
     "q246_fd_profile" -> q246 _,
@@ -2665,6 +2764,7 @@ object Relational extends graft.QueryModule {
     "q16_case_bucket" -> q16 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q253_apriori_triples" -> q253Sql,
     "q248_join_card_est" -> q248Sql,
     "q245_column_profile" -> q245Sql,
     "q246_fd_profile" -> q246Sql,

@@ -1204,7 +1204,85 @@ object Temporal extends QueryModule {
        |FROM dim, pit
        |WHERE valid_from_us <= t_us AND t_us < valid_to_us""".stripMargin
 
+  // --- q252: seasonal-naive forecast + MASE evaluation ---------------------
+  // The forecasting BASELINE every time-series pipeline must beat, and
+  // the scale-free metric it is judged by (Hyndman & Koehler 2006):
+  // per event_type, the daily revenue series (gap-filled to a dense
+  // calendar — a missing day is a zero, not a skipped row), the
+  // seasonal-naive forecast v̂_d = v_{d−7}, the one-step naive
+  // v̂_d = v_{d−1} as the MASE denominator, and
+  // MASE_milli = 1000·Σ|e_seasonal| div Σ|e_naive| over every day
+  // where both lags exist. All arithmetic on exact cent sums — the
+  // entry has no float anywhere.
+  //
+  // Scale shape: ONE day-grain aggregate over events (the only scan),
+  // then everything runs on the (type × days) calendar frame — tiny at
+  // any corpus scale (the series grain is the report, not the data).
+  // The lag window partitions by event_type over that frame. Calendar
+  // bounds are two bounded driver scalars (q228 pattern).
+  private val SeasonDays = 7L
+
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+      .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("v"))
+      .localCheckpoint(eager = false) // calendar join + bounds
+    val b = daily.agg(min(col("day")), max(col("day"))).head()
+    val (d0, d1) = (b.getLong(0), b.getLong(1))
+    val cal = daily.select("event_type").distinct()
+      .crossJoin(s.range(d0, d1 + 1).select(col("id").as("day")))
+    val dense = cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    dense
+      .withColumn("sea", lag(col("v"), SeasonDays.toInt).over(w))
+      .withColumn("nai", lag(col("v"), 1).over(w))
+      .filter(col("sea").isNotNull && col("nai").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_eval"),
+        sum(abs(col("v") - col("sea"))).as("sum_ae_seasonal"),
+        sum(abs(col("v") - col("nai"))).as("sum_ae_naive"))
+      .withColumn("mase_milli",
+        when(col("sum_ae_naive") > 0L,
+          expr("(1000 * sum_ae_seasonal) DIV sum_ae_naive")))
+  }
+
+  private val q252Sql =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+       |  FROM events GROUP BY 1, 2
+       |), b AS (
+       |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+       |), cal AS (
+       |  SELECT event_type, d AS day
+       |  FROM (SELECT DISTINCT event_type FROM daily)
+       |  CROSS JOIN (SELECT unnest(generate_series(
+       |    (SELECT d0 FROM b), (SELECT d1 FROM b))) AS d)
+       |), dense AS (
+       |  SELECT cal.event_type, cal.day, COALESCE(daily.v, 0) AS v
+       |  FROM cal LEFT JOIN daily
+       |    ON cal.event_type = daily.event_type AND cal.day = daily.day
+       |), lagged AS (
+       |  SELECT event_type, v,
+       |    LAG(v, $SeasonDays) OVER (PARTITION BY event_type
+       |      ORDER BY day) AS sea,
+       |    LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS nai
+       |  FROM dense
+       |)
+       |SELECT event_type, COUNT(*) AS n_days_eval,
+       |  CAST(SUM(abs(v - sea)) AS BIGINT) AS sum_ae_seasonal,
+       |  CAST(SUM(abs(v - nai)) AS BIGINT) AS sum_ae_naive,
+       |  CASE WHEN SUM(abs(v - nai)) > 0 THEN
+       |    CAST((1000 * SUM(abs(v - sea))) // SUM(abs(v - nai))
+       |      AS BIGINT) END AS mase_milli
+       |FROM lagged WHERE sea IS NOT NULL AND nai IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_seasonal_mase" -> q252 _,
     "q175_bitemporal" -> q175 _,
     "q172_cusum" -> q172 _,
     "q170_merkle_diff" -> q170 _,
@@ -1224,6 +1302,7 @@ object Temporal extends QueryModule {
     "q83_table_diff" -> q83 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q252_seasonal_mase" -> q252Sql,
     "q175_bitemporal" -> q175Sql(q149Sql),
     "q172_cusum" -> q172Sql,
     "q170_merkle_diff" -> q170Sql,
