@@ -527,21 +527,35 @@ object TextAnalysis extends QueryModule {
     require(iters >= 1 && iters <= 16 && k >= 1,
       s"textRankKeywords: iters=$iters k=$k out of range " +
         "(each round is an unrolled oracle CTE)")
+    // Adjacent pairs via zip_with over two shifted slices, exploded in
+    // the SAME select as the token projection — never a
+    // transform(sequence(...), i -> element_at(tk, i)...) lambda over an
+    // aliased tk: CollapseProject inlines the alias into the lambda BODY,
+    // so the full-document regexp_extract_all re-runs PER ARRAY ELEMENT
+    // (twice per pair). Measured at sf0.1: 10.7 s for the pair scan with
+    // the element_at form vs 0.9 s with zip_with — the regex must be
+    // evaluated per ROW, which slices/size do (guide §1/§4: keep the
+    // expensive expression out of the per-element path). The slice form
+    // also subsumes the one-token guard: slice(tk, 1, greatest(n-1, 0))
+    // is empty exactly when n < 2 (Spark's sequence(1, 0) is a
+    // DESCENDING [1, 0], so the old form needed an explicit CASE).
     val pairs = docs
       .select(expr(s"regexp_extract_all(lower(`$textCol`), " +
         "'[a-z]+', 0)").as("tk"))
-      // Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty like
-      // DuckDB's generate_series — guard one-token docs (q232's guard)
-      .select(expr("CASE WHEN size(tk) >= 2 THEN transform(" +
-        "sequence(1, size(tk) - 1), i -> named_struct(" +
-        "'a', element_at(tk, i), 'b', element_at(tk, i + 1))) " +
-        "ELSE array() END").as("ps"))
-      .select(explode(col("ps")).as("p"))
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+        "slice(tk, 2, greatest(size(tk) - 1, 0)), " +
+        "(x, y) -> named_struct('a', x, 'b', y))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .where(col("a") =!= col("b"))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // Symmetrize AFTER the directed-pair aggregate: the old
+    // pairs-unionAll-pairs form scanned the token stream twice; the
+    // directed (a, b) counts are vocab²-bounded, so flipping THEM costs
+    // nothing and w(s,d) = c(s,d) + c(d,s) is the identical BIGINT.
+    val dirCnt = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val edges = dirCnt.select(col("a").as("src"), col("b").as("dst"), col("c"))
+      .unionAll(dirCnt.select(col("b").as("src"), col("a").as("dst"), col("c")))
+      .groupBy("src", "dst").agg(sum(col("c")).as("w"))
       .persist() // feeds |V| and every round (q107's trade)
     val pr = Graph.pageRank(edges, iters, TrScale,
       smallVertexSet = true)
