@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -457,7 +458,7 @@ object Behavior extends QueryModule {
     val ud = df
       .select(col(entityCol).as("entity"), col(bucketCol).as("bucket"))
       .distinct()
-      .localCheckpoint(false)
+      .ckptLocal(false)
     val bounds = broadcast(ud.agg(
       min(col("bucket")).as("d0"), max(col("bucket")).as("d1")))
     ud.crossJoin(bounds)
@@ -606,7 +607,7 @@ object Behavior extends QueryModule {
         min(when(col("event_type") === "purchase", col("rn")))
           .over(w.rowsBetween(Window.currentRow,
             Window.unboundedFollowing)))
-      .localCheckpoint(eager = false) // conversion + touch legs
+      .ckptLocal(eager = false) // conversion + touch legs
     val conv = seq.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("rn").as("npr"))
     val touches = seq
@@ -618,7 +619,7 @@ object Behavior extends QueryModule {
     val byType = touches.groupBy("user_id", "npr", "event_type")
       .agg(count(lit(1)).as("ct"))
     val convPaths = conv.join(paths, Seq("user_id", "npr"), "left")
-      .localCheckpoint(eager = false) // three model legs
+      .ckptLocal(eager = false) // three model legs
     val first = convPaths.select(lit("first_touch").as("model"),
       coalesce(col("first_type"), lit("direct")).as("channel"),
       lit(1000L).as("credit"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -165,7 +166,7 @@ object Dedup extends QueryModule {
   def minHashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     verifyJaccard(lshCandidates(sigs, idCol = idCol), sigs, idCol)
   }
 
@@ -225,7 +226,7 @@ object Dedup extends QueryModule {
     val g = df.select(col(nameCol)).distinct()
       .select(col(nameCol).as("__name"),
         explode(expr(s"graft_char_ngrams(`$nameCol`, 3)")).as("g"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val freq = g.groupBy("g").agg(count(lit(1)).as("__df"))
     val rareW = Window.partitionBy("__name")
       .orderBy(col("__df"), col("g"))
@@ -342,7 +343,7 @@ object Dedup extends QueryModule {
       // same cardinality everywhere — and string equality is cheaper
       .withColumn("tks", expr("transform(ord, p -> p.tok)"))
       .withColumn("l", size(col("ord")))
-      .localCheckpoint(eager = false) // read by prefix + 2 verify legs
+      .ckptLocal(eager = false) // read by prefix + 2 verify legs
     // BIGINT arithmetic throughout candidate generation (not just the
     // verify stages): `900 * l` in 32-bit wraps past l ≈ 2.38M distinct
     // tokens, which would silently shorten the prefix and DROP pairs —
@@ -410,7 +411,7 @@ object Dedup extends QueryModule {
         .as("ord"))
       .withColumn("tks", expr("transform(ord, p -> p.tok)"))
       .withColumn("l", size(col("ord")))
-      .localCheckpoint(eager = false) // prefix leg + postings + 2 verifies
+      .ckptLocal(eager = false) // prefix leg + postings + 2 verifies
     // Optional CONTAINED-side restriction (round 15, the q217 recall
     // reference): the predicate — a function of the id column — cuts the
     // prefix/candidate/verify legs to the probe sample while df, the
@@ -496,7 +497,7 @@ object Dedup extends QueryModule {
       .withColumn("l", size(col("__tk")).cast("bigint"))
       .withColumn("mh", expr(s"graft_minhash(graft_hash60_array(" +
         s"__tk, ${P}L), $numHashes, ${P}L)"))
-      .localCheckpoint(eager = false) // keys leg + verify leg
+      .ckptLocal(eager = false) // keys leg + verify leg
     val qs = sigsOf(queries)
     val cs = sigsOf(corpus)
     def keysOf(sigs: DataFrame): DataFrame =
@@ -620,12 +621,12 @@ object Dedup extends QueryModule {
           ascii(substring(col("__k"), 2, 1)))
       // rowNumber's scan evaluates its input three times (local window,
       // totals, carry join) — one barrier keeps the tokenizer single-pass
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val ranked = graft.plans.PrefixSum.rowNumber(base, "__kb",
         Seq(col("__kb"), col("__k"), col("__id")), "__rn")
       .select(col("__id"), col("__tk"), col("__rn"))
       // consumed by BOTH sides of the window join below
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val left = ranked
       .withColumn("__off", explode(expr(s"sequence(1, ${window - 1})")))
       .select(col("__id").as("a"), col("__tk").as("ta"),
@@ -1179,12 +1180,12 @@ object Dedup extends QueryModule {
       array_join(slice(words, 1, 3), " ").as("k1"),
       array_join(slice(words, 4, 3), " ").as("k2"),
       array_distinct(words).as("tk"))
-      .localCheckpoint(eager = false) // both passes + truth sigs read it
+      .ckptLocal(eager = false) // both passes + truth sigs read it
     def pass(key: String) = sortedNeighborhoodJoin(
       toks.select(col("doc_id"), col(key).as("k"), col("tk")),
       "doc_id", "k", "tk", window = 8, tMilli = SnbFloorMilli)
       .select(col("d1"), col("d2"))
-    val p1 = pass("k1").localCheckpoint(eager = false) // solo + union legs
+    val p1 = pass("k1").ckptLocal(eager = false) // solo + union legs
     val union = p1.unionByName(pass("k2")).distinct()
     val mod = Tables.load(s, dir, "documents")
       .agg(expr("(count(1) + 499) div 500").as("__mod"))
@@ -1337,7 +1338,7 @@ object Dedup extends QueryModule {
       .filter(size(col("__tk")) > 0)
       .where(kbGuard(col("__k"), keyBytes, "snbIndexBuild"))
       .withColumn("__kb", kbExpr(col("__k"), keyBytes))
-      .localCheckpoint(eager = false) // rank scan reads it three times
+      .ckptLocal(eager = false) // rank scan reads it three times
     val ranked = graft.plans.PrefixSum.rowNumber(base, "__kb",
       Seq(col("__kb"), col("__k"), col("__id")), "__rn")
     ranked.select(col("__id"), col("__k"), col("__tk"), col("__kb"),
@@ -1367,14 +1368,14 @@ object Dedup extends QueryModule {
     require(window >= 2, s"snbIndexProbe: window=$window must be >= 2")
     val keyBytes = s.read.parquet(s"$idxDir/meta").head().getInt(0)
     val idx = s.read.parquet(s"$idxDir/sorted")
-      .localCheckpoint(eager = false) // below-count + rank-probe legs
+      .ckptLocal(eager = false) // below-count + rank-probe legs
     val probes = batch
       .select(col(idCol).as("qid"), col(keyCol).as("qk"),
         col(tokensCol).as("qtk"))
       .filter(size(col("qtk")) > 0)
       .where(kbGuard(col("qk"), keyBytes, "snbIndexProbe"))
       .withColumn("__kb", kbExpr(col("qk"), keyBytes))
-      .localCheckpoint(eager = false) // below leg + carry sentinels +
+      .ckptLocal(eager = false) // below leg + carry sentinels +
                                       // final left join
     // Sparse carries: probe buckets enter the occupied-bucket histogram
     // as ZERO-COUNT sentinels ordered before any same-bucket corpus
@@ -1435,7 +1436,7 @@ object Dedup extends QueryModule {
     val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
         array_join(slice(words, 1, 3), " ").as("k"),
         array_distinct(words).as("tk"))
-      .localCheckpoint(eager = false) // corpus build + batch probe
+      .ckptLocal(eager = false) // corpus build + batch probe
     val idxDir =
       lshIndexRoot + "/snb_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
     snbIndexBuild(toks.filter(col("doc_id") % 10 =!= 0), idxDir)
@@ -1513,7 +1514,7 @@ object Dedup extends QueryModule {
     val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
         array_join(slice(words, 1, 3), " ").as("k"),
         array_distinct(words).as("tk"))
-      .localCheckpoint(eager = false) // corpus build + stream input +
+      .ckptLocal(eager = false) // corpus build + stream input +
                                       // batch reference probe
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-q230").toString
@@ -1537,7 +1538,7 @@ object Dedup extends QueryModule {
     val (streamed, nBatches) = try {
       q.processAllAvailable()
       val sk = s.read.parquet(sink)
-        .localCheckpoint(eager = false) // diff leg + output
+        .ckptLocal(eager = false) // diff leg + output
       (sk, sk.select("batch_id").distinct().count())
     } finally q.stop()
     val batchRef = snbIndexProbe(s, idxDir, batchDocs)
@@ -1729,7 +1730,7 @@ object Dedup extends QueryModule {
     if (sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       sigs.persist()
     val batchVerified = verifyJaccard(lshCandidates(sigs), sigs)
-      .localCheckpoint(eager = false) // read twice: histogram + pair diff
+      .ckptLocal(eager = false) // read twice: histogram + pair diff
 
     def hist(pairs: DataFrame): DataFrame = pairs
       .groupBy(floor(col("jac") * 10).cast("bigint").as("jac_bucket"))
@@ -1755,7 +1756,7 @@ object Dedup extends QueryModule {
             .filter(col("d1") < col("d2"))
             .select("d1", "d2").distinct()
           val streamVerified = verifyJaccard(streamPairs, sigs)
-            .localCheckpoint(eager = false)
+            .ckptLocal(eager = false)
           val diff = streamVerified.select(col("d1"), col("d2"))
             .withColumn("side", lit(1))
             .unionByName(batchVerified.select(col("d1"), col("d2"))
@@ -1888,7 +1889,7 @@ object Dedup extends QueryModule {
           when(col("capped"), col(idCol)).otherwise(col("cluster")))
         .drop("__csz")
     } else labeled0)
-      .localCheckpoint(eager = false) // one corpus scan, many merge legs
+      .ckptLocal(eager = false) // one corpus scan, many merge legs
     val aggs = (count(lit(1)).as("n_members") +:
       minFields.map(f => min(col(f)).as(s"min_$f"))) ++
       (if (maxClusterSize > 0L) Seq(max(col("capped")).as("capped"))
@@ -2444,7 +2445,7 @@ object Dedup extends QueryModule {
       .orderBy(col("h").asc, col("doc_id").asc)
       .limit(NBench)
       .select(col("doc_id").as("bench_doc"), col("grams"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val benchGrams = bench.select(col("bench_doc"),
       explode(col("grams")).as("gram"))
     val corpusGrams = grams
@@ -2532,7 +2533,7 @@ object Dedup extends QueryModule {
   private def q195(s: SparkSession, dir: String): DataFrame = {
     val sigs = minHashSignatures(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("mh"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val idxDir =
       lshIndexRoot + "/" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // BUILD (once per corpus): bucket table + signature table
@@ -2628,7 +2629,7 @@ object Dedup extends QueryModule {
   private def q200(s: SparkSession, dir: String): DataFrame = {
     val sigs = minHashSignatures(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("mh"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val idxDir =
       lshIndexRoot + "/upd_" + dir.replaceAll("[^a-zA-Z0-9.]", "_")
     // BUILD from corpus A only
@@ -2723,7 +2724,7 @@ object Dedup extends QueryModule {
     val edges = lshVerifiedPairs(s, dir)
       .filter(col("jac") >= NearDupJac)
       .select(col("d1"), col("d2"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val comp = Graph.connectedComponents(
       edges.select(col("d1").as("a"), col("d2").as("b")))
     val assigned = Tables.load(s, dir, "documents")
@@ -2734,7 +2735,7 @@ object Dedup extends QueryModule {
       .withColumn("split", expr(
         "CASE WHEN hm < 8 THEN 'train' WHEN hm = 8 THEN 'val' " +
           "ELSE 'test' END"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val splitOf = assigned.select(col("doc_id"), col("split"))
     val leaked = broadcast(edges
       .join(splitOf.select(col("doc_id").as("d1"), col("split").as("sa")),
@@ -2818,7 +2819,7 @@ object Dedup extends QueryModule {
       .select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(q208(s, dir).select(col("a"), col("b")))
       .distinct()
-      .localCheckpoint(eager = false) // CC + leak audit
+      .ckptLocal(eager = false) // CC + leak audit
     val comp = Graph.connectedComponents(edges)
     val assigned = Tables.load(s, dir, "documents")
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -2828,7 +2829,7 @@ object Dedup extends QueryModule {
       .withColumn("split", expr(
         "CASE WHEN hm < 8 THEN 'train' WHEN hm = 8 THEN 'val' " +
           "ELSE 'test' END"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val splitOf = assigned.select(col("doc_id"), col("split"))
     val leaked = broadcast(edges
       .join(splitOf.select(col("doc_id").as("a"), col("split").as("sa")),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object Formats extends QueryModule {
       val back = s.read.schema(docs.schema).json(path)
       Temporal.tableChecksum(back, docRowKeySpark, Seq("source"))
         // eager: pin the checksums before the temp files are deleted
-        .localCheckpoint()
+        .ckptLocal()
     }
   }
 
@@ -82,7 +83,7 @@ object Formats extends QueryModule {
       docs.write.mode("overwrite").orc(path)
       val back = s.read.schema(docs.schema).orc(path)
       Temporal.tableChecksum(back, docRowKeySpark, Seq("source"))
-        .localCheckpoint() // pin before the scratch files are deleted
+        .ckptLocal() // pin before the scratch files are deleted
     }
   }
 
@@ -247,7 +248,7 @@ object Formats extends QueryModule {
           sum(col("cents")).as("sum_cents"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
-        .localCheckpoint() // pin before the scratch files are deleted
+        .ckptLocal() // pin before the scratch files are deleted
     }
   }
 
@@ -298,7 +299,7 @@ object Formats extends QueryModule {
           sum(col("cents")).as("sum_cents"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
-        .localCheckpoint() // pin before the scratch files are deleted
+        .ckptLocal() // pin before the scratch files are deleted
     }
   }
 
@@ -348,7 +349,7 @@ object Formats extends QueryModule {
       val manifest = s.read.parquet(path).groupBy("zfile")
         .agg(min(col("sd")).as("sd_min"), max(col("sd")).as("sd_max"),
           count(lit(1)).as("n_rows"))
-        .localCheckpoint() // file-count-bounded; read twice below
+        .ckptLocal() // file-count-bounded; read twice below
       val nFiles = manifest.count()
       val surv = manifest
         .filter(col("sd_max") >= lit(d1).cast("date") &&
@@ -367,7 +368,7 @@ object Formats extends QueryModule {
         .select(lit(nFiles).as("n_files"),
           lit(surv.length.toLong).as("n_files_scanned"),
           col("rows_scanned"), col("n_match"), col("sum_cents"))
-        .localCheckpoint() // pin before the scratch files are deleted
+        .ckptLocal() // pin before the scratch files are deleted
     }
   }
 
@@ -448,7 +449,7 @@ object Formats extends QueryModule {
             sum(col("n_rows")).as("n_rows"))
           // materialize BEFORE the overwrite clobbers the state this
           // plan reads (the read-modify-write hazard)
-          .localCheckpoint(eager = true)
+          .ckptLocal(eager = true)
         merged.write.mode("overwrite").parquet(state)
         mb.sparkSession.range(1).select(lit(id).as("batch_id"))
           .write.mode("append").parquet(log)
@@ -456,7 +457,7 @@ object Formats extends QueryModule {
       .start()
     val (streamed, nBatches) = try {
       q.processAllAvailable()
-      (s.read.parquet(state).localCheckpoint(eager = false),
+      (s.read.parquet(state).ckptLocal(eager = false),
         s.read.parquet(log).select("batch_id").distinct().count())
     } finally q.stop()
     val nDiff = streamed.withColumn("side", lit(1))

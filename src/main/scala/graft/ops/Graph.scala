@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,7 +84,7 @@ object Graph extends QueryModule {
       .persist()
 
     var labels = verts.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .ckptLocal(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -107,7 +108,7 @@ object Graph extends QueryModule {
         .groupBy("id").agg(
           min(col("comp")).as("comp"),
           min(when(col("own"), col("comp"))).as("prev"))
-        .localCheckpoint(false)
+        .ckptLocal(false)
       changed = hooked.filter(col("comp") =!= col("prev")).count()
       labels = hooked.select(col("id"), col("comp"))
       // full path compression: comp ← comp(comp) until idempotent.
@@ -129,7 +130,7 @@ object Graph extends QueryModule {
         val stepped = labels
           .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
             "comp")
-          .localCheckpoint(false)
+          .ckptLocal(false)
         compressing = stepped.filter(col("jump") =!= col("comp")).count() > 0
         labels = stepped.select(col("id"), col("jump").as("comp"))
         cstep += 1
@@ -215,7 +216,7 @@ object Graph extends QueryModule {
         // uncheckpointed round-k plan nests round-(k−1)'s whole subtree
         // inside its broadcast/shuffle, so the rounds re-execute
         // serially inside one another instead of each running once
-        .localCheckpoint(false)
+        .ckptLocal(false)
     }
     // nodes stays persisted until the caller's action (battery harnesses
     // clearCache() per entry); unpersisting here would force |iters|+1
@@ -356,7 +357,7 @@ object Graph extends QueryModule {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     var dist = seeds.select(col("id"), lit(0L).as("hops"))
-      .distinct().localCheckpoint(true)
+      .distinct().ckptLocal(true)
     var frontier = dist
     var h = 1
     var frontierSize = 1L
@@ -366,10 +367,10 @@ object Graph extends QueryModule {
         .select(edges("dst").as("id"), lit(h.toLong).as("hops"))
         .distinct()
         .join(dist.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(false) // lineage O(1) per round, CC's trade
+        .ckptLocal(false) // lineage O(1) per round, CC's trade
       frontierSize = next.count() // the round's one action
       if (frontierSize > 0) {
-        dist = dist.unionByName(next).localCheckpoint(false)
+        dist = dist.unionByName(next).ckptLocal(false)
         frontier = next
       }
       h += 1
@@ -456,7 +457,7 @@ object Graph extends QueryModule {
     val deg = und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-      .localCheckpoint(eager = false) // read by orientation + final join
+      .ckptLocal(eager = false) // read by orientation + final join
     val oriented = rankOrient(und, deg)
     val tri = wedges(oriented)
       .join(oriented.select(col("s").as("a3"), col("d").as("c3")),
@@ -686,7 +687,7 @@ object Graph extends QueryModule {
         .select(col("id"),
           (col("__v") + coalesce(col("cs"), lit(0L))).as("sub"),
           (lit(1L) + coalesce(col("cn"), lit(0L))).as("nd"))
-        .localCheckpoint(eager = false)
+        .ckptLocal(eager = false)
     }
     base.join(sub, Seq("id"))
       .select(col("id"), col("parent"), col("__v").as(valueCol),
@@ -774,14 +775,14 @@ object Graph extends QueryModule {
     var cur = und
       .union(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     var n = cur.select("a").distinct().count()
     var rounds = 0
     var converged = n == 0L
     while (!converged && rounds < maxRounds) {
       val survivors = cur.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("a").as("id"))
-        .localCheckpoint(eager = false)
+        .ckptLocal(eager = false)
       val m = survivors.count()
       if (m == n) converged = true
       else {
@@ -792,7 +793,7 @@ object Graph extends QueryModule {
             "left_semi")
           .join(survivors.withColumnRenamed("id", "b"), Seq("b"),
             "left_semi")
-          .localCheckpoint(eager = false)
+          .ckptLocal(eager = false)
         n = m
         converged = m == 0L
       }
@@ -886,10 +887,10 @@ object Graph extends QueryModule {
     val sym = und
       .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint(eager = false) // read by every round
+      .ckptLocal(eager = false) // read by every round
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(eager = true)
+      .ckptLocal(eager = true)
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
@@ -897,7 +898,7 @@ object Graph extends QueryModule {
         .groupBy("a")
         .agg(min(struct((-col("ws")).as("nws"), col("lbl"))).as("m"))
         .select(col("a").as("id"), col("m.lbl").as("lbl"))
-        .localCheckpoint(eager = true)
+        .ckptLocal(eager = true)
     }
     labels.select(col("id").as("vid"), col("lbl"))
   }
@@ -971,7 +972,7 @@ object Graph extends QueryModule {
     und
       .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).cast("bigint").as("w"))
-      .localCheckpoint(eager = false) // read by every half-step
+      .ckptLocal(eager = false) // read by every half-step
   }
 
   /** The greedy parity-half-step mover shared by every Louvain level.
@@ -986,11 +987,11 @@ object Graph extends QueryModule {
   private def louvainMoves(sym: DataFrame, rounds: Int): DataFrame = {
     val deg = sym.groupBy(col("a").as("id"))
       .agg(sum(col("w")).cast("bigint").as("k"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val mm = sym.groupBy().agg(sum(col("w")).cast("bigint").as("m2"))
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(eager = true)
+      .ckptLocal(eager = true)
     for (h <- 1 to 2 * rounds) {
       val par = h % 2
       val tot = labels.join(deg, "id")
@@ -1020,7 +1021,7 @@ object Graph extends QueryModule {
         .select(col("id"), col("m.l").as("nl"))
       labels = labels.join(moved, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .localCheckpoint(eager = true)
+        .ckptLocal(eager = true)
     }
     labels.select(col("id").as("vid"), col("lbl"))
   }
@@ -1056,13 +1057,13 @@ object Graph extends QueryModule {
         .join(labels.select(col("vid").as("b"), col("lbl").as("lb")), "b")
         .groupBy(col("la").as("a"), col("lb").as("b"))
         .agg(sum(col("w")).cast("bigint").as("w"))
-        .localCheckpoint(eager = false) // read by every half-step
+        .ckptLocal(eager = false) // read by every half-step
       val clabels = louvainMoves(coarse, rounds)
       labels = labels
         .join(clabels.select(col("vid").as("lbl"), col("lbl").as("l2")),
           "lbl")
         .select(col("vid"), col("l2").as("lbl"))
-        .localCheckpoint(eager = true)
+        .ckptLocal(eager = true)
     }
     labels
   }
@@ -1262,7 +1263,7 @@ object Graph extends QueryModule {
     val sym = und
       .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint(eager = false) // total + degree + intra legs
+      .ckptLocal(eager = false) // total + degree + intra legs
     val tot = sym.groupBy()
       .agg(sum(col("w")).cast("bigint").as("m2")) // 1 row
     val deg = sym.groupBy("a")
@@ -1425,12 +1426,12 @@ object Graph extends QueryModule {
     val sym = und
       .union(und.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .localCheckpoint(eager = false) // read by every relaxation round
+      .ckptLocal(eager = false) // read by every relaxation round
     val verts = sym.select(col("a").as("id")).distinct()
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     var dist = verts.filter(col("id") === lit(source))
       .withColumn("dist", lit(0L))
-      .localCheckpoint(eager = true)
+      .ckptLocal(eager = true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -1441,7 +1442,7 @@ object Graph extends QueryModule {
         .groupBy("id").agg(
           min(col("dist")).as("dist"),
           min(when(col("own"), col("dist"))).as("prev"))
-        .localCheckpoint(eager = false)
+        .ckptLocal(eager = false)
       // a newly-reached vertex has prev NULL — null-safe inequality
       changed = next.filter(!(col("dist") <=> col("prev"))).count()
       dist = next.select(col("id"), col("dist"))
@@ -1555,13 +1556,13 @@ object Graph extends QueryModule {
       a = ar.crossJoin(broadcast(ar.agg(max(col("raw")).as("mx"))))
         .select(col("dst").as("id"),
           expr(s"(raw * ${scale}L) div mx").as("v"))
-        .localCheckpoint(false)
+        .ckptLocal(false)
       val hr = e.join(a.select(col("id").as("dst"), col("v")), "dst")
         .groupBy("src").agg(sum(col("v")).as("raw"))
       h = hr.crossJoin(broadcast(hr.agg(max(col("raw")).as("mx"))))
         .select(col("src").as("id"),
           expr(s"(raw * ${scale}L) div mx").as("v"))
-        .localCheckpoint(false)
+        .ckptLocal(false)
     }
     h.withColumn("role", lit("hub"))
       .unionByName(a.withColumn("role", lit("authority")))

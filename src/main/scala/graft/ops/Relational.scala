@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -942,13 +943,13 @@ object Relational extends graft.QueryModule {
     val base = df.select(col(keyCol).as("__k"), col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__val"),
         thresholdCol.cast("double").as("__thr"))
-      .localCheckpoint(eager = false) // read by 2 multi-pass scans + totals
+      .ckptLocal(eager = false) // read by 2 multi-pass scans + totals
     val frame = base
       .select(col("__k"), col("__g"), col("__val").as("v"),
         lit(0).as("typ"), lit(1L).as("w"))
       .unionByName(base.select(col("__k"), col("__g"),
         col("__thr").as("v"), lit(1).as("typ"), lit(0L).as("w")))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val ord = Seq(col("v"), col("typ"), col("__k"))
     // One shared bounds pass for BOTH scans: min/max + even split skips
     // per-scan eager approxQuantile jobs (bucket balance affects only
@@ -2476,7 +2477,7 @@ object Relational extends graft.QueryModule {
       val rg = right.select(col(rk).as("k")).groupBy("k")
         .agg(count(lit(1)).as("cr"))
       val joined = lg.join(rg, Seq("k")) // value grain, never row grain
-        .localCheckpoint(eager = false)  // exact + top-F legs
+        .ckptLocal(eager = false)  // exact + top-F legs
       val top = rg.orderBy(col("cr").desc, col("k").asc).limit(JcTopF)
         .join(lg, Seq("k"), "left")
         .agg(count(lit(1)).as("f"),
@@ -2624,20 +2625,20 @@ object Relational extends graft.QueryModule {
       .select(col("l_orderkey").as("oid"),
         expr(s"l_partkey % $AprCat").as("cat"))
       .distinct()
-      .localCheckpoint(eager = false) // L1 + pair + triple legs
+      .ckptLocal(eager = false) // L1 + pair + triple legs
     val nB = b.select("oid").distinct().count() // bounded driver scalar
     val minsup = math.max(2L, nB / 100)
     val l1 = b.groupBy("cat").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minsup).select("cat")
     val b1 = b.join(l1, Seq("cat")).select("oid", "cat")
-      .localCheckpoint(eager = false) // three self-join legs
+      .ckptLocal(eager = false) // three self-join legs
     val l2 = b1.as("x").join(b1.as("y"),
         col("x.oid") === col("y.oid") && col("x.cat") < col("y.cat"))
       .groupBy(col("x.cat").as("a"), col("y.cat").as("bb"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minsup)
       .select("a", "bb")
-      .localCheckpoint(eager = false) // prefix join + subset prune
+      .ckptLocal(eager = false) // prefix join + subset prune
     val cand = l2.as("p")
       .join(l2.as("q"), col("p.a") === col("q.a") &&
         col("p.bb") < col("q.bb"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables, ParityGate}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -191,7 +192,7 @@ object RestGate extends QueryModule {
         .load()
         // eager: pull every page while the server is up; the parity
         // subtrees below then scan the pinned partitions, not the wire
-        .localCheckpoint()
+        .ckptLocal()
     } finally {
       srv.stop(0)
       java.nio.file.Files.deleteIfExists(pw)

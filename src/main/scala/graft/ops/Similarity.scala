@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -177,7 +178,7 @@ object Similarity extends QueryModule {
     val base = shortlist
       .select(col("qid"), col("cid"), col("rel_milli"), col("tk"))
       .filter(size(col("tk")) > 0)
-      .localCheckpoint(eager = false) // consumed once per step
+      .ckptLocal(eager = false) // consumed once per step
     var sel: DataFrame = null
     (1 to selectK).foreach { step =>
       val rem = if (sel == null) base
@@ -207,7 +208,7 @@ object Similarity extends QueryModule {
           col("mmr_milli"), lit(step).as("step"))
         // the barrier that keeps step N+1's plan from re-deriving every
         // earlier step's window twice (exponential growth otherwise)
-        .localCheckpoint(eager = false)
+        .ckptLocal(eager = false)
       sel = if (sel == null) pick else sel.unionByName(pick)
     }
     sel.select(col("qid"), col("cid"), col("step"), col("mmr_milli"))
@@ -231,7 +232,7 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("cid"), col("rn").cast("bigint").as("ra"))
       .join(legB.select(col("qid"), col("cid"),
         col("rn").cast("bigint").as("rb")), Seq("qid", "cid"))
-      .localCheckpoint(eager = false) // both sides of the pair self-join
+      .ckptLocal(eager = false) // both sides of the pair self-join
     val x = shared.select(col("qid"), col("cid").as("cx"),
       col("ra").as("rax"), col("rb").as("rbx"))
     val y = shared.select(col("qid"), col("cid").as("cy"),
@@ -403,7 +404,7 @@ object Similarity extends QueryModule {
         lit(true)))
       .select(col(idCol), col(labelCol), col(vecCol),
         expr(sigSpark(vecCol, width)).as("sig"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val l = e.select(col("sig"), col(idCol).as("v1"),
       col(labelCol).as("lab1"), col(vecCol).as("e1"))
     val r = e.select(col("sig"), col(idCol).as("v2"),
@@ -468,7 +469,7 @@ object Similarity extends QueryModule {
         lit(true)))
       .withColumn("rep",
         min(col(idCol)).over(Window.partitionBy(col(vecCol))))
-      .localCheckpoint(eager = false) // feeds stars AND the rep rows
+      .ckptLocal(eager = false) // feeds stars AND the rep rows
     val stars = withRep.filter(col(idCol) =!= col("rep"))
       .select(col(idCol).as("a"), col("rep").as("b"))
     val repRows = withRep.filter(col(idCol) === col("rep"))
@@ -680,7 +681,7 @@ object Similarity extends QueryModule {
     val cbs = pqCodebooks(
       withResidual(assignCells(seed, anchors)
         .withColumnRenamed("cid", "vec_id")), m, vecCol = "rv")
-      .localCheckpoint(eager = false) // m·K rows, read by 3 joins
+      .ckptLocal(eager = false) // m·K rows, read by 3 joins
     val enc = pqEncode(withResidual(assignCells(candidates, anchors)),
       cbs, m, vecCol = "rv")
     val probes = probeCells(queries, anchors, nProbe)
@@ -1285,7 +1286,7 @@ object Similarity extends QueryModule {
       .withColumn("cid", (row_number().over(
         Window.orderBy(col("__id"))) - 1).cast("bigint"))
       .select(col("cid"), col("qe").as("cv"))
-      .localCheckpoint(eager = true) // k rows
+      .ckptLocal(eager = true) // k rows
 
   /** Per-cluster (n_vecs, inertia) with the BIGINT sum ENFORCED in-plan
     * (round 17, closing the r16 audited-but-unenforced headroom note
@@ -1354,7 +1355,7 @@ object Similarity extends QueryModule {
         "p -> p.v)").as("cv2"))
     cents.join(upd, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
-      .localCheckpoint(eager = true) // k rows; truncates round lineage
+      .ckptLocal(eager = true) // k rows; truncates round lineage
   }
 
   private val KmKlusters = 4
@@ -1566,7 +1567,7 @@ object Similarity extends QueryModule {
       .join(points.select(col(idCol).as("__id"),
         col(labelCol).cast("long").as("lab")), Seq("__id"))
       .groupBy("cid", "lab").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true) // k·|labels| rows, five consumers
+      .ckptLocal(eager = true) // k·|labels| rows, five consumers
     val mc = cont.groupBy("cid").agg(sum("n").as("nc"))
     val ml = cont.groupBy("lab").agg(sum("n").as("nl"))
     val tot = cont.agg(sum("n").as("nn"))
@@ -1722,7 +1723,7 @@ object Similarity extends QueryModule {
         Seq("id"))
       // materialize once: the self-join's two legs must not each
       // replay the k-broadcast assignment scan
-      .localCheckpoint(eager = true)
+      .ckptLocal(eager = true)
     val pairs = asn.select(col("cid"), col("id").as("id1"),
         col("v").as("v1"))
       .join(asn.select(col("cid"), col("id").as("id2"),
@@ -1861,7 +1862,7 @@ object Similarity extends QueryModule {
         s"'dbscan: |$c| must be < 2^30 (micro-quantized)') AS BIGINT) END")
     val pts = points.select(col(idCol).as("__id"),
       guarded(xCol).as("x"), guarded(yCol).as("y"))
-      .localCheckpoint(eager = false) // adaptive count + binning share it
+      .ckptLocal(eager = false) // adaptive count + binning share it
     val eps =
       if (epsMicro == AdaptiveEps) adaptiveEpsMicro(pts.count())
       else epsMicro
@@ -1872,7 +1873,7 @@ object Similarity extends QueryModule {
     val binned = pts
       .withColumn("cx", expr(s"(x - pmod(x, ${eps}L)) div ${eps}L"))
       .withColumn("cy", expr(s"(y - pmod(y, ${eps}L)) div ${eps}L"))
-      .localCheckpoint(eager = false) // probe + home legs share the scan
+      .ckptLocal(eager = false) // probe + home legs share the scan
     val probe = binned.select(col("__id").as("a"), col("x").as("ax"),
         col("y").as("ay"),
         explode(expr("flatten(transform(sequence(-1L, 1L), dx -> " +
@@ -1887,11 +1888,11 @@ object Similarity extends QueryModule {
         (col("ay") - col("by")) * (col("ay") - col("by")) <=
         lit(eps * eps))
       .select("a", "b") // includes the self-pair (reflexive, symmetric)
-      .localCheckpoint(eager = false) // degree + core-edge + border legs
+      .ckptLocal(eager = false) // degree + core-edge + border legs
     val cores = pairs.groupBy("a")
       .agg(count(lit(1)).as("nn"))
       .filter(col("nn") >= minPts).select(col("a").as("id"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val comp = Graph.connectedComponents(pairs
       .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(cores.withColumnRenamed("id", "b"), Seq("b"), "left_semi"),
@@ -2666,7 +2667,7 @@ object Similarity extends QueryModule {
   private def q202(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val exact = q29(s, dir).select(col("qid"), col("cid"))
-      .localCheckpoint(eager = false) // tiny: NQueries × TopK rows
+      .ckptLocal(eager = false) // tiny: NQueries × TopK rows
     val mp = srpMultiProbeTopK(
       e.filter(col("vec_id") >= NQueries)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")),
@@ -2699,7 +2700,7 @@ object Similarity extends QueryModule {
   private def q205(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val exact = q29(s, dir).select(col("qid"), col("cid"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val approx = ivfPqTopK(
       e.filter(col("vec_id") >= NQueries),
       e.filter(col("vec_id") < NQueries),
@@ -2784,7 +2785,7 @@ object Similarity extends QueryModule {
     var selQe: Seq[Long] = seedArr(0).getSeq[Long](1)
     var selDist = 0L
     var md = pts.withColumn("md", dTo(selQe))
-      .localCheckpoint(eager = false) // argmax agg + next round's update
+      .ckptLocal(eager = false) // argmax agg + next round's update
     val out =
       scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
     for (i <- 1 to k) {
@@ -2799,7 +2800,7 @@ object Similarity extends QueryModule {
         selId = m.getLong(1)
         selQe = m.getSeq[Long](2)
         md = md.withColumn("md", least(col("md"), dTo(selQe)))
-          .localCheckpoint(eager = false)
+          .ckptLocal(eager = false)
       }
     }
     import s.implicits._
@@ -2885,7 +2886,7 @@ object Similarity extends QueryModule {
     val scored = a.join(broadcast(b))
       .withColumn("sim", expr(cosineSpark("av", "bv")))
       .select("a_id", "b_id", "sim")
-      .localCheckpoint(eager = false) // both rank legs read it
+      .ckptLocal(eager = false) // both rank legs read it
     val wa = Window.partitionBy("a_id")
       .orderBy(col("sim").desc, col("b_id").asc)
     val wb = Window.partitionBy("b_id")

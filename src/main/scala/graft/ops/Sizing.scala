@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.QueryModule
 import graft.sizing._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -229,7 +230,7 @@ object Sizing extends QueryModule {
         .withColumn("util_cpu_pct", lit(u("cpu")))
         .withColumn("util_spill_pct", lit(u("spill")))
         // eager: pin the 1-row result before the sinks are deleted
-        .localCheckpoint()
+        .ckptLocal()
     } finally graft.Fs.deleteRecursively(tmp)
     result
   }

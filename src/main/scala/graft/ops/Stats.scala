@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -135,11 +136,11 @@ object Stats extends QueryModule {
     val ranked = graft.plans.PrefixSum.rowNumber(
         Tables.load(s, dir, "orders")
           .select("o_orderpriority", "o_totalprice", "o_orderkey")
-          .localCheckpoint(eager = false),
+          .ckptLocal(eager = false),
         "o_totalprice",
         Seq(col("o_totalprice").asc, col("o_orderkey").asc),
         "rn", groupCols = Seq("o_orderpriority"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val counts = ranked.groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
     ranked.join(broadcast(counts), Seq("o_orderpriority"))
@@ -328,13 +329,13 @@ object Stats extends QueryModule {
   private def q109(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-      .localCheckpoint(eager = false) // counts + selection + final agg
+      .ckptLocal(eager = false) // counts + selection + final agg
     // first/last KEPT rank: clip the bottom and top floor(5% · n) rows
     val counts = base.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"))
       .withColumn("klo", expr("(n * 5) div 100 + 1"))
       .withColumn("khi", expr("n - (n * 5) div 100"))
-      .localCheckpoint(eager = false) // tiny; feeds targets + bounds
+      .ckptLocal(eager = false) // tiny; feeds targets + bounds
     val targets = counts.select(col("l_returnflag"), col("klo").as("k"))
       .unionByName(counts.select(col("l_returnflag"), col("khi").as("k")))
       .distinct()
@@ -451,18 +452,18 @@ object Stats extends QueryModule {
     val base = Tables.load(s, dir, "events")
       .select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     // lower median: the actual value at rank ceil(n/2) — one row/group
     val medTargets = base.groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), expr("(n + 1) div 2").as("k"))
-      .localCheckpoint(eager = false) // tiny; drives both selections
+      .ckptLocal(eager = false) // tiny; drives both selections
     val meds = valueAtRank(base, "event_type", "v100",
         Seq(col("event_id").asc), medTargets)
       .select(col("event_type"), col("value").as("med"))
     val dev = base.join(broadcast(meds), Seq("event_type"))
       .withColumn("dev", abs(col("v100") - col("med")))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val mads = valueAtRank(dev, "event_type", "dev",
         Seq(col("event_id").asc), medTargets)
       .select(col("event_type"), col("value").as("mad"))
@@ -1029,13 +1030,13 @@ object Stats extends QueryModule {
     require(k >= 2 && k <= 65536, s"kmvJaccard: k=$k outside 2..65536")
     val vt = rows.select(col(grpCol).as("src"), col(valCol).as("t"))
       .distinct()
-      .localCheckpoint(eager = false) // sketches + exact audit leg
+      .ckptLocal(eager = false) // sketches + exact audit leg
     val sh = vt.select(col("src"), expr(Dialect.sparkHash60("t")).as("h"))
       .distinct()
     val w = Window.partitionBy("src").orderBy(col("h").asc)
     val sk = sh.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k).select("src", "h")
-      .localCheckpoint(eager = true) // |groups|·k rows, four consumers
+      .ckptLocal(eager = true) // |groups|·k rows, four consumers
     val srcs = sk.select("src").distinct()
     val pp = srcs.select(col("src").as("sa"))
       .crossJoin(srcs.select(col("src").as("sb")))
@@ -1213,7 +1214,7 @@ object Stats extends QueryModule {
           .where(col("rn") <= KmvK).select("src", "h")
           // materialize BEFORE the overwrite clobbers the state this
           // plan reads (the read-modify-write hazard)
-          .localCheckpoint(eager = true)
+          .ckptLocal(eager = true)
         merged.write.mode("overwrite").parquet(state)
         mb.sparkSession.range(1).select(lit(id).as("batch_id"))
           .write.mode("append").parquet(log)
@@ -1221,7 +1222,7 @@ object Stats extends QueryModule {
       .start()
     val (streamedSk, nBatches) = try {
       q.processAllAvailable()
-      (s.read.parquet(state).localCheckpoint(eager = false),
+      (s.read.parquet(state).ckptLocal(eager = false),
         s.read.parquet(log).select("batch_id").distinct().count())
     } finally q.stop()
     val batchSk = kmvHashes(toTokens(docs), "source", "t")
@@ -1458,12 +1459,12 @@ object Stats extends QueryModule {
     val perKey = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
       .withColumn("one", lit(1L))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val ranked = graft.plans.PrefixSum.scan(
       perKey, "cnt",
       Seq(col("cnt").asc, col("l_partkey").asc),
       Seq("one" -> "i"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     // top-decile mass: the 1-row key count broadcast against the ranked
     // frame, aggregate the keys whose rank clears n - n div 10
     val sTop = broadcast(ranked.groupBy().agg(count(lit(1)).as("nn")))
@@ -1525,11 +1526,11 @@ object Stats extends QueryModule {
     val base = Tables.load(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("v100"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val r = graft.plans.PrefixSum.rowNumber(
         base, "v100", Seq(col("v100").asc, col("event_id").asc),
         "rk", groupCols = Seq("event_type"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val counts = r.groupBy("event_type").agg(count(lit(1)).as("n"))
     r.join(broadcast(counts), Seq("event_type"))
       .filter(col("event_id") % 7 === 0)

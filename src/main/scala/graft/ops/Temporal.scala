@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1227,7 +1228,7 @@ object Temporal extends QueryModule {
       .groupBy(col("event_type"),
         expr("ts_us div 86400000000").as("day"))
       .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("v"))
-      .localCheckpoint(eager = false) // calendar join + bounds
+      .ckptLocal(eager = false) // calendar join + bounds
     val b = daily.agg(min(col("day")), max(col("day"))).head()
     val (d0, d1) = (b.getLong(0), b.getLong(1))
     val cal = daily.select("event_type").distinct()

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.CkptLocalOps
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -236,18 +237,18 @@ object TextAnalysis extends QueryModule {
           "sequence(1, length(nt) - 1), i -> substring(nt, i, 2)) " +
           "ELSE array() END"))
       .select(col("__id"), col("__lang"), col("grams"))
-      .localCheckpoint(eager = false) // train counts + test scoring
+      .ckptLocal(eager = false) // train counts + test scoring
     val train = normed.filter(col("__id") % 10 =!= 0)
     val test = normed.filter(col("__id") % 10 === 0)
     val trainGrams = train
       .select(col("__lang"), explode(col("grams")).as("g"))
       .groupBy("__lang", "g").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // vocab + totals + smoothing join
+      .ckptLocal(eager = false) // vocab + totals + smoothing join
     val langs = train.groupBy("__lang").agg(count(lit(1)).as("ndocs"))
-      .localCheckpoint(eager = true) // |languages| rows
+      .ckptLocal(eager = true) // |languages| rows
     val totals = trainGrams.groupBy("__lang").agg(sum("c").as("tot"))
     val vocab = trainGrams.select("g").distinct()
-      .localCheckpoint(eager = false) // lq scaffold + size
+      .ckptLocal(eager = false) // lq scaffold + size
     val vCount = vocab.groupBy().agg(count(lit(1)).as("vsz"))
     val lq = vocab.crossJoin(broadcast(langs.select("__lang")))
       .join(trainGrams, Seq("__lang", "g"), "left")
@@ -389,10 +390,10 @@ object TextAnalysis extends QueryModule {
         col(targetCol).as("__tgt"),
         expr(s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")
           .as("tk"))
-      .localCheckpoint(eager = false) // two models + scoring
+      .ckptLocal(eager = false) // two models + scoring
     val allCnt = toks.select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("ca"))
-      .localCheckpoint(eager = false) // delta scaffold + vsz + tot_all
+      .ckptLocal(eager = false) // delta scaffold + vsz + tot_all
     val tgtCnt = toks.filter(col("__tgt") === targetVal)
       .select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("ct"))
@@ -850,7 +851,7 @@ object TextAnalysis extends QueryModule {
     val toks = docs.withColumn("n_tok",
       expr(s"CAST(size(regexp_extract_all(`$textCol`, '[a-z0-9]+', 0)) " +
         "AS BIGINT)"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     graft.plans.PrefixSum
       .scan(toks, orderCol, Seq(col(orderCol)), Seq("n_tok" -> "__run"),
         groupCols = Seq(groupCol))
@@ -1529,7 +1530,7 @@ object TextAnalysis extends QueryModule {
         expr(s"regexp_extract_all(`$textCol`, '[a-z]+', 0)"))
       // both passes (vocab build + scoring) read the tokenization;
       // truncate lineage so the regexp runs once (q95's trade)
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val vocab = toks.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
     // The floor-division identity used by both paths: Spark `div`
@@ -2306,7 +2307,7 @@ object TextAnalysis extends QueryModule {
         expr("concat('|', array_join(regexp_extract_all(w, '.', 0), '||')," +
           " '|')").as("ts"),
         col("freq"))
-      .localCheckpoint(eager = true) // vocab-sized; read by every round
+      .ckptLocal(eager = true) // vocab-sized; read by every round
     var w = words
     val perRound = (1 to rounds).map { i =>
       val m = w
@@ -2320,7 +2321,7 @@ object TextAnalysis extends QueryModule {
         .agg(sum("freq").as("freq"))
         .orderBy(col("freq").desc, col("lt").asc, col("rt").asc)
         .limit(1)
-        .localCheckpoint(eager = true) // 1 row; truncates round lineage
+        .ckptLocal(eager = true) // 1 row; truncates round lineage
       w = w
         .crossJoin(broadcast(
           m.select(col("lt").as("__mlt"), col("rt").as("__mrt"))))
@@ -3093,7 +3094,7 @@ object TextAnalysis extends QueryModule {
         expr(s"element_at($q182Langs, CAST(pmod(" +
           Dialect.sparkHash60("text") + ", 5) AS INT) + 1)").as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // read 3× below
+      .ckptLocal(eager = false) // read 3× below
     val tp = conf.filter(col("lang") === col("pred"))
       .select(col("lang").as("label"), col("n").as("tp"))
     val actual = conf.groupBy(col("lang").as("label"))
@@ -3228,7 +3229,7 @@ object TextAnalysis extends QueryModule {
     val phraseToks = toks
       .withColumn("island", sum(col("is_stop")).over(w))
       .filter(col("is_stop") === 0)
-      .localCheckpoint(eager = false) // feeds word stats AND reassembly
+      .ckptLocal(eager = false) // feeds word stats AND reassembly
     val plens = phraseToks.groupBy("doc_id", "island")
       .agg(count(lit(1)).as("plen"))
     val wordStats = phraseToks
@@ -3331,7 +3332,7 @@ object TextAnalysis extends QueryModule {
       .groupBy("source").agg(sum("t").as("mass"))
       .withColumn("w",
         expr("CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT)"))
-      .localCheckpoint(eager = false) // totals + apportionment
+      .ckptLocal(eager = false) // totals + apportionment
     val tot = mass.groupBy().agg(sum("w").as("wt"))
       .where(coalesce(
         assert_true(col("wt") > 0,
@@ -3341,7 +3342,7 @@ object TextAnalysis extends QueryModule {
     val based = mass.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"(${budget}L * w) div wt"))
       .withColumn("rem", expr(s"(${budget}L * w) % wt"))
-      .localCheckpoint(eager = false) // base sum + rank
+      .ckptLocal(eager = false) // base sum + rank
     val leftover = based.groupBy().agg(sum("base").as("bs"))
     based.crossJoin(broadcast(leftover))
       .withColumn("rk", row_number().over(
@@ -3416,7 +3417,7 @@ object TextAnalysis extends QueryModule {
       .groupBy("source")
       .agg(sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))
         .cast("long")).as("mass"))
-      .localCheckpoint(eager = false)
+      .ckptLocal(eager = false)
     val totals = broadcast(masses.agg(
       count(lit(1)).as("n"),
       expr("sum(mass) div 2").as("budget"),

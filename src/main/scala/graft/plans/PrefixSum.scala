@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.CkptLocalOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
