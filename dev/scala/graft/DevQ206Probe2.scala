@@ -39,17 +39,19 @@ object DevQ206Probe2 {
       .ckptLocal(eager = false)
     time("ord build")(ord.count())
     val pref = ord.select(col("__id"), col("l"),
-      explode(expr(
-        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))"))
-        .as("p"))
-      .select(col("__id"), col("l"), col("p.tok").as("tok"))
+      posexplode(expr(
+        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))")))
+      .select(col("__id"), col("l"), (col("pos") + 1).as("pp"),
+        col("col.tok").as("tok"))
     time("pref explode")(pref.count())
-    val cand = pref.select(col("__id").as("d1"), col("l").as("la"), col("tok"))
-      .join(pref.select(col("__id").as("d2"), col("l").as("lb"), col("tok")),
-        Seq("tok"))
+    val cand = pref.select(col("__id").as("d1"), col("l").as("la"),
+        col("pp").as("pa"), col("tok"))
+      .join(pref.select(col("__id").as("d2"), col("l").as("lb"),
+        col("pp").as("pb"), col("tok")), Seq("tok"))
       .filter(col("d1") < col("d2") &&
-        lit(1000L) * least(col("la"), col("lb")) >=
-          lit(tMilli.toLong) * greatest(col("la"), col("lb")))
+        lit(1000L + tMilli) *
+          (lit(1L) + least(col("la") - col("pa"), col("lb") - col("pb"))) >=
+          lit(tMilli.toLong) * (col("la").cast("bigint") + col("lb")))
       .select("d1", "d2").distinct()
     val nc = time("cand join+distinct")(cand.count())
     println(s"candidates=$nc")
@@ -59,8 +61,8 @@ object DevQ206Probe2 {
       .join(ord.select(col("__id").as("d2"), col("tks").as("o2"),
         col("l").as("l2")), "d2")
       .withColumn("ov", size(array_intersect(col("o1"), col("o2"))))
-      .filter(lit(1000L) * col("ov") >=
-        lit(tMilli.toLong) * (col("l1") + col("l2") - col("ov")))
+      .filter(lit(1000L + tMilli) * col("ov") >=
+        lit(tMilli.toLong) * (col("l1").cast("bigint") + col("l2")))
     val no = time("verify join")(out.count())
     println(s"pairs=$no")
     time("q206 whole")(SparkEntry.queries("q206_exact_simjoin")(spark, sfDir)

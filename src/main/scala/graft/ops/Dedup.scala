@@ -328,9 +328,32 @@ object Dedup extends QueryModule {
     */
   def prefixFilteredJaccardJoin(docs: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "tk", tMilli: Int = JacTMilli): DataFrame = {
-    val toks = docs
+    // the size(array_intersect) → OverlapCount rewrite must be live on
+    // THIS session: the verify predicate is the per-candidate hot path
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toks0 = docs
       .select(col(idCol).as("__id"), col(tokensCol).as("__tk"))
       .filter(size(col("__tk")) > 0)
+    // Identical-set grouping (optimization round 18): Jaccard is a
+    // function of the token SETS alone, and dedup corpora are exactly
+    // the corpora where many documents carry the SAME set (measured at
+    // sf0.1: 5,000 docs → 3,935 distinct sets, one 248-doc family).
+    // Candidate generation + verification run once per DISTINCT set
+    // (representative = min id); member pairs are recovered afterwards:
+    // within a group every pair is J = 1 (jac_milli = 1000 exactly),
+    // across groups every member pair inherits the representative
+    // pair's jac_milli verbatim (same sets ⟹ same ov, l₁, l₂). The
+    // rep-level join emits each unordered GROUP pair once (g1 < g2), so
+    // least/greatest on the member expansion emits each unordered DOC
+    // pair exactly once — the output row set is bit-identical to the
+    // ungrouped run, at (distinct/total)² of the quadratic candidate
+    // cost. On an all-unique corpus the groupBy is one extra pass over
+    // compact arrays and everything else is unchanged.
+    val groups = toks0
+      .groupBy(sort_array(col("__tk")).as("__tk"))
+      .agg(min(col("__id")).as("__id"), collect_list(col("__id")).as("__ids"))
+      .ckptLocal(eager = false) // rep pipeline + 2 expansion legs
+    val toks = groups.select(col("__id"), col("__tk"))
     val df = toks.select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val ord = toks.select(col("__id"), explode(col("__tk")).as("tok"))
@@ -348,28 +371,62 @@ object Dedup extends QueryModule {
     // verify stages): `900 * l` in 32-bit wraps past l ≈ 2.38M distinct
     // tokens, which would silently shorten the prefix and DROP pairs —
     // the one failure mode an exactness contract cannot have at 100 TB.
+    // Prefix tokens carry their 1-based canonical POSITION (PPJoin's
+    // positional filter, Xiao et al., WWW 2008): a qualifying pair needs
+    // ov ≥ α = ceil(t·(l₁+l₂)/(1000+t)), and its rank-smallest common
+    // token w sits at position p in each doc with NO common token before
+    // it, so ov ≤ 1 + min(l₁−p₁, l₂−p₂) at w's emission. Filtering every
+    // emission by (1000+t)·(1 + min(l₁−p₁, l₂−p₂)) ≥ t·(l₁+l₂) keeps w's
+    // emission for every qualifying pair (completeness preserved) while
+    // killing late-prefix-only matches — and at p₁ = p₂ = 1 it reduces to
+    // the old length-ratio bound 1000·min(l) ≥ t·max(l), so it strictly
+    // subsumes that filter.
     val pref = ord.select(col("__id"), col("l"),
-      explode(expr(
-        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))"))
-        .as("p"))
-      .select(col("__id"), col("l"), col("p.tok").as("tok"))
-    val cand = pref.select(col("__id").as("d1"), col("l").as("la"), col("tok"))
-      .join(pref.select(col("__id").as("d2"), col("l").as("lb"), col("tok")),
-        Seq("tok"))
+      posexplode(expr(
+        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))")))
+      .select(col("__id"), col("l"), (col("pos") + 1).as("pp"),
+        col("col.tok").as("tok"))
+    val cand = pref.select(col("__id").as("d1"), col("l").as("la"),
+        col("pp").as("pa"), col("tok"))
+      .join(pref.select(col("__id").as("d2"), col("l").as("lb"),
+        col("pp").as("pb"), col("tok")), Seq("tok"))
       .filter(col("d1") < col("d2") &&
-        lit(1000L) * least(col("la"), col("lb")) >=
-          lit(tMilli.toLong) * greatest(col("la"), col("lb")))
+        lit(1000L + tMilli) *
+          (lit(1L) + least(col("la") - col("pa"), col("lb") - col("pb"))) >=
+          lit(tMilli.toLong) * (col("la").cast("bigint") + col("lb")))
       .select("d1", "d2").distinct()
-    cand
+    // Verify: the predicate is written with ONE `ov` occurrence —
+    // 1000·ov ≥ t·(l₁+l₂−ov) ⟺ (1000+t)·ov ≥ t·(l₁+l₂) — because the
+    // filter is pushed into the broadcast-join CONDITION, where every
+    // `ov` reference re-evaluates the intersection per candidate (no
+    // cross-expression CSE in join-condition codegen; the jac_milli
+    // projection above the join CSEs its own two refs).
+    val repPairs = cand
       .join(ord.select(col("__id").as("d1"), col("tks").as("o1"),
         col("l").as("l1")), "d1")
       .join(ord.select(col("__id").as("d2"), col("tks").as("o2"),
         col("l").as("l2")), "d2")
       .withColumn("ov", size(array_intersect(col("o1"), col("o2"))))
-      .filter(lit(1000L) * col("ov") >=
-        lit(tMilli.toLong) * (col("l1") + col("l2") - col("ov")))
+      .filter(lit(1000L + tMilli) * col("ov") >=
+        lit(tMilli.toLong) * (col("l1").cast("bigint") + col("l2")))
       .select(col("d1"), col("d2"), expr(
         "(1000L * ov) div (CAST(l1 AS BIGINT) + l2 - ov)").as("jac_milli"))
+    // member expansion: rep pairs → doc pairs (see the grouping note)
+    val members = groups.select(col("__id").as("__g"),
+      explode(col("__ids")).as("__m"))
+    val cross = repPairs
+      .join(members.select(col("__g").as("d1"), col("__m").as("m1")), "d1")
+      .join(members.select(col("__g").as("d2"), col("__m").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jac_milli"))
+    val within = groups
+      .filter(size(col("__ids")) > 1)
+      .select(col("__ids"), explode(col("__ids")).as("m1"))
+      .select(col("m1"), explode(col("__ids")).as("m2"))
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("d1"), col("m2").as("d2"),
+        lit(1000L).as("jac_milli"))
+    cross.unionByName(within)
   }
 
   /** EXACT set-CONTAINMENT self-join: every ordered pair (a, b), a ≠ b,
@@ -399,6 +456,9 @@ object Dedup extends QueryModule {
   def containmentJoin(docs: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "tk", tMilli: Int = JacTMilli,
       probeIdFilter: Option[Column => Column] = None): DataFrame = {
+    // OverlapCount rewrite on this session — same reason as the Jaccard
+    // join: the verify predicate is evaluated once per candidate pair
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val toks = docs
       .select(col(idCol).as("__id"), col(tokensCol).as("__tk"))
       .filter(size(col("__tk")) > 0)
@@ -422,25 +482,38 @@ object Dedup extends QueryModule {
       .getOrElse(ord)
     // BIGINT prefix arithmetic — same 32-bit-wrap guard as the Jaccard
     // join's candidate stage (see the comment there).
+    // Positional filter, containment form (PPJoin's bound adapted to the
+    // asymmetric predicate): a qualifying pair needs ov ≥ α = ceil(t·l_a),
+    // and its rank-smallest common token w — the FIRST common token in
+    // both docs' canonical orders — sits at position p_a in A and p_b in
+    // B with all ov common tokens at or after it on both sides, so
+    // ov ≤ 1 + min(l_a−p_a, l_b−p_b) at w's emission. Filtering every
+    // (A-prefix, B-posting) emission by
+    // 1000·(1 + min(l_a−p_a, l_b−p_b)) ≥ t·l_a keeps w's emission for
+    // every qualifying pair (completeness preserved); at p_a = p_b = 1 it
+    // reduces to 1000·min(l_a, l_b) ≥ t·l_a, which subsumes the old
+    // container-length prune t·l_a ≤ 1000·l_b — and the l_b−p_b arm cuts
+    // the container-side posting fan-out (B posts ALL its tokens) by the
+    // ~(1 − t) fraction the bound actually permits.
     val pref = prefSrc.select(col("__id"), col("l"),
-      explode(expr(
-        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))"))
-        .as("p"))
-      .select(col("__id").as("a"), col("l").as("la"), col("p.tok").as("tok"))
-    // container postings, pruned to tokens some prefix actually probes
-    val post = ord.select(col("__id").as("b"), col("l").as("lb"),
-        explode(col("tks")).as("tok"))
+      posexplode(expr(
+        s"slice(ord, 1, greatest(l - ((${tMilli}L * l + 999) div 1000) + 1, 1))")))
+      .select(col("__id").as("a"), col("l").as("la"),
+        (col("pos") + 1).as("pa"), col("col.tok").as("tok"))
+    // container postings (with canonical position), pruned to tokens some
+    // prefix actually probes
+    val post = ord.select(col("__id"), col("l"), posexplode(col("tks")))
+      .select(col("__id").as("b"), col("l").as("lb"),
+        (col("pos") + 1).as("pb"), col("col").as("tok"))
       .join(pref.select("tok").distinct(), Seq("tok"), "left_semi")
-    // container-length prune, exact: ov ≤ l_b, so a qualifying pair needs
-    // t·l_a ≤ 1000·l_b (lb ≥ ceil(m/1000) ⟺ 1000·lb ≥ m for integer lb) —
-    // a short doc can never contain a long one, and on corpora with mixed
-    // lengths this kills the bulk of the token-join's fan-out before the
-    // distinct + verify stages ever see it. Zero recall loss (implied by
-    // the verify predicate).
     val cand = pref.join(post, Seq("tok"))
       .filter(col("a") =!= col("b") &&
-        lit(tMilli.toLong) * col("la") <= lit(1000L) * col("lb"))
+        lit(1000L) *
+          (lit(1L) + least(col("la") - col("pa"), col("lb") - col("pb"))) >=
+          lit(tMilli.toLong) * col("la"))
       .select("a", "b").distinct()
+    // verify predicate has a single `ov` occurrence already (see the
+    // Jaccard join's note on join-condition pushdown)
     cand
       .join(ord.select(col("__id").as("a"), col("tks").as("ta"),
         col("l").as("la")), "a")
