@@ -1594,8 +1594,12 @@ object Dedup extends QueryModule {
     val idxDir = s"$tmp/idx"
     snbIndexBuild(toks.filter(col("doc_id") % 10 =!= 0), idxDir)
     val batchDocs = toks.filter(col("doc_id") % 10 === 0)
-    // 4 input files → 4 micro-batches under maxFilesPerTrigger=1
-    batchDocs.repartition(4, col("doc_id"))
+    // 2 input files → 2 micro-batches under maxFilesPerTrigger=1 — the
+    // minimum that exercises union-equals-batch across a real batch
+    // boundary (q199's round-18 rationale: each micro-batch pays a
+    // fixed index-read + plan + parquet-append cost, and every gate
+    // bit is batch-count-agnostic)
+    batchDocs.repartition(2, col("doc_id"))
       .write.mode("overwrite").parquet(s"$tmp/in")
     val schema = s.read.parquet(s"$tmp/in").schema
     val sink = s"$tmp/sink"
@@ -2426,8 +2430,15 @@ object Dedup extends QueryModule {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q199").toString
     try {
       val docs = Tables.load(s, dir, "documents")
-      // 4 input files → 4 micro-batches under maxFilesPerTrigger=1
-      docs.repartition(4, col("doc_id"))
+      // 2 input files → 2 micro-batches under maxFilesPerTrigger=1 —
+      // the minimum that keeps the multi_batch gate meaningful (update
+      // vs complete mode indistinguishable on one mega-batch). Round 18
+      // (guide §6/§5): each micro-batch pays fixed cost — a plan
+      // compile, 8 RocksDB state-store commits, a parquet append — so
+      // the harness streams the SAME corpus in 2 halves instead of 4
+      // quarters; all three parity-gate bits are batch-count-agnostic
+      // (state ≡ batch counts, ≥2 batches, deltas < batches × vocab).
+      docs.repartition(2, col("doc_id"))
         .write.mode("overwrite").parquet(s"$tmp/in")
       val schema = s.read.parquet(s"$tmp/in").schema
       val sink = s"$tmp/sink"
@@ -2450,19 +2461,34 @@ object Dedup extends QueryModule {
             val appended = s.read.parquet(sink)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("g").orderBy(col("batch_id").desc)
+            // ckptLocal: resolved feeds the parity join AND the final
+            // histogram — one window pass instead of two
             val resolved = appended
               .withColumn("rn", row_number().over(w))
               .filter(col("rn") === 1).select("g", "n")
+              .ckptLocal(eager = false)
             val batchCounts =
               positionalGrams(docs, "text", q120K)
                 .groupBy("g").agg(count(lit(1)).as("bn"))
-            val nDiff = resolved.join(batchCounts, Seq("g"), "full_outer")
-              .filter(col("n").isNull || col("bn").isNull ||
-                col("n") =!= col("bn"))
-              .count()
-            val nBatches = appended.select("batch_id").distinct().count()
-            val emitted = appended.count()
-            val vocab = batchCounts.count()
+            // ONE full-outer pass delivers both parity-gate inputs: the
+            // symmetric-difference count and the batch vocabulary size.
+            // The old shape ran the corpus gram scan TWICE (nDiff join +
+            // vocab count) and the delta log through three separate
+            // actions (guide §1.2: don't recompute what one pass gives).
+            val jv = resolved.join(batchCounts, Seq("g"), "full_outer")
+              .agg(
+                coalesce(sum(when(col("n").isNull || col("bn").isNull ||
+                    col("n") =!= col("bn"), 1L).otherwise(0L)), lit(0L))
+                  .as("n_diff"),
+                coalesce(sum(when(col("bn").isNotNull, 1L).otherwise(0L)),
+                  lit(0L)).as("vocab"))
+              .head()
+            val (nDiff, vocab) = (jv.getLong(0), jv.getLong(1))
+            val be = appended
+              .agg(countDistinct(col("batch_id")).as("nb"),
+                count(lit(1)).as("emitted"))
+              .head()
+            val (nBatches, emitted) = (be.getLong(0), be.getLong(1))
             val h = resolved.groupBy("n")
               .agg(count(lit(1)).as("n_grams"))
               .collect()

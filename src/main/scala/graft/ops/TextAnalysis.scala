@@ -553,7 +553,12 @@ object TextAnalysis extends QueryModule {
     // pairs-unionAll-pairs form scanned the token stream twice; the
     // directed (a, b) counts are vocab²-bounded, so flipping THEM costs
     // nothing and w(s,d) = c(s,d) + c(d,s) is the identical BIGINT.
+    // ckptLocal: dirCnt feeds both unionAll legs — without the barrier
+    // the full token-scan + aggregate subtree is duplicated into each
+    // leg and only plan-shape-dependent exchange reuse saves the second
+    // scan; the checkpoint (vocab²-bounded, cheap) guarantees one scan.
     val dirCnt = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .ckptLocal(eager = false)
     val edges = dirCnt.select(col("a").as("src"), col("b").as("dst"), col("c"))
       .unionAll(dirCnt.select(col("b").as("src"), col("a").as("dst"), col("c")))
       .groupBy("src", "dst").agg(sum(col("c")).as("w"))

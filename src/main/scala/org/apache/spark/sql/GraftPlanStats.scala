@@ -28,12 +28,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * are kept UNCHANGED while `sizeInBytes` (and `rowCount`, which
   * explodes the same way) fit in a signed 64-bit long — the only
   * regime where their magnitude can flip a threshold comparison — and
-  * clamped to `Long.MaxValue` beyond that, which compares identically
-  * to the astronomic original against every size threshold (broadcast,
-  * shuffled-hash, AQE advisories are all ≤ a few GB). Attribute-level
-  * stats are dropped only in the clamped case (they are products of
-  * the same blown estimates). So: identical plans, bounded planning
-  * arithmetic.
+  * `sizeInBytes` is clamped to `Long.MaxValue` beyond that, which
+  * compares identically to the astronomic original against every size
+  * threshold (broadcast, shuffled-hash, AQE advisories are all ≤ a few
+  * GB); a still-sane `sizeInBytes` survives untouched when only
+  * `rowCount` overflowed. `rowCount` and attribute-level stats are
+  * DROPPED (not clamped) in that regime — they are products of the
+  * same blown estimates — and the origin plan's constraints are
+  * carried through unchanged, exactly as stock `localCheckpoint` does,
+  * so constraint-propagation optimizations (inferred IsNotNull,
+  * redundant-filter elimination) are identical on both paths. So:
+  * identical plans, bounded planning arithmetic.
   */
 object GraftPlanStats {
   private val MaxLong = BigInt(Long.MaxValue)
@@ -51,7 +56,14 @@ object GraftPlanStats {
         else {
           val fresh = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming, lr.stream)(
-            ck.sparkSession, Some(Statistics(sizeInBytes = MaxLong)), None)
+            ck.sparkSession,
+            // preserve a still-sane sizeInBytes when only rowCount
+            // overflowed (practically unreachable, but the cheap min
+            // keeps a would-be broadcast broadcastable)
+            Some(Statistics(sizeInBytes = st.sizeInBytes.min(MaxLong))),
+            // constraints are NOT statistics: carry the origin plan's
+            // set through like stock localCheckpoint does
+            Some(lr.constraints))
           classic.Dataset.ofRows(ck.sparkSession, fresh)
         }
       case _ => ck
