@@ -812,12 +812,15 @@ object TextAnalysis extends QueryModule {
     */
   def tokenPacking(docs: DataFrame, budget: Long = packBudget,
       groupCol: String = "source", orderCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", nTokCol: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .withColumn("n_tok",
-        expr(s"CAST(size(regexp_extract_all($textCol, '[a-z0-9]+', 0)) AS BIGINT)"))
+      // nTokCol: callers that already tokenized (q129's pipeline) pass
+      // their count through instead of paying the regex a second time —
+      // same '[a-z0-9]+' contract, identical manifest
+      .withColumn("n_tok", nTokCol.map(c => col(c).cast("bigint")).getOrElse(
+        expr(s"CAST(size(regexp_extract_all($textCol, '[a-z0-9]+', 0)) AS BIGINT)")))
       .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin", expr(s"prev div $budget"))
       .groupBy(groupCol, "bin")
@@ -2633,13 +2636,22 @@ object TextAnalysis extends QueryModule {
     val docs = Tables.load(s, dir, "documents")
     val stripped = Dedup.stripDuplicatedSpans(docs, "text", 5)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    // Round 18 (guide §2/§6 — one scan feeding all stages): the strip
+    // pass (positional grams + window, the pipeline's dominant cost) and
+    // the re-tokenization of the stripped text each appeared 4-5× in the
+    // lazy plan — once under the model legs (bigs, uni), once under the
+    // survivor join, once under the packing. ONE checkpointed frame now
+    // carries (doc_id, source, stripped, t, n_tok): the strip + regex
+    // run once, every stage reads the materialized tokens, and
+    // tokenPacking reuses n_tok instead of re-running the regex.
     val qual = stripped
-      .withColumn("n_tok", expr(
-        "CAST(size(regexp_extract_all(stripped, '[a-z0-9]+', 0)) AS BIGINT)"))
+      .withColumn("t",
+        expr("regexp_extract_all(stripped, '[a-z0-9]+', 0)"))
+      .withColumn("n_tok", size(col("t")).cast("bigint"))
       .filter(col("n_tok") >= 5)
+      .ckptLocal(eager = false) // model toks + survivor join + packing
     // bigram model over the surviving corpus (q123's shapes)
-    val toks = qual.select(col("doc_id"),
-      expr("regexp_extract_all(stripped, '[a-z0-9]+', 0)").as("t"))
+    val toks = qual.select(col("doc_id"), col("t"))
     val bigs = toks.select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(t) - 1),
           |  i -> struct(t[i - 1] AS w1, t[i] AS w2))""".stripMargin)).as("b"))
@@ -2655,14 +2667,15 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("term_milli")).as("ll_milli"))
       .withColumn("doc_mean", expr("ll_milli div n_bigrams"))
+      .ckptLocal(eager = false) // corpus-mean agg + survivor join
     val gmean = perDoc
       .agg(expr("sum(doc_mean) div count(1)").as("g"))
     val kept = qual
       .join(perDoc.select("doc_id", "doc_mean"), Seq("doc_id"))
       .crossJoin(broadcast(gmean))
       .filter(col("doc_mean") >= col("g"))
-      .select("doc_id", "source", "stripped")
-    tokenPacking(kept, textCol = "stripped")
+      .select("doc_id", "source", "stripped", "n_tok")
+    tokenPacking(kept, textCol = "stripped", nTokCol = Some("n_tok"))
   }
 
   private val q129Sql = {

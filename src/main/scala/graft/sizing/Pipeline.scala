@@ -1,5 +1,6 @@
 package graft.sizing
 
+import graft.CkptLocalOps
 import graft.plans.PrefixSum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -135,6 +136,11 @@ object Pipeline {
     // so they are excluded from the sweep (kept in CSV/aggregate paths).
     val withInstants = derived
       .filter(col("admitted_us").isNotNull && col("end_us").isNotNull)
+    // NOTE (round 18): ckptLocal on the event frame was tried and
+    // REVERTED — PrefixSum's three evaluations of this cheap explode are
+    // cheaper than materializing checkpoint blocks per call (q73 runs
+    // this per micro-batch; blocks accumulate until driver GC and the
+    // entry degraded 7.5 → 35 s at sf0.1).
     val scanned = PrefixSum.scan(sweepEvents(withInstants), "ts_us",
       Seq(col("ts_us"), col("kind"), col("query_id")),
       deltas.map(d => d -> d.replace("d_", "run_")), uniformBounds = true)
@@ -207,8 +213,18 @@ object Pipeline {
     // the adapted querylog once so the source (CSV scan or REST pages) is
     // read a single time and every pass sees identical data.
     val cached = raw.persist()
+    // Round 18 (guide §5 caching): the DERIVED frame is read by 7
+    // downstream actions (2 prune + 5 kept consumers) — without its own
+    // cache each action re-runs Formulas.derive's ~30-column arithmetic
+    // over the cached raw. One cache on the pre-split derived frame;
+    // kept/pruned stay cheap filters over it, skipped is a cheap filter
+    // over raw (no derivation) and stays uncached.
+    val pooled = Routing.poolFilter(cached, cfg)
+    val skipped = pooled.filter(Routing.skipPredicate)
+    val derived = Formulas
+      .derive(pooled.filter(!Routing.skipPredicate), cfg).persist()
+    val (kept, pruned) = Routing.pruneSplit(derived, cfg)
     try {
-      val (skipped, kept, pruned) = Routing.route(cached, cfg)
       // ONE routing pre-pass replaces the per-sink isEmpty probes AND the
       // report's prune count / pool roster actions (Report.routedCounts)
       val pre = Report.routedCounts(kept, pruned, skipped)
@@ -227,6 +243,9 @@ object Pipeline {
           .write.mode("overwrite").text(s"$outDir/${cfg.skipQueryFile}")
 
       Report.build(cfg, kept, concurrency(kept), pre)
-    } finally cached.unpersist()
+    } finally {
+      derived.unpersist()
+      cached.unpersist()
+    }
   }
 }
