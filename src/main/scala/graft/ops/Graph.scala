@@ -77,6 +77,15 @@ object Graph extends QueryModule {
     val verts = pairs
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
     // Symmetrized edge set; read by every hook round.
+    // Round 18 NOTE: caching this hash(a)-pre-partitioned (repartition
+    // on the join key before a partition-local distinct) removes the
+    // per-round sym-side Exchange — but was tried and REVERTED: the
+    // explicit partitioning disables AQE coalescing along the whole
+    // per-round join path, and at bench scale (sf0.1) the extra task
+    // overhead cost 15–30% on every CC consumer (q50 2.4→2.9 s, q209
+    // 3.2→3.8 s measured). The per-round exchange is AQE-coalesced to
+    // near-zero cost at this scale; at cluster scale the right fix is
+    // bucketed/pre-partitioned EDGE STORAGE, not a plan-level pin.
     val und = pairs.filter(col("a") =!= col("b"))
     val sym = und
       .union(und.select(col("b").as("a"), col("a").as("b")))
@@ -892,8 +901,12 @@ object Graph extends QueryModule {
       .select(col("id"), col("id").as("lbl"))
       .ckptLocal(eager = true)
     for (_ <- 1 to rounds) {
+      // One shuffle for the two-level aggregate: hash(a) satisfies the
+      // (a, lbl) clustering, so after the explicit repartition both the
+      // per-label sum and the per-vertex argmax run partition-local.
       labels = sym
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .repartition(col("a"))
         .groupBy("a", "lbl").agg(sum(col("w")).as("ws"))
         .groupBy("a")
         .agg(min(struct((-col("ws")).as("nws"), col("lbl"))).as("m"))
@@ -996,11 +1009,15 @@ object Graph extends QueryModule {
       val par = h % 2
       val tot = labels.join(deg, "id")
         .groupBy("lbl").agg(sum(col("k")).as("tot"))
+      // Raw neighbor-label rows feed ONE (id, l) aggregate below — the
+      // former per-(a, l) pre-aggregate was redundant (sum of sums =
+      // sum, and the single groupBy's map-side partial agg does the
+      // same reduction before the exchange): one aggregate exchange per
+      // half-step instead of two (guide §2.4).
       val neigh = sym
         .filter(col("a") =!= col("b") && abs(col("a") % 2) === par)
         .join(labels.select(col("id").as("b"), col("lbl").as("l")), "b")
-        .groupBy(col("a").as("id"), col("l"))
-        .agg(sum(col("w")).as("wvl"))
+        .select(col("a").as("id"), col("l"), col("w").as("wvl"))
       // own label always a candidate (w 0 when no intra neighbor):
       // without it a vertex whose best neighbor-label gain is negative
       // would be forced to move anyway
@@ -1008,10 +1025,13 @@ object Graph extends QueryModule {
         .select(col("id"), col("lbl").as("l"), lit(0L).as("wvl"))
       val cands = neigh.unionByName(own)
         .groupBy("id", "l").agg(sum(col("wvl")).as("wvl"))
+      // join the label-keyed side FIRST, the id-keyed sides last: the
+      // argmax below groups on id and reuses the id join's partitioning
+      // instead of paying its own exchange (inner joins commute)
       val scored = cands
+        .join(tot.select(col("lbl").as("l"), col("tot")), "l")
         .join(labels.select(col("id"), col("lbl").as("ownl")), "id")
         .join(deg, "id")
-        .join(tot.select(col("lbl").as("l"), col("tot")), "l")
         .crossJoin(broadcast(mm))
         .withColumn("sc", col("m2") * col("wvl") - col("k") *
           (col("tot") -
@@ -1551,14 +1571,20 @@ object Graph extends QueryModule {
       .withColumn("v", lit(scale))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
+      // the raw-score frame feeds both the max normalizer and the
+      // renormalized scores — checkpointed so the edge join + aggregate
+      // run once per half-step instead of relying on exchange reuse
+      // (the q238 dirCnt lesson)
       val ar = e.join(h.select(col("id").as("src"), col("v")), "src")
         .groupBy("dst").agg(sum(col("v")).as("raw"))
+        .ckptLocal(false)
       a = ar.crossJoin(broadcast(ar.agg(max(col("raw")).as("mx"))))
         .select(col("dst").as("id"),
           expr(s"(raw * ${scale}L) div mx").as("v"))
         .ckptLocal(false)
       val hr = e.join(a.select(col("id").as("dst"), col("v")), "dst")
         .groupBy("src").agg(sum(col("v")).as("raw"))
+        .ckptLocal(false)
       h = hr.crossJoin(broadcast(hr.agg(max(col("raw")).as("mx"))))
         .select(col("src").as("id"),
           expr(s"(raw * ${scale}L) div mx").as("v"))
